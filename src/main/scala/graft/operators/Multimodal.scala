@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media rides through the engine as an opaque `binary` payload column plus
+  * typed metadata — the lakehouse-standard layout (one row per asset,
+  * bytes + struct metadata). The Spark-side machinery here — schema, batch
+  * shape, partition-friendly transforms, frame sampling — is real and
+  * tested; the actual codec work is STUBBED (this container ships no
+  * image/audio libraries) behind `decodeStub`, which parses a deterministic
+  * 16-byte fake header. Swapping in a real decoder = replacing that one
+  * function; every downstream operator is payload-agnostic.
+  *
+  * Scale notes: payloads never enter a shuffle key; metadata extraction is
+  * column-local (mapPartitions-free, codegen'd byte slicing), and frame
+  * sampling explodes to fixed-size slices so downstream batches stay
+  * bounded.
+  */
+object Multimodal {
+
+  /** Fake-header layout (all big-endian int32): magic | kind | width | height. */
+  val Magic = 0x47524654 // "GRFT"
+
+  /** Build a deterministic fake media payload from seed text: 16-byte header
+    * + the text bytes as "pixels". Stands in for real image/audio bytes in
+    * tests and demos.
+    */
+  def encodeFake(kindId: Column, width: Column, height: Column, body: Column): Column = {
+    // int → 4 big-endian bytes, via the zero-padded 8-char hex form
+    def be32(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    concat(be32(lit(Magic)), be32(kindId), be32(width), be32(height),
+      encode(body, "UTF-8"))
+  }
+
+  /** ??? in spirit: the real decode (JPEG/PNG/WAV/MP4) would live here.
+    * STUB — parses the deterministic fake header instead. The signature
+    * (binary in, struct of typed metadata out) is the real contract.
+    */
+  def decodeStub(payload: Column): Column = {
+    def beInt(off: Int): Column =
+      conv(hex(substring(payload, off, 4)), 16, 10).cast("int")
+    struct(
+      (beInt(1) === Magic).as("valid"),
+      beInt(5).as("kind_id"),
+      beInt(9).as("width"),
+      beInt(13).as("height"),
+      (length(payload) - 16).as("body_bytes"))
+  }
+
+  /** Media table from the documents fixture: every doc becomes one fake
+    * asset with deterministic dimensions derived from doc_id.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val kind = (col("doc_id") % 3).cast("int") // 0=image 1=audio 2=video
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind_id"),
+      encodeFake(
+        kind,
+        (lit(32) + col("doc_id") % 96).cast("int"),
+        (lit(24) + col("doc_id") % 72).cast("int"),
+        col("text")).as("payload"))
+  }
+
+  /** Metadata extraction: binary → typed columns. Codegen'd byte slicing —
+    * the shape a real decoder's cheap header-sniff pass would take at scale
+    * (full decode only after pushdown-filtered selection).
+    */
+  def extractMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("meta", decodeStub(col("payload")))
+      .select(
+        col("media_id"), col("kind_id"),
+        col("meta.valid").as("valid"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.body_bytes").as("body_bytes"))
+
+  /** Feature extraction STUB: a 16-bin byte histogram of the payload body,
+    * L1-normalized — deterministic stand-in for an embedding model, with the
+    * real contract (binary → array<double>, fixed dimension, batch-shaped).
+    */
+  def byteHistogram(payload: Column, bins: Int = 16): Column = {
+    val body = substring(payload, 17, Int.MaxValue)
+    // count bytes per bin via 16 codegen'd passes over the hex form — avoids
+    // any UDF; payloads are bounded (chunked upstream) so this stays cheap
+    val hexBody = hex(body) // 2 chars per byte; first hex char = high nibble = bin for bins=16
+    val counts = (0 until bins).map { b =>
+      val ch = "0123456789ABCDEF".charAt(b).toString
+      (length(hexBody) - length(regexp_replace(hexBody, java.util.regex.Pattern.quote(ch), ""))).as(s"c$b")
+    }
+    val total = greatest(length(body), lit(1)).cast("double")
+    array(counts.map(c => round(c.cast("double") / lit(2.0) / total, 6)): _*)
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size slice
+    * of the body becomes a frame row `(media_id, frame_idx, frame_bytes)`.
+    * Explode keeps frames as independent rows — the unit of parallelism for
+    * downstream per-frame models.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val body  = substring(col("payload"), 17, Int.MaxValue)
+    val nFrames = floor((length(body) + frameBytes - 1) / frameBytes)
+    media
+      .where(col("kind_id") === 2)
+      .withColumn("frame_idx",
+        explode(when(nFrames > 0, sequence(lit(0), (nFrames - 1).cast("int"), lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .select(
+        col("media_id"), col("frame_idx"),
+        substring(body, (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)).as("frame"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is batch-only, but its data model is an append-only
+  * event-time log (`JsTimeOfCreation` + descending reads) — the streaming
+  * shape. These transforms are written once and run in BOTH modes: the
+  * batch equivalents are declared in `SparkEntry.queries`
+  * (oracle-checkable), and the same exprs bind to `readStream` here.
+  *
+  * Scale posture: every aggregation below is keyed (window / user), so
+  * state partitions by key across executors; watermarks bound state size —
+  * the two properties that keep a stream alive at 100 TB/day.
+  */
+object EventStreams {
+
+  /** Schema of the events table (FIXTURES.md). */
+  val eventsSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** File-based stream source over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Tumbling 1-day counts per event type, 1-hour watermark: late events
+    * beyond the watermark are dropped, closing windows and bounding state.
+    */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("day_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding 1-hour windows every 15 minutes — rate monitoring shape. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Per-user session windows (30-minute gap), watermarked. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Exactly-once-per-key dedup within the watermark horizon — streaming
+    * exact dedup (the streaming twin of `Dedup.exact`).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run any of the above to completion against a static directory via the
+    * memory sink — the synchronous harness pattern for tests.
+    */
+  def runToMemory(stream: DataFrame, name: String, outputMode: String = "update"): Unit = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

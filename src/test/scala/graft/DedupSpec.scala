@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact: keeps min doc_id per identical text") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa")
+    val out = Dedup.exact(d).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash: finds planted near-duplicates, skips unrelated docs") {
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val near = (1 to 300).map(i => if (i % 150 == 0) "CHANGED" else s"w$i").mkString(" ")
+    val far  = (1 to 300).map(i => s"v$i").mkString(" ")
+    val out = Dedup.minhashCandidates(docs(1L -> base, 2L -> near, 3L -> far), minEstJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("ngram: exact jaccard confirms the planted pair") {
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val near = (1 to 300).map(i => if (i == 150) "CHANGED" else s"w$i").mkString(" ")
+    val out = Dedup.ngramJaccard(docs(1L -> base, 2L -> near, 3L -> "x y z"), minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, j) = out.head
+    assert((a, b) == (1L, 2L) && j > 0.9)
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val t = ("alpha beta gamma delta " * 20)
+    val out = Dedup.simhashPairs(docs(1L -> t, 2L -> t, 3L -> "unrelated stuff here"), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup: planted duplicate vector found, orthogonal not") {
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.map(x => x * 1.001f) // same direction
+    val v3 = Array.tabulate(16)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, minCosine = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("bucket skew guard: degenerate identical docs don't explode pairs") {
+    val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
+    val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
+    // MaxBucket=64 cap: buckets above the cap are dropped, so the pair count
+    // stays bounded instead of 200*199/2
+    assert(out.count() == 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms run against the static sf0.001 events dir via the
+  * memory sink and are cross-checked against their batch twins — the same
+  * window expressions must produce the same aggregates.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the stream source needs a directory of parquet part-files: events.parquet
+  // IS a single file, so point the reader at a dir containing a copy
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    Tables.events(spark, Sf0001).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling daily counts match the batch equivalent") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.tumblingDaily(stream), "t_daily", "append")
+    val streamed = spark.table("t_daily")
+      .select(col("day_start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day_start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // append mode emits only windows closed by the final watermark; every
+    // emitted window must match its batch twin exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(
+      EventStreams.dedupedEvents(stream.union(stream)).groupBy().count(),
+      "t_dedup", "complete")
+    val n = spark.table("t_dedup").as[Long].head()
+    assert(n == Tables.events(spark, Sf0001).count())
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.userSessions(stream), "t_sessions", "append")
+    val rows = spark.table("t_sessions")
+    assert(rows.where(col("session_end") < col("session_start")).count() == 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.mediaFromDocuments(
+    Seq((0L, "short clip body"), (1L, "another body"), (2L, "v" * 2000))
+      .toDF("doc_id", "text"))
+
+  test("fake header encodes and decode-stub inverts it") {
+    val out = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    assert(out.map(_.getAs[Int]("kind_id")).toSeq == Seq(0, 1, 2))
+    assert(out.head.getAs[Int]("width") == 32 && out.head.getAs[Int]("height") == 24)
+    assert(out.head.getAs[Int]("body_bytes") == "short clip body".length)
+  }
+
+  test("corrupted payload is flagged invalid") {
+    val bad = media.withColumn("payload",
+      concat(lit(Array[Byte](1, 2, 3, 4)), substring(col("payload"), 5, 1 << 20)))
+    val out = Multimodal.extractMeta(bad).collect()
+    assert(out.forall(!_.getAs[Boolean]("valid")))
+  }
+
+  test("sampleFrames: only video kind, strided fixed-size slices") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, stride = 4)
+    val rows = frames.orderBy("media_id", "frame_idx").collect()
+    assert(rows.forall(_.getAs[Long]("media_id") == 2L)) // kind 2 = video
+    val idxs = rows.map(_.getAs[Int]("frame_idx")).toSeq
+    assert(idxs == idxs.sorted && idxs.forall(_ % 4 == 0))
+    assert(rows.init.forall(_.getAs[Array[Byte]]("frame").length == 256))
+  }
+
+  test("byteHistogram: normalized 16-bin histogram sums to ~1") {
+    val h = media.select(Multimodal.byteHistogram(col("payload")).as("h"))
+      .as[Seq[Double]].collect()
+    h.foreach { bins =>
+      assert(bins.length == 16)
+      assert(math.abs(bins.sum - 1.0) < 0.01)
+    }
+  }
+}

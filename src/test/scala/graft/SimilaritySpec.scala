@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = {
+    // 40 deterministic vectors in 8 dims
+    val rnd = new scala.util.Random(11)
+    (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("VectorOps.cosine matches a scala-side computation") {
+    val rows = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+    val spark_ = emb.where(col("vec_id") === 1L)
+      .crossJoin(emb.where(col("vec_id") === 2L).select(col("embedding").as("b")))
+      .select(VectorOps.cosine(col("embedding"), col("b"))).as[Double].head()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    assert(math.abs(spark_ - cos(rows(1L), rows(2L))) < 1e-9)
+  }
+
+  test("bruteForceTopK returns the true top-k") {
+    val rows = emb.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(rows(0L), v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("ivfTopK with nprobe == nlist degrades to exact brute force") {
+    val exact = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(emb, probeId = 0L, k = 5, nlist = 4, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("kmeans: centroids converge on separated clusters") {
+    val a = Array.fill(50)(Array(0.0 + util.Random.nextDouble() * 0.1, 0.0))
+    val b = Array.fill(50)(Array(10.0 + util.Random.nextDouble() * 0.1, 10.0))
+    val cs = Similarity.kmeans((a ++ b), k = 2, iters = 10)
+    val xs = cs.map(_.head).sorted
+    assert(xs(0) < 1.0 && xs(1) > 9.0)
+  }
+}

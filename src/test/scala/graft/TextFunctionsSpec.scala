@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+class TextFunctionsSpec extends SparkSpec with Checkers {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens, ignoring empties") {
+    val df = Seq("  a b   c ", "", "one").toDF("text")
+      .select(TF.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 1))
+  }
+
+  test("fnv1a64 is deterministic and spreads") {
+    assert(TF.fnv1a64("abc") == TF.fnv1a64("abc"))
+    assert(TF.fnv1a64("abc") != TF.fnv1a64("abd"))
+  }
+
+  test("simhash: identical docs identical, similar docs close, disjoint docs far") {
+    val a = ("the quick brown fox jumps over the lazy dog " * 5).split(" ").toSeq
+    val b = a.updated(3, "cat") // one token changed
+    val c = Seq("completely", "different", "vocabulary", "entirely", "unrelated")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(TF.simhash64(a) == TF.simhash64(a))
+    assert(ham(TF.simhash64(a), TF.simhash64(b)) <= 16)
+    assert(ham(TF.simhash64(a), TF.simhash64(c)) > 16)
+  }
+
+  test("minhashSigScala: null below n tokens; deterministic; est-jaccard tracks overlap") {
+    assert(TF.minhashSigScala("one two", 3, 32) == null)
+    val doc = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 200).map(i => if (i == 100) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 200).map(i => s"other$i").mkString(" ")
+    val s1 = TF.minhashSigScala(doc, 3, 128)
+    val s2 = TF.minhashSigScala(near, 3, 128)
+    val s3 = TF.minhashSigScala(far, 3, 128)
+    assert(s1.toSeq == TF.minhashSigScala(doc, 3, 128).toSeq)
+    def est(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(s1, s2) > 0.9) // 3 of 198 shingles differ
+    assert(est(s1, s3) < 0.1)
+  }
+
+  test("shinglesScala emits distinct in-order n-grams") {
+    assert(TF.shinglesScala("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(TF.shinglesScala("a b a b a b", 2).toSeq == Seq("a b", "b a"))
+    assert(TF.shinglesScala("a b", 3).isEmpty)
+  }
+
+  test("langIdScala picks the marker-dominant language") {
+    assert(TF.langIdScala("the cat and the dog is that it for this") == "en")
+    assert(TF.langIdScala("el que la de los las una por") == "es")
+    assert(TF.langIdScala("zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic (column form)") {
+    val fps = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(TF.fingerprint(col("text")).as("fp")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore lands in [0,1] for arbitrary text") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val q = Seq(s).toDF("text")
+        .select(TF.qualityScore(col("text")).as("q")).as[Double].head()
+      q >= 0.0 && q <= 1.0
+    }, minTests = 15)
+  }
+}
