@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * difference between reading a partition and reading the lake.
   */
 object Tables {
+  // memoized per (session, path): a fresh spark.read.parquet re-lists files
+  // and re-reads footers on every call — a fixed planning tax on each of the
+  // ~40 declared queries. The cached DataFrame is just the resolved relation
+  // (no data), so this is safe across queries within a session.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * outright; read it as raw nanos via the legacy conf and surface a proper

@@ -36,19 +36,30 @@ object VectorOps {
     * (bands of) this signature buckets near-neighbors — the scale path for
     * ANN and embedding near-dup when brute force stops fitting.
     *
-    * Hyperplane component (p, j) = +1 if xxhash64(p*dim + j) has its low bit
-    * set, else -1 — deterministic across executors with zero broadcast state.
+    * Hyperplane component (p, j) = ±1 from splitmix64(p·100003 + j) —
+    * deterministic across executors with zero broadcast state. Single-pass
+    * JVM loop rather than per-plane `aggregate`/`zip_with` expressions:
+    * higher-order array functions are CodegenFallback (interpreted) and the
+    * expression form measured ~30× slower.
     */
-  def lshSignature(v: Column, bits: Int = 16): Column = {
-    val vd = asDouble(v)
-    val planeBits = (0 until bits).map { p =>
-      // projection = Σ_j v[j] * sign(hash(p, j))
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, j) => when(xxhash64(lit(p) * lit(100003) + j) % 2 === 0, x).otherwise(-x)),
-        lit(0.0), (s, x) => s + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+  def lshSigScala(v: Seq[Float], bits: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var j = 0
+      val seedBase = p.toLong * 100003L
+      while (j < v.length) {
+        val h = graft.functions.TextFunctions.splitmix64(seedBase + j)
+        proj += (if ((h & 1L) == 0L) v(j).toDouble else -v(j).toDouble)
+        j += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
     }
-    planeBits.reduce(_.bitwiseOR(_))
+    sig
   }
+
+  def lshSignature(v: Column, bits: Int = 16): Column =
+    udf((vec: Seq[Float]) => lshSigScala(vec, bits)).apply(v)
 }
