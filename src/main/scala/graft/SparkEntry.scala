@@ -312,6 +312,110 @@ object SparkEntry {
       events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
         .orderBy("event_type")),
+
+    // -- [NS] grouping breadth: cube + grouping sets --
+    "q_cube_type_day" -> ((s, d) =>
+      events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    "q_grouping_sets" -> ((s, d) => {
+      events(s, d).withColumn("day", to_date(col("ts")))
+        .createOrReplaceTempView("events_gs")
+      s.sql("""SELECT event_type, day, count(*) AS n FROM events_gs
+               GROUP BY GROUPING SETS ((event_type), (day))
+               ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+    }),
+
+    "q_set_intersect" -> ((s, d) => {
+      val e = events(s, d)
+      e.where(col("event_type") === "click").select("user_id")
+        .intersect(e.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // -- [NS] more join shapes: range join, dim joins over part/supplier --
+    "q_range_join" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_fast_lines"))
+        .orderBy("o_orderpriority")),
+
+    "q_brand_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    "q_supplier_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(dsum(col("l_extendedprice"), 4).as("revenue"), count(lit(1)).as("n"))
+        .orderBy("s_name")),
+
+    // -- [NS] exact interpolated percentiles (hash-comparable across engines) --
+    "q_percentiles" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"))
+        .orderBy("event_type")),
+
+    // -- [NS] streaming-shape windows, batch twins --
+    "q_sliding_2h" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy("w_start")),
+
+    "q_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("sw.start").as("session_start"), col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // -- [REF R2/R3/R5/R8/R9/R12-R14] the full log-store path as one query:
+    // documents become LogDocs (one user per doc), go through adaptive
+    // chunking + zip + ULID ids, and reassembly must restore every payload --
+    "q_logstore_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .select(col("doc_id").cast("string").as("user_id"),
+          lit("activity").as("event_type"),
+          lit("schedulechange").as("trigger"),
+          col("doc_id").as("js_time_of_creation"),
+          col("text").as("payload"))
+        .as[graft.operators.LogStore.LogDoc]
+      val rebuilt = graft.operators.LogStore.reassemble(graft.operators.LogStore.ingest(docs))
+      rebuilt.join(documents(s, d), rebuilt("user_id") === documents(s, d)("doc_id").cast("string"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("payload") === col("text"), 1L).otherwise(0L)).as("n_match"))
+    }),
+
+    // -- [REF R8] ULID id generation properties (ids themselves are
+    // nondeterministic; the validated invariants are not) --
+    "q_ulid_props" -> ((s, d) => {
+      val e = events(s, d).where(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("id", graft.functions.Ulid.compositeId(
+          col("user_id"), lit("preview"), col("ms")))
+      e.select(col("event_id"), split(col("id"), "_").as("parts"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(size(col("parts")) === 4 &&
+            length(element_at(col("parts"), 3)) === 26, 1L).otherwise(0L)).as("n_valid"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per query; omitted keys get a rows-only check.
@@ -475,5 +579,78 @@ object SparkEntry {
         |  CAST(32 + doc_id % 96 AS INT) AS width, CAST(24 + doc_id % 72 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS INT) AS body_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_cube_type_day" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events
+        |GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events
+        |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_fast_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_brand_revenue" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_supplier_revenue" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sliding_2h" ->
+      """SELECT w_start, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+        |  FROM events)
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |        FROM events)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_logstore_roundtrip" ->
+      "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
+
+    "q_ulid_props" ->
+      "SELECT count(*) AS n, count(*) AS n_valid FROM events WHERE event_id < 1000",
   )
 }
