@@ -83,11 +83,10 @@ object Ulid {
   }
   private val AlphabetSorted = Alphabet.sorted // Crockford alphabet IS sorted already
 
-  /** Column form. Marked nondeterministic so Catalyst never collapses,
-    * reorders, or re-executes it expecting a stable value.
+  /** Column form — the native nondeterministic [[UlidExpression]], which
+    * codegens to a direct `Ulid.generate()` call (no UDF serialization).
     */
-  def ulid(): Column = ulidUdf()
-  private val ulidUdf = udf(() => generate()).asNondeterministic()
+  def ulid(): Column = Expressions.ulidExpr()
 
   /** Composite id `userId_trigger_ULID_jsMillis` — reference `GenerateId()`
     * (`LogChange.cs:80-85`). Deterministic pieces come in as columns; the

@@ -24,11 +24,11 @@ object VectorOps {
   def norm(v: Column): Column =
     sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0), (s, x) => s + x))
 
-  /** Cosine similarity; null-safe on zero vectors (returns 0.0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
-  }
+  /** Cosine similarity; 0.0 on zero vectors. Backed by the codegen'd
+    * [[CosineSimilarity]] Catalyst expression — the `aggregate`/`zip_with`
+    * form (see `dot`/`norm`) is interpreted and falls out of codegen.
+    */
+  def cosine(a: Column, b: Column): Column = Expressions.cosineSim(a, b)
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
     * deterministic pseudo-random ±1 (Rademacher) hyperplanes, packed into a

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{Expressions, VectorOps}
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim expression matches hand computation, float and double") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(Expressions.cosineSim(col("a"), col("b"))).as[Double].head()
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - want) < 1e-12)
+    val gotD = df.select(Expressions.cosineSim(
+      col("a").cast("array<double>"), col("b"))).as[Double].head()
+    assert(math.abs(gotD - want) < 1e-12)
+  }
+
+  test("cosine_sim: zero vector yields 0.0, not NaN") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+    assert(df.select(Expressions.cosineSim(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  test("cosine_sim stays inside whole-stage codegen") {
+    // over a range source — a local relation would be constant-folded away
+    val df = spark.range(10)
+      .select(array(col("id").cast("float"), lit(1f)).as("a"),
+        array(lit(2f), col("id").cast("float")).as("b"))
+      .select(Expressions.cosineSim(col("a"), col("b")).as("c"))
+    // the `*(n)` prefix marks a WholeStageCodegen stage in simple-mode plans
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(df.count() == 10) // and the generated code actually compiles/runs
+  }
+
+  test("registered SQL functions: cosine_sim and ulid callable from SQL") {
+    GraftExtensions.register(spark)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+    val ids = spark.range(100).selectExpr("ulid() AS id").as[String].collect()
+    assert(ids.forall(_.length == 26))
+    assert(ids.distinct.length == 100)
+  }
+
+  test("ulid column expression is nondeterministic but well-formed per row") {
+    val ids = spark.range(50).select(graft.functions.Ulid.ulid().as("id"))
+      .as[String].collect()
+    assert(ids.forall(id => id.length == 26 &&
+      id.forall("0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_))))
+  }
+}
