@@ -403,6 +403,12 @@ object SparkEntry {
           sum(when(col("payload") === col("text"), 1L).otherwise(0L)).as("n_match"))
     }),
 
+    // -- [NS] skew-immune two-phase aggregate (event_type is low-cardinality
+    // = the skewed-key case; result must equal the direct groupBy) --
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Layout.saltedAgg(events(s, d), col("event_type"), col("value"))
+        .orderBy("key")),
+
     // -- [REF R8] ULID id generation properties (ids themselves are
     // nondeterministic; the validated invariants are not) --
     "q_ulid_props" -> ((s, d) => {
@@ -649,6 +655,11 @@ object SparkEntry {
 
     "q_logstore_roundtrip" ->
       "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
+
+    "q_salted_agg" ->
+      """SELECT event_type AS key, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ulid_props" ->
       "SELECT count(*) AS n, count(*) AS n_valid FROM events WHERE event_id < 1000",

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities: the knobs that decide whether a 100 TB job
+  * shuffles.
+  *
+  * - Salted aggregation: a two-phase aggregate for skewed keys. Phase 1
+  *   groups by (key, salt) so a hot key's rows spread over `salts`
+  *   reducers; phase 2 combines the partials per key. The classic fix when
+  *   one key holds 30% of the data and AQE's skew handling can't apply
+  *   (aggregations, unlike joins, get no runtime skew split).
+  *
+  * - Bucketed tables: pre-shuffled on-disk layout. Two tables bucketed by
+  *   the same key into the same bucket count join WITHOUT an exchange —
+  *   the co-located join the reference's partition-key routing approximates
+  *   (`BigDataLogControl.cs:23-24`), generalized to any key.
+  */
+object Layout {
+
+  /** Two-phase salted sum/count aggregate of `valueCol` by `key`.
+    * Result schema: key, n, total — identical to the direct
+    * `groupBy(key).agg(count, sum)`, but skew-immune.
+    */
+  def saltedAgg(df: DataFrame, key: Column, valueCol: Column, salts: Int = 16): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum(valueCol.cast("decimal(18,2)")).as("pt"))
+    salted
+      .groupBy(col("key"))
+      .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
+  }
+
+  /** Write a DataFrame as a bucketed+sorted managed table. Joins between
+    * tables bucketed by the same key/count skip the shuffle entirely.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketKey: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back. */
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

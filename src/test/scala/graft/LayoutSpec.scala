@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg equals the direct aggregate on skewed data") {
+    // heavy skew: 90% of rows share one key
+    val df = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 5).otherwise(lit(999L)).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val direct = df.groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("key").as[(Long, Long, Double)].collect().toSeq
+    val salted = Layout.saltedAgg(df, col("k"), col("v"))
+      .orderBy("key").as[(Long, Long, Double)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // self-clean: drop catalog entries AND stray locations from aborted runs
+    Seq("bucket_a", "bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val a = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    Layout.writeBucketed(a, "bucket_a", "k", 4)
+    Layout.writeBucketed(b, "bucket_b", "k", 4)
+    // tables this small broadcast by default, which bypasses bucketed reads —
+    // disable broadcast so the plan shows the co-located sort-merge join the
+    // layout exists for
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.readTable(spark, "bucket_a")
+        .join(Layout.readTable(spark, "bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
