@@ -403,6 +403,12 @@ object SparkEntry {
           sum(when(col("payload") === col("text"), 1L).otherwise(0L)).as("n_match"))
     }),
 
+    // -- [NS] explicit-state operator (flatMapGroupsWithState) in batch;
+    // streaming twin in EventStreams, state semantics tested there --
+    "q_stateful_totals" -> ((s, d) =>
+      graft.streaming.EventStreams.statefulUserTotals(s, events(s, d))
+        .orderBy("user_id")),
+
     // -- [NS] skew-immune two-phase aggregate (event_type is low-cardinality
     // = the skewed-key case; result must equal the direct groupBy) --
     "q_salted_agg" -> ((s, d) =>
@@ -655,6 +661,11 @@ object SparkEntry {
 
     "q_logstore_roundtrip" ->
       "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
+
+    "q_stateful_totals" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type AS key, count(*) AS n,

@@ -63,6 +63,48 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Public: the state encoder's generated code constructs it reflectively. */
+  case class TotalsState(n: Long, total: BigDecimal)
+
+  /** Per-user running totals with EXPLICIT state — the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` surface for custom
+    * state machines the built-in aggregates can't express. State partitions
+    * by user across executors; in streaming each micro-batch folds into the
+    * persisted state, in batch it degenerates to a typed groupBy (which is
+    * what the DuckDB oracle checks).
+    *
+    * Money-sum determinism: values accumulate as exact BigDecimal at scale 2
+    * (matching the engine-wide `dsum` convention) so output doubles are
+    * identical regardless of row order.
+    */
+  def statefulUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TotalsState, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TotalsState]) =>
+          var acc = state.getOption.getOrElse(TotalsState(0L, BigDecimal(0)))
+          rows.foreach { e =>
+            acc = TotalsState(
+              acc.n + 1,
+              acc.total + BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          }
+          state.update(acc)
+          Iterator(UserTotal(uid, acc.n, acc.total.toDouble))
+      }
+      .toDF()
+  }
+
   /** Run any of the above to completion against a static directory via the
     * memory sink — the synchronous harness pattern for tests.
     */

@@ -44,6 +44,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == Tables.events(spark, Sf0001).count())
   }
 
+  test("stateful user totals: streaming final state matches batch groupBy") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(
+      EventStreams.statefulUserTotals(spark, stream), "t_totals", "update")
+    // update mode may emit a row per micro-batch; the final state per user is
+    // the row with the largest n
+    val finalState = spark.table("t_totals")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(finalState == batch)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     EventStreams.runToMemory(EventStreams.userSessions(stream), "t_sessions", "append")
