@@ -302,6 +302,14 @@ object SparkEntry {
       Multimodal.extractMeta(Multimodal.mediaFromDocuments(documents(s, d)))
         .orderBy("media_id")),
 
+    "q_mm_decode_batch" -> ((s, d) =>
+      Multimodal.decodeMapPartitions(s, Multimodal.mediaFromDocuments(documents(s, d)))
+        .orderBy("media_id")),
+
+    "q_dedup_keep" -> ((s, d) =>
+      Dedup.minhashDeduped(documents(s, d), minEstJaccard = 0.4)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "q_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(documents(s, d)))
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"),
@@ -587,6 +595,12 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_mm_meta" ->
+      """SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kind_id, true AS valid,
+        |  CAST(32 + doc_id % 96 AS INT) AS width, CAST(24 + doc_id % 72 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS INT) AS body_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_mm_decode_batch" ->
       """SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kind_id, true AS valid,
         |  CAST(32 + doc_id % 96 AS INT) AS width, CAST(24 + doc_id % 72 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS INT) AS body_bytes

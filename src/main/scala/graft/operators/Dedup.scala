@@ -123,6 +123,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Materialize the deduplicated corpus: drop every doc that appears as the
+    * larger id of a candidate pair (greedy keep-smallest representative).
+    * One anti-join against the distinct drop set — the corpus never
+    * shuffles by content. Chains (a~b, b~c, a≁c) collapse to `a` because
+    * both b and c appear as a larger id; a full transitive-closure
+    * (connected components) pass is deliberately out of scope for the
+    * per-batch dedup this implements.
+    */
+  def minhashDeduped(
+      docs: DataFrame,
+      n: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val drop = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup: 64-bit signatures, blocked on 16-bit bands (a pair
     * within Hamming distance d<=3 per band pigeonholes into at least one
     * identical band of 4), verified with `bit_count(xor) <= maxHamming`.

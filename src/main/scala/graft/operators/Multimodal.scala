@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -78,6 +78,61 @@ object Multimodal {
         col("meta.width").as("width"),
         col("meta.height").as("height"),
         col("meta.body_bytes").as("body_bytes"))
+
+  /** Typed metadata row — the decode contract's output schema. */
+  case class MediaMeta(
+      media_id: Long, kind_id: Int, valid: Boolean,
+      width: Int, height: Int, body_bytes: Int)
+
+  /** The per-partition "decoder handle" — stands in for a heavyweight codec
+    * context (libjpeg handle, ffmpeg context) that must be initialized once
+    * per task, not once per row. ??? in spirit: `decode` would call the real
+    * library; the stub parses the deterministic fake header.
+    */
+  private final class DecoderStub {
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def decode(mediaId: Long, payload: Array[Byte]): MediaMeta =
+      if (payload == null || payload.length < 16 || be32(payload, 0) != Magic)
+        MediaMeta(mediaId, -1, valid = false, 0, 0, math.max(0, payload.length - 16))
+      else
+        MediaMeta(mediaId, be32(payload, 4), valid = true,
+          be32(payload, 8), be32(payload, 12), payload.length - 16)
+  }
+
+  /** Batch-shaped decode: `mapPartitions` streams each partition's rows
+    * through ONE decoder instance — the Spark-side plumbing (schema in/out,
+    * partition-level batching, per-task init amortization) a real
+    * image/audio decode stage needs at 100 TB. Swapping the stub for a real
+    * codec changes only `DecoderStub.decode`.
+    */
+  def decodeMapPartitions(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new DecoderStub // once per partition/task
+        rows.map { case (id, payload) => decoder.decode(id, payload) }
+      }
+      .toDF()
+  }
+
+  /** Resize STUB: rewrites the header to the target dimensions and truncates
+    * the body proportionally — the contract (binary → binary, new metadata
+    * consistent with the new header) is real; the pixel math is not.
+    */
+  def resizeStub(payload: Column, newW: Int, newH: Int): Column = {
+    def be32(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    val meta = decodeStub(payload)
+    val scaled = (col2: Column) => greatest(
+      ceil(col2 * (lit(newW) * lit(newH)) /
+        greatest(meta.getField("width") * meta.getField("height"), lit(1))).cast("int"),
+      lit(1))
+    concat(
+      be32(lit(Magic)), be32(meta.getField("kind_id")), be32(lit(newW)), be32(lit(newH)),
+      substring(payload, 17, Int.MaxValue).substr(lit(1), scaled(meta.getField("body_bytes"))))
+  }
 
   /** Feature extraction STUB: a 16-bin byte histogram of the payload body,
     * L1-normalized — deterministic stand-in for an embedding model, with the

@@ -33,6 +33,15 @@ class DedupSpec extends SparkSpec {
     assert((a, b) == (1L, 2L) && j > 0.9)
   }
 
+  test("minhashDeduped keeps one representative, drops the near-dup") {
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val near = (1 to 300).map(i => if (i == 150) "CHANGED" else s"w$i").mkString(" ")
+    val far  = (1 to 300).map(i => s"v$i").mkString(" ")
+    val kept = Dedup.minhashDeduped(docs(1L -> base, 2L -> near, 3L -> far))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val t = ("alpha beta gamma delta " * 20)
     val out = Dedup.simhashPairs(docs(1L -> t, 2L -> t, 3L -> "unrelated stuff here"), maxHamming = 3)

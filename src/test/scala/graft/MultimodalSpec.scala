@@ -35,6 +35,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.init.forall(_.getAs[Array[Byte]]("frame").length == 256))
   }
 
+  test("mapPartitions decode matches the expression decode path") {
+    val viaExpr = Multimodal.extractMeta(media)
+      .select("media_id", "kind_id", "valid", "width", "height", "body_bytes")
+      .orderBy("media_id").collect().toSeq
+    val viaPartitions = Multimodal.decodeMapPartitions(spark, media)
+      .select("media_id", "kind_id", "valid", "width", "height", "body_bytes")
+      .orderBy("media_id").collect().toSeq
+    assert(viaPartitions == viaExpr)
+  }
+
+  test("resize stub: new header dims decode back, body shrinks") {
+    val resized = media.withColumn("payload", Multimodal.resizeStub(col("payload"), 8, 6))
+    val out = Multimodal.extractMeta(resized).orderBy("media_id").collect()
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    assert(out.forall(r => r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 6))
+    val before = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    before.zip(out).foreach { case (b, a) =>
+      assert(a.getAs[Int]("body_bytes") <= b.getAs[Int]("body_bytes"))
+      assert(a.getAs[Int]("body_bytes") >= 1)
+    }
+  }
+
   test("byteHistogram: normalized 16-bin histogram sums to ~1") {
     val h = media.select(Multimodal.byteHistogram(col("payload")).as("h"))
       .as[Seq[Double]].collect()
