@@ -411,6 +411,35 @@ object SparkEntry {
           sum(when(col("payload") === col("text"), 1L).otherwise(0L)).as("n_match"))
     }),
 
+    // -- [REF/NS] scalar function breadth: string / datetime / math --
+    "q_string_funcs" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        regexp_replace(lower(substring(col("text"), 1, 50)), "[aeiou]", "").as("devoweled"),
+        concat_ws("|", col("lang"), col("source")).as("tag"))
+        .orderBy("doc_id")),
+
+    "q_time_funcs" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        unix_millis(col("ts")).as("epoch_ms"))
+        .orderBy("event_id")),
+
+    "q_math_funcs" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        round(sqrt(abs(col("value"))), 4).as("root"),
+        ceil(col("value")).as("up"),
+        floor(col("value")).as("down"),
+        round(log1p(abs(col("value"))), 4).as("logv"))
+        .orderBy("event_id")),
+
     // -- [NS] explicit-state operator (flatMapGroupsWithState) in batch;
     // streaming twin in EventStreams, state semantics tested there --
     "q_stateful_totals" -> ((s, d) =>
@@ -675,6 +704,28 @@ object SparkEntry {
 
     "q_logstore_roundtrip" ->
       "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",
+
+    "q_string_funcs" ->
+      """SELECT doc_id, length(text) AS n,
+        |  upper(substring(text, 1, 10)) AS head10,
+        |  regexp_replace(lower(substring(text, 1, 50)), '[aeiou]', '', 'g') AS devoweled,
+        |  concat_ws('|', lang, source) AS tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_time_funcs" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT event_id,
+        |  round(sqrt(abs(value)), 4) AS root,
+        |  CAST(ceil(value) AS BIGINT) AS up,
+        |  CAST(floor(value) AS BIGINT) AS down,
+        |  round(ln(1 + abs(value)), 4) AS logv
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_stateful_totals" ->
       """SELECT user_id, count(*) AS n,
