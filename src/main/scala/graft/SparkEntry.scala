@@ -103,6 +103,20 @@ object SparkEntry {
           sum(when(col("rebuilt") === col("text"), 1L).otherwise(0L)).as("n_match"))
     }),
 
+    // reassembly via the typed Aggregator (UDAF surface) — same invariant
+    // as q_reassemble, different aggregation machinery
+    "q_reassemble_agg" -> ((s, d) => {
+      val concatUdaf = udaf(graft.operators.LogStore.OrderedConcat,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.STRING))
+      val rebuilt = chunkRows(s, d)
+        .groupBy(col("doc_id"))
+        .agg(concatUdaf(col("split_index"), col("chunk")).as("rebuilt"))
+      rebuilt.join(documents(s, d), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rebuilt") === col("text"), 1L).otherwise(0L)).as("n_match"))
+    }),
+
     "q_roundtrip_codec" -> ((s, d) =>
       documents(s, d).agg(
         count(lit(1)).as("n_docs"),
@@ -516,6 +530,9 @@ object SparkEntry {
         |SELECT count(*) AS n_docs,
         |  CAST(sum(CASE WHEN re.rebuilt = d.text THEN 1 ELSE 0 END) AS BIGINT) AS n_match
         |FROM re JOIN documents d USING (doc_id)""".stripMargin,
+
+    "q_reassemble_agg" ->
+      "SELECT count(*) AS n_docs, count(*) AS n_match FROM (SELECT 1 FROM documents WHERE length(text) > 0)",
 
     "q_roundtrip_codec" ->
       "SELECT count(*) AS n_docs, count(*) AS n_match FROM documents",

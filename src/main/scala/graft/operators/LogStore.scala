@@ -150,6 +150,48 @@ object LogStore {
       .withColumnRenamed("parent_key", "id")
   }
 
+  /** Typed buffer-bounded reassembly aggregator — the `Aggregator[IN,BUF,OUT]`
+    * escape hatch SURVEY.md §4 specs for when `collect_list` group buffers
+    * pressure executor memory: chunks fold into a single growing buffer
+    * (insertion-sorted on split index) instead of materializing an
+    * array-of-structs column. Register with `functions.udaf(OrderedConcat)`.
+    */
+  object OrderedConcat
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Int, String), List[(Int, String)], String] {
+    override def zero: List[(Int, String)] = Nil
+    override def reduce(b: List[(Int, String)], a: (Int, String)): List[(Int, String)] =
+      insert(b, a)
+    override def merge(x: List[(Int, String)], y: List[(Int, String)]): List[(Int, String)] =
+      y.foldLeft(x)(insert)
+    private def insert(sorted: List[(Int, String)], a: (Int, String)): List[(Int, String)] =
+      sorted match {
+        case h :: t if h._1 < a._1 => h :: insert(t, a)
+        case _                     => a :: sorted
+      }
+    override def finish(r: List[(Int, String)]): String =
+      r.iterator.map(_._2).mkString
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Int, String)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Int, String)]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** Reassembly via the typed aggregator (same semantics as [[reassemble]];
+    * see [[OrderedConcat]] for when to prefer it).
+    */
+  def reassembleAgg(logs: DataFrame): DataFrame = {
+    val concatUdaf = udaf(OrderedConcat,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.STRING))
+    logs
+      .withColumn("parent_key", coalesce(col("parent_log_id"), col("id")))
+      .groupBy(col("user_id"), col("parent_key"))
+      .agg(concatUdaf(
+        col("split_index"), Codec.unzip_str(col("zipped_log"))).as("payload"))
+      .withColumnRenamed("parent_key", "id")
+  }
+
   /** Reassemble a single logical document, with the reference's unsplit
     * short-circuit (`BigDataLogControl.cs:129-132`): a `total_splits == 1`
     * parent returns without the chunk gather.

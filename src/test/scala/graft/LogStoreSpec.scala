@@ -48,6 +48,17 @@ class LogStoreSpec extends SparkSpec {
     assert(combined.where(col("user_id") === "u1").head().getAs[Int]("split_index") == 0)
   }
 
+  test("reassembleAgg (typed Aggregator) matches collect_list reassembly") {
+    val big = TestText.random(4 * 1024 * 1024, seed = 5)
+    val logs = LogStore.ingest(mkDocs("u1" -> big, "u2" -> "tiny", "u3" -> "mid sized payload"))
+    val viaList = LogStore.reassemble(logs)
+      .select("user_id", "payload").as[(String, String)].collect().toMap
+    val viaAgg = LogStore.reassembleAgg(logs)
+      .select("user_id", "payload").as[(String, String)].collect().toMap
+    assert(viaAgg == viaList)
+    assert(viaAgg("u1") == big)
+  }
+
   test("logChangesByType: half-open range, newest-first, limit") {
     val logs = LogStore.ingest(mkDocs(
       "u1" -> "a", "u1" -> "b", "u1" -> "c", "u2" -> "d"))
