@@ -234,6 +234,14 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_set_except_all" -> ((s, d) => {
+      val e = events(s, d)
+      e.where(col("event_type").isin("click", "view")).select("user_id")
+        .exceptAll(e.where(col("event_type") === "view").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
     "q_json_props" -> ((s, d) =>
       events(s, d)
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -619,6 +627,13 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-22 00:00:00')
         |ORDER BY user_id""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",

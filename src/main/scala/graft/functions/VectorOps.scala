@@ -42,18 +42,30 @@ object VectorOps {
     * higher-order array functions are CodegenFallback (interpreted) and the
     * expression form measured ~30× slower.
     */
+  // sign matrix cache: signs for (bits, dim) are pure functions of indices,
+  // so compute them once per JVM instead of one splitmix64 per (plane, dim)
+  // per ROW — at 10⁸ rows that's the difference between 32·dim hashes once
+  // and 32·dim hashes three billion times
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def signs(bits: Int, dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((bits, dim), { case (b, d) =>
+      Array.tabulate(b, d) { (p, j) =>
+        val h = graft.functions.TextFunctions.splitmix64(p.toLong * 100003L + j)
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    })
+
   def lshSigScala(v: Seq[Float], bits: Int): Long = {
+    val s = signs(bits, v.length)
     var sig = 0L
     var p = 0
     while (p < bits) {
+      val row = s(p)
       var proj = 0.0
       var j = 0
-      val seedBase = p.toLong * 100003L
-      while (j < v.length) {
-        val h = graft.functions.TextFunctions.splitmix64(seedBase + j)
-        proj += (if ((h & 1L) == 0L) v(j).toDouble else -v(j).toDouble)
-        j += 1
-      }
+      while (j < v.length) { proj += row(j) * v(j); j += 1 }
       if (proj > 0) sig |= (1L << p)
       p += 1
     }
