@@ -30,10 +30,15 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      // integer `div`, NOT `/`: float division of ~1.7e18 ns loses precision
-      // past double's 53-bit mantissa and rounds some µs up by one
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // driver testdata: TIMESTAMP(NANOS) read as raw long. Integer `div`,
+      // NOT `/`: float division of ~1.7e18 ns loses precision past double's
+      // 53-bit mantissa and rounds some µs up by one
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already a proper timestamp column
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
