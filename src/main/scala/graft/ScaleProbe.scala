@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out  = "/tmp/scale10"
+    val base   = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val probeOverride = args.drop(2)
+    val out = s"/tmp/scale$factor"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -27,7 +29,7 @@ object ScaleProbe {
         // with a plain timestamp column, which Tables.events passes through
         val t = if (name == "events") Tables.events(spark, base)
                 else Tables.table(spark, base, name)
-        val big = (0 until 10).map(i => f(t, i)).reduce(_ unionByName _)
+        val big = (0 until factor).map(i => f(t, i)).reduce(_ unionByName _)
         big.write.mode("overwrite").parquet(path)
       }
     }
@@ -49,7 +51,7 @@ object ScaleProbe {
           Tables.table(spark, base, n).write.mode("overwrite").parquet(path)
       }
 
-    val probes = Seq(
+    val probes = if (probeOverride.nonEmpty) probeOverride.toSeq else Seq(
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_exact", "q_neardup_embedding",
       "q_sim_topk", "q_agg_type_day", "q_window_topk_user", "q_sessionize",
       "q_text_stats", "q_stateful_totals", "q_reassemble", "q_salted_agg")
@@ -61,13 +63,13 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    println(f"${"query"}%-22s ${"t(1x)"}%8s ${"t(10x)"}%8s  exp")
+    println(f"${"query"}%-22s ${"t(1x)"}%8s t(${factor}x)  exp")
     probes.foreach { q =>
       time(base, q) // warm plans/codegen
-      val t1  = time(base, q)
-      val t10 = time(out, q)
-      val exp = math.log(t10 / t1) / math.log(10.0)
-      println(f"[scale] $q%-22s $t1%8.2f $t10%8.2f  $exp%.2f")
+      val t1 = time(base, q)
+      val tn = time(out, q)
+      val exp = math.log(tn / t1) / math.log(factor.toDouble)
+      println(f"[scale] $q%-22s $t1%8.2f $tn%8.2f  $exp%.2f")
     }
     spark.stop()
   }
