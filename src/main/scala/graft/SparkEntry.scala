@@ -159,6 +159,20 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "q_window_rank" -> ((s, d) => {
+      // value ties are real in this data, so rank/dense_rank diverge from
+      // row_number — included deliberately to pin tie semantics
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      val wTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag(col("event_id"), 1).over(wTime).as("prev_event"),
+          lead(col("event_id"), 1).over(wTime).as("next_event"))
+        .orderBy("event_id")
+    }),
+
     "q_sessionize" -> ((s, d) => {
       val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, d)
@@ -208,6 +222,14 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("r_name")
     }),
+
+    "q_join_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0)), 4).as("total_spend"))
+        .orderBy("c_custkey")),
 
     "q_join_semi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -605,6 +627,20 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id,
+        |  rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk,
+        |  dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS drnk,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
