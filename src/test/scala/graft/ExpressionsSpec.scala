@@ -32,6 +32,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.count() == 10) // and the generated code actually compiles/runs
   }
 
+  test("cosine_sim agrees with scala reference on 200 random vector pairs") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 200).map { _ =>
+      val d = 1 + rnd.nextInt(32)
+      (Seq.fill(d)(rnd.nextFloat() * 10 - 5), Seq.fill(d)(rnd.nextFloat() * 10 - 5))
+    }
+    val got = pairs.toDF("a", "b")
+      .select(Expressions.cosineSim(col("a"), col("b"))).as[Double].collect()
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val den = math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum)
+      val want = if (den > 0) dot / den else 0.0
+      assert(math.abs(g - want) < 1e-9, s"a=$a b=$b")
+    }
+  }
+
   test("registered SQL functions: cosine_sim and ulid callable from SQL") {
     GraftExtensions.register(spark)
     val c = spark.sql(

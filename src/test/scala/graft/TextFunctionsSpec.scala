@@ -43,6 +43,28 @@ class TextFunctionsSpec extends SparkSpec with Checkers {
     assert(est(s1, s3) < 0.1)
   }
 
+  test("minhash signature estimate tracks true Jaccard within ±0.15 (128 perms)") {
+    // construct doc pairs with controlled shingle overlap and compare the
+    // signature-match estimate against exact Jaccard of the shingle sets
+    val rnd = new scala.util.Random(9)
+    for (sharedFrac <- Seq(0.9, 0.7, 0.5, 0.3)) {
+      val total = 400
+      val shared = (1 to (total * sharedFrac).toInt).map(i => s"s$i")
+      val a = shared ++ (1 to total - shared.length).map(i => s"a$i${rnd.nextInt(100)}")
+      val b = shared ++ (1 to total - shared.length).map(i => s"b$i${rnd.nextInt(100)}")
+      val docA = a.mkString(" ")
+      val docB = b.mkString(" ")
+      val sa = TF.shinglesScala(docA, 3).toSet
+      val sb = TF.shinglesScala(docB, 3).toSet
+      val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val ha = TF.minhashSigScala(docA, 3, 128)
+      val hb = TF.minhashSigScala(docB, 3, 128)
+      val est = ha.zip(hb).count { case (x, y) => x == y }.toDouble / ha.length
+      assert(math.abs(est - trueJ) < 0.15,
+        f"sharedFrac=$sharedFrac: est=$est%.3f vs true=$trueJ%.3f")
+    }
+  }
+
   test("shinglesScala emits distinct in-order n-grams") {
     assert(TF.shinglesScala("a b c d", 3).toSeq == Seq("a b c", "b c d"))
     assert(TF.shinglesScala("a b a b a b", 2).toSeq == Seq("a b", "b a"))
