@@ -95,6 +95,28 @@ class LogStoreSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/user_id=u1").exists())
   }
 
+  test("getCombined restores one document by (user, parent id), incl. unsplit") {
+    implicit val s = spark
+    val big = TestText.random(4 * 1024 * 1024, seed = 11)
+    val dir = Files.createTempDirectory("combined").toFile.getAbsolutePath + "/logs"
+    LogStore.writeLogs(LogStore.ingest(mkDocs("u1" -> big, "u2" -> "tiny")), dir)
+    val back = spark.read.parquet(dir)
+    for ((user, want) <- Seq("u1" -> big, "u2" -> "tiny")) {
+      val parentId = back
+        .where(col("user_id") === user && col("parent_log_id").isNull)
+        .head().getAs[String]("id")
+      val got = LogStore.getCombined(back, user, parentId)
+      assert(got.head().getAs[String]("payload") == want)
+    }
+  }
+
+  test("writeDocumentToFile dumps raw bytes and closes the stream") {
+    val f = Files.createTempFile("rawsink", ".bin").toFile
+    val bytes = Array[Byte](1, 2, 3, 0, -1)
+    LogStore.writeDocumentToFile(bytes, f.getAbsolutePath)
+    assert(Files.readAllBytes(f.toPath).toSeq == bytes.toSeq)
+  }
+
   test("oversized guard flags rows above the cap") {
     val row = LogStore.LogChange("u", "id1", "t", "tr", new java.sql.Timestamp(0L), 0L,
       new Array[Byte](Chunker.MaxDocBytes + 1), 0, 1, null)
