@@ -19,6 +19,28 @@ class LayoutSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.events(spark, Sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a real scan: a local relation constant-folds the
+    // filter away and leaves DPP nothing to derive the pruning subquery from
+    Seq(("click", 1), ("view", 2), ("purchase", 3)).toDF("et", "et_id")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
+      val q = fact.join(dim, fact("event_type") === dim("et"))
+        .where(col("et_id") === 1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"expected DPP subquery in:\n$plan")
+      assert(q.collect().map(_.getString(0)).toSeq == Seq("click"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed tables join without an exchange") {
     // self-clean: drop catalog entries AND stray locations from aborted runs
     Seq("bucket_a", "bucket_b").foreach { t =>

@@ -93,6 +93,10 @@ class LogStoreSpec extends SparkSpec {
     assert(Codec.unzipStr(hit.head().getAs[Array[Byte]]("zipped_log")) == "payload one")
     // physical layout is user-partitioned (pruning serves user-scoped reads)
     assert(new java.io.File(s"$dir/user_id=u1").exists())
+    // ... and the scan actually prunes: the partition filter reaches the scan
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user_id"),
+      s"expected user_id partition filter in scan:\n$plan")
   }
 
   test("getCombined restores one document by (user, parent id), incl. unsplit") {
