@@ -59,6 +59,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("file sink: stream-to-parquet with checkpoint preserves every event") {
+    val outDir = java.nio.file.Files.createTempDirectory("stream-out").toString
+    val q = EventStreams.readEvents(spark, eventsDir)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$outDir/data")
+    assert(written.count() == Tables.events(spark, Sf0001).count())
+    assert(written.columns.sorted.toSeq ==
+      Tables.events(spark, Sf0001).columns.sorted.toSeq)
+  }
+
+  test("sliding hourly windows emit and every count is positive") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.slidingHourly(stream), "t_sliding", "append")
+    val rows = spark.table("t_sliding")
+    assert(rows.count() > 0)
+    assert(rows.where(col("n") <= 0).count() == 0)
+    // each 1-hour-slide/1-hour-window... window=1h slide=15min: w_end - w_start
+    // must equal the declared 1 hour for every emitted window
+    assert(rows.where(
+      unix_millis(col("w_end")) - unix_millis(col("w_start")) =!= 3600000L).count() == 0)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     EventStreams.runToMemory(EventStreams.userSessions(stream), "t_sessions", "append")
