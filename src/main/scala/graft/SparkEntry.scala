@@ -354,6 +354,19 @@ object SparkEntry {
       Dedup.minhashDeduped(documents(s, d), minEstJaccard = 0.4)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // feature-extraction stub: 16-bin L1-normalized byte histogram as the
+    // stand-in embedding; summarize per media kind so the result is compact
+    "q_mm_features" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(documents(s, d))
+      media
+        .withColumn("feat", Multimodal.byteHistogram(col("payload")))
+        .groupBy(col("kind_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(element_at(col("feat"), 1)), 4).as("bin0_mass"),
+          round(avg(size(col("feat"))), 4).as("dim"))
+        .orderBy("kind_id")
+    }),
+
     "q_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(documents(s, d)))
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"),
