@@ -10,13 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink, NOT count(): count() lets the optimizer prune unused
+    // window/sort subtrees (a windowed query would bench as a bare scan);
+    // the noop write materializes every output column end-to-end
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     // untimed warmup: JVM + codegen + parquet footer reads land here instead
     // of inflating whichever query happens to run first
     SparkEntry.queries.get("q_scan_project").foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => })
+      try run(fn) catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist reused intermediates (signature tables); drop them
       // so caches don't accumulate across the whole suite

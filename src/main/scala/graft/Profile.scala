@@ -19,8 +19,9 @@ object Profile {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         val t0 = System.nanoTime()
-        val n  = fn(spark, dir).count()
-        println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+        val df = fn(spark, dir)
+        df.write.mode("overwrite").format("noop").save() // full materialization
+        println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
     }
     spark.stop()

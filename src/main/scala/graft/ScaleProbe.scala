@@ -58,7 +58,7 @@ object ScaleProbe {
 
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }

