@@ -39,12 +39,23 @@ object SparkEntry {
 
   private def tsLit(s: String): Column = lit(s).cast("timestamp")
 
+  /** Half-open `[start, end)` time range as a raw-nanos predicate. Exactly
+    * equivalent to the converted-ts comparison (X div 1000 >= T·1000 ⟺
+    * X >= T·10⁶ for whole-second bounds) but, unlike it, pushes down to the
+    * parquet scan — at 100 TB this is row-group pruning on the time axis.
+    */
+  private def nsRange(startIso: String, endIso: String): Column = {
+    def ns(iso: String) =
+      java.time.Instant.parse(iso.replace(' ', 'T') + "Z").toEpochMilli * 1000000L
+    col("ts_ns") >= ns(startIso) && col("ts_ns") < ns(endIso)
+  }
+
   // ---- [REF] core read path (M1) --------------------------------------------
 
   private def logComposite(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .where(col("user_id") === 7 && col("event_type") === "click" &&
-        col("ts") >= tsLit("2024-01-05 00:00:00") && col("ts") < tsLit("2024-01-20 00:00:00"))
+        nsRange("2024-01-05 00:00:00", "2024-01-20 00:00:00"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy(col("ts").desc, col("event_id"))
       .limit(100)
@@ -78,7 +89,7 @@ object SparkEntry {
 
     "q_filter_timerange" -> ((s, d) =>
       events(s, d)
-        .where(col("ts") >= tsLit("2024-01-10 00:00:00") && col("ts") < tsLit("2024-01-12 00:00:00"))
+        .where(nsRange("2024-01-10 00:00:00", "2024-01-12 00:00:00"))
         .select("event_id", "ts", "user_id", "event_type").orderBy("event_id")),
 
     "q_log_composite" -> ((s, d) => logComposite(s, d)),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
 
 /** Loaders for the driver-generated Parquet tables (TESTDATA.md).
   *
@@ -34,10 +34,14 @@ object Tables {
     raw.schema("ts").dataType match {
       // driver testdata: TIMESTAMP(NANOS) read as raw long. Integer `div`,
       // NOT `/`: float division of ~1.7e18 ns loses precision past double's
-      // 53-bit mantissa and rounds some µs up by one
+      // 53-bit mantissa and rounds some µs up by one. The raw column is kept
+      // as ts_ns because predicates on the CONVERTED ts can't push down
+      // (they're a function of the scan column) — time-critical queries add
+      // an equivalent ts_ns range, which reaches the parquet row groups.
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a proper timestamp column
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
