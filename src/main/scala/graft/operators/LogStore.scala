@@ -207,6 +207,12 @@ object LogStore {
     reassemble(scoped)
   }
 
+  /** Enum-stamp update — reference `UpdateTrigger` (`LogChange.cs:75-78`,
+    * R15): restamp the trigger column on a log slice.
+    */
+  def updateTrigger(logs: DataFrame, trigger: String): DataFrame =
+    logs.withColumn("trigger", lit(trigger))
+
   /** Raw-bytes file sink — reference `writeDocumentTofile`
     * (`BigDataLogControl.cs:354-361`), with the stream actually closed
     * (the reference leaks it; SURVEY.md §2.1).
