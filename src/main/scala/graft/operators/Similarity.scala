@@ -130,7 +130,8 @@ object Similarity {
     }.sortBy(_._2).take(nprobe).map(_._1)
 
     assigned
-      .where(col("cell").isin(cellDists.map(Integer.valueOf): _*) && col("vec_id") =!= probeId)
+      .where(col("cell").isin(cellDists.toIndexedSeq.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
         round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4).as("cosine"))
