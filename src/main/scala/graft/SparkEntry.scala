@@ -304,6 +304,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(max(col("cosine")), lit(0.0)).as("max_cosine"))),
 
+    "q_embed_stats" -> ((s, d) =>
+      embeddings(s, d)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+            .as("avg_norm"))
+        .orderBy("label")),
+
     "q_sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10)),
 
@@ -715,6 +724,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_norm
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sim_topk" ->
       """SELECT e2.vec_id AS vec_id,
