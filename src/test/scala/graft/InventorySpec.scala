@@ -1,0 +1,33 @@
+package graft
+
+/** Driver-contract consistency: these are the exact conditions the driver's
+  * smoke and correctness gates depend on, checked in-suite so a regression
+  * fails here first.
+  */
+class InventorySpec extends SparkSpec {
+
+  test("every oracleSql key has a queries entry (driver joins on key)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("entry() returns rows on sf0.001 (the t1 smoke gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("inventory is substantial and keys are well-formed") {
+    assert(SparkEntry.queries.size >= 55)
+    assert(SparkEntry.queries.keys.forall(_.startsWith("q_")))
+    assert(SparkEntry.oracleSql.size >= 45)
+  }
+
+  test("a sample of queries from each family runs and is non-empty at sf0.001") {
+    val sample = Seq("q_scan_project", "q_topk_global", "q_reassemble",
+      "q_star_join", "q_window_topk_user", "q_dedup_exact", "q_text_stats",
+      "q_sim_topk", "q_tumbling_1d", "q_mm_meta", "q_salted_agg")
+    sample.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, Sf0001).count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+}
