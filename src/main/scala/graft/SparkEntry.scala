@@ -210,6 +210,13 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // batch twin of the watermarked stream-stream interval join
+    "q_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+      graft.streaming.EventStreams.clickPurchaseJoin(e, e)
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "q_tumbling_1d" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 day"))
@@ -658,6 +665,15 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_tumbling_1d" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, count(*) AS n,

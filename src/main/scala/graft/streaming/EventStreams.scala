@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface over the `events` table.
@@ -62,6 +63,31 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding hour. Both sides are watermarked, and the join
+    * condition bounds event-time distance, so state for both streams is
+    * evictable — the two requirements for an unbounded stream-stream join.
+    * The identical expression runs in batch as `q_interval_join`
+    * (oracle-checked); the streaming spec asserts result equality.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
 
   case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -90,6 +90,22 @@ class EventStreamsSpec extends SparkSpec {
       unix_millis(col("w_end")) - unix_millis(col("w_start")) =!= 3600000L).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val s1 = EventStreams.readEvents(spark, eventsDir)
+    val s2 = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(
+      EventStreams.clickPurchaseJoin(s1, s2), "t_interval", "append")
+    val streamed = spark.table("t_interval")
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val e = Tables.events(spark, Sf0001)
+    val batch = EventStreams.clickPurchaseJoin(e, e)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     EventStreams.runToMemory(EventStreams.userSessions(stream), "t_sessions", "append")

@@ -41,6 +41,37 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key holds ~90% of the left side; with skew thresholds tuned
+    // down, AQE's OptimizeSkewedJoin must split that partition
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must be incompressible: skew stats read COMPRESSED shuffle
+      // sizes, so a constant payload would dedupe to nothing on the wire
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 === 0, col("id") % 64).otherwise(lit(7L)).as("k"),
+          md5(concat(lit("s"), col("id"))).as("payload"))
+      val right = spark.range(64).select(col("id").as("k"), lit(1).as("tag"))
+      val joined = left.join(right, "k")
+      // collect() runs THIS DataFrame's own QueryExecution — count() would
+      // build a new one and the adaptive plan would never finalize here
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), s"expected AQE skew split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     // self-clean: drop catalog entries AND stray locations from aborted runs
     Seq("bucket_a", "bucket_b").foreach { t =>
