@@ -395,6 +395,10 @@ object SparkEntry {
       Dedup.minhashDeduped(documents(s, d), minEstJaccard = 0.4)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_dedup_transitive" -> ((s, d) =>
+      Dedup.minhashDedupedTransitive(documents(s, d), minEstJaccard = 0.4)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // feature-extraction stub: 16-bin L1-normalized byte histogram as the
     // stand-in embedding; summarize per media kind so the result is compact
     "q_mm_features" -> ((s, d) => {

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Largest LSH bucket we will pair-expand. A bucket of b docs yields
-    * b(b-1)/2 pairs; capping b bounds the worst-case blowup from degenerate
-    * content (empty docs, boilerplate) — the skew guard for this operator.
+  /** Largest LSH bucket we will FULLY pair-expand. A bucket of b docs
+    * yields b(b-1)/2 pairs; above this, the bucket degrades to a linear
+    * star (min id paired with every other member) — O(b) pairs that keep
+    * the duplicate family connected for dedup without the quadratic blowup
+    * from degenerate content (boilerplate, thousand-copy documents).
     */
   val MaxBucket = 64
 
@@ -44,14 +46,19 @@ object Dedup {
     */
   private[graft] def testBucketPairs(grouped: DataFrame): DataFrame = bucketPairs(grouped)
 
-  private def bucketPairs(grouped: DataFrame): DataFrame =
+  private def bucketPairs(grouped: DataFrame): DataFrame = {
+    val allPairs = flatten(transform(col("ids"),
+      a => filter(col("ids"), b => b > a).pipe(bs => transform(bs, b => struct(a.as("a"), b.as("b"))))))
+    val starPairs = transform(
+      filter(col("ids"), b => b > array_min(col("ids"))),
+      b => struct(array_min(col("ids")).as("a"), b.as("b")))
     grouped
-      .where(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-      .select(explode(flatten(transform(col("ids"),
-        a => filter(col("ids"), b => b > a).pipe(bs => transform(bs, b => struct(a.as("a"), b.as("b"))))
-      ))).as("pair"))
+      .where(size(col("ids")) > 1)
+      .select(explode(when(size(col("ids")) <= MaxBucket, allPairs)
+        .otherwise(starPairs)).as("pair"))
       .select(col("pair.a").as("doc_a"), col("pair.b").as("doc_b"))
       .distinct()
+  }
 
   // `pipe` helper for readability of nested transforms
   implicit private class Piped[A](private val a: A) extends AnyVal {
@@ -137,6 +144,64 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     val drop = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Duplicate-family clustering: iterative smallest-label propagation over
+    * the candidate-pair graph until fixpoint (classic Spark connected
+    * components). Each iteration is one join + aggregate; a min label
+    * travels one hop per iteration, and near-dup graphs are dense clusters
+    * that converge in 2-3. Returns (doc_id, cluster_id) for every doc that
+    * appears in a pair; cluster_id = smallest doc_id in the component.
+    *
+    * At very large scale, checkpoint `labels` every few iterations to cut
+    * lineage; at candidate-graph sizes (pairs are already LSH-filtered)
+    * persist is enough.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the pair list FIRST: the union below reads it twice (one
+    // per edge direction) and would otherwise run candidate generation twice
+    val p = pairs.persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.alias("l")
+        .join(neighborMin.alias("n"), col("l.doc_id") === col("n.src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("n.nmin"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = updated.alias("u")
+        .join(labels.alias("o"), col("u.doc_id") === col("o.doc_id"))
+        .where(col("u.cluster_id") =!= col("o.cluster_id")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full-corpus fuzzy dedup with transitive closure: cluster the MinHash
+    * candidate pairs and keep each component's smallest doc_id (plus all
+    * docs that never matched anything).
+    */
+  def minhashDedupedTransitive(
+      docs: DataFrame,
+      n: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val cl = clusters(minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
+      .select("doc_a", "doc_b"))
+    val drop = cl.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 

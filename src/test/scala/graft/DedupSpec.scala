@@ -42,6 +42,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("clusters: chains close transitively, components get min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 4L -> 4L, 9L -> 4L))
+  }
+
+  test("transitive dedup collapses a near-dup chain to one representative") {
+    // a ~ b and b ~ c but a !~ c (two different change points): greedy star
+    // would need the a-c pair; transitive closure does not
+    val base = (1 to 400).map(i => s"w$i").mkString(" ")
+    val mid  = (1 to 400).map(i => if (i == 100) "X" else s"w$i").mkString(" ")
+    val far  = (1 to 400).map(i => if (i == 100) "X" else if (i == 300) "Y" else s"w$i").mkString(" ")
+    val kept = Dedup.minhashDedupedTransitive(
+      docs(1L -> base, 2L -> mid, 3L -> far, 4L -> "completely different text here"),
+      minEstJaccard = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val t = ("alpha beta gamma delta " * 20)
     val out = Dedup.simhashPairs(docs(1L -> t, 2L -> t, 3L -> "unrelated stuff here"), maxHamming = 3)
@@ -59,11 +79,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
-  test("bucket skew guard: degenerate identical docs don't explode pairs") {
+  test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
-    // MaxBucket=64 cap: buckets above the cap are dropped, so the pair count
-    // stays bounded instead of 200*199/2
-    assert(out.count() == 0)
+    // a 200-doc bucket emits 199 star pairs (min id to each member), NOT
+    // 200*199/2 — bounded pairs but the family stays connected for dedup
+    assert(out.count() == 199)
+    val kept = Dedup.minhashDeduped(many.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
   }
 }
