@@ -148,6 +148,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
 
+    // pivot with explicit values: deterministic column set, single scan
+    "q_pivot_type" -> ((s, d) =>
+      events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")),
+
     "q_distinct_users" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users")).orderBy("event_type")),
@@ -634,6 +644,15 @@ object SparkEntry {
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events
         |GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q_pivot_type" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
