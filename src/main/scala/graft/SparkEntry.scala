@@ -194,6 +194,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("event_id")
+    }),
+
+    // moment statistics derived from decimal-exact sums — mean/variance are
+    // computed from (n, Σx, Σx²) so float addition order can't shift bits
+    "q_value_stats" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("min_v"),
+          round(max(col("value")), 2).as("max_v"),
+          sum(col("value").cast("decimal(28,6)")).as("s1"),
+          sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+        .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+          round(col("s1").cast("double") / col("n"), 4).as("mean_v"),
+          round((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1), 4).as("var_v"))
+        .orderBy("event_type")),
+
     "q_sessionize" -> ((s, d) => {
       val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, d)
@@ -668,6 +696,22 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT event_id,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS cume
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS mean_v,
+        |  round((CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) -
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) *
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)) / (count(*) - 1), 4) AS var_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, event_id,
