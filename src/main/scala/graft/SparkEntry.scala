@@ -322,7 +322,9 @@ object SparkEntry {
 
     "q_json_props" -> ((s, d) =>
       events(s, d)
-        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
         .orderBy("event_id")),
 
     // -- [NS] LLM-pipeline: dedup, similarity, text analysis --
