@@ -331,6 +331,9 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d)).orderBy("doc_id")),
 
+    "q_dedup_exact_norm" -> ((s, d) =>
+      Dedup.exactNormalized(documents(s, d)).orderBy("doc_id")),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(documents(s, d), minEstJaccard = 0.4)
         .orderBy("doc_a", "doc_b")),
@@ -815,6 +818,11 @@ object SparkEntry {
         |  round(CAST(sum(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact_norm" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" ->
       """SELECT e2.vec_id AS vec_id,

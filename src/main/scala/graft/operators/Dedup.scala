@@ -41,6 +41,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Exact dedup on NORMALIZED text (lowercase, whitespace collapsed) —
+    * catches trivially-reformatted copies that byte-exact hashing misses;
+    * the standard first pass before fuzzy dedup.
+    */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
   /** Expand each LSH bucket's doc-id list into ordered candidate pairs —
     * expression-only (no UDF): for each id, pair with every larger id.
     */

@@ -14,6 +14,13 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 3L), (2L, 1L)))
   }
 
+  test("exactNormalized: case/whitespace variants collapse, byte-exact does not") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> " HELLO\tWORLD ")
+    assert(Dedup.exact(d).count() == 3)          // byte-exact sees 3 distinct
+    val out = Dedup.exactNormalized(d).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L)))                 // normalized sees 1 family
+  }
+
   test("minhash: finds planted near-duplicates, skips unrelated docs") {
     val base = (1 to 300).map(i => s"w$i").mkString(" ")
     val near = (1 to 300).map(i => if (i % 150 == 0) "CHANGED" else s"w$i").mkString(" ")
