@@ -76,6 +76,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("dedup invariants: kept ⊆ input, representatives survive, partition is total") {
+    // random corpus with planted duplicate families of varying size
+    val rnd = new scala.util.Random(21)
+    val rows = (1L to 60L).map { i =>
+      val family = i % 7 // 7 content families → guaranteed dup clusters
+      val text = (1 to 150).map(j => s"f${family}w$j").mkString(" ")
+      i -> (if (rnd.nextBoolean()) text else text + s" tail${rnd.nextInt(3)}")
+    }
+    val d = docs(rows: _*)
+    val kept = Dedup.minhashDeduped(d, minEstJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val all = rows.map(_._1).toSet
+    assert(kept.subsetOf(all))
+    assert(kept.nonEmpty)
+    // transitive variant: kept + clustered-drop partition the matched docs
+    val pairs = Dedup.minhashCandidates(d, minEstJaccard = 0.8).select("doc_a", "doc_b")
+    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect()
+    cl.foreach { case (doc, cluster) => assert(cluster <= doc) } // min-label
+    val reps = cl.filter { case (doc, c) => doc == c }.map(_._1).toSet
+    val keptT = Dedup.minhashDedupedTransitive(d, minEstJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reps.subsetOf(keptT)) // every component representative survives
+  }
+
   test("embedding near-dup: planted duplicate vector found, orthogonal not") {
     val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // same direction
