@@ -180,6 +180,17 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // the same per-user top-3 as q_window_topk_user, but via the bounded
+    // top-k AGGREGATOR: partial aggregation keeps k items per group
+    // map-side, so the shuffle carries k·|groups| rows, not every row —
+    // proven equivalent by sharing the window query's oracle
+    "q_topk_agg" -> ((s, d) =>
+      graft.operators.TopK.perGroup(
+        events(s, d), col("user_id"), col("ts_ns"), col("event_id"), k = 3)
+        .select(col("group_key").as("user_id"), col("id").as("event_id"),
+          timestamp_micros(expr("primary div 1000")).as("ts"), col("rn").cast("int").as("rn"))
+        .orderBy("user_id", "rn")),
+
     "q_window_rank" -> ((s, d) => {
       // value ties are real in this data, so rank/dense_rank diverge from
       // row_number — included deliberately to pin tie semantics
@@ -768,6 +779,12 @@ object SparkEntry {
         |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, rn FROM (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id,
