@@ -85,6 +85,18 @@ object LogStore {
   def writeLogs(logs: DataFrame, path: String): Unit =
     logs.write.mode("append").partitionBy("user_id").parquet(path)
 
+  /** Ingest-telemetry metrics attached via `Dataset.observe` — rows, chunked
+    * rows, compressed bytes flow out through a QueryExecutionListener (or
+    * `observedMetrics` on the write's QueryExecution) with ZERO extra passes
+    * over the data; the production substitute for a driver-side count()
+    * audit that would re-run the pipeline.
+    */
+  def withIngestMetrics(logs: DataFrame): DataFrame =
+    logs.observe("ingest",
+      count(lit(1)).as("rows_written"),
+      sum(when(col("total_splits") > 1, 1L).otherwise(0L)).as("chunked_rows"),
+      sum(length(col("zipped_log")).cast("long")).as("zipped_bytes"))
+
   /** Point read by (partition key, id) — reference `loadDocument`
     * (`BigDataLogControl.cs:192-204`). Both predicates push down; with
     * `partitionBy("user_id")` layout the scan prunes to one directory.

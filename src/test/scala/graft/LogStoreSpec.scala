@@ -114,6 +114,29 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
+  test("observe metrics report ingest telemetry without extra passes") {
+    val big = TestText.random(4 * 1024 * 1024, seed = 17)
+    val logs = LogStore.withIngestMetrics(
+      LogStore.ingest(mkDocs("u1" -> big, "u2" -> "tiny")))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("ingest").foreach(r => metrics = Some(r))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = logs.count()
+      // listener fires asynchronously post-action
+      var waited = 0
+      while (listener.metrics.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+      val m = listener.metrics.get
+      assert(m.getAs[Long]("rows_written") == n)
+      assert(m.getAs[Long]("chunked_rows") >= 2) // the 4 MB doc split
+      assert(m.getAs[Long]("zipped_bytes") > 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("writeDocumentToFile dumps raw bytes and closes the stream") {
     val f = Files.createTempFile("rawsink", ".bin").toFile
     val bytes = Array[Byte](1, 2, 3, 0, -1)
