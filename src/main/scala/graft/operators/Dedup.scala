@@ -194,7 +194,10 @@ object Dedup {
         .join(labels.alias("o"), col("u.doc_id") === col("o.doc_id"))
         .where(col("u.cluster_id") =!= col("o.cluster_id")).count()
       labels.unpersist()
-      labels = updated
+      // truncate lineage every few rounds: a long chain otherwise builds an
+      // iteration-deep plan that slows planning and can overflow on
+      // pathological graphs
+      labels = if (i % 3 == 2) updated.localCheckpoint() else updated
       converged = changed == 0
       i += 1
     }

@@ -106,6 +106,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("foreachBatch sink: custom writer sees every event exactly once") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = EventStreams.readEvents(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(batch.count()): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.get() == Tables.events(spark, Sf0001).count())
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     EventStreams.runToMemory(EventStreams.userSessions(stream), "t_sessions", "append")
