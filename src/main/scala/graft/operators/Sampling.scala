@@ -20,7 +20,10 @@ object Sampling {
     * corpus builds.)
     */
   private def uniform(keyCol: String, seed: Long) =
-    (abs(xxhash64(col(keyCol), lit(seed))).cast("double") / Long.MaxValue.toDouble)
+    // unsigned shift, NOT abs(): abs(Long.MinValue) overflows back to a
+    // negative, which would force-keep that row at any rate
+    (shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1).cast("double") /
+      Long.MaxValue.toDouble)
 
   /** Keep each stratum at its own rate: `fractions(stratum) = rate`.
     * Strata absent from the map are dropped.
