@@ -43,7 +43,9 @@ object Multimodal {
     def beInt(off: Int): Column =
       conv(hex(substring(payload, off, 4)), 16, 10).cast("int")
     struct(
-      (beInt(1) === Magic).as("valid"),
+      // coalesce: a truncated (<16 B) payload yields null field reads, which
+      // must surface as valid=false — same behavior as the mapPartitions path
+      coalesce(beInt(1) === Magic && length(payload) >= 16, lit(false)).as("valid"),
       beInt(5).as("kind_id"),
       beInt(9).as("width"),
       beInt(13).as("height"),

@@ -122,7 +122,9 @@ object Similarity {
     val probe = embeddings.where(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
 
-    val probeVec = probe.collect().head.getSeq[Float](0).map(_.toDouble).toArray
+    val probeRows = probe.collect()
+    require(probeRows.nonEmpty, s"probe vec_id=$probeId not found in embeddings")
+    val probeVec = probeRows.head.getSeq[Float](0).map(_.toDouble).toArray
     val cellDists = centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0; var j = 0
       while (j < probeVec.length) { val t = probeVec(j) - c(j); d += t * t; j += 1 }

@@ -19,6 +19,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.getAs[Int]("body_bytes") == "short clip body".length)
   }
 
+  test("truncated payload is valid=false in BOTH decode paths") {
+    val short = Seq((0L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val viaExpr = Multimodal.extractMeta(short.withColumn("kind_id", lit(0))).head()
+    assert(!viaExpr.getAs[Boolean]("valid"))
+    val viaPart = Multimodal.decodeMapPartitions(spark, short).head()
+    assert(!viaPart.getAs[Boolean]("valid"))
+  }
+
   test("corrupted payload is flagged invalid") {
     val bad = media.withColumn("payload",
       concat(lit(Array[Byte](1, 2, 3, 4)), substring(col("payload"), 5, 1 << 20)))
