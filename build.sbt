@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw pass-through stdout for forked runs: without this, sbt re-logs every
+// program line prefixed "[info] ", which breaks machine parsing of Bench's
+// JSON line (the round-1 bench metric was lost to exactly that)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,12 +16,16 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: JVM/codegen/footer costs land here, not on the first query
+    SparkEntry.queries.get("q_scan_project")
+      .foreach(fn => fn(spark, dir).write.mode("overwrite").format("noop").save())
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         df.write.mode("overwrite").format("noop").save() // full materialization
         println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

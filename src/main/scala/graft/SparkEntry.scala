@@ -380,6 +380,32 @@ object SparkEntry {
     "q_sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10)),
 
+    // IVF is approximate, so its top-k itself is rows-only — but its recall
+    // against the exact brute-force top-k is a deterministic invariant of
+    // (data, centroids, nprobe) and hash-checks against a constant oracle
+    "q_sim_ivf_recall" -> ((s, d) => {
+      val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      bf.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
+    // MinHash-LSH recall against hash-free ground truth: exact-Jaccard pairs
+    // (inverted shingle index) vs the banded-LSH candidate set. Both counts
+    // are DuckDB-expressible (planted near-dups in this corpus sit at
+    // jaccard ≥ 0.9 where banded recall is ~1-2e-4 per pair), so this gates
+    // the whole fuzzy-dedup path on a real oracle.
+    "q_dedup_recall" -> ((s, d) => {
+      val truth = Dedup.exactJaccardPairs(documents(s, d), n = 3, minJaccard = 0.7)
+        .select("doc_a", "doc_b")
+      val cands = Dedup.minhashCandidates(documents(s, d), minEstJaccard = 0.4)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(cands, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_recalled"))
+    }),
+
     "q_text_stats" -> ((s, d) =>
       documents(s, d)
         .groupBy(col("lang"))
@@ -394,13 +420,21 @@ object SparkEntry {
         .groupBy(TF.langId(col("text")).as("predicted_lang"))
         .agg(count(lit(1)).as("n")).orderBy("predicted_lang")),
 
+    // quality / token counts are deterministic formulas with a DuckDB twin
+    // (oracled); the rolling-hash fingerprint is split into its own
+    // rows-only query below so it doesn't drag this one off the oracle
     "q_text_quality" -> ((s, d) =>
       documents(s, d)
         .withColumn("p", TF.textProfileCol(col("text")))
         .select(col("doc_id"), col("p.quality").as("quality"),
           col("p.n_tokens").as("n_tokens"),
-          col("p.n_bpeish").as("n_bpeish"),
-          col("p.fingerprint").as("fingerprint"))
+          col("p.n_bpeish").as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TF.textProfileCol(col("text")).getField("fingerprint").as("fingerprint"))
         .orderBy("doc_id")),
 
     // -- [REF R9] adaptive chunker exercised end-to-end on synthetic large docs --
@@ -425,6 +459,9 @@ object SparkEntry {
       val chunkUdf = udf((t: String) => graft.operators.Chunker.adaptiveChunksWithSizes(t))
       documents(s, d)
         .where(col("doc_id") < 8)
+        // one doc per partition: the 8 seed rows otherwise share the single
+        // parquet split and the ~4 MB inflate+compress runs serially in one task
+        .repartitionByRange(8, col("doc_id"))
         .withColumn("big_text", inflate(col("text"), col("doc_id")))
         .withColumn("chunks", chunkUdf(col("big_text")))
         .select(
@@ -472,9 +509,17 @@ object SparkEntry {
           sum(length(col("frame"))).as("frame_bytes"))
         .orderBy("media_id")),
 
+    // HLL++ sketch vs exact count in one pass; the declared result is the
+    // exact count plus a within-5%-relative-error flag — the approx value
+    // itself has no DuckDB twin, but the error-bound invariant does, so the
+    // sketch is oracle-gated instead of rows-only
     "q_agg_approx_distinct" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")) <=
+            col("n_users").cast("double") * 0.05).as("within_5pct"))
         .orderBy("event_type")),
 
     // -- [NS] grouping breadth: cube + grouping sets --
@@ -729,10 +774,13 @@ object SparkEntry {
         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)) / (count(*) - 1), 4) AS var_v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // CAST to BIGINT: DuckDB's sum(INTEGER) returns HUGEINT, which a
+    // pandas-based fetch renders as a float ("1.0" vs Spark's "1") — the
+    // round-1 hash mismatch on this query despite identical values
     "q_sessionize" ->
       """SELECT user_id, event_id,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
@@ -970,5 +1018,71 @@ object SparkEntry {
 
     "q_ulid_props" ->
       "SELECT count(*) AS n, count(*) AS n_valid FROM events WHERE event_id < 1000",
+
+    "q_agg_approx_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, true AS within_5pct FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_sim_ivf_recall" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // hash-free ground truth twin of Dedup.exactJaccardPairs: distinct word
+    // 3-gram shingles per doc, exact Jaccard >= 0.7; recall asserts the
+    // LSH candidate set contains every true pair
+    "q_dedup_recall" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3)
+        |SELECT count(*) AS n_true, count(*) AS n_recalled
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
+
+    // faithful SQL twin of TextFunctions.textProfile (minus the fingerprint,
+    // which lives in the rows-only q_text_fingerprint)
+    "q_text_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    length(text) AS len,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+        |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+        |    len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |        ['the','a','of','and','to','in','is','it','that','for'])) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  floor((0.3 * least(len / 200.0, 1.0)
+        |      + 0.3 * (CASE WHEN len > 0 THEN alpha * 1.0 / len ELSE 0.0 END)
+        |      + 0.2 * (1.0 - least(abs((CASE WHEN n_tok > 0 THEN len * 1.0 / n_tok ELSE 0.0 END) - 5.0) / 10.0, 1.0))
+        |      + 0.2 * least(stop_hits / 3.0, 1.0)) * 10000 + 0.5) / 10000 AS quality,
+        |  CAST(n_tok AS INT) AS n_tokens,
+        |  CAST(n_bpe AS INT) AS n_bpeish
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // faithful SQL twin of TextFunctions.langIdScala: distinct marker hits
+    // per language, argmax with ties broken by language declaration order
+    "q_text_lang" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(toks, ['the','and','of','to','is','that','it','for','with','this'])) AS en,
+        |  len(list_intersect(toks, ['el','la','de','que','los','las','una','por','como','para'])) AS es,
+        |  len(list_intersect(toks, ['le','les','des','est','une','dans','pour','que','sur','avec'])) AS fr,
+        |  len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','für','auf'])) AS de,
+        |  len(list_intersect(toks, ['的','是','了','在','我','有','和','就','不','人'])) AS zh
+        | FROM t)
+        |SELECT CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+        |  WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
+        |  WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
+        |  WHEN fr >= de AND fr >= zh THEN 'fr'
+        |  WHEN de >= zh THEN 'de' ELSE 'zh' END AS predicted_lang, count(*) AS n
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // frame sampling is pure arithmetic over the body length: frames are the
+    // strided indices of ceil(L/256) slices, each of min(256, L - i*256) bytes
+    "q_mm_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS L FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, L, unnest(range(0, CAST(ceil(L / 256.0) AS BIGINT), 4)) AS i FROM m WHERE L > 0)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(least(256, L - i * 256)) AS BIGINT) AS frame_bytes
+        |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin,
   )
 }

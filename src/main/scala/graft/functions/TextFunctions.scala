@@ -77,7 +77,9 @@ object TextFunctions {
       val c = if (i < len) text.charAt(i) else ' '
       val isWs = Character.isWhitespace(c)
       val isAlnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
-      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == ' ') alpha += 1
+      // i < len: the i == len iteration is a sentinel space that must flush
+      // the trailing token below without counting as an alpha character
+      if (i < len && ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == ' ')) alpha += 1
       // whitespace tokens + fingerprint + stopwords
       if (!isWs && tokStart < 0) tokStart = i
       if (isWs && tokStart >= 0) {
@@ -100,8 +102,12 @@ object TextFunctions {
     val wordShape = 1.0 - math.min(math.abs(meanWord - 5.0) / 10.0, 1.0)
     val lenScore = math.min(dlen / 200.0, 1.0)
     val stopScore = math.min(stopSeen.size / 3.0, 1.0)
-    val q = BigDecimal(0.3 * lenScore + 0.3 * alphaRatio + 0.2 * wordShape + 0.2 * stopScore)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // floor(x*1e4 + 0.5)/1e4, NOT BigDecimal HALF_UP: the raw score is
+    // bit-identical across engines (integer inputs, fixed IEEE op order), so
+    // this fully-double rounding is too — whereas decimal-expansion HALF_UP
+    // vs DuckDB's round() disagree on exact .xxxx5 boundaries
+    val q = math.floor((0.3 * lenScore + 0.3 * alphaRatio + 0.2 * wordShape + 0.2 * stopScore)
+      * 10000.0 + 0.5) / 10000.0
     (q, nTok, nBpeish, fp)
   }
 

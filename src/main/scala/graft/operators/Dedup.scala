@@ -117,6 +117,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing
+    * anywhere: an inverted shingle index (explode + self-join on the shingle
+    * string) yields per-pair intersection counts, and Jaccard follows from
+    * |A∩B| / (|A|+|B|-|A∩B|). Deterministic and DuckDB-expressible, so it
+    * oracles the MinHash path's recall. Scale shape: the self-join shuffles
+    * by shingle (bounded buckets for natural text); only pairs sharing at
+    * least one shingle ever materialize — never the cross product.
+    */
+  def exactJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist() // feeds the explode AND both size-lookup join sides
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.alias("a")
+      .join(ex.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact word-n-gram Jaccard over MinHash candidates — the verify pass.
     * Bucketed candidates keep the exact set intersection off the full cross
     * product.
@@ -178,22 +205,26 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
+    var prevCached = labels // the cached DF backing `labels`, freed next round
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val updated = labels.alias("l")
+      // old and new label side by side: convergence is detected on THIS
+      // dataframe (one extra aggregate over the persisted result), not via a
+      // second join against the previous labels — one shuffle per iteration
+      val joined = labels.alias("l")
         .join(neighborMin.alias("n"), col("l.doc_id") === col("n.src"), "left")
-        .select(col("l.doc_id").as("doc_id"),
+        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_cluster"),
           least(col("l.cluster_id"), coalesce(col("n.nmin"), col("l.cluster_id")))
             .as("cluster_id"))
         .persist()
-      val changed = updated.alias("u")
-        .join(labels.alias("o"), col("u.doc_id") === col("o.doc_id"))
-        .where(col("u.cluster_id") =!= col("o.cluster_id")).count()
-      labels.unpersist()
+      val changed = joined.where(col("cluster_id") =!= col("old_cluster")).count()
+      val updated = joined.select("doc_id", "cluster_id")
+      prevCached.unpersist()
+      prevCached = joined
       // truncate lineage every few rounds: a long chain otherwise builds an
       // iteration-deep plan that slows planning and can overflow on
       // pathological graphs
