@@ -641,6 +641,119 @@ object SparkEntry {
         round(log1p(abs(col("value"))), 4).as("logv"))
         .orderBy("event_id")),
 
+    // -- [NS] TPC-H Q1: the canonical pricing-summary aggregate, decimal-
+    // exact sums so parallel partial aggregation matches DuckDB bit-for-bit
+    "q_tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          // factors cast to decimal BEFORE multiplying: the source values
+          // are 2-decimal quantities, so each cast is exact and the decimal
+          // product is exact — whereas casting the double product hits
+          // engine-specific double→decimal rounding on .xxxx5 boundaries
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")) *
+            (lit(1) + col("l_tax").cast("decimal(18,2)")))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s_qty"),
+          sum(col("l_discount").cast("decimal(18,4)")).as("s_disc"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base"), col("sum_disc"), col("sum_charge"),
+          round(col("s_qty").cast("double") / col("n"), 4).as("avg_qty"),
+          round(col("s_disc").cast("double") / col("n"), 4).as("avg_disc"),
+          col("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // -- [NS] conditional / null-handling scalar surface --
+    "q_conditional_funcs" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        when(col("value") > 100, "high").when(col("value") > 10, "mid").otherwise("low").as("band"),
+        coalesce(nullif(col("event_type"), lit("view")), lit("filtered")).as("type_or_filtered"),
+        round(greatest(col("value"), lit(0.0)), 4).as("clamped_lo"),
+        round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
+        .orderBy("event_id")),
+
+    // -- [NS] arg-min/max aggregates (deterministic: keyed by unique event_id) --
+    "q_minmax_by" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          max_by(round(col("value"), 4), col("event_id")).as("latest_value"),
+          min_by(round(col("value"), 4), col("event_id")).as("first_value"),
+          max(col("event_id")).as("max_id"),
+          min(col("event_id")).as("min_id"))
+        .orderBy("event_type")),
+
+    // -- [NS] array function surface over the embedding column --
+    "q_array_funcs" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(array_max(col("embedding")).cast("double"), 4).as("vmax"),
+        round(array_min(col("embedding")).cast("double"), 4).as("vmin"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("head"),
+        round(element_at(array_sort(col("embedding")), 3).cast("double"), 4).as("third_smallest"))
+        .orderBy("vec_id")),
+
+    // -- [NS] grouped Pearson correlation from decimal-exact moments (the
+    // streaming corr() aggregate is float-order-sensitive; this form isn't) --
+    "q_corr_stats" -> ((s, d) => {
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").cast("double")
+      events(s, d)
+        .select(col("event_type"), col("value"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).as("sx"),
+          sum(col("k").cast("decimal(28,6)")).as("sy"),
+          sum((col("value") * col("k")).cast("decimal(28,6)")).as("sxy"),
+          sum((col("value") * col("value")).cast("decimal(28,6)")).as("sxx"),
+          sum((col("k") * col("k")).cast("decimal(28,6)")).as("syy"))
+        .select(col("event_type"), col("n"),
+          round(
+            (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 4)
+            .as("corr_vk"))
+        .orderBy("event_type")
+    }),
+
+    // -- [NS] regex scalar surface --
+    "q_regex_funcs" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\\d+", 0).cast("int").as("k_extracted"),
+        col("props").rlike("\"k\": 1").as("k_starts_1"),
+        regexp_count(col("props"), lit("\\d")).as("n_digits"))
+        .orderBy("event_id")),
+
+    // -- [NS] ordered set collection per group (sorted distinct CSV) --
+    "q_collect_sorted" -> ((s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types_csv"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // -- [NS] RANGE window frame (time-valued): per-type trailing-1h sum.
+    // RANGE frames are tie-insensitive, so no ordering tiebreak is needed --
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      events(s, d)
+        .select(col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("trailing_1h"))
+        .orderBy("event_id")
+    }),
+
     // -- [NS] explicit-state operator (flatMapGroupsWithState) in batch;
     // streaming twin in EventStreams, state semantics tested there --
     "q_stateful_totals" -> ((s, d) =>
@@ -1021,6 +1134,72 @@ object SparkEntry {
 
     "q_agg_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, true AS within_5pct FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_conditional_funcs" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS band,
+        |  coalesce(nullif(event_type, 'view'), 'filtered') AS type_or_filtered,
+        |  round(greatest(value, 0.0), 4) AS clamped_lo,
+        |  round(least(value, 500.0), 4) AS clamped_hi
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT event_type,
+        |  arg_max(round(value, 4), event_id) AS latest_value,
+        |  arg_min(round(value, 4), event_id) AS first_value,
+        |  max(event_id) AS max_id, min(event_id) AS min_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS head,
+        |  round(CAST(list_sort(embedding)[3] AS DOUBLE), 4) AS third_smallest
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_corr_stats" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(value * CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) * CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_vk
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '\d+', 0) AS INT) AS k_extracted,
+        |  regexp_matches(props, '"k": 1') AS k_starts_1,
+        |  CAST(len(regexp_extract_all(props, '\d')) AS INT) AS n_digits
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_collect_sorted" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sim_ivf_recall" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
