@@ -129,15 +129,20 @@ object Dedup {
     val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
       .persist() // feeds the explode AND both size-lookup join sides
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // length filter (std similarity-join prune): jaccard >= t forces
+    // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so set sizes must
+    // satisfy min >= t·max — applied INSIDE the join condition, which
+    // discards most cross-size pairs before they ever aggregate
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     val common = ex.alias("a")
-      .join(ex.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= col("b.n_sh") * minJaccard &&
+          col("b.n_sh") >= col("a.n_sh") * minJaccard)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("n_common"))
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .where(col("jaccard") >= minJaccard)

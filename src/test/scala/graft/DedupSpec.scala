@@ -100,6 +100,28 @@ class DedupSpec extends SparkSpec {
     assert(reps.subsetOf(keptT)) // every component representative survives
   }
 
+  test("exactJaccardPairs: matches brute-force jaccard, length filter loses nothing") {
+    val rnd = new scala.util.Random(7)
+    // 30 docs over a small vocab so unrelated docs share many shingles —
+    // the adversarial case for the in-join length prune
+    val rows = (1L to 30L).map { i =>
+      i -> (1 to 40 + rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+    } :+ (31L -> "a b c d e f g h i j") :+ (32L -> "a b c d e f g h i j k")
+    val d = docs(rows: _*)
+    val got = Dedup.exactJaccardPairs(d, n = 3, minJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force on the driver with the same shingle definition
+    val sh = rows.map { case (id, t) =>
+      id -> graft.functions.TextFunctions.shinglesScala(t, 3).toSet
+    }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.3
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.contains((31L, 32L))) // the test isn't vacuous
+  }
+
   test("embedding near-dup: planted duplicate vector found, orthogonal not") {
     val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // same direction
