@@ -37,7 +37,11 @@ object Bench {
     // 2-decimal rounding keeps the whole line short enough to survive a
     // bounded 2000-char tail capture of stdout (the round-1 line was ~2.6 KB
     // and got truncated before the driver could parse it)
-    def r3(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def r3(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      if (s == "0E-22" || s.isEmpty) "0" else s // stripTrailingZeros quirk on 0.00
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

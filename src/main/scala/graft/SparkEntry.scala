@@ -491,14 +491,18 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")),
 
     // feature-extraction stub: 16-bin L1-normalized byte histogram as the
-    // stand-in embedding; summarize per media kind so the result is compact
+    // stand-in embedding; summarized per media kind. Bin 7 (bytes 0x60-0x6F
+    // = '`' + 'a'..'o') carries real text mass, and per-media fractions sum
+    // in DECIMAL so the aggregate is order-independent — both properties
+    // needed for the DuckDB oracle
     "q_mm_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(documents(s, d))
       media
         .withColumn("feat", Multimodal.byteHistogram(col("payload")))
         .groupBy(col("kind_id"))
         .agg(count(lit(1)).as("n"),
-          round(sum(element_at(col("feat"), 1)), 4).as("bin0_mass"),
+          sum(element_at(col("feat"), 7).cast("decimal(18,6)"))
+            .cast("double").as("bin6_mass"),
           round(avg(size(col("feat"))), 4).as("dim"))
         .orderBy("kind_id")
     }),
@@ -752,6 +756,41 @@ object SparkEntry {
         .select(col("event_id"),
           sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("trailing_1h"))
         .orderBy("event_id")
+    }),
+
+    // -- [NS] unpivot/melt: wide numeric columns to long (metric, val) rows --
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("val"), 4).as("val"))
+        // val in the sort: (orderkey, linenumber) is NOT unique in this
+        // synthetic lineitem, so the value column must break the tie
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
+    // -- [NS] positional window values over a full-partition frame --
+    "q_window_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"),
+          first(col("event_id")).over(w).as("first_evt"),
+          last(col("event_id")).over(w).as("last_evt"),
+          nth_value(col("event_id"), 2).over(w).as("second_evt"))
+        .orderBy("event_id")
+    }),
+
+    // -- [NS] SQL subquery surface: uncorrelated IN + scalar subquery
+    // (Catalyst rewrites these to semi joins / scalar plans) --
+    "q_in_subquery" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events_sq")
+      s.sql("""SELECT event_id, user_id FROM events_sq
+               WHERE user_id IN (SELECT DISTINCT user_id FROM events_sq WHERE event_type = 'signup')
+                 AND value > (SELECT min(value) FROM events_sq)
+               ORDER BY event_id""")
     }),
 
     // -- [NS] explicit-state operator (flatMapGroupsWithState) in batch;
@@ -1195,6 +1234,28 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+        |      ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+
+    "q_window_nth" ->
+      """SELECT event_id,
+        |  first_value(event_id) OVER w AS first_evt,
+        |  last_value(event_id) OVER w AS last_evt,
+        |  nth_value(event_id, 2) OVER w AS second_evt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+        |  AND value > (SELECT min(value) FROM events)
+        |ORDER BY event_id""".stripMargin,
+
     "q_window_range_frame" ->
       """SELECT event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
@@ -1254,6 +1315,19 @@ object SparkEntry {
         |  WHEN fr >= de AND fr >= zh THEN 'fr'
         |  WHEN de >= zh THEN 'de' ELSE 'zh' END AS predicted_lang, count(*) AS n
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-media fraction of body bytes in 0x60-0x6F (floor-rounded to 6
+    // exactly as byteHistogram does), decimal-summed per kind
+    "q_mm_features" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id % 3 AS INT) AS kind_id,
+        |    len(regexp_extract_all(text, '[`a-o]')) AS c,
+        |    greatest(octet_length(encode(text)), 1) AS L
+        |  FROM documents)
+        |SELECT kind_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(c * 1.0 / L * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS bin6_mass,
+        |  round(avg(16), 4) AS dim
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // frame sampling is pure arithmetic over the body length: frames are the
     // strided indices of ceil(L/256) slices, each of min(256, L - i*256) bytes

@@ -153,8 +153,10 @@ object Multimodal {
           i += 1
         }
         val total = math.max(bytes.length - 16, 1).toDouble
-        counts.map(c => BigDecimal(c / total)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        // floor(x*1e6+0.5)/1e6, not BigDecimal HALF_UP: pure-double rounding
+        // is bit-reproducible in any engine computing c/total the same way,
+        // which lets the feature query hash-match a DuckDB oracle
+        counts.map(c => math.floor(c / total * 1000000.0 + 0.5) / 1000000.0)
       }
     }
     u(payload)
