@@ -42,7 +42,9 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s == "0E-22" || s.isEmpty) "0" else s // stripTrailingZeros quirk on 0.00
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // keys drop the uniform "q_" prefix: with ~90 queries the full names
+    // push the line past the 2000-char tail capture
+    val qs = results.map { case (k, v) => s"\"" + k.stripPrefix("q_") + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // numeric sf ("0.1" from ".../sf0.1") keeps the line a few chars shorter

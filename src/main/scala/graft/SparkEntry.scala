@@ -772,6 +772,51 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -- [REF R6] paging: the reference's OFFSET/LIMIT shape with a real
+    // offset (it hard-codes OFFSET 0; the generalized page is the useful op) --
+    "q_topk_page" -> ((s, d) =>
+      events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(col("value").desc, col("event_id"))
+        .offset(100).limit(50)),
+
+    // -- [NS] global top-20 trigrams by document frequency (shingles are
+    // distinct per doc, so counts = doc frequency; ties broken by shingle) --
+    "q_ngram_topk" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TF.shingles(col("text"), 3)).as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)),
+
+    // -- [NS] multimodal resize plumbing: header rewrite + proportional body
+    // truncation, then metadata re-extraction audits the new header --
+    "q_mm_resize" -> ((s, d) =>
+      Multimodal.extractMeta(
+        Multimodal.mediaFromDocuments(documents(s, d))
+          .withColumn("payload", Multimodal.resizeStub(col("payload"), 64, 48)))
+        .orderBy("media_id")),
+
+    // -- [NS] reproducible stratified sampling: per-language rates, content-
+    // keyed hash decisions. The sample itself is hash-seeded (rows-only
+    // twin below would be weak), so the DECLARED result is the invariant:
+    // per-lang achieved rate within tolerance of the target
+    "q_sample_stratified" -> ((s, d) => {
+      val rates = Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.2, "zh" -> 0.2)
+      val sampled = graft.operators.Sampling.stratified(
+        documents(s, d), "lang", "doc_id", rates)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      val rateLit = rates.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_docs") - rateLit) <= 0.15)
+            .as("rate_ok"))
+        .orderBy("lang")
+    }),
+
     // -- [NS] unpivot/melt: wide numeric columns to long (metric, val) rows --
     "q_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1247,6 +1292,29 @@ object SparkEntry {
       """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_page" ->
+      ("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events " +
+        "ORDER BY value DESC, event_id LIMIT 50 OFFSET 100"),
+
+    "q_ngram_topk" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS shingle
+        |       FROM tok WHERE len(t) >= 3)
+        |SELECT shingle, count(*) AS df FROM sh GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    // resize arithmetic: new dims are literal, body truncates to
+    // min(L, max(ceil(L * newArea / oldArea), 1))
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kind_id, true AS valid,
+        |  CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+        |  CAST(least(octet_length(encode(text)),
+        |    greatest(CAST(ceil(octet_length(encode(text)) * 3072.0 /
+        |      greatest((32 + doc_id % 96) * (24 + doc_id % 72), 1)) AS BIGINT), 1)) AS INT) AS body_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      "SELECT lang, count(*) AS n_docs, true AS rate_ok FROM documents GROUP BY 1 ORDER BY 1",
 
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
