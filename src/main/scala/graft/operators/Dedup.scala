@@ -118,33 +118,50 @@ object Dedup {
   }
 
   /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing
-    * anywhere: an inverted shingle index (explode + self-join on the shingle
-    * string) yields per-pair intersection counts, and Jaccard follows from
-    * |A∩B| / (|A|+|B|-|A∩B|). Deterministic and DuckDB-expressible, so it
-    * oracles the MinHash path's recall. Scale shape: the self-join shuffles
-    * by shingle (bounded buckets for natural text); only pairs sharing at
-    * least one shingle ever materialize — never the cross product.
+    * anywhere — the AllPairs/ppjoin prefix-filtered similarity join
+    * (Bayardo et al. 2007; Xiao et al. 2008):
+    *
+    *   1. canonical order = global (document-frequency, shingle) ascending;
+    *   2. each doc indexes only its `|s| - ⌈t·|s|⌉ + 1` FIRST shingles in
+    *      that order (rarest first) — a pair with J ≥ t has overlap
+    *      ≥ ⌈t·|s|⌉ on each side, and two sets with overlap o must collide
+    *      within their (|s|-o+1)-prefixes, so no true pair is lost;
+    *   3. candidates also pass the length filter (min size ≥ t·max size),
+    *      then verify with exact set intersection.
+    *
+    * Prefix filtering is what makes this scale: a plain inverted index
+    * joins on EVERY shingle, and on low-diversity corpora (boilerplate,
+    * templated text — or this testdata's ~30-word vocabulary) bucket sizes
+    * grow with the corpus and the join goes quadratic (measured exp 1.4 at
+    * 10×). Prefixes touch only globally-rare shingles, so buckets stay
+    * small as the corpus grows.
     */
   def exactJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist() // feeds the explode AND both size-lookup join sides
-    // length filter (std similarity-join prune): jaccard >= t forces
-    // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so set sizes must
-    // satisfy min >= t·max — applied INSIDE the join condition, which
-    // discards most cross-size pairs before they ever aggregate
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val common = ex.alias("a")
-      .join(ex.alias("b"),
+      .withColumn("n_sh", size(col("sh")))
+      .persist() // feeds the prefix build AND both verify join sides
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
+      .select(col("doc_id"), col("n_sh"), col("s"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") >= col("b.n_sh") * minJaccard &&
           col("b.n_sh") >= col("a.n_sh") * minJaccard)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
