@@ -659,6 +659,17 @@ object SparkEntry {
         round(log1p(abs(col("value"))), 4).as("logv"))
         .orderBy("event_id")),
 
+    "q_date_arith" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 7).as("next_week"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("epoch_days"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey")),
+
     // -- [NS] TPC-H Q1: the canonical pricing-summary aggregate, decimal-
     // exact sums so parallel partial aggregation matches DuckDB bit-for-bit
     "q_tpch_q1" -> ((s, d) =>
@@ -1216,6 +1227,15 @@ object SparkEntry {
         |  CAST(floor(value) AS BIGINT) AS down,
         |  round(ln(1 + abs(value)), 4) AS logv
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 7 AS next_week,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS epoch_days,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_stateful_totals" ->
       """SELECT user_id, count(*) AS n,
