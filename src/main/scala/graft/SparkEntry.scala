@@ -597,6 +597,19 @@ object SparkEntry {
           round(percentile(col("value"), lit(0.9)), 4).as("p90"))
         .orderBy("event_type")),
 
+    // approximate percentile sketch vs exact, error-bound invariant (same
+    // oracle pattern as the HLL query: the sketch value has no SQL twin,
+    // its accuracy on fixed data does)
+    "q_approx_quantile" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile(col("value"), lit(0.5)).as("p50"))
+        .select(col("event_type"), round(col("p50"), 4).as("p50_exact"),
+          (abs(col("p50_approx") - col("p50")) <=
+            greatest(abs(col("p50")) * 0.05, lit(0.5))).as("approx_ok"))
+        .orderBy("event_type")),
+
     // -- [NS] streaming-shape windows, batch twins --
     "q_sliding_2h" -> ((s, d) =>
       events(s, d)
@@ -1178,6 +1191,10 @@ object SparkEntry {
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sliding_2h" ->
