@@ -225,33 +225,38 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).persist()
+    // seed with the 1-hop neighborhood minimum (incl. self): cliques — the
+    // common near-dup family shape — are already converged before the loop
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), col("doc_id")).as("cluster_id")).persist()
+    // labels only ever decrease, so the label SUM is strictly monotone and
+    // "sum unchanged" == converged — convergence detection costs one cheap
+    // aggregate on the cached frame instead of a join against the previous
+    // iteration's labels
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("cluster_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
     var prevCached = labels // the cached DF backing `labels`, freed next round
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      // old and new label side by side: convergence is detected on THIS
-      // dataframe (one extra aggregate over the persisted result), not via a
-      // second join against the previous labels — one shuffle per iteration
-      val joined = labels.alias("l")
-        .join(neighborMin.alias("n"), col("l.doc_id") === col("n.src"), "left")
-        .select(col("l.doc_id").as("doc_id"), col("l.cluster_id").as("old_cluster"),
-          least(col("l.cluster_id"), coalesce(col("n.nmin"), col("l.cluster_id")))
-            .as("cluster_id"))
+      // new label = min(own, neighbors') via union + one groupBy — one
+      // shuffle fewer than the join + left-join + least formulation
+      val updated = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+        .union(labels.select(col("doc_id"), col("cluster_id")))
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val changed = joined.where(col("cluster_id") =!= col("old_cluster")).count()
-      val updated = joined.select("doc_id", "cluster_id")
+      val s = labelSum(updated)
       prevCached.unpersist()
-      prevCached = joined
+      prevCached = updated
       // truncate lineage every few rounds: a long chain otherwise builds an
       // iteration-deep plan that slows planning and can overflow on
       // pathological graphs
       labels = if (i % 3 == 2) updated.localCheckpoint() else updated
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     edges.unpersist()
