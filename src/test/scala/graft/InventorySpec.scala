@@ -30,4 +30,15 @@ class InventorySpec extends SparkSpec {
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
   }
+
+  test("EVERY declared query executes without throwing at sf0.001") {
+    // Verify.scala swallows per-query exceptions (a broken query surfaces as
+    // a missing parquet only at the driver's gate); this catches it in-suite.
+    // Empty results are legal (e.g. anti joins) — only throwing is not.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, Sf0001).count(); spark.catalog.clearCache(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, s"queries threw at sf0.001:\n${failures.mkString("\n")}")
+  }
 }
