@@ -875,6 +875,27 @@ object SparkEntry {
       graft.streaming.EventStreams.statefulUserTotals(s, events(s, d))
         .orderBy("user_id")),
 
+    // -- [NS] bucketed co-located join: write both sides bucketed+sorted by
+    // the join key, then join through the catalog — no exchange on either
+    // side (asserted in LayoutSpec). Tables are rewritten each invocation
+    // so a regenerated testdata set can never leak stale rows through the
+    // warehouse. This is the declared-query form of Layout.writeBucketed,
+    // the 100 TB answer to repeated big-big joins.
+    "q_bucketed_join" -> ((s, d) => {
+      graft.operators.Layout.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        "bl_orders", "o_orderkey", 8)
+      graft.operators.Layout.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+        "bl_lineitem", "l_orderkey", 8)
+      graft.operators.Layout.readTable(s, "bl_lineitem")
+        .join(graft.operators.Layout.readTable(s, "bl_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -- [NS] skew-immune two-phase aggregate (event_type is low-cardinality
     // = the skewed-key case; result must equal the direct groupBy) --
     "q_salted_agg" -> ((s, d) =>
@@ -1251,6 +1272,12 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type AS key, count(*) AS n,

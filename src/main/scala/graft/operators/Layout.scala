@@ -35,18 +35,35 @@ object Layout {
 
   /** Write a DataFrame as a bucketed+sorted managed table. Joins between
     * tables bucketed by the same key/count skip the shuffle entirely.
+    *
+    * Idempotent across JVMs: a fresh in-memory catalog doesn't know about a
+    * previous session's table, but its warehouse directory survives on disk
+    * and `saveAsTable` then fails with LOCATION_ALREADY_EXISTS — so both the
+    * catalog entry and any stale location are cleared first.
     */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketKey: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = (try Option(new java.net.URI(wh).getPath) catch { case _: Exception => None })
+      .getOrElse(wh)
+    deleteRecursively(new java.io.File(whPath, table))
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketKey)
       .sortBy(bucketKey)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** Read a bucketed table back. */
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
