@@ -234,7 +234,7 @@ object Dedup {
     // aggregate on the cached frame instead of a join against the previous
     // iteration's labels
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("cluster_id"))).head.get(0))
+      Option(df.agg(sum(col("cluster_id"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var prevCached = labels // the cached DF backing `labels`, freed next round
