@@ -869,6 +869,23 @@ object SparkEntry {
                ORDER BY event_id""")
     }),
 
+    // -- [NS] correlated EXISTS with an extra predicate — the decorrelation
+    // rewrite (predicate pulled into the derived semi-join condition) --
+    "q_exists_correlated" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_ec")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ec")
+      s.sql("""SELECT c_custkey, c_name FROM customer_ec c
+               WHERE EXISTS (SELECT 1 FROM orders_ec o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+               ORDER BY c_custkey""")
+    }),
+
+    // -- [NS] explicit cartesian: small × small cross join --
+    "q_cross_join" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
     // -- [NS] explicit-state operator (flatMapGroupsWithState) in batch;
     // streaming twin in EventStreams, state semantics tested there --
     "q_stateful_totals" -> ((s, d) =>
@@ -1394,6 +1411,15 @@ object SparkEntry {
         |WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
         |  AND value > (SELECT min(value) FROM events)
         |ORDER BY event_id""".stripMargin,
+
+    "q_exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
 
     "q_window_range_frame" ->
       """SELECT event_id,
