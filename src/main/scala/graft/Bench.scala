@@ -34,22 +34,23 @@ object Bench {
       }.min
       name -> dt
     }
-    // 2-decimal rounding keeps the whole line short enough to survive a
-    // bounded 2000-char tail capture of stdout (the round-1 line was ~2.6 KB
-    // and got truncated before the driver could parse it)
-    def r3(v: Double): String = {
-      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // rounding keeps the whole line short enough to survive a bounded
+    // 2000-char tail capture of stdout (the round-1 line was ~2.6 KB and
+    // got truncated before the driver could parse it): per-query values at
+    // 1 decimal, the headline total at 2
+    def r(v: Double, scale: Int): String = {
+      val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-      if (s == "0E-22" || s.isEmpty) "0" else s // stripTrailingZeros quirk on 0.00
+      if (s.isEmpty || s.startsWith("0E")) "0" else s // stripTrailingZeros quirk on 0.0
     }
     // keys drop the uniform "q_" prefix: with ~90 queries the full names
     // push the line past the 2000-char tail capture
-    val qs = results.map { case (k, v) => s"\"" + k.stripPrefix("q_") + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.stripPrefix("q_") + "\":" + r(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // numeric sf ("0.1" from ".../sf0.1") keeps the line a few chars shorter
     val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }

@@ -834,6 +834,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- [NS] corpus mixing (the "recipe" op): two sources at different
+    // rates, declared via per-bucket achieved-rate invariants
+    "q_sample_mix" -> ((s, d) => {
+      val docs = documents(s, d)
+      val mixed = graft.operators.Sampling.mix(Seq(
+        (docs.where(col("lang") === "en"), 0.6),
+        (docs.where(col("lang") =!= "en"), 0.3)), "doc_id")
+      val bucket = when(col("lang") === "en", "en").otherwise("other")
+      val totals = docs.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_docs"))
+      val kept = mixed.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_kept"))
+      val rate = when(col("bucket") === "en", 0.6).otherwise(0.3)
+      totals.join(kept, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"),
+          (abs(coalesce(col("n_kept"), lit(0L)) / col("n_docs") - rate) <= 0.15)
+            .as("rate_ok"))
+        .orderBy("bucket")
+    }),
+
     // -- [NS] unpivot/melt: wide numeric columns to long (metric, val) rows --
     "q_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1389,6 +1407,11 @@ object SparkEntry {
 
     "q_sample_stratified" ->
       "SELECT lang, count(*) AS n_docs, true AS rate_ok FROM documents GROUP BY 1 ORDER BY 1",
+
+    "q_sample_mix" ->
+      """SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS bucket,
+        |  count(*) AS n_docs, true AS rate_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
