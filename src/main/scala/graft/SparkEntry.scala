@@ -590,6 +590,15 @@ object SparkEntry {
           round(percentile(col("value"), lit(0.9)), 4).as("p90"))
         .orderBy("event_type")),
 
+    // -- [NS] fixed-width histogram binning (floor(value/width) keys) --
+    "q_histogram" -> ((s, d) =>
+      events(s, d)
+        .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy("bin")),
+
     // approximate percentile sketch vs exact, error-bound invariant (same
     // oracle pattern as the HLL query: the sketch value has no SQL twin,
     // its accuracy on fixed data does)
@@ -1251,6 +1260,11 @@ object SparkEntry {
 
     "q_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sliding_2h" ->
