@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Every operator must degrade to an empty result on empty input — not
+  * throw from a head() on nothing, divide by a missing count, or loop
+  * forever waiting for convergence that never starts.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.exactNormalized(emptyDocs).count() == 0)
+    assert(Dedup.minhashCandidates(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.exactJaccardPairs(emptyDocs).count() == 0)
+    assert(Dedup.minhashDeduped(emptyDocs).count() == 0)
+  }
+
+  test("clusters terminates immediately on an empty pair graph") {
+    assert(Dedup.clusters(emptyPairs).count() == 0)
+  }
+
+  test("sampling of an empty frame is empty") {
+    val d = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Sampling.stratified(d, "lang", "doc_id", Map("en" -> 0.5)).count() == 0)
+    assert(Sampling.mix(Seq((d, 0.5), (d, 0.9)), "doc_id").count() == 0)
+  }
+
+  test("multimodal metadata extraction of an empty media table is empty") {
+    val m = Seq.empty[(Long, Int, Array[Byte])].toDF("media_id", "kind_id", "payload")
+    assert(Multimodal.extractMeta(m).count() == 0)
+    assert(Multimodal.sampleFrames(m).count() == 0)
+  }
+
+  test("embedding near-dup of an empty table is empty") {
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(e).count() == 0)
+  }
+}
