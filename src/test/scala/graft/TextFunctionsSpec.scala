@@ -91,4 +91,25 @@ class TextFunctionsSpec extends SparkSpec with Checkers {
       q >= 0.0 && q <= 1.0
     }, minTests = 15)
   }
+
+  test("textProfile is total and bounded on arbitrary unicode") {
+    check(Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("你好", "世界", "héllo", "καλή", "🙂🙃", "a b", "\t\n", ""))).map(_.mkString(" "))) { s =>
+      val (q, nTok, nBpe, _) = TF.textProfile(s)
+      q >= 0.0 && q <= 1.0 && nTok >= 0 && nBpe >= 0 &&
+        TF.textProfile(s) == TF.textProfile(s) // deterministic
+    }, minTests = 30)
+  }
+
+  test("text stack handles CJK / accents / emoji without loss") {
+    assert(TF.textProfile("你好 世界")._2 == 2) // whitespace tokens
+    val sh = TF.shinglesScala("héllo wörld foo bar", 3)
+    assert(sh.toSeq == Seq("héllo wörld foo", "wörld foo bar"))
+    // minhash of identical unicode text is identical; different text differs
+    val a = TF.minhashSigScala("你好 世界 再见 朋友", 2, 16).toSeq
+    val b = TF.minhashSigScala("你好 世界 再见 朋友", 2, 16).toSeq
+    val c = TF.minhashSigScala("völlig andere wörter hier", 2, 16).toSeq
+    assert(a == b && a != c)
+  }
 }
