@@ -913,6 +913,19 @@ object SparkEntry {
         .select(col("r_name"), col("n_name"))
         .orderBy("r_name", "n_name")),
 
+    // -- [NS] REAL Structured Streaming execution inside the gate: the
+    // watermarked tumbling aggregation runs as a file stream through the
+    // memory sink to completion, and its FINAL table must hash-match the
+    // batch oracle — streaming is oracle-gated, not just batch-twinned.
+    // Counts only: a double sum's value depends on state-merge order.
+    "q_stream_tumbling" -> ((s, d) => {
+      val stream = graft.streaming.EventStreams
+        .tumblingDaily(graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
+        .select("day_start", "event_type", "n")
+      graft.streaming.EventStreams.runToMemory(stream, "q_stream_tumbling_mem", "complete")
+      s.table("q_stream_tumbling_mem").orderBy("day_start", "event_type")
+    }),
+
     // -- [NS] explicit-state operator (flatMapGroupsWithState) in batch;
     // streaming twin in EventStreams, state semantics tested there --
     "q_stateful_totals" -> ((s, d) =>
@@ -1261,6 +1274,10 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n,

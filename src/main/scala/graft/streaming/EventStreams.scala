@@ -27,6 +27,23 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
 
+  /** Stream source over the driver testdata's TIMESTAMP(NANOS) parquet —
+    * the same raw-nanos shim as `Tables.events` (Spark 4 rejects nanos
+    * timestamps unless read as long), applied on the streaming read path.
+    */
+  def readEventsNanos(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    // glob form of the file path: FileStreamSource derives basePath from the
+    // non-glob prefix (the parent DIRECTORY); a bare file path would be used
+    // as basePath itself and rejected ("must be a directory")
+    val cut = path.lastIndexOf('/')
+    val glob = path.substring(0, cut + 1) + "{" + path.substring(cut + 1) + "}"
+    spark.readStream.schema(nanosSchema).parquet(glob)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling 1-day counts per event type, 1-hour watermark: late events
     * beyond the watermark are dropped, closing windows and bounding state.
     */
