@@ -40,8 +40,16 @@ object EventStreams {
     // as basePath itself and rejected ("must be a directory")
     val cut = path.lastIndexOf('/')
     val glob = path.substring(0, cut + 1) + "{" + path.substring(cut + 1) + "}"
-    spark.readStream.schema(nanosSchema).parquet(glob)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // sniff the on-disk layout once (one footer read): driver testdata is
+    // TIMESTAMP(NANOS) → raw long under the legacy conf; derived copies
+    // (e.g. the scale-probe corpus) are already µs timestamps
+    val tsIsRawNanos =
+      spark.read.parquet(path).schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (tsIsRawNanos)
+      spark.readStream.schema(nanosSchema).parquet(glob)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(eventsSchema).parquet(glob)
   }
 
   /** Tumbling 1-day counts per event type, 1-hour watermark: late events
