@@ -22,16 +22,21 @@ object Bench {
     // best of two runs per query: a single pass conflates per-query cost
     // with whichever query happens to absorb JIT/GC hiccups (round 1 showed
     // 4-8× outliers on reruns of the same plan); min-of-2 is stable
+    // failure visibility: a query that throws still gets a (meaningless,
+    // tiny) time — count it so breakage can't hide inside the bench JSON
+    var failed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var threw = false
       val dt = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => }
+        try run(fn) catch { case _: Throwable => threw = true }
         val t = (System.nanoTime() - t0) / 1e9
         // operators persist reused intermediates (signature tables); drop
         // them so caches don't accumulate across the whole suite
         spark.catalog.clearCache()
         t
       }.min
+      if (threw) failed += 1
       name -> dt
     }
     // rounding keeps the whole line short enough to survive a bounded
@@ -50,7 +55,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // numeric sf ("0.1" from ".../sf0.1") keeps the line a few chars shorter
     val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs,"sf":$sf}""")
+    // "failed" appears only when nonzero: the healthy line stays under the
+    // driver's ~1925-char stdout tail budget
+    val failedField = if (failed > 0) s""","failed":$failed""" else ""
+    println(s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$failedField,"sf":$sf}""")
     spark.stop()
   }
 }

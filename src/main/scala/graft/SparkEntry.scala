@@ -1504,7 +1504,10 @@ object SparkEntry {
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
 
     // faithful SQL twin of TextFunctions.textProfile (minus the fingerprint,
-    // which lives in the rows-only q_text_fingerprint)
+    // which lives in the invariant-oracled q_text_fingerprint).
+    // BMP-only assumption: DuckDB length() counts codepoints, textProfile
+    // counts UTF-16 units — they agree exactly on this corpus (no non-BMP
+    // chars); a supplementary-plane emoji would diverge len/alpha/meanWord.
     "q_text_quality" ->
       """WITH p AS (
         |  SELECT doc_id,

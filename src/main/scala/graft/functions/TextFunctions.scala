@@ -114,10 +114,11 @@ object TextFunctions {
   /** Column form of [[textProfile]]: struct(quality, n_tokens, n_bpeish,
     * fingerprint).
     */
-  def textProfileCol(text: Column): Column = {
-    val u = udf((t: String) => textProfile(t))
-    u(text).cast("struct<quality:double,n_tokens:int,n_bpeish:int,fingerprint:bigint>")
-  }
+  private val textProfileUdf = udf((t: String) => textProfile(t))
+
+  def textProfileCol(text: Column): Column =
+    textProfileUdf(text)
+      .cast("struct<quality:double,n_tokens:int,n_bpeish:int,fingerprint:bigint>")
 
   /** Per-language stopword marker sets for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: langid at lake scale is a cheap first pass,
@@ -160,7 +161,9 @@ object TextFunctions {
     if (best < 0) "und" else LangMarkers(best)._1
   }
 
-  def langId(text: Column): Column = udf((t: String) => langIdScala(t)).apply(text)
+  private val langIdUdf = udf((t: String) => langIdScala(t))
+
+  def langId(text: Column): Column = langIdUdf(text)
 
   /** Rolling 64-bit document fingerprint over tokens: fold the accumulator
     * through `xxhash64(acc, token)` — order-sensitive like a Rabin-Karp
@@ -223,9 +226,15 @@ object TextFunctions {
     seen.toArray
   }
 
+  // parameterized UDFs are memoized per parameter value so repeated query
+  // construction doesn't re-instantiate them (planning overhead only, but
+  // consistent with the hoisted vals above)
+  private val shinglesUdfs =
+    new scala.collection.concurrent.TrieMap[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
   /** Column form of distinct word n-gram shingles. */
   def shingles(text: Column, n: Int = 3): Column =
-    udf((t: String) => shinglesScala(t, n)).apply(text)
+    shinglesUdfs.getOrElseUpdate(n, udf((t: String) => shinglesScala(t, n))).apply(text)
 
   /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation hash. */
   def splitmix64(x0: Long): Long = {
@@ -268,7 +277,11 @@ object TextFunctions {
     mins
   }
 
+  private val minhashUdfs =
+    new scala.collection.concurrent.TrieMap[(Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+
   /** Column form of single-pass MinHash; null for docs with no shingles. */
   def minhashSig(text: Column, n: Int = 3, perms: Int = 32): Column =
-    udf((t: String) => Option(minhashSigScala(t, n, perms))).apply(text)
+    minhashUdfs.getOrElseUpdate((n, perms),
+      udf((t: String) => Option(minhashSigScala(t, n, perms)))).apply(text)
 }

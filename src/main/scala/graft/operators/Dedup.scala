@@ -147,7 +147,10 @@ object Dedup {
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
-      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
+      // epsilon before ceil: FP error can push t·|s| just above an exact
+      // integer (0.1*10 = 1.0000000000000002 → ceil 2), shortening the
+      // prefix by one and silently dropping a true pair
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard - 1e-9) + 1)
       .select(col("doc_id"), col("n_sh"), col("s"))
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
@@ -233,9 +236,12 @@ object Dedup {
     // "sum unchanged" == converged — convergence detection costs one cheap
     // aggregate on the cached frame instead of a join against the previous
     // iteration's labels
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("cluster_id"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // DECIMAL(38,0) sum: a Long sum could wrap on overflow (ANSI off) and
+    // fake a fixpoint; decimal is exact at any graph size
+    def labelSum(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().get(0))
+        .map(d => BigDecimal(d.asInstanceOf[java.math.BigDecimal]))
+        .getOrElse(BigDecimal(0))
     var prevSum = labelSum(labels)
     var prevCached = labels // the cached DF backing `labels`, freed next round
     var converged = false

@@ -51,7 +51,10 @@ object Layout {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val whPath = (try Option(new java.net.URI(wh).getPath) catch { case _: Exception => None })
       .getOrElse(wh)
-    deleteRecursively(new java.io.File(whPath, table))
+    // Spark lowercases managed-table directory names; assumes the default
+    // database (a non-default db's tables live under <db>.db/ and aren't
+    // handled here)
+    deleteRecursively(new java.io.File(whPath, table.toLowerCase))
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketKey)

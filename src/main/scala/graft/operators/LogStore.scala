@@ -171,20 +171,27 @@ object LogStore {
   object OrderedConcat
       extends org.apache.spark.sql.expressions.Aggregator[
         (Int, String), List[(Int, String)], String] {
+    // Buffer discipline: O(1) prepend per row, one sort in finish — NOT an
+    // insertion-sorted list (O(n²) + stack overflow on many-chunk docs).
+    // The buffer lives as a plain JVM object inside the hash aggregate
+    // (TypedImperativeAggregate); the product encoder below only runs at
+    // shuffle/spill boundaries and stays off Kryo, which serialized the
+    // whole list per partial merge and made this 8× slower than the
+    // collect_list twin.
     override def zero: List[(Int, String)] = Nil
     override def reduce(b: List[(Int, String)], a: (Int, String)): List[(Int, String)] =
-      insert(b, a)
+      a :: b
     override def merge(x: List[(Int, String)], y: List[(Int, String)]): List[(Int, String)] =
-      y.foldLeft(x)(insert)
-    private def insert(sorted: List[(Int, String)], a: (Int, String)): List[(Int, String)] =
-      sorted match {
-        case h :: t if h._1 < a._1 => h :: insert(t, a)
-        case _                     => a :: sorted
-      }
-    override def finish(r: List[(Int, String)]): String =
-      r.iterator.map(_._2).mkString
+      y reverse_::: x
+    override def finish(r: List[(Int, String)]): String = {
+      val arr = r.toArray
+      java.util.Arrays.sort(arr, java.util.Comparator.comparingInt((p: (Int, String)) => p._1))
+      val sb = new java.lang.StringBuilder
+      arr.foreach(p => sb.append(p._2))
+      sb.toString
+    }
     override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Int, String)]] =
-      org.apache.spark.sql.Encoders.kryo[List[(Int, String)]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Int, String)]]()
     override def outputEncoder: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
   }
@@ -211,12 +218,22 @@ object LogStore {
   def getCombined(logs: DataFrame, userId: String, parentId: String)(
       implicit spark: SparkSession): DataFrame = {
     val parent = pointLookup(logs, userId, parentId)
-    val scoped = logs.where(
-      col("user_id") === userId &&
-        (col("id") === parentId || col("parent_log_id") === parentId))
-    // the unsplit short-circuit is plan-level: reassemble of a single row is
-    // already cheap and partition-pruned, so one declarative plan serves both
-    reassemble(scoped)
+    // the unsplit short-circuit (`BigDataLogControl.cs:129-132`): peek the
+    // parent's split count (one partition-pruned point read) and skip the
+    // chunk gather entirely when the document was never split — the
+    // returned plan is a pure projection, no aggregate
+    val splits = parent.select(col("total_splits")).collect()
+    if (splits.nonEmpty && splits.head.getInt(0) <= 1)
+      parent.select(
+        col("user_id"), col("id"),
+        Codec.unzip_str(col("zipped_log")).as("payload"),
+        col("total_splits"), col("js_time_of_creation"),
+        col("event_type"), col("trigger"), col("zipped_log"),
+        lit(0).as("split_index"))
+    else
+      reassemble(logs.where(
+        col("user_id") === userId &&
+          (col("id") === parentId || col("parent_log_id") === parentId)))
   }
 
   /** Enum-stamp update — reference `UpdateTrigger` (`LogChange.cs:75-78`,

@@ -28,11 +28,12 @@ object TopK {
     private def better(a: Item, b: Item): Boolean =
       a.primary > b.primary || (a.primary == b.primary && a.id < b.id)
 
+    // span/::: are iterative library ops: O(k) per insert, no recursion —
+    // safe at any k (the old recursive insert risked StackOverflow).
     private def insert(sorted: List[Item], a: Item): List[Item] = {
-      val merged = sorted match {
-        case h :: t if better(h, a) => h :: insert(t, a)
-        case _                      => a :: sorted
-      }
+      if (sorted.lengthCompare(k) >= 0 && better(sorted.last, a)) return sorted
+      val (pre, post) = sorted.span(better(_, a))
+      val merged = pre ::: (a :: post)
       if (merged.lengthCompare(k) > 0) merged.take(k) else merged
     }
 
@@ -41,7 +42,9 @@ object TopK {
     override def merge(x: List[Item], y: List[Item]): List[Item] =
       y.foldLeft(x)(insert)
     override def finish(r: List[Item]): Seq[Item] = r
-    override def bufferEncoder: Encoder[List[Item]] = Encoders.kryo[List[Item]]
+    // product encoder (NOT Kryo): stays a plain JVM list inside the hash
+    // aggregate; encodes to UnsafeArrayData only at shuffle/spill
+    override def bufferEncoder: Encoder[List[Item]] = ExpressionEncoder[List[Item]]()
     override def outputEncoder: Encoder[Seq[Item]] = ExpressionEncoder[Seq[Item]]()
   }
 

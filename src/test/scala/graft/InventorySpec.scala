@@ -37,7 +37,9 @@ class InventorySpec extends SparkSpec {
     // Empty results are legal (e.g. anti joins) — only throwing is not.
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, Sf0001).count(); spark.catalog.clearCache(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      // String.valueOf: getMessage can be null (bare NPE) and the report
+      // path itself must not throw
+      catch { case e: Throwable => Some(s"$name: ${String.valueOf(e.getMessage).take(120)}") }
     }
     assert(failures.isEmpty, s"queries threw at sf0.001:\n${failures.mkString("\n")}")
   }

@@ -111,6 +111,13 @@ class LogStoreSpec extends SparkSpec {
         .head().getAs[String]("id")
       val got = LogStore.getCombined(back, user, parentId)
       assert(got.head().getAs[String]("payload") == want)
+      // the unsplit short-circuit (BigDataLogControl.cs:129-132) must skip
+      // the chunk gather: no Aggregate anywhere in the plan
+      val hasAggregate = got.queryExecution.optimizedPlan.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      if (user == "u2") assert(!hasAggregate, "unsplit doc must not plan a gather")
+      else assert(hasAggregate, "split doc must gather its chunks")
     }
   }
 
