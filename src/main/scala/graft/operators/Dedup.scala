@@ -190,7 +190,12 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // floor(x·1e4+0.5)/1e4 instead of round(): the raw quotient is the
+      // same double in every engine (two exact ints divided), so this pure-
+      // double rounding is bit-reproducible cross-engine, while BigDecimal
+      // HALF_UP vs binary-expansion rounding diverge on .xxxx5 boundaries
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
   }
 
   /** Materialize the deduplicated corpus: drop every doc that appears as the

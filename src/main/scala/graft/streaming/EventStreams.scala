@@ -81,6 +81,18 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Per-user session counts (30-minute gap) — the oracle-gated streaming
+    * shape: counts only, because a double sum's value depends on state-merge
+    * order while a count does not.
+    */
+  def userSessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
   /** Exactly-once-per-key dedup within the watermark horizon — streaming
     * exact dedup (the streaming twin of `Dedup.exact`).
     */
