@@ -966,7 +966,8 @@ object SparkEntry {
       val stream = graft.streaming.EventStreams
         .tumblingDaily(graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
         .select("day_start", "event_type", "n")
-      graft.streaming.EventStreams.runToMemory(stream, "q_stream_tumbling_mem", "complete")
+      graft.streaming.EventStreams.runToMemory(stream, "q_stream_tumbling_mem", "complete",
+        statePartitions = Some(8))
       s.table("q_stream_tumbling_mem").orderBy("day_start", "event_type")
     }),
 
@@ -977,7 +978,8 @@ object SparkEntry {
     "q_stream_interval" -> ((s, d) => {
       val ev = graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet")
       val joined = graft.streaming.EventStreams.clickPurchaseJoin(ev, ev)
-      graft.streaming.EventStreams.runToMemory(joined, "q_stream_interval_mem", "append")
+      graft.streaming.EventStreams.runToMemory(joined, "q_stream_interval_mem", "append",
+        statePartitions = Some(8))
       s.table("q_stream_interval_mem").orderBy("user_id", "click_id", "purchase_id")
     }),
 
@@ -986,7 +988,8 @@ object SparkEntry {
     "q_stream_session" -> ((s, d) => {
       val sess = graft.streaming.EventStreams.userSessionCounts(
         graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
-      graft.streaming.EventStreams.runToMemory(sess, "q_stream_session_mem", "complete")
+      graft.streaming.EventStreams.runToMemory(sess, "q_stream_session_mem", "complete",
+        statePartitions = Some(8))
       s.table("q_stream_session_mem").orderBy("user_id", "session_start")
     }),
 

@@ -170,14 +170,33 @@ object EventStreams {
 
   /** Run any of the above to completion against a static directory via the
     * memory sink — the synchronous harness pattern for tests.
+    *
+    * `statePartitions` pins the stream's state-store partition count
+    * (`spark.sql.shuffle.partitions` at first start of a fresh checkpoint —
+    * immutable for the checkpoint's lifetime, so it is an explicit,
+    * per-query sizing decision, not ambient session config). Size it to the
+    * stateful-key cardinality and executor count: a production cluster job
+    * wants executors×cores; a bounded single-JVM micro-batch wants a small
+    * count, because each state partition costs per-batch provider/commit
+    * overhead regardless of data volume (measured 2× wall on the interval
+    * join going 32 → 8 at sf0.1). Pass None to inherit the session value.
     */
-  def runToMemory(stream: DataFrame, name: String, outputMode: String = "update"): Unit = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+  def runToMemory(
+      stream: DataFrame,
+      name: String,
+      outputMode: String = "update",
+      statePartitions: Option[Int] = None): Unit = {
+    val spark = stream.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
