@@ -145,18 +145,21 @@ object Dedup {
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // exact Bayardo/Xiao threshold ⌈t·|s|⌉ in decimal arithmetic: the double
+    // form needs a safety epsilon (FP can push 0.7*10 to 7.000000000000001,
+    // ceil → 8), but a blanket -1e-9 lengthens the prefix by one whenever
+    // t·|s| IS integral, measurably inflating candidates on low-diversity
+    // corpora. DecimalType multiply + ceil is exact — no epsilon either way.
+    val t = lit(BigDecimal.decimal(minJaccard))
     val prefix = ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
-      // epsilon before ceil: FP error can push t·|s| just above an exact
-      // integer (0.1*10 = 1.0000000000000002 → ceil 2), shortening the
-      // prefix by one and silently dropping a true pair
-      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard - 1e-9) + 1)
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
       .select(col("doc_id"), col("n_sh"), col("s"))
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= col("b.n_sh") * minJaccard &&
-          col("b.n_sh") >= col("a.n_sh") * minJaccard)
+          col("a.n_sh") >= col("b.n_sh") * t &&
+          col("b.n_sh") >= col("a.n_sh") * t)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

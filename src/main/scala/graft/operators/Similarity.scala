@@ -85,6 +85,20 @@ object Similarity {
     * executors as a literal — an intentional broadcast of the index, the
     * same shape a 1000-executor deployment would use.
     */
+  /** Index build: bounded, ordered sample → deterministic centroids. The
+    * only collect in the IVF path — nlist × dim doubles, the index itself.
+    */
+  private[graft] def buildCentroids(
+      embeddings: DataFrame, nlist: Int, sampleRows: Int): Array[Array[Double]] = {
+    val sample = embeddings
+      .orderBy(col("vec_id"))
+      .limit(sampleRows)
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    kmeans(sample, nlist)
+  }
+
   def ivfTopK(
       embeddings: DataFrame,
       probeId: Long,
@@ -92,14 +106,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       sampleRows: Int = 2048): DataFrame = {
-    // index build: bounded, ordered sample → deterministic centroids
-    val sample = embeddings
-      .orderBy(col("vec_id"))
-      .limit(sampleRows)
-      .select(col("embedding").cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val centroids = kmeans(sample, nlist)
+    val centroids = buildCentroids(embeddings, nlist, sampleRows)
 
     // cell assignment as one JVM loop over the (closure-captured = broadcast
     // with the task binary) centroid matrix — the per-centroid
@@ -139,5 +146,64 @@ object Similarity {
         round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch (probe-set) IVF top-k: N probes against the corpus in ONE pass —
+    * the shape a training-data pipeline actually runs (dedup a candidate
+    * batch against the corpus, retrieve neighbors for N queries).
+    *
+    * No per-probe driver work: the corpus is cell-assigned once; each probe
+    * computes its own `nprobe` nearest cells distributively (a UDF over the
+    * closure-captured centroid matrix); the candidate join broadcasts the
+    * small probe side against the corpus pruned to the UNION of probed
+    * cells, then a per-probe window top-k ranks candidates. Per probe the
+    * scan touches ~nprobe/nlist of the data, and adding probes grows only
+    * the broadcast and the candidate set — never a corpus re-scan — so cost
+    * is sublinear in probe count until the probed-cell union saturates.
+    */
+  def ivfProbeSetTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleRows: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = buildCentroids(embeddings, nlist, sampleRows)
+    val nearestCellUdf = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var j = 0
+        val cc = centroids(c)
+        while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val nearestCellsUdf = udf { (v: Seq[Float]) =>
+      centroids.zipWithIndex.map { case (cc, i) =>
+        var d = 0.0; var j = 0
+        while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val assigned = embeddings.withColumn("cell", nearestCellUdf(col("embedding")))
+    val p = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .withColumn("probe_cells", nearestCellsUdf(col("probe_emb")))
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .join(broadcast(p),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+      .withColumn("rk", row_number().over(byProbe))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 }

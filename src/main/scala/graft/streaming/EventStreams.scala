@@ -133,7 +133,7 @@ object EventStreams {
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Public: the state encoder's generated code constructs it reflectively. */
-  case class TotalsState(n: Long, total: BigDecimal)
+  case class TotalsState(n: Long, cents: Long)
 
   /** Per-user running totals with EXPLICIT state — the
     * `KeyValueGroupedDataset.flatMapGroupsWithState` surface for custom
@@ -142,28 +142,32 @@ object EventStreams {
     * persisted state, in batch it degenerates to a typed groupBy (which is
     * what the DuckDB oracle checks).
     *
-    * Money-sum determinism: values accumulate as exact BigDecimal at scale 2
-    * (matching the engine-wide `dsum` convention) so output doubles are
-    * identical regardless of row order.
+    * Money-sum determinism at Long state cost: HALF_UP decimal rounding
+    * happens once per row in the codegen'd cast below (identical semantics
+    * to the engine-wide `dsum` convention); state accumulates exact integer
+    * cents, so output doubles are identical regardless of row order — and
+    * the state encoder serializes two primitive longs instead of a
+    * per-row-allocated Decimal object graph. `cents/100.0` is the correctly
+    * rounded IEEE quotient of two exact doubles (|cents| ≪ 2⁵³), i.e. the
+    * same bits `BigDecimal(cents, 2).toDouble` produces.
     */
   def statefulUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .as[Event]
-      .groupByKey(_.user_id)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[TotalsState, UserTotal](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[TotalsState]) =>
-          var acc = state.getOption.getOrElse(TotalsState(0L, BigDecimal(0)))
-          rows.foreach { e =>
-            acc = TotalsState(
-              acc.n + 1,
-              acc.total + BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
-          }
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[TotalsState]) =>
+          var n = 0L; var cents = 0L
+          rows.foreach { r => n += 1; cents += r._2 }
+          val prev = state.getOption.getOrElse(TotalsState(0L, 0L))
+          val acc = TotalsState(prev.n + n, prev.cents + cents)
           state.update(acc)
-          Iterator(UserTotal(uid, acc.n, acc.total.toDouble))
+          Iterator(UserTotal(uid, acc.n, acc.cents / 100.0))
       }
       .toDF()
   }
@@ -186,6 +190,10 @@ object EventStreams {
       name: String,
       outputMode: String = "update",
       statePartitions: Option[Int] = None): Unit = {
+    // NOTE: mutates the session-global shuffle-partition conf for the run's
+    // duration — callers (Verify/Bench/specs) execute queries sequentially
+    // on the shared session, which is the supported mode; concurrent streams
+    // on one session would need per-stream sessions instead.
     val spark = stream.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
@@ -195,8 +203,10 @@ object EventStreams {
         .queryName(name)
         .outputMode(outputMode)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      // stop() in finally: a failed micro-batch must not leave the query
+      // active holding its queryName (a retry under the same name would fail)
+      try q.processAllAvailable()
+      finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

@@ -1,37 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch probe (dev): stream-stream interval join wall time vs state
-  * partition count (shuffle.partitions at stream start).
+/** Scratch probe (dev, test source set — not shipped): stream-stream
+  * interval join wall time vs state partition count (shuffle.partitions at
+  * stream start). Run: `sbt "Test/runMain graft.DedupProbe [dataDir] [cpus]"`.
   */
 object DedupProbe {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runStream(parts: Int, name: String): Double = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val t0 = System.nanoTime()
       val ev = graft.streaming.EventStreams.readEventsNanos(spark, s"$d/events.parquet")
       val joined = graft.streaming.EventStreams.clickPurchaseJoin(ev, ev)
-      graft.streaming.EventStreams.runToMemory(joined, name, "append")
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.conf.set("spark.sql.shuffle.partitions", 32)
-      t
+      graft.streaming.EventStreams.runToMemory(joined, name, "append", Some(parts))
+      (System.nanoTime() - t0) / 1e9
     }
     def runSession(parts: Int, name: String): Double = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val t0 = System.nanoTime()
       val sess = graft.streaming.EventStreams.userSessionCounts(
         graft.streaming.EventStreams.readEventsNanos(spark, s"$d/events.parquet"))
-      graft.streaming.EventStreams.runToMemory(sess, name, "complete")
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.conf.set("spark.sql.shuffle.partitions", 32)
-      t
+      graft.streaming.EventStreams.runToMemory(sess, name, "complete", Some(parts))
+      (System.nanoTime() - t0) / 1e9
     }
     println(f"[probe] interval p=32 cold  ${runStream(32, "m1")}%6.2f s")
     println(f"[probe] interval p=32 warm  ${runStream(32, "m2")}%6.2f s")

@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfProbeSetTopK with nprobe == nlist equals per-probe brute force") {
+    val probes = emb.where(col("vec_id").isin(0L, 7L, 13L))
+    val got = Similarity.ivfProbeSetTopK(emb, probes, k = 5, nlist = 4, nprobe = 4)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val expected = Seq(0L, 7L, 13L).flatMap(p =>
+      Similarity.bruteForceTopK(emb, probeId = p, k = 5)
+        .select("vec_id").as[Long].collect().toSeq.map(v => (p, v)))
+    assert(got.sorted == expected.sorted)
+    // per-probe ranking order is preserved within each probe group
+    assert(got.map(_._1) == got.map(_._1).sorted)
+  }
+
+  test("ivfProbeSetTopK at reduced nprobe returns k rows per probe from probed cells") {
+    val probes = emb.where(col("vec_id").isin(0L, 7L))
+    val got = Similarity.ivfProbeSetTopK(emb, probes, k = 5, nlist = 8, nprobe = 4)
+    val counts = got.groupBy("probe_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(0L, 7L))
+    assert(counts.values.forall(_ <= 5))
+  }
+
   test("kmeans: centroids converge on separated clusters") {
     val a = Array.fill(50)(Array(0.0 + util.Random.nextDouble() * 0.1, 0.0))
     val b = Array.fill(50)(Array(10.0 + util.Random.nextDouble() * 0.1, 10.0))
