@@ -36,6 +36,20 @@ object IvfBatchProbe {
         val diff = exact.exceptAll(ivf.select("probe_id", "vec_id", "cosine")).count()
         println(s"[ivfprobe] $d nprobe=$np missing=$diff")
       }
+      // probe-COUNT scaling: wall time for 4 vs 40 probes (one corpus pass
+      // each); exponent = log(t40/t4)/log(10), sublinear expected because
+      // the corpus scan amortizes across probes
+      def time(n: Int): Double = {
+        val ps = emb.where(col("vec_id") < n)
+        val t0 = System.nanoTime()
+        Similarity.ivfProbeSetTopK(emb, ps, k = 10, nprobe = 10)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(4) // warmup
+      val (t4, t40) = (time(4), time(40))
+      val exp = math.log(t40 / t4) / math.log(10)
+      println(f"[ivfprobe] $d probes 4->40: $t4%.2f s -> $t40%.2f s, exponent $exp%.2f")
     }
     spark.stop()
   }
