@@ -115,6 +115,21 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // -- [NS] JSON-lines connector round-trip, same identity contract as
+    // the CSV query (schema-explicit read; inference deliberately unexposed)
+    "q_source_json" -> ((s, d) => {
+      val schema = Tables.region(s, d).schema
+      val dir = scratchDirs.getOrElseUpdate(s"json:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/region_json"
+        graft.sources.Sources.write(Tables.region(s, d), out, "json")
+        out
+      })
+      graft.sources.Sources.read(s, dir, "json", Some(schema))
+        .orderBy("r_regionkey")
+    }),
+
     "q_point_lookup" -> ((s, d) =>
       events(s, d).where(col("event_id") === 777)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -462,6 +477,18 @@ object SparkEntry {
         emb, emb.where(col("vec_id").isin(0L, 1L, 2L, 3L)), k = 10, nprobe = 10)
     }),
 
+    // batch exact threshold search: 3 probes broadcast against the corpus,
+    // all pairs above the cosine floor. The declared filter is on the
+    // ROUNDED cosine (probeSetSearch's internal floor sits safely below) so
+    // the selection is engine-portable at the oracle's 4-dp comparison.
+    "q_sim_probeset" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.probeSetSearch(
+        emb, emb.where(col("vec_id").isin(0L, 1L, 2L)), minCosine = 0.25)
+        .where(col("cosine") >= 0.3)
+        .orderBy("probe_id", "vec_id")
+    }),
+
     // IVF is approximate, so its top-k itself is rows-only — but its recall
     // against the exact brute-force top-k is a deterministic invariant of
     // (data, centroids, nprobe) and hash-checks against a constant oracle
@@ -501,6 +528,21 @@ object SparkEntry {
       documents(s, d)
         .groupBy(TF.langId(col("text")).as("predicted_lang"))
         .agg(count(lit(1)).as("n")).orderBy("predicted_lang")),
+
+    // -- [NS] per-document top-3 TF-IDF terms: term-keyed co-located join of
+    // (doc,term) counts with document frequencies, per-doc window top-k --
+    "q_tfidf_topterms" -> ((s, d) =>
+      graft.operators.Corpus.tfidfTopTerms(documents(s, d), k = 3)),
+
+    // -- [NS] token-budget sequence packing, per-shard (source) so packing
+    // state never funnels through one partition --
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.Corpus.packSequences(documents(s, d), budget = 512)),
+
+    // -- [NS] reproducible shuffled sample: salted-md5 order, distributed
+    // top-k (TakeOrderedAndProject), the training-run data-order fixer --
+    "q_shuffle_sample" -> ((s, d) =>
+      graft.operators.Corpus.shuffledSample(documents(s, d), salt = "g1", n = 100)),
 
     // quality / token counts are deterministic formulas with a DuckDB twin
     // (oracled); the rolling-hash fingerprint is split into its own
@@ -1043,6 +1085,18 @@ object SparkEntry {
       s.table("q_stream_session_mem").orderBy("user_id", "session_start")
     }),
 
+    // -- [NS] REAL streaming sliding windows (2h window / 1h slide), same
+    // aggregation as the batch q_sliding_2h so the final memory table must
+    // hash-match that query's oracle --
+    "q_stream_sliding" -> ((s, d) => {
+      val slid = graft.streaming.EventStreams.slidingCounts(
+        graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"),
+        "2 hours", "1 hour")
+      graft.streaming.EventStreams.runToMemory(slid, "q_stream_sliding_mem", "complete",
+        statePartitions = Some(8))
+      s.table("q_stream_sliding_mem").orderBy("w_start")
+    }),
+
     // -- [NS] REAL streaming exact dedup: the input is the events table
     // DOUBLED (every row appears twice, written once per JVM), streamed
     // through dropDuplicatesWithinWatermark — so the dedup state does real
@@ -1172,6 +1226,10 @@ object SparkEntry {
     // CSV round-trip is the identity on the original dim table
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // JSON round-trip is the identity on the original dim table
+    "q_source_json" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "q_point_lookup" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE event_id = 777 ORDER BY event_id",
@@ -1488,6 +1546,13 @@ object SparkEntry {
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // streamed sliding windows must equal the batch q_sliding_2h twin
+    "q_stream_sliding" ->
+      """SELECT w_start, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+        |  FROM events)
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
     // the stream consumed the DOUBLED table; surviving exactly one row per
     // event_id means per-type counts equal the original table's distinct ids
     "q_stream_dedup" ->
@@ -1780,6 +1845,17 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 4) AS cosine
         |FROM embeddings WHERE vec_id = 0""".stripMargin,
 
+    // exact threshold search twin: filter on the ROUNDED cosine in both
+    // engines so the boundary is decided at the 4-dp comparison the whole
+    // suite relies on
+    "q_sim_probeset" ->
+      """SELECT e1.vec_id AS probe_id, e2.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e1, embeddings e2
+        |WHERE e1.vec_id IN (0, 1, 2) AND e2.vec_id <> e1.vec_id
+        |  AND round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) >= 0.3
+        |ORDER BY probe_id, vec_id""".stripMargin,
+
     // per-probe exact window-top-k twin of the batch IVF (nprobe=10 recovers
     // the exact top-10 for each probe on this data, verified at the gate SF)
     "q_sim_ivf_batch" ->
@@ -1866,6 +1942,44 @@ object SparkEntry {
         |  WHEN fr >= de AND fr >= zh THEN 'fr'
         |  WHEN de >= zh THEN 'de' ELSE 'zh' END AS predicted_lang, count(*) AS n
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // natural-log IDF rounded to 4 dp before ranking in BOTH engines, ties
+    // broken by term — the whole pipeline is integer counts + one ln
+    "q_tfidf_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4) AS score
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    // integer running-total bin assignment — exact arithmetic in both engines
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |binned AS (
+        |  SELECT source, toks,
+        |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+        |  FROM toks)
+        |SELECT source, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // md5 hex strings sort identically in both engines
+    "q_shuffle_sample" ->
+      """SELECT md5(CAST(doc_id AS VARCHAR) || 'g1') AS shuffle_key, doc_id
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
 
     // per-media fraction of body bytes in 0x60-0x6F (floor-rounded to 6
     // exactly as byteHistogram does), decimal-summed per kind

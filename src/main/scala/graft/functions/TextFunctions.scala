@@ -284,4 +284,18 @@ object TextFunctions {
   def minhashSig(text: Column, n: Int = 3, perms: Int = 32): Column =
     minhashUdfs.getOrElseUpdate((n, perms),
       udf((t: String) => Option(minhashSigScala(t, n, perms)))).apply(text)
+
+  private val sigEqUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var c = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) c += 1; i += 1 }
+    c
+  }
+
+  /** Equal-position count between two signatures — the numerator of the
+    * signature-estimated Jaccard. JVM loop for the same CodegenFallback
+    * reason as `minhashSigScala`: the `zip_with`+`filter`+`size` expression
+    * form interprets (and allocates a boolean array) per candidate pair.
+    */
+  def sigEqCount(a: Column, b: Column): Column = sigEqUdf(a, b)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data preparation operators: term weighting,
+  * sequence packing, and reproducible ordering.
+  *
+  * The reference has no corpus analytics (its "query engine" is Cosmos DB,
+  * `BigDataLogControl.cs:206-330`); these are the north-star operations a
+  * large-scale LLM-data pipeline runs between dedup and training. Each is
+  * a declarative pipeline whose shuffles are keyed (term, shard) — nothing
+  * here funnels the corpus through one partition.
+  */
+object Corpus {
+
+  /** Per-document top-k terms by TF-IDF (natural-log IDF, rounded to 4 dp
+    * before ranking so the score is engine-portable).
+    *
+    * Scale shape: tokenize → (doc, term) counts (map-side combine) → join
+    * the term-keyed document-frequency table on `term` — both sides of the
+    * join are already term-partitioned aggregates, so this co-locates — →
+    * per-doc window top-k. The corpus row count rides in as one scalar.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count().toDouble
+    val terms = docs.select(col("doc_id"),
+      explode(TF.tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .withColumn("rk", row_number().over(byDoc))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Token-budget sequence packing: within each shard (`source`), documents
+    * in `doc_id` order are assigned to consecutive bins of ~`budget`
+    * whitespace tokens (bin = prior running total div budget; the document
+    * that crosses the boundary overflows its bin — the standard pack-with-
+    * overflow discipline). Returns per-bin document and token counts.
+    *
+    * Packing is per-shard BY DESIGN: a global running sum would funnel the
+    * corpus through one partition, and training shards pack independently
+    * anyway — the window partitions by `source`, so state stays shard-local
+    * and shards pack in parallel.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 512): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("toks"))
+    val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("bin", floor(coalesce(sum(col("toks")).over(prior), lit(0L)) / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Reproducible shuffled sample: order the corpus by a salted md5 of the
+    * key and take the first `n` — the deterministic "shuffle" a training
+    * run uses to fix data order across re-runs. Plans as a distributed
+    * top-k (`TakeOrderedAndProject`), never a global sort: each partition
+    * keeps its n smallest keys and the driver merges n·partitions rows.
+    */
+  def shuffledSample(docs: DataFrame, salt: String, n: Int = 100): DataFrame =
+    docs
+      .withColumn("shuffle_key", md5(concat(col("doc_id").cast("string"), lit(salt))))
+      .select(col("shuffle_key"), col("doc_id"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .limit(n)
+}

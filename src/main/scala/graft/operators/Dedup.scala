@@ -111,8 +111,7 @@ object Dedup {
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / perms)
+        TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms)
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
@@ -150,16 +149,20 @@ object Dedup {
     // ceil → 8), but a blanket -1e-9 lengthens the prefix by one whenever
     // t·|s| IS integral, measurably inflating candidates on low-diversity
     // corpora. DecimalType multiply + ceil is exact — no epsilon either way.
+    // `min_len` (= ⌈t·|s|⌉, the Arasu/Xiao length filter: |a| ≥ t·|b| ⟺
+    // |a| ≥ ⌈t·|b|⌉ for integer |a|) is computed ONCE per doc here so the
+    // pair-join condition below compares plain longs, keeping the decimal
+    // math off the per-candidate hot path.
     val t = lit(BigDecimal.decimal(minJaccard))
     val prefix = ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
       .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
-      .select(col("doc_id"), col("n_sh"), col("s"))
+      .select(col("doc_id"), col("n_sh"), ceil(col("n_sh") * t).as("min_len"), col("s"))
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= col("b.n_sh") * t &&
-          col("b.n_sh") >= col("a.n_sh") * t)
+          col("a.n_sh") >= col("b.min_len") &&
+          col("b.n_sh") >= col("a.min_len"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

@@ -71,6 +71,16 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"))
 
+  /** Parametrized sliding-window counts (no grouping key beyond the window)
+    * — the oracle-gated streaming shape for q_stream_sliding.
+    */
+  def slidingCounts(events: DataFrame, win: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), win, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
   /** Per-user session windows (30-minute gap), watermarked. */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "apple banana apple cherry", "s1", 25L),
+    (1L, "banana banana durian", "s1", 20L),
+    (2L, "apple cherry cherry cherry", "s1", 26L),
+    (3L, "durian elderberry fig grape", "s2", 27L),
+    (4L, "fig fig fig grape grape", "s2", 23L)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("tfidfTopTerms ranks rarer terms above ubiquitous ones") {
+    val top = Corpus.tfidfTopTerms(docs, k = 2)
+      .select("doc_id", "term").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 1: 'banana' appears twice and in 2/5 docs; 'durian' once in 2/5 —
+    // banana's tf wins; both beat nothing else (doc has only 2 terms)
+    assert(top(1L) == Set("banana", "durian"))
+    // doc 4: fig (tf 3, df 2) and grape (tf 2, df 2) are its only terms
+    assert(top(4L) == Set("fig", "grape"))
+    // every doc yields at most k rows
+    assert(top.values.forall(_.size <= 2))
+  }
+
+  test("tfidfTopTerms: a term in every doc has score 0 and ranks last") {
+    val all = Seq(
+      (0L, "common rare1 common", "s", 1L),
+      (1L, "common rare2", "s", 1L),
+      (2L, "common rare3", "s", 1L)).toDF("doc_id", "text", "source", "n_chars")
+    val rows = Corpus.tfidfTopTerms(all, k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(rows == Map(0L -> "rare1", 1L -> "rare2", 2L -> "rare3"))
+  }
+
+  test("packSequences preserves totals and packs per shard") {
+    val packed = Corpus.packSequences(docs, budget = 5)
+    val rows = packed.as[(String, Long, Long, Long)].collect()
+    // totals preserved: sum over bins == corpus token count per shard
+    val tokensByShard = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(tokensByShard == Map("s1" -> 11L, "s2" -> 9L)) // 4+3+4, 4+5
+    val docsByShard = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(docsByShard == Map("s1" -> 3L, "s2" -> 2L))
+    // bins are consecutive from 0 within each shard
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // s1 in doc order: toks 4,3,4 with budget 5 -> priors 0,4,7 -> bins 0,0,1
+    val s1 = rows.filter(_._1 == "s1").sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+    assert(s1 == Seq((0L, 2L, 7L), (1L, 1L, 4L)))
+  }
+
+  test("shuffledSample is deterministic, salt-sensitive, and a valid prefix") {
+    val a = Corpus.shuffledSample(docs, "saltA", n = 3).as[(String, Long)].collect().toSeq
+    val a2 = Corpus.shuffledSample(docs, "saltA", n = 3).as[(String, Long)].collect().toSeq
+    val b = Corpus.shuffledSample(docs, "saltB", n = 3).as[(String, Long)].collect().toSeq
+    assert(a == a2)                        // reproducible across runs
+    assert(a.map(_._2) != b.map(_._2))     // salt changes the order
+    assert(a.map(_._1) == a.map(_._1).sorted) // ordered by shuffle key
+    assert(a.map(_._2).distinct.size == 3) // a permutation prefix, no repeats
+  }
+}
