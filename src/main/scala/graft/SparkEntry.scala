@@ -544,6 +544,20 @@ object SparkEntry {
     "q_shuffle_sample" -> ((s, d) =>
       graft.operators.Corpus.shuffledSample(documents(s, d), salt = "g1", n = 100)),
 
+    // -- [NS] train/eval decontamination: distinct-8-gram overlap of each
+    // "eval" doc (doc_id < 50) against the "train" remainder — one
+    // semi-join on the gram, no pairwise doc comparison --
+    "q_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Corpus.contamination(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
+    }),
+
+    // -- [NS] per-doc repetition profile: single-pass JVM n-gram multiset
+    // (total/distinct/max-frequency), the loops-and-boilerplate signal --
+    "q_text_repetition" -> ((s, d) =>
+      graft.operators.Corpus.repetitionStats(documents(s, d), n = 3)),
+
     // quality / token counts are deterministic formulas with a DuckDB twin
     // (oracled); the rolling-hash fingerprint is split into its own
     // rows-only query below so it doesn't drag this one off the oracle
@@ -1975,6 +1989,36 @@ object SparkEntry {
         |  FROM toks)
         |SELECT source, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // distinct 8-gram overlap recomputed from first principles (same
+    // slicing-comprehension shingle construction as the dedup truth twins)
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS s
+        |       FROM tok WHERE len(t) >= 8),
+        |tg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 50),
+        |eg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 50),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM eg WHERE g IN (SELECT g FROM tg) GROUP BY 1)
+        |SELECT e.doc_id, CAST(len(e.s) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  coalesce(h.n_hit, 0) > 0 AS contaminated
+        |FROM sh e LEFT JOIN hits h USING (doc_id)
+        |WHERE e.doc_id < 50 AND len(e.s) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // n-gram multiset profile from first principles; ratios are exact
+    // small-integer divisions in both engines
+    "q_text_repetition" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS g
+        |      FROM tok WHERE len(t) >= 3),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |        count(*) AS n_distinct, max(c) AS max_freq FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams,
+        |  round(1.0 - n_distinct * 1.0 / n_grams, 4) AS rep_ratio,
+        |  round(max_freq * 1.0 / n_grams, 4) AS top_freq_ratio
+        |FROM p WHERE n_grams > 0 ORDER BY doc_id""".stripMargin,
 
     // md5 hex strings sort identically in both engines
     "q_shuffle_sample" ->

@@ -298,4 +298,44 @@ object TextFunctions {
     * form interprets (and allocates a boolean array) per candidate pair.
     */
   def sigEqCount(a: Column, b: Column): Column = sigEqUdf(a, b)
+
+  /** Word n-gram multiset profile: (total, distinct, max single-gram
+    * frequency) in one pass — the repetition signal. Same single-pass JVM
+    * shape as `minhashSigScala` (the explode-and-regroup expression form
+    * shuffles every gram; this shuffles three ints per doc).
+    */
+  def ngramProfileScala(text: String, n: Int): (Int, Int, Int) = {
+    if (text == null) return (0, 0, 0)
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return (0, 0, 0)
+    val freq = new java.util.HashMap[String, Int]()
+    var i = 0
+    var total = 0
+    var maxFreq = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val c = freq.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > maxFreq) maxFreq = c
+      total += 1
+      i += 1
+    }
+    (total, freq.size, maxFreq)
+  }
+
+  private val ngramProfileUdfs =
+    new scala.collection.concurrent.TrieMap[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
+  /** Column form of the n-gram profile: struct(total, distinct, max_freq). */
+  def ngramProfile(text: Column, n: Int = 3): Column = {
+    val u = ngramProfileUdfs.getOrElseUpdate(n, udf { (t: String) =>
+      val (total, dist, mx) = ngramProfileScala(t, n)
+      NgramProfile(total, dist, mx)
+    })
+    u(text)
+  }
+
+  /** Public: the UDF encoder constructs it reflectively. */
+  case class NgramProfile(total: Int, distinct: Int, max_freq: Int)
 }

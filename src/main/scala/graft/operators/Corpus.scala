@@ -63,6 +63,52 @@ object Corpus {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Train/eval decontamination audit: for each eval document, how many of
+    * its distinct word n-grams appear anywhere in the train corpus. The
+    * standard pre-release check that benchmark text leaked into training
+    * data (n-gram overlap, the GPT-3/PaLM-style heuristic).
+    *
+    * Scale shape: both sides explode to distinct n-grams; the train side
+    * deduplicates map-side before the shuffle, and the probe is ONE
+    * left-semi join keyed on the gram — no pairwise doc comparison. At
+    * lake scale the train-gram table is the thing you'd additionally
+    * bloom-filter; the join stays the correctness anchor.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    val trainGrams = train
+      .select(explode(TF.shingles(col("text"), n)).as("g")).distinct()
+    val evalGrams = eval
+      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("g"))
+    val totals = eval
+      .select(col("doc_id"),
+        size(TF.shingles(col("text"), n)).cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("hit"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document repetition profile: total / distinct word n-grams and the
+    * highest single-gram frequency — the cheap loops-and-boilerplate signal
+    * applied before perplexity-based quality filters. Ratios are exact
+    * small-integer divisions rounded to 4 dp.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), TF.ngramProfile(col("text"), n).as("p"))
+      .where(col("p.total") > 0)
+      .select(col("doc_id"),
+        col("p.total").cast("long").as("n_grams"),
+        round(lit(1.0) - col("p.distinct").cast("double") / col("p.total"), 4)
+          .as("rep_ratio"),
+        round(col("p.max_freq").cast("double") / col("p.total"), 4)
+          .as("top_freq_ratio"))
+      .orderBy("doc_id")
+
   /** Reproducible shuffled sample: order the corpus by a salted md5 of the
     * key and take the first `n` — the deterministic "shuffle" a training
     * run uses to fix data order across re-runs. Plans as a distributed

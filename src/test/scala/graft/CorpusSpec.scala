@@ -54,6 +54,34 @@ class CorpusSpec extends SparkSpec {
     assert(s1 == Seq((0L, 2L, 7L), (1L, 1L, 4L)))
   }
 
+  test("contamination flags eval docs sharing an n-gram with train, and only those") {
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon", "s", 1L),
+      (101L, "zeta eta theta iota kappa", "s", 1L)).toDF("doc_id", "text", "source", "n_chars")
+    val eval = Seq(
+      (0L, "alpha beta gamma delta others here", "s", 1L),  // shares 'alpha beta gamma delta'
+      (1L, "totally unrelated words in this document", "s", 1L),
+      (2L, "short doc", "s", 1L)                             // < n tokens: dropped
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.contamination(train, eval, n = 4)
+      .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((0L, 1L, true), (1L, 0L, false)))
+  }
+
+  test("ngramProfile counts the multiset, not the set") {
+    import graft.functions.TextFunctions
+    // "a b a b a b" -> trigrams: "a b a","b a b","a b a","b a b" = 4 total,
+    // 2 distinct, max freq 2
+    assert(TextFunctions.ngramProfileScala("a b a b a b", 3) == ((4, 2, 2)))
+    assert(TextFunctions.ngramProfileScala("x y", 3) == ((0, 0, 0)))
+    assert(TextFunctions.ngramProfileScala(null, 3) == ((0, 0, 0)))
+    val rep = Corpus.repetitionStats(
+      Seq((0L, "a b a b a b", "s", 1L)).toDF("doc_id", "text", "source", "n_chars"), n = 3)
+      .select("n_grams", "rep_ratio", "top_freq_ratio")
+      .as[(Long, Double, Double)].head()
+    assert(rep == ((4L, 0.5, 0.5)))
+  }
+
   test("shuffledSample is deterministic, salt-sensitive, and a valid prefix") {
     val a = Corpus.shuffledSample(docs, "saltA", n = 3).as[(String, Long)].collect().toSeq
     val a2 = Corpus.shuffledSample(docs, "saltA", n = 3).as[(String, Long)].collect().toSeq
