@@ -130,6 +130,21 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // -- [NS] ORC connector round-trip (the third lakehouse format Spark
+    // ships natively); identity contract incl. a double column, which JSON
+    // can't carry losslessly without schema and CSV serializes as text --
+    "q_source_orc" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"orc:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/supplier_orc"
+        graft.sources.Sources.write(Tables.supplier(s, d), out, "orc")
+        out
+      })
+      graft.sources.Sources.read(s, dir, "orc")
+        .orderBy("s_suppkey")
+    }),
+
     "q_point_lookup" -> ((s, d) =>
       events(s, d).where(col("event_id") === 777)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1244,6 +1259,11 @@ object SparkEntry {
     // JSON round-trip is the identity on the original dim table
     "q_source_json" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // ORC round-trip is the identity (ORC stores the schema, so the read
+    // needs none passed; the double column survives bit-exactly)
+    "q_source_orc" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
     "q_point_lookup" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE event_id = 777 ORDER BY event_id",
