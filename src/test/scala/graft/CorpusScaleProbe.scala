@@ -1,0 +1,43 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch probe (dev): 100x documents-only scale check for the corpus
+  * operators (they read only the documents table). Exponent vs 1x.
+  */
+object CorpusScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(100)
+    val out = s"/tmp/corpusscale$factor"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = s"$out/documents.parquet"
+    if (!new java.io.File(path).exists()) {
+      val t = Tables.table(spark, base, "documents")
+      (0 until factor).map(i =>
+        t.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" copysalt$i"))))
+        .reduce(_ unionByName _)
+        .repartition(16).write.mode("overwrite").parquet(path)
+    }
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("q_tfidf_topterms", "q_pack_sequences", "q_text_repetition",
+        "q_decontaminate", "q_shuffle_sample").foreach { q =>
+      time(base, q)
+      val t1 = time(base, q)
+      val tn = time(out, q)
+      val exp = math.log(tn / t1) / math.log(factor.toDouble)
+      println(f"[cscale] $q%-20s $t1%7.2f s -> $tn%7.2f s  exp $exp%.2f")
+    }
+    spark.stop()
+  }
+}

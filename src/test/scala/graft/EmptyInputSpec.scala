@@ -42,4 +42,23 @@ class EmptyInputSpec extends SparkSpec {
     val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Dedup.embeddingNearDup(e).count() == 0)
   }
+
+  test("corpus ops return empty on an empty corpus") {
+    import graft.operators.Corpus
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Corpus.tfidfTopTerms(d).count() == 0)       // nDocs=0 → no terms, no div
+    assert(Corpus.packSequences(d).count() == 0)
+    assert(Corpus.shuffledSample(d, "s").count() == 0)
+    assert(Corpus.contamination(d, d).count() == 0)
+    assert(Corpus.repetitionStats(d).count() == 0)
+  }
+
+  test("probe-set similarity of an empty probe set is empty") {
+    import graft.operators.Similarity
+    val e = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val none = e.where(col("vec_id") < 0)
+    assert(Similarity.probeSetSearch(e, none, 0.5).count() == 0)
+    assert(Similarity.ivfProbeSetTopK(e, none, k = 3, nlist = 2, nprobe = 2,
+      sampleRows = 8).count() == 0)
+  }
 }
