@@ -19,15 +19,17 @@ object Bench {
     // of inflating whichever query happens to run first
     SparkEntry.queries.get("q_scan_project").foreach(fn =>
       try run(fn) catch { case _: Throwable => })
-    // best of two runs per query: a single pass conflates per-query cost
+    // best of three runs per query: a single pass conflates per-query cost
     // with whichever query happens to absorb JIT/GC hiccups (round 1 showed
-    // 4-8× outliers on reruns of the same plan); min-of-2 is stable
-    // failure visibility: a query that throws still gets a (meaningless,
-    // tiny) time — count it so breakage can't hide inside the bench JSON
+    // 4-8× outliers on reruns of the same plan), and with only two runs a
+    // codegen-heavy query can spend BOTH passes partially cold (round 4
+    // measured dedup_recall best-of-2 at 8.5 s vs 2.5 s best-of-3 on the
+    // same code). Failure visibility: a query that throws still gets a
+    // (meaningless, tiny) time — count it so breakage can't hide.
     var failed = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       var threw = false
-      val dt = (0 until 2).map { _ =>
+      val dt = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try run(fn) catch { case _: Throwable => threw = true }
         val t = (System.nanoTime() - t0) / 1e9
