@@ -50,20 +50,36 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s.isEmpty || s.startsWith("0E")) "0" else s // stripTrailingZeros quirk on 0.0
     }
-    // keys drop the uniform "q_" prefix: with ~90 queries the full names
+    // keys drop the uniform "q_" prefix: with 100+ queries the full names
     // push the line past the 2000-char tail capture. Values >= 10 s print
-    // as integers so no entry ever exceeds 3 chars — the line length stays
-    // bounded even when a cold driver run inflates timings.
-    val qs = results.map { case (k, v) =>
-      s"\"" + k.stripPrefix("q_") + "\":" + r(v, if (v >= 9.95) 0 else 1)
-    }.mkString("{", ",", "}")
+    // as integers so no entry ever exceeds 3 chars.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // numeric sf ("0.1" from ".../sf0.1") keeps the line a few chars shorter
     val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    // "failed" appears only when nonzero: the healthy line stays under the
-    // driver's ~1925-char stdout tail budget
+    // "failed" appears only when nonzero: the healthy line stays short
     val failedField = if (failed > 0) s""","failed":$failed""" else ""
-    println(s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$failedField,"sf":$sf}""")
+    // The driver parses this line out of a BOUNDED (~2000-char) stdout tail,
+    // so the rendered line must fit no matter how many queries are declared
+    // (109 names no longer do). Entries are emitted largest-first and the
+    // smallest fold into an "omitted" count+sum once the line would cross
+    // the budget — sub-tenth-second queries carry no regression signal (the
+    // protocol bar is 2x AND >= 0.5 s), and the omitted sum proves nothing
+    // slow is hiding in the fold.
+    val entries = results.toSeq
+      .map { case (k, v) => (k.stripPrefix("q_"), v) }
+      .sortBy { case (k, v) => (-v, k) }
+    def line(keep: Int): String = {
+      val qs = entries.take(keep)
+        .map { case (k, v) => "\"" + k + "\":" + r(v, if (v >= 9.95) 0 else 1) }
+        .mkString("{", ",", "}")
+      val dropped = entries.drop(keep)
+      val om = if (dropped.isEmpty) ""
+        else s""","omitted":{"n":${dropped.size},"sec":${r(dropped.map(_._2).sum, 1)}}"""
+      s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$om$failedField,"sf":$sf}"""
+    }
+    var keep = entries.length
+    while (keep > 1 && line(keep).length > 1880) keep -= 1
+    println(line(keep))
     spark.stop()
   }
 }

@@ -34,7 +34,7 @@ object SparkEntry {
   /** Per-JVM cache of ingested scratch layouts keyed by sf dir: queries that
     * declare a READ over a written layout (partitioned lookup, doubled
     * stream input) materialize the write exactly once, so repeat
-    * invocations — the bench's best-of-2 in particular — time the read path
+    * invocations — the bench's best-of-N in particular — time the read path
     * they advertise. Dirs live under java.io.tmpdir and are removed on exit.
     */
   private val scratchDirs =
@@ -2036,8 +2036,8 @@ object SparkEntry {
         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
         |        count(*) AS n_distinct, max(c) AS max_freq FROM c GROUP BY 1)
         |SELECT doc_id, n_grams,
-        |  round(1.0 - n_distinct * 1.0 / n_grams, 4) AS rep_ratio,
-        |  round(max_freq * 1.0 / n_grams, 4) AS top_freq_ratio
+        |  floor((1.0 - n_distinct * 1.0 / n_grams) * 10000 + 0.5) / 10000 AS rep_ratio,
+        |  floor(max_freq * 1.0 / n_grams * 10000 + 0.5) / 10000 AS top_freq_ratio
         |FROM p WHERE n_grams > 0 ORDER BY doc_id""".stripMargin,
 
     // md5 hex strings sort identically in both engines

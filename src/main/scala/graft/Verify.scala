@@ -9,6 +9,11 @@ object Verify {
     // optional third arg (dev only; the driver always passes two): run just
     // the named queries — re-checking one query without the full sweep
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      // loud, not fatal: a typo'd name must not silently produce an empty
+      // sweep that reads as a vacuous pass
+      System.err.println(s"[verify] WARNING: unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

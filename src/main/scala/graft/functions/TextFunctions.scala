@@ -285,11 +285,17 @@ object TextFunctions {
     minhashUdfs.getOrElseUpdate((n, perms),
       udf((t: String) => Option(minhashSigScala(t, n, perms)))).apply(text)
 
+  // null-propagating like the expression form it replaced: minhashSig is
+  // null for docs with no shingles, and a null signature must yield a null
+  // count (dropped pair), not an NPE-failed task
   private val sigEqUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var i = 0; var c = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { if (a(i) == b(i)) c += 1; i += 1 }
-    c
+    if (a == null || b == null) None
+    else {
+      var i = 0; var c = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) c += 1; i += 1 }
+      Some(c)
+    }
   }
 
   /** Equal-position count between two signatures — the numerator of the

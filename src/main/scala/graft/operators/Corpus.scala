@@ -25,7 +25,10 @@ object Corpus {
     * per-doc window top-k. The corpus row count rides in as one scalar.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val nDocs = docs.count().toDouble
+    // corpus row count as a broadcast 1-row aggregate, not an eager
+    // .count(): the operator stays a single lazy pipeline (no extra scan
+    // job at DataFrame-construction time, e.g. during plan inspection)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
     val terms = docs.select(col("doc_id"),
       explode(TF.tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -33,7 +36,9 @@ object Corpus {
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
-      .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs_total") / col("df")), 4))
       .withColumn("rk", row_number().over(byDoc))
       .where(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("score"))
@@ -95,19 +100,24 @@ object Corpus {
   /** Per-document repetition profile: total / distinct word n-grams and the
     * highest single-gram frequency — the cheap loops-and-boilerplate signal
     * applied before perplexity-based quality filters. Ratios are exact
-    * small-integer divisions rounded to 4 dp.
+    * small-integer divisions, rounded with the engine-wide floor(x·1e4+0.5)
+    * convention (see `Dedup.ngramJaccard`): pure-double rounding of an
+    * identical quotient is bit-reproducible cross-engine, while BigDecimal
+    * HALF_UP vs binary-expansion rounding diverge on .xxxx5 boundaries.
     */
-  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame =
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
     docs
       .select(col("doc_id"), TF.ngramProfile(col("text"), n).as("p"))
       .where(col("p.total") > 0)
       .select(col("doc_id"),
         col("p.total").cast("long").as("n_grams"),
-        round(lit(1.0) - col("p.distinct").cast("double") / col("p.total"), 4)
+        r4(lit(1.0) - col("p.distinct").cast("double") / col("p.total"))
           .as("rep_ratio"),
-        round(col("p.max_freq").cast("double") / col("p.total"), 4)
+        r4(col("p.max_freq").cast("double") / col("p.total"))
           .as("top_freq_ratio"))
       .orderBy("doc_id")
+  }
 
   /** Reproducible shuffled sample: order the corpus by a salted md5 of the
     * key and take the first `n` — the deterministic "shuffle" a training

@@ -77,14 +77,6 @@ object Similarity {
     centroids
   }
 
-  /** IVF (inverted-file) approximate top-k: partition vectors by nearest
-    * centroid; a probe searches only its `nprobe` nearest cells. Recall is
-    * tunable via `nprobe`; `nprobe == nlist` degrades gracefully to exact.
-    *
-    * The centroid list is tiny (nlist × dim doubles) and rides into the
-    * executors as a literal — an intentional broadcast of the index, the
-    * same shape a 1000-executor deployment would use.
-    */
   /** Index build: bounded, ordered sample → deterministic centroids. The
     * only collect in the IVF path — nlist × dim doubles, the index itself.
     */
@@ -99,20 +91,15 @@ object Similarity {
     kmeans(sample, nlist)
   }
 
-  def ivfTopK(
-      embeddings: DataFrame,
-      probeId: Long,
-      k: Int = 10,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      sampleRows: Int = 2048): DataFrame = {
-    val centroids = buildCentroids(embeddings, nlist, sampleRows)
-
-    // cell assignment as one JVM loop over the (closure-captured = broadcast
-    // with the task binary) centroid matrix — the per-centroid
-    // aggregate/zip_with expression form is interpreted and measured ~10×
-    // slower; this is also exactly the shape a 1000-executor IVF uses
-    val nearestCellUdf = udf { (v: Seq[Float]) =>
+  /** Nearest-centroid cell assignment as one JVM loop over the
+    * (closure-captured = broadcast with the task binary) centroid matrix —
+    * the per-centroid aggregate/zip_with expression form is interpreted and
+    * measured ~10× slower; this is also exactly the shape a 1000-executor
+    * IVF uses. Shared by the single-probe and probe-set paths so the two
+    * can never diverge.
+    */
+  private def nearestCellUdf(centroids: Array[Array[Double]]) =
+    udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < centroids.length) {
@@ -125,7 +112,23 @@ object Similarity {
       best
     }
 
-    val assigned = embeddings.withColumn("cell", nearestCellUdf(col("embedding")))
+  /** IVF (inverted-file) approximate top-k: partition vectors by nearest
+    * centroid; a probe searches only its `nprobe` nearest cells. Recall is
+    * tunable via `nprobe`; `nprobe == nlist` degrades gracefully to exact.
+    *
+    * The centroid list is tiny (nlist × dim doubles) and rides into the
+    * executors as a literal — an intentional broadcast of the index, the
+    * same shape a 1000-executor deployment would use.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      probeId: Long,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleRows: Int = 2048): DataFrame = {
+    val centroids = buildCentroids(embeddings, nlist, sampleRows)
+    val assigned = embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
     val probe = embeddings.where(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
 
@@ -170,18 +173,6 @@ object Similarity {
       sampleRows: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = buildCentroids(embeddings, nlist, sampleRows)
-    val nearestCellUdf = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var j = 0
-        val cc = centroids(c)
-        while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
     val nearestCellsUdf = udf { (v: Seq[Float]) =>
       centroids.zipWithIndex.map { case (cc, i) =>
         var d = 0.0; var j = 0
@@ -189,7 +180,7 @@ object Similarity {
         (i, d)
       }.sortBy(_._2).take(nprobe).map(_._1)
     }
-    val assigned = embeddings.withColumn("cell", nearestCellUdf(col("embedding")))
+    val assigned = embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
       .withColumn("probe_cells", nearestCellsUdf(col("probe_emb")))
