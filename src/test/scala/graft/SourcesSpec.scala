@@ -11,8 +11,8 @@ class SourcesSpec extends SparkSpec {
   private lazy val events = Tables.events(spark, Sf0001)
     .select("event_id", "user_id", "event_type", "value")
 
-  test("parquet/csv/json round-trip with explicit schema") {
-    for (fmt <- Seq("parquet", "csv", "json")) {
+  test("parquet/csv/json/orc round-trip with explicit schema") {
+    for (fmt <- Seq("parquet", "csv", "json", "orc")) {
       val path = s"$base/events_$fmt"
       Sources.write(events, path, fmt)
       val back = Sources.read(spark, path, fmt, Some(events.schema))
