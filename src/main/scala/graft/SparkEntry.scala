@@ -145,6 +145,33 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // -- [NS] binary-file connector: the multimodal ingest shape — a
+    // directory of raw files scanned into (path, content) rows, one file
+    // per task, no driver-side reads. Fixture files are written once per
+    // JVM (driver-side, 64 tiny blobs standing in for externally-produced
+    // media); the declared result re-derives each doc's byte length from
+    // the scanned content and must match the source table. --
+    "q_source_binary" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"bin:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/blobs"
+        new java.io.File(out).mkdirs()
+        documents(s, d).where(col("doc_id") < 64)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        out
+      })
+      graft.sources.Sources.readBinaryFiles(s, dir, Some("*.bin"))
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     "q_point_lookup" -> ((s, d) =>
       events(s, d).where(col("event_id") === 777)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1264,6 +1291,12 @@ object SparkEntry {
     // needs none passed; the double column survives bit-exactly)
     "q_source_orc" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    // byte length scanned from each written file must equal the UTF-8
+    // length of the text it was written from
+    "q_source_binary" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
 
     "q_point_lookup" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE event_id = 777 ORDER BY event_id",

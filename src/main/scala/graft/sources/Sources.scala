@@ -40,4 +40,17 @@ object Sources {
     */
   def writeSingleFile(df: DataFrame, path: String, format: String = "parquet"): Unit =
     write(df.coalesce(1), path, format)
+
+  /** Directory of raw files → (path, modificationTime, length, content)
+    * rows — the multimodal ingest edge: images/audio/video arrive as FILES,
+    * and this is the distributed file-to-row scan that feeds the
+    * `Multimodal` operators. Each file is read by whichever task owns it
+    * (no driver-side listing of contents), and `pathGlobFilter` prunes at
+    * the listing, before any bytes are read.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
 }

@@ -125,4 +125,44 @@ class EventStreamsSpec extends SparkSpec {
     val rows = spark.table("t_sessions")
     assert(rows.where(col("session_end") < col("session_start")).count() == 0)
   }
+
+  test("checkpointed file-sink stream resumes exactly-once across restarts") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("resume_in").toString
+    val outDir = Files.createTempDirectory("resume_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("resume_ckpt").toString
+    val all = Tables.events(spark, Sf0001).drop("ts_ns")
+    def addSlice(lo: Long, hi: Long): Unit = {
+      // each slice lands as its own parquet part inside the watched dir
+      val tmp = Files.createTempDirectory("resume_slice").toString
+      all.where(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          Files.move(f.toPath,
+            java.nio.file.Paths.get(inDir, s"slice_${lo}_$hi.parquet"))
+        }
+    }
+    def runOnce(): Unit = {
+      val q = EventStreams.readEvents(spark, inDir)
+        .select("event_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addSlice(0, 300)
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == all.where(col("event_id") < 300).count())
+    addSlice(300, 500)
+    runOnce() // SECOND query instance, same checkpoint: must pick up only
+              // the new slice — the first slice is committed in the offset
+              // log and must not be reprocessed into duplicates
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == all.where(col("event_id") < 500).count())
+    assert(out.select("event_id").distinct().count() == out.count())
+  }
 }
