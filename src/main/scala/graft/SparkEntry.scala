@@ -674,6 +674,33 @@ object SparkEntry {
       Multimodal.decodeMapPartitions(s, Multimodal.mediaFromDocuments(documents(s, d)))
         .orderBy("media_id")),
 
+    // -- [NS] END-TO-END multimodal ingest: media payloads written as raw
+    // FILES (the shape assets actually arrive in), scanned back through the
+    // binary-file connector into rows, then header-sniffed by extractMeta —
+    // the full file→row→metadata path a training pipeline runs before any
+    // expensive decode. Fixture files written once per JVM. --
+    "q_mm_ingest" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"mmbin:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mmbin")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/media"
+        new java.io.File(out).mkdirs()
+        Multimodal.mediaFromDocuments(documents(s, d).where(col("doc_id") < 64))
+          .select(col("media_id"), col("payload")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"media_${r.getLong(0)}%05d.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        out
+      })
+      val scanned = graft.sources.Sources.readBinaryFiles(s, dir, Some("*.bin"))
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+          col("content").as("payload"))
+        .withColumn("kind_id", (col("media_id") % 3).cast("int"))
+      Multimodal.extractMeta(scanned).orderBy("media_id")
+    }),
+
     "q_dedup_keep" -> ((s, d) =>
       Dedup.minhashDeduped(documents(s, d), minEstJaccard = 0.4)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -1532,6 +1559,14 @@ object SparkEntry {
         |  CAST(32 + doc_id % 96 AS INT) AS width, CAST(24 + doc_id % 72 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS INT) AS body_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // file-scanned headers must decode to the same metadata the in-row
+    // payloads carry (same arithmetic as q_mm_meta, ingest-subset)
+    "q_mm_ingest" ->
+      """SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kind_id, true AS valid,
+        |  CAST(32 + doc_id % 96 AS INT) AS width, CAST(24 + doc_id % 72 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS INT) AS body_bytes
+        |FROM documents WHERE doc_id < 64 ORDER BY media_id""".stripMargin,
 
     "q_cube_type_day" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events
