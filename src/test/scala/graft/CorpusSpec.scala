@@ -2,8 +2,9 @@ package graft
 
 import graft.operators.Corpus
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
 
-class CorpusSpec extends SparkSpec {
+class CorpusSpec extends SparkSpec with Checkers {
   import spark.implicits._
 
   private lazy val docs = Seq(
@@ -80,6 +81,52 @@ class CorpusSpec extends SparkSpec {
       .select("n_grams", "rep_ratio", "top_freq_ratio")
       .as[(Long, Double, Double)].head()
     assert(rep == ((4L, 0.5, 0.5)))
+  }
+
+  test("ngramProfile properties: total = max(0, tokens-n+1); distinct, maxFreq bounded") {
+    import graft.functions.TextFunctions
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check(Prop.forAll(textGen, Gen.choose(1, 4)) { (text, n) =>
+      val (total, dist, mx) = TextFunctions.ngramProfileScala(text, n)
+      val toks = text.split("\\s+").count(_.nonEmpty)
+      val expTotal = math.max(0, toks - n + 1)
+      total == expTotal &&
+        dist <= total && (total == 0 || dist >= 1) &&
+        mx <= total && (total == 0 || mx >= 1) &&
+        // pigeonhole: dist distinct grams at max frequency mx must cover total
+        dist.toLong * mx >= total
+    })
+  }
+
+  test("packSequences properties: totals preserved, bins dense from 0, budget respected") {
+    val docGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 30), Gen.oneOf("s1", "s2", "s3")))
+    check(Prop.forAll(docGen, Gen.choose(1L, 40L)) { (docs0, budget0) =>
+      // clamp: scalacheck's default shrinker steps outside the generator's
+      // range (e.g. -1 tokens, budget 0) — normalize instead of discarding
+      val docs = docs0.map { case (n, s) => (math.max(0, n), s) }
+      val budget = math.max(1L, budget0)
+      val df = docs.zipWithIndex.map { case ((nTok, src), i) =>
+        (i.toLong, Seq.fill(nTok)("w").mkString(" "), src, 1L)
+      }.toDF("doc_id", "text", "source", "n_chars")
+      val rows = Corpus.packSequences(df, budget)
+        .as[(String, Long, Long, Long)].collect()
+      // reference model: per shard in doc_id order, bin = floor(prior/budget)
+      // (bin indices may legitimately SKIP when one doc overflows a bin)
+      val expected = docs.zipWithIndex
+        .map { case ((n, s), i) => (s, i.toLong, n.toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+          val sorted = ds.sortBy(_._2)
+          val priors = sorted.map(_._3).scanLeft(0L)(_ + _)
+          sorted.zip(priors).map { case ((_, _, t), p) => (src, p / budget, t) }
+        }
+        .groupBy { case (src, bin, _) => (src, bin) }
+        .map { case ((src, bin), ts) =>
+          (src, bin, ts.size.toLong, ts.map(_._3).sum) }
+        .toSet
+      rows.toSet == expected
+    }, minTests = 25)
   }
 
   test("shuffledSample is deterministic, salt-sensitive, and a valid prefix") {
