@@ -17,12 +17,15 @@ object CorpusScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val path = s"$out/documents.parquet"
     if (!new java.io.File(path).exists()) {
+      // crossJoin replication: one plan regardless of factor (a factor-way
+      // union's plan tree is itself O(factor) to analyze at 1000x)
       val t = Tables.table(spark, base, "documents")
-      (0 until factor).map(i =>
-        t.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
-          .withColumn("text", concat(col("text"), lit(s" copysalt$i"))))
-        .reduce(_ unionByName _)
-        .repartition(16).write.mode("overwrite").parquet(path)
+      t.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select(
+          (col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+          concat(col("text"), lit(" copysalt"), col("rep")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32).write.mode("overwrite").parquet(path)
     }
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
