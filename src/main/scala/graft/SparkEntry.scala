@@ -1132,6 +1132,24 @@ object SparkEntry {
         .select(col("r_name"), col("n_name"))
         .orderBy("r_name", "n_name")),
 
+    // -- [NS] complex-type surface: map construction/access/keys and struct
+    // nesting in one codegen'd pass — the type system beyond arrays (maps
+    // and structs are what schema'd JSON/props columns decode into) --
+    "q_complex_types" -> ((s, d) =>
+      events(s, d).where(col("event_id") < 1000)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+              lit("uid"), col("user_id").cast("string")).as("m"),
+          struct(col("user_id").as("uid"), col("value").as("v")).as("st"))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "type").as("type_val"),
+          size(col("m")).cast("int").as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          col("st.uid").as("uid"),
+          round(col("st.v"), 4).as("v"))
+        .orderBy("event_id")),
+
     // -- [NS] REAL Structured Streaming execution inside the gate: the
     // watermarked tumbling aggregation runs as a file stream through the
     // memory sink to completion, and its FINAL table must hash-match the
@@ -1309,6 +1327,13 @@ object SparkEntry {
     // CSV round-trip is the identity on the original dim table
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // the map/struct plumbing is Spark-side; every output is derivable
+    // directly from the base columns
+    "q_complex_types" ->
+      """SELECT event_id, event_type AS type_val, CAST(2 AS INT) AS n_keys,
+        |  'type,uid' AS keys_csv, user_id AS uid, round(value, 4) AS v
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
 
     // JSON round-trip is the identity on the original dim table
     "q_source_json" ->
