@@ -157,12 +157,21 @@ object Similarity {
     *
     * No per-probe driver work: the corpus is cell-assigned once; each probe
     * computes its own `nprobe` nearest cells distributively (a UDF over the
-    * closure-captured centroid matrix); the candidate join broadcasts the
-    * small probe side against the corpus pruned to the UNION of probed
-    * cells, then a per-probe window top-k ranks candidates. Per probe the
-    * scan touches ~nprobe/nlist of the data, and adding probes grows only
-    * the broadcast and the candidate set — never a corpus re-scan — so cost
-    * is sublinear in probe count until the probed-cell union saturates.
+    * closure-captured centroid matrix), then EXPLODES to one (probe, cell)
+    * row so the candidate join is an EQUI-join on `cell` — a hash join,
+    * never a nested-loop scan of every probe's cell array per corpus row.
+    * Each corpus vector lives in exactly one cell and a probe's `nprobe`
+    * cells are distinct centroid indices, so the equi-join yields each
+    * (probe, vec) candidate at most once — no post-join dedup needed. A
+    * per-probe window top-k then ranks candidates.
+    *
+    * Per probe the scan touches ~nprobe/nlist of the data, and adding
+    * probes grows only the probe side and the candidate set — never a
+    * corpus re-scan — so cost is sublinear in probe count. The probe side
+    * is broadcast here (nprobe rows per probe: tiny into the tens of
+    * thousands of probes); past broadcast size the same equi-join degrades
+    * gracefully to a shuffled hash join on `cell` by dropping the hint —
+    * the property the old `array_contains` nested-loop join lacked.
     */
   def ivfProbeSetTopK(
       embeddings: DataFrame,
@@ -183,13 +192,13 @@ object Similarity {
     val assigned = embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-      .withColumn("probe_cells", nearestCellsUdf(col("probe_emb")))
+      .select(col("probe_id"), col("probe_emb"),
+        explode(nearestCellsUdf(col("probe_emb"))).as("cell"))
     val byProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     assigned
-      .join(broadcast(p),
-        array_contains(col("probe_cells"), col("cell")) &&
-          col("vec_id") =!= col("probe_id"))
+      .join(broadcast(p), Seq("cell"))
+      .where(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
         round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
       .withColumn("rk", row_number().over(byProbe))

@@ -36,9 +36,11 @@ object IvfBatchProbe {
         val diff = exact.exceptAll(ivf.select("probe_id", "vec_id", "cosine")).count()
         println(s"[ivfprobe] $d nprobe=$np missing=$diff")
       }
-      // probe-COUNT scaling: wall time for 4 vs 40 probes (one corpus pass
-      // each); exponent = log(t40/t4)/log(10), sublinear expected because
-      // the corpus scan amortizes across probes
+      // probe-COUNT scaling across two decades (4 -> 40 -> 400 probes, one
+      // corpus pass each); per-decade exponent = log10(t_next/t_prev),
+      // sublinear expected because the corpus scan amortizes across probes
+      // and the candidate join is an equi-join on cell (hash join), not a
+      // per-row scan of every probe's cell array
       def time(n: Int): Double = {
         val ps = emb.where(col("vec_id") < n)
         val t0 = System.nanoTime()
@@ -47,9 +49,17 @@ object IvfBatchProbe {
         (System.nanoTime() - t0) / 1e9
       }
       time(4) // warmup
-      val (t4, t40) = (time(4), time(40))
-      val exp = math.log(t40 / t4) / math.log(10)
-      println(f"[ivfprobe] $d probes 4->40: $t4%.2f s -> $t40%.2f s, exponent $exp%.2f")
+      val (t4, t40, t400) = (time(4), time(40), time(400))
+      val e1 = math.log(t40 / t4) / math.log(10)
+      val e2 = math.log(t400 / t40) / math.log(10)
+      println(f"[ivfprobe] $d probes 4->40->400: $t4%.2f s -> $t40%.2f s -> $t400%.2f s, exponents $e1%.2f / $e2%.2f")
+      // the candidate join must be a broadcast HASH join on cell — the old
+      // array_contains form planned as BroadcastNestedLoopJoin
+      val plan = Similarity.ivfProbeSetTopK(
+        emb, emb.where(col("vec_id") < 400), k = 10, nprobe = 10)
+        .queryExecution.executedPlan.toString
+      println(s"[ivfprobe] $d hashJoin=${plan.contains("BroadcastHashJoin")} " +
+        s"nestedLoop=${plan.contains("BroadcastNestedLoopJoin")}")
     }
     spark.stop()
   }
