@@ -172,6 +172,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- [REF R7] raw-bytes file sink (`BigDataLogControl.cs:354-361`),
+    // oracle-gated as a CONTENT-identity round-trip: each doc's UTF-8 bytes
+    // go out through LogStore.writeDocumentToFile (once per JVM), come back
+    // through the distributed binary-file connector, and the decoded text
+    // must equal the source table byte-for-byte — not just by length. --
+    "q_file_sink" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"filesink:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_filesink")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/docs"
+        new java.io.File(out).mkdirs()
+        documents(s, d).where(col("doc_id") < 64)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            graft.operators.LogStore.writeDocumentToFile(
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              out + f"/doc_${r.getLong(0)}%05d.bin")
+          }
+        out
+      })
+      graft.sources.Sources.readBinaryFiles(s, dir, Some("*.bin"))
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          decode(col("content"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // -- [NS] single-file export (Sources.writeSingleFile): a small
+    // aggregate coalesced through one task into exactly one parquet file
+    // (the driver-side-consumer/report shape), re-read and compared to the
+    // aggregate computed directly — sink and re-read both on the hook. --
+    "q_sink_singlefile" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"singlefile:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_singlefile")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/report"
+        graft.sources.Sources.writeSingleFile(
+          Tables.nation(s, d).groupBy(col("n_regionkey"))
+            .agg(count(lit(1)).as("n_nations")), out)
+        require(new java.io.File(out).listFiles()
+          .count(_.getName.endsWith(".parquet")) == 1,
+          "writeSingleFile must produce exactly one parquet part")
+        out
+      })
+      s.read.parquet(dir).orderBy("n_regionkey")
+    }),
+
     "q_point_lookup" -> ((s, d) =>
       events(s, d).where(col("event_id") === 777)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -595,6 +641,17 @@ object SparkEntry {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
     }),
 
+    // -- [NS] bloom-pre-filtered decontamination twin: identical result to
+    // q_decontaminate BY CONSTRUCTION (the exact semi-join still removes
+    // the bloom's false positives); what changes is the shuffle — eval
+    // grams that miss the train set are dropped map-side by the filter.
+    // Same oracle SQL as the exact form, so the equality is oracle-gated. --
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Corpus.contaminationBloom(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
+    }),
+
     // -- [NS] per-doc repetition profile: single-pass JVM n-gram multiset
     // (total/distinct/max-frequency), the loops-and-boilerplate signal --
     "q_text_repetition" -> ((s, d) =>
@@ -699,6 +756,45 @@ object SparkEntry {
           col("content").as("payload"))
         .withColumn("kind_id", (col("media_id") % 3).cast("int"))
       Multimodal.extractMeta(scanned).orderBy("media_id")
+    }),
+
+    // -- [NS] END-TO-END multimodal near-dup: media FILES → binary-file
+    // scan → byteHistogram features → random-hyperplane LSH near-dup
+    // (Dedup.embeddingNearDup) — the full asset-dedup chain without the
+    // payload ever leaving the engine. Recall is made non-vacuous by
+    // planting byte-identical clones of media 0..2 as ids 1000..1002:
+    // identical payloads → identical histograms → identical LSH signature
+    // (same bucket in every band) → each planted pair is recovered
+    // deterministically at cosine 1.0. The declared rows are the planted
+    // pairs (organic histogram similarity between text payloads is
+    // corpus-dependent, so it stays out of the hash); the 48+3 fixture
+    // rows keep every LSH bucket under Dedup.MaxBucket, so full pair
+    // expansion — not star degradation — is guaranteed structurally. --
+    "q_mm_neardup" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"mmnd:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mmnd")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/media"
+        new java.io.File(out).mkdirs()
+        Multimodal.mediaFromDocuments(documents(s, d).where(col("doc_id") < 48))
+          .select(col("media_id"), col("payload")).collect().foreach { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"media_$id%05d.bin"), bytes)
+            if (id < 3) // planted byte-identical clone
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, f"media_${id + 1000}%05d.bin"), bytes)
+          }
+        out
+      })
+      val feats = graft.sources.Sources.readBinaryFiles(s, dir, Some("*.bin"))
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1).cast("long").as("vec_id"),
+          Multimodal.byteHistogram(col("content")).cast("array<float>").as("embedding"))
+      Dedup.embeddingNearDup(feats, minCosine = 0.999)
+        .where(col("vec_b") === col("vec_a") + 1000)
+        .orderBy("vec_a")
     }),
 
     "q_dedup_keep" -> ((s, d) =>
@@ -1350,6 +1446,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
 
+    // R7 raw-bytes sink round-trip is the identity on the text itself
+    "q_file_sink" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id < 64 ORDER BY doc_id",
+
+    // single-file export round-trip equals the aggregate computed directly
+    "q_sink_singlefile" ->
+      """SELECT n_regionkey, count(*) AS n_nations FROM nation
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_point_lookup" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE event_id = 777 ORDER BY event_id",
 
@@ -1965,6 +2070,14 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
         |WHERE l.doc_id IS NULL OR l.mn > d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // the planted byte-identical clones (1000+i of media i, i < 3) must
+    // each be recovered by the file→scan→histogram→LSH chain at exactly
+    // cosine 1.0 — identical payload bytes make the whole chain
+    // deterministic end-to-end
+    "q_mm_neardup" ->
+      """SELECT doc_id AS vec_a, doc_id + 1000 AS vec_b, 1.0 AS cosine
+        |FROM documents WHERE doc_id < 3 ORDER BY vec_a""".stripMargin,
+
     // the planted clone (vec -1 = vec 0) is the only pair at cosine >= 0.9;
     // DuckDB recomputes its cosine from the stored vector
     "q_neardup_embedding" ->
@@ -2106,6 +2219,23 @@ object SparkEntry {
     // distinct 8-gram overlap recomputed from first principles (same
     // slicing-comprehension shingle construction as the dedup truth twins)
     "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS s
+        |       FROM tok WHERE len(t) >= 8),
+        |tg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 50),
+        |eg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 50),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM eg WHERE g IN (SELECT g FROM tg) GROUP BY 1)
+        |SELECT e.doc_id, CAST(len(e.s) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  coalesce(h.n_hit, 0) > 0 AS contaminated
+        |FROM sh e LEFT JOIN hits h USING (doc_id)
+        |WHERE e.doc_id < 50 AND len(e.s) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bloom pre-pass must be result-invisible: same twin as the exact
+    // form — false positives die in the semi-join, true hits all survive
+    // the filter (blooms have no false negatives)
+    "q_decontaminate_bloom" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS s
         |       FROM tok WHERE len(t) >= 8),

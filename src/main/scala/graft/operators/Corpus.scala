@@ -75,15 +75,47 @@ object Corpus {
     *
     * Scale shape: both sides explode to distinct n-grams; the train side
     * deduplicates map-side before the shuffle, and the probe is ONE
-    * left-semi join keyed on the gram — no pairwise doc comparison. At
-    * lake scale the train-gram table is the thing you'd additionally
-    * bloom-filter; the join stays the correctness anchor.
+    * left-semi join keyed on the gram — no pairwise doc comparison. The
+    * lake-scale variant is [[contaminationBloom]], which pre-drops eval
+    * grams with a train-side bloom filter before the shuffle; this form
+    * stays the exact correctness anchor.
     */
-  def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame =
+    contaminationImpl(train, eval, n, evalPreFilter = identity)
+
+  /** [[contamination]] with a bloom-filter pre-pass — the lake-scale form.
+    *
+    * A bloom filter is built over the train grams in one pass (duplicates
+    * are harmless to a set sketch, so no distinct shuffle on the build) and
+    * applied to the EVAL gram stream before the semi-join shuffle: at 100 TB
+    * the overwhelming majority of eval grams miss the train set, so the
+    * filter drops them map-side and the shuffle carries only (rare) hits and
+    * fpp-rate false positives. The exact semi-join downstream then removes
+    * the false positives — the RESULT is bit-identical to [[contamination]]
+    * by construction; only the shuffled volume changes. The filter object is
+    * closure-captured (≈ task-binary broadcast, the same shape as the IVF
+    * centroid matrix); size it via `fpp` and the one-pass distinct-gram
+    * sketch below.
+    */
+  def contaminationBloom(
+      train: DataFrame, eval: DataFrame, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val trainGramsRaw = train.select(explode(TF.shingles(col("text"), n)).as("g"))
+    // sizing pass: HLL++ sketch of the distinct-gram count, no shuffle of
+    // the grams themselves (partial sketches merge at the driver)
+    val expected = math.max(1L,
+      trainGramsRaw.agg(approx_count_distinct(col("g")).as("n")).head.getLong(0))
+    val bloom = trainGramsRaw.stat.bloomFilter("g", expected, fpp)
+    val mightContain = udf((g: String) => bloom.mightContain(g))
+    contaminationImpl(train, eval, n, evalPreFilter = _.where(mightContain(col("g"))))
+  }
+
+  private def contaminationImpl(
+      train: DataFrame, eval: DataFrame, n: Int,
+      evalPreFilter: DataFrame => DataFrame): DataFrame = {
     val trainGrams = train
       .select(explode(TF.shingles(col("text"), n)).as("g")).distinct()
-    val evalGrams = eval
-      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("g"))
+    val evalGrams = evalPreFilter(eval
+      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("g")))
     val totals = eval
       .select(col("doc_id"),
         size(TF.shingles(col("text"), n)).cast("long").as("n_grams"))
