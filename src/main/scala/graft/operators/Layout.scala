@@ -21,7 +21,17 @@ object Layout {
 
   /** Two-phase salted sum/count aggregate of `valueCol` by `key`.
     * Result schema: key, n, total — identical to the direct
-    * `groupBy(key).agg(count, sum)`, but skew-immune.
+    * `groupBy(key).agg(count, sum)`, but skew-immune by construction.
+    *
+    * When this is actually needed (measured in `SkewProbe`, snapshot in
+    * docs/PLANS.md "Skew handling"): NOT for batch algebraic aggregates —
+    * map-side partial aggregation already collapses a hot key to one row
+    * per map task, so plain and salted time identically. The salt is the
+    * fix where that rescue is absent: streaming aggregation (AQE and its
+    * runtime stats are disabled in streaming; state-store partitions are
+    * fixed at first start), and two-phase shapes whose phase-1 output must
+    * stay bounded. Skewed batch JOINs need neither — AQE's skew split
+    * handles them at runtime (same snapshot).
     */
   def saltedAgg(df: DataFrame, key: Column, valueCol: Column, salts: Int = 16): DataFrame = {
     val salted = df
