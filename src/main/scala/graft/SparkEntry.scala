@@ -1294,6 +1294,22 @@ object SparkEntry {
       s.table("q_stream_sliding_mem").orderBy("w_start")
     }),
 
+    // -- [NS] REAL streaming SALTED aggregation — the skew-safe streaming
+    // shape (docs/PLANS.md "Skew handling"): streaming has no AQE and state
+    // partitioning is fixed at checkpoint birth, so a hot key funnels one
+    // state partition with no runtime rescue. Phase 1 keys state by
+    // (event_type, hash(event_id) % 16); phase 2 is the bounded batch
+    // combine (16 partial rows per type). Totals must hash-match the plain
+    // per-type oracle — salting must not change a single bit. --
+    "q_stream_salted" -> ((s, d) => {
+      val partials = graft.streaming.EventStreams.saltedTypeTotals(
+        graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
+      graft.streaming.EventStreams.runToMemory(partials, "q_stream_salted_mem", "complete",
+        statePartitions = Some(8))
+      graft.streaming.EventStreams.combineSaltedTotals(s.table("q_stream_salted_mem"))
+        .orderBy("event_type")
+    }),
+
     // -- [NS] REAL streaming exact dedup: the input is the events table
     // DOUBLED (every row appears twice, written once per JVM), streamed
     // through dropDuplicatesWithinWatermark — so the dedup state does real
@@ -1749,6 +1765,14 @@ object SparkEntry {
     "q_stream_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // salted streaming totals must equal the UNsalted per-type aggregate:
+    // the salt is invisible in the result (exact integer-cents accumulation
+    // on both paths)
+    "q_stream_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // streamed result must equal the batch interval join (q_interval_join)
     "q_stream_interval" ->

@@ -103,6 +103,30 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Phase 1 of the skew-safe streaming aggregation (docs/PLANS.md "Skew
+    * handling"): totals per event_type with state keyed by
+    * (event_type, salt). Streaming has no AQE and state partitioning is
+    * fixed at the checkpoint's first start, so a hot type would funnel one
+    * state partition forever; the salt spreads it over `salts` keys. The
+    * salt derives from the DATA (hash of event_id), not the partition id,
+    * so a replayed row lands on the same state key — required for
+    * exactly-once restates. Money sums accumulate exact integer cents
+    * (Long state), the engine-wide determinism convention.
+    */
+  def saltedTypeTotals(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .groupBy(col("event_type"), pmod(hash(col("event_id")), lit(salts)).as("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("pcents"))
+
+  /** Phase 2: the cheap batch combine over the per-salt partials — `salts`
+    * rows per key, so this never sees data-scale volume.
+    */
+  def combineSaltedTotals(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        (sum(col("pcents")) / 100.0).as("total"))
+
   /** Exactly-once-per-key dedup within the watermark horizon — streaming
     * exact dedup (the streaming twin of `Dedup.exact`).
     */
