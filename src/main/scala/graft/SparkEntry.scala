@@ -652,6 +652,16 @@ object SparkEntry {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
     }),
 
+    // -- [NS] decontamination, eval-broadcast form: the distinct eval gram
+    // set broadcasts and the TRAIN side is filtered map-side (broadcast
+    // semi-join) — the 100 TB train corpus is read once and never shuffled.
+    // Result must be bit-identical to the exact form (same DuckDB twin). --
+    "q_decontaminate_bcast" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Corpus.contaminationBroadcast(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 8)
+    }),
+
     // -- [NS] per-doc repetition profile: single-pass JVM n-gram multiset
     // (total/distinct/max-frequency), the loops-and-boilerplate signal --
     "q_text_repetition" -> ((s, d) =>
@@ -2260,6 +2270,21 @@ object SparkEntry {
     // form — false positives die in the semi-join, true hits all survive
     // the filter (blooms have no false negatives)
     "q_decontaminate_bloom" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS s
+        |       FROM tok WHERE len(t) >= 8),
+        |tg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 50),
+        |eg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 50),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM eg WHERE g IN (SELECT g FROM tg) GROUP BY 1)
+        |SELECT e.doc_id, CAST(len(e.s) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  coalesce(h.n_hit, 0) > 0 AS contaminated
+        |FROM sh e LEFT JOIN hits h USING (doc_id)
+        |WHERE e.doc_id < 50 AND len(e.s) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // eval-broadcast decontamination: train side never shuffles; same twin
+    "q_decontaminate_bcast" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS s
         |       FROM tok WHERE len(t) >= 8),

@@ -109,18 +109,55 @@ object Corpus {
     contaminationImpl(train, eval, n, evalPreFilter = _.where(mightContain(col("g"))))
   }
 
+  /** [[contamination]] with the big side never shuffled — the form a
+    * 100 TB train corpus actually needs when the eval set is benchmark-
+    * sized (it always is).
+    *
+    * The exact and bloom forms shuffle the TRAIN grams (explode ≈ n× the
+    * text bytes, then a distinct exchange) — the dominant cost at lake
+    * scale; the bloom pre-pass only trims the already-small eval side. This
+    * form inverts the join: the distinct EVAL gram set broadcasts, the
+    * train gram stream is semi-joined against it MAP-SIDE (a broadcast
+    * hash join — zero train-side exchange), and only the matched grams
+    * (⊆ eval gram set, so bounded by the broadcast size) are distinct'd
+    * and broadcast back to count per-doc hits. The train corpus is read
+    * once and never shuffled; the result is bit-identical to
+    * [[contamination]] because `matched` is exactly the set of eval grams
+    * present in train.
+    */
+  def contaminationBroadcast(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    val evalGramSet = eval
+      .select(explode(TF.shingles(col("text"), n)).as("g")).distinct()
+    val matched = train
+      .select(explode(TF.shingles(col("text"), n)).as("g"))
+      .join(broadcast(evalGramSet), Seq("g"), "left_semi")
+      .distinct()
+    contaminationTail(eval, n,
+      evalGrams => evalGrams.join(broadcast(matched), Seq("g"), "left_semi"))
+  }
+
   private def contaminationImpl(
       train: DataFrame, eval: DataFrame, n: Int,
       evalPreFilter: DataFrame => DataFrame): DataFrame = {
     val trainGrams = train
       .select(explode(TF.shingles(col("text"), n)).as("g")).distinct()
-    val evalGrams = evalPreFilter(eval
-      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("g")))
+    contaminationTail(eval, n,
+      evalGrams => evalPreFilter(evalGrams).join(trainGrams, Seq("g"), "left_semi"))
+  }
+
+  /** Shared tail: count per-doc eval grams surviving `hitFilter` (the
+    * grams found in train) and flag contamination.
+    */
+  private def contaminationTail(
+      eval: DataFrame, n: Int,
+      hitFilter: DataFrame => DataFrame): DataFrame = {
+    val evalGrams = eval
+      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("g"))
     val totals = eval
       .select(col("doc_id"),
         size(TF.shingles(col("text"), n)).cast("long").as("n_grams"))
       .where(col("n_grams") > 0)
-    val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+    val hits = hitFilter(evalGrams)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

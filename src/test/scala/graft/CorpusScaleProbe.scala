@@ -34,7 +34,8 @@ object CorpusScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     Seq("q_tfidf_topterms", "q_pack_sequences", "q_text_repetition",
-        "q_decontaminate", "q_shuffle_sample").foreach { q =>
+        "q_decontaminate", "q_decontaminate_bloom", "q_decontaminate_bcast",
+        "q_shuffle_sample").foreach { q =>
       time(base, q)
       val t1 = time(base, q)
       val tn = time(out, q)

@@ -67,6 +67,14 @@ class CorpusSpec extends SparkSpec with Checkers {
     val out = Corpus.contamination(train, eval, n = 4)
       .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Boolean)].collect().toSeq
     assert(out == Seq((0L, 1L, true), (1L, 0L, false)))
+    // the eval-broadcast and bloom forms are optimizations, not semantics:
+    // identical rows on the same input
+    val bcast = Corpus.contaminationBroadcast(train, eval, n = 4)
+      .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Boolean)].collect().toSeq
+    assert(bcast == out)
+    val bloom = Corpus.contaminationBloom(train, eval, n = 4)
+      .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Boolean)].collect().toSeq
+    assert(bloom == out)
   }
 
   test("ngramProfile counts the multiset, not the set") {
