@@ -678,6 +678,35 @@ object SparkEntry {
           col("p.n_bpeish").as("n_bpeish"))
         .orderBy("doc_id")),
 
+    // -- [NS] PII redaction: the synthetic corpus has no PII, so each doc
+    // gets a deterministic email+phone derived from doc_id (the oracle
+    // builds the identical string), then the regex scrub replaces them with
+    // typed markers. Patterns live in TF (Java∩RE2 dialect); pure codegen'd
+    // regexp_replace/regexp_count — no UDF in the scan path. --
+    "q_text_redact" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("t2", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          TF.redactPii(col("t2")).as("redacted"),
+          regexp_count(col("t2"), lit(TF.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t2"), lit(TF.PhoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")),
+
+    // -- [NS] URL/domain profile: deterministic synthetic URL per doc, then
+    // domain extraction + frequency — the source-mix census a crawl corpus
+    // runs before sampling. Same Java∩RE2 dialect constraint. --
+    "q_url_domains" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("t2", concat(col("text"),
+          lit(" see https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string")))
+        .select(regexp_extract(col("t2"), "https://([A-Za-z0-9.-]+)/", 1).as("domain"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")),
+
     // fingerprint invariant oracle: the 64-bit rolling hash has no SQL twin,
     // but its defining properties do — equal texts ⇒ equal fingerprints
     // (deterministic) and distinct texts ⇒ distinct fingerprints (64-bit
@@ -2198,6 +2227,31 @@ object SparkEntry {
         |  CAST(n_tok AS INT) AS n_tokens,
         |  CAST(n_bpe AS INT) AS n_bpeish
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // synthetic-PII construction identical on both engines; 'g' flag makes
+    // DuckDB regexp_replace global like Spark's
+    "q_text_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or call +1-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_url_domains" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS t2
+        |  FROM documents)
+        |SELECT regexp_extract(t2, 'https://([A-Za-z0-9.-]+)/', 1) AS domain,
+        |  count(*) AS n_docs
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // faithful SQL twin of TextFunctions.langIdScala: distinct marker hits
     // per language, argmax with ties broken by language declaration order

@@ -32,6 +32,27 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= lit("") && t =!= lit(" ")))
 
+  /** Email-address regex shared with the DuckDB oracle twin — restricted to
+    * the Java∩RE2 common dialect (no lookaround, no backrefs) so both
+    * engines match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone with the +1-555 test prefix (same dialect
+    * constraint as [[EmailRe]]).
+    */
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII scrub: replace every email then every phone with typed markers —
+    * the standard pre-training redaction pass. Pure nested `regexp_replace`
+    * (codegen'd, scan-side safe); replacement order is part of the
+    * contract and mirrored in the oracle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   /** Heuristic quality score in [0,1]: blends length, alpha ratio,
     * punctuation density, mean word length, and stopword presence — the
     * standard cheap pre-filters applied before expensive LLM-data scoring.
