@@ -1321,6 +1321,28 @@ object SparkEntry {
       s.table("q_stream_session_mem").orderBy("user_id", "session_start")
     }),
 
+    // -- [NS] the same REAL streaming session windows through the RocksDB
+    // state store provider — the production provider once state outgrows
+    // executor heap (heap provider state is memory-bound; RocksDB state
+    // lives on executor-local disk with the same checkpoint contract). Must
+    // hash-match the identical batch oracle: the provider is an execution
+    // detail, never a semantics change. --
+    "q_stream_rocksdb" -> ((s, d) => {
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sess = graft.streaming.EventStreams.userSessionCounts(
+          graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
+        graft.streaming.EventStreams.runToMemory(sess, "q_stream_rocksdb_mem", "complete",
+          statePartitions = Some(8))
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.table("q_stream_rocksdb_mem").orderBy("user_id", "session_start")
+    }),
+
     // -- [NS] REAL streaming sliding windows (2h window / 1h slide), same
     // aggregation as the batch q_sliding_2h so the final memory table must
     // hash-match that query's oracle --
@@ -1825,6 +1847,24 @@ object SparkEntry {
 
     // streamed session windows must equal the batch session-window twin
     "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |        FROM events)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // identical twin: the state-store provider must not change the result
+    "q_stream_rocksdb" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,
         |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000

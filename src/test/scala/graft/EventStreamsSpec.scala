@@ -126,6 +126,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.where(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("RocksDB state store: session windows match the default provider's result") {
+    // Heap state (default HDFSBackedStateStoreProvider) is bounded by
+    // executor memory; RocksDB keeps state on local disk — the production
+    // provider once streaming state outgrows the heap. Same query, same
+    // data, both providers: results must be identical.
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    EventStreams.runToMemory(EventStreams.userSessionCounts(stream),
+      "t_sess_heap", "complete")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      EventStreams.runToMemory(EventStreams.userSessionCounts(stream),
+        "t_sess_rocks", "complete")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    def rows(t: String) = spark.table(t)
+      .select("session_start", "user_id", "n_events")
+      .collect().map(_.toSeq).toSet
+    val heap = rows("t_sess_heap")
+    val rocks = rows("t_sess_rocks")
+    assert(heap.nonEmpty)
+    assert(rocks == heap)
+  }
+
   test("checkpointed file-sink stream resumes exactly-once across restarts") {
     import java.nio.file.Files
     val inDir = Files.createTempDirectory("resume_in").toString
