@@ -1436,6 +1436,29 @@ object SparkEntry {
       graft.streaming.EventStreams.statefulUserTotals(s, events(s, d))
         .orderBy("user_id")),
 
+    // -- [NS] z-order clustered layout: events rewritten once per JVM with
+    // bit-interleaved (user_id, event_id) range partitioning
+    // (Layout.zorderWrite), then read back through a 2-D box predicate —
+    // the multi-dimensional data-skipping layout (each file covers a
+    // compact z-range, so parquet footer min/max prune most files; a
+    // single-column sort can only serve one of the two predicates).
+    // Pruning counts are asserted in LayoutSpec; the layout must be
+    // result-invisible vs the plain filtered oracle. --
+    "q_zorder_layout" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"zorder:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events_z"
+        graft.operators.Layout.zorderWrite(
+          events(s, d).select("event_id", "user_id", "event_type", "value"),
+          "user_id", "event_id", out, nFiles = 16)
+        out
+      })
+      s.read.parquet(dir)
+        .where(col("user_id").between(3, 7) && col("event_id").between(100, 20000))
+        .orderBy("event_id")
+    }),
+
     // -- [NS] bucketed co-located join: write both sides bucketed+sorted by
     // the join key, then join through the catalog — no exchange on either
     // side (asserted in LayoutSpec). Tables are rewritten each invocation
@@ -1969,6 +1992,12 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the z-ordered rewrite is layout only — same rows as a plain filter
+    "q_zorder_layout" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 3 AND 7 AND event_id BETWEEN 100 AND 20000
+        |ORDER BY event_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type AS key, count(*) AS n,

@@ -80,4 +80,52 @@ object Layout {
 
   /** Read a bucketed table back. */
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Morton/z-value of two numeric columns, each min-max scaled to `bits`
+    * bits and bit-interleaved — rows close in BOTH dimensions get close
+    * z-values. Static expression tree of native bitwise ops (codegen'd,
+    * no UDF): 2·bits OR-terms.
+    */
+  def zValue(a: Column, aMin: Long, aMax: Long,
+             b: Column, bMin: Long, bMax: Long, bits: Int = 16): Column = {
+    def scaled(c: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo)
+      val top = (1L << bits) - 1
+      least(lit(top), greatest(lit(0L),
+        ((c.cast("long") - lit(lo)) * lit(top) / lit(span)).cast("long")))
+    }
+    val sa = scaled(a, aMin, aMax)
+    val sb = scaled(b, bMin, bMax)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` z-ordered by two numeric columns into `nFiles` parquet
+    * files: range-partition on the z-value, sort within partitions, drop
+    * the helper column. Each output file then covers a compact z-range —
+    * a 2-D box predicate intersects the (min,max) column stats of only a
+    * few files, so parquet footer pruning skips the rest. This is the
+    * multi-dimensional complement to `writeBucketed` (join co-location)
+    * and partitioned layout (equality pruning): clustering for RANGE
+    * predicates on two columns at once, where a single-column sort can
+    * only serve one of them. The min/max scan is one tiny agg job at
+    * write time; the write itself is the one range shuffle a layout
+    * rewrite inherently costs.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String,
+                  path: String, nFiles: Int): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+    val z = zValue(col(colA), r.getLong(0), r.getLong(1),
+                   col(colB), r.getLong(2), r.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

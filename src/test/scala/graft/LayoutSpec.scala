@@ -72,6 +72,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: fewer files intersect a 2-D box than a naive layout") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    Layout.zorderWrite(ev, "user_id", "event_id", s"$dir/z", nFiles = 16)
+    ev.repartition(16).write.mode("overwrite").parquet(s"$dir/naive")
+
+    // per-file (min,max) stats — what parquet footer pruning sees
+    def intersecting(path: String): Long = {
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("event_id").as("elo"), max("event_id").as("ehi"))
+        .where(col("uhi") >= 3 && col("ulo") <= 7 &&
+          col("ehi") >= 100 && col("elo") <= 700)
+        .count()
+    }
+    val zHit = intersecting(s"$dir/z")
+    val nHit = intersecting(s"$dir/naive")
+    // a naive round-robin layout spreads every value range over every file,
+    // so all 16 intersect; the z-order must rule out most files by stats
+    assert(nHit >= 14, s"naive layout unexpectedly clustered: $nHit/16")
+    assert(zHit <= nHit / 2, s"z-order pruned too little: $zHit vs naive $nHit")
+
+    // layout is result-invisible
+    val box = (d: org.apache.spark.sql.DataFrame) => d
+      .where(col("user_id").between(3, 7) && col("event_id").between(100, 700))
+      .select("event_id").as[Long].collect().toSet
+    assert(box(spark.read.parquet(s"$dir/z")) == box(ev))
+  }
+
   test("bucketed tables join without an exchange") {
     // self-clean: drop catalog entries AND stray locations from aborted runs
     Seq("bucket_a", "bucket_b").foreach { t =>
