@@ -1436,6 +1436,46 @@ object SparkEntry {
       graft.streaming.EventStreams.statefulUserTotals(s, events(s, d))
         .orderBy("user_id")),
 
+    // -- [NS] small-files compaction: events deliberately fragmented into
+    // 64 part files once per JVM, then Layout.compact coalesces (narrow,
+    // no shuffle) to ~target-sized files. The declared result is the
+    // compacted table read back — compaction must be content-invisible vs
+    // the plain oracle; the file-count arithmetic is asserted in
+    // LayoutSpec. --
+    "q_compact" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"compact:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+        deleteRecursivelyOnExit(tmp)
+        val frag = tmp.toFile.getAbsolutePath + "/frag"
+        val out = tmp.toFile.getAbsolutePath + "/compacted"
+        events(s, d).select("event_id", "user_id", "event_type", "value")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+        graft.operators.Layout.compact(s, frag, out, targetBytes = 4L * 1024 * 1024)
+        out
+      })
+      s.read.parquet(dir).orderBy("event_id")
+    }),
+
+    // -- [NS] SCD-1 upsert (MERGE): a deterministic change set derived from
+    // the base (updates for id%100=0, deletes for id%97=0 not already
+    // updated, inserts at id+1000000) applied via Layout.upsert — one
+    // broadcast anti join (the base never shuffles) plus a union. The
+    // oracle recomputes the merge relationally. --
+    "q_upsert" -> ((s, d) => {
+      val base = events(s, d).select("event_id", "event_type", "value")
+      val updates = base.where(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") + 1000).as("value"), lit(false).as("_deleted"))
+      val deletes = base.where(col("event_id") % 97 === 0 && col("event_id") % 100 =!= 0)
+        .select(col("event_id"), col("event_type"), col("value"), lit(true).as("_deleted"))
+      val inserts = base.where(col("event_id") % 101 === 0)
+        .select((col("event_id") + 1000000).as("event_id"),
+          lit("ins").as("event_type"), lit(1.0).as("value"), lit(false).as("_deleted"))
+      graft.operators.Layout
+        .upsert(base, updates.unionByName(deletes).unionByName(inserts), "event_id")
+        .orderBy("event_id")
+    }),
+
     // -- [NS] z-order clustered layout: events rewritten once per JVM with
     // bit-interleaved (user_id, event_id) range partitioning
     // (Layout.zorderWrite), then read back through a 2-D box predicate —
@@ -1992,6 +2032,31 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction is content-invisible: same rows as the source table
+    "q_compact" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // relational recomputation of the SCD-1 merge: survivors = base rows
+    // whose key is untouched; plus updated rows; plus inserted rows
+    "q_upsert" ->
+      """WITH updates AS (
+        |  SELECT event_id, event_type, value + 1000 AS value
+        |  FROM events WHERE event_id % 100 = 0),
+        |deletes AS (
+        |  SELECT event_id FROM events
+        |  WHERE event_id % 97 = 0 AND event_id % 100 <> 0),
+        |inserts AS (
+        |  SELECT event_id + 1000000 AS event_id, 'ins' AS event_type,
+        |    CAST(1.0 AS DOUBLE) AS value
+        |  FROM events WHERE event_id % 101 = 0)
+        |SELECT event_id, event_type, value FROM events
+        |WHERE event_id NOT IN (SELECT event_id FROM updates)
+        |  AND event_id NOT IN (SELECT event_id FROM deletes)
+        |UNION ALL SELECT * FROM updates
+        |UNION ALL SELECT * FROM inserts
+        |ORDER BY event_id""".stripMargin,
 
     // the z-ordered rewrite is layout only — same rows as a plain filter
     "q_zorder_layout" ->

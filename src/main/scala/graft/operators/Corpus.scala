@@ -103,7 +103,7 @@ object Corpus {
     // sizing pass: HLL++ sketch of the distinct-gram count, no shuffle of
     // the grams themselves (partial sketches merge at the driver)
     val expected = math.max(1L,
-      trainGramsRaw.agg(approx_count_distinct(col("g")).as("n")).head.getLong(0))
+      trainGramsRaw.agg(approx_count_distinct(col("g")).as("n")).head().getLong(0))
     val bloom = trainGramsRaw.stat.bloomFilter("g", expected, fpp)
     val mightContain = udf((g: String) => bloom.mightContain(g))
     contaminationImpl(train, eval, n, evalPreFilter = _.where(mightContain(col("g"))))

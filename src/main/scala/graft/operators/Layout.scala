@@ -81,6 +81,42 @@ object Layout {
   /** Read a bucketed table back. */
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Compact a directory of (typically many small) parquet files into
+    * ~`targetBytes`-sized files — the periodic maintenance op every
+    * streaming/file sink needs, since each micro-batch or task leaves its
+    * own part file and a 100 TB table of 1 MB files spends more time in
+    * footer reads and task scheduling than in data. `coalesce` (narrow
+    * dependency, no shuffle) merges existing partitions; content is
+    * untouched. Returns the output file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    nOut
+  }
+
+  /** SCD-1 upsert (MERGE): apply a change set to a base table. `changes`
+    * carries full replacement rows plus a boolean `deleteCol`; change keys
+    * must be unique. Untouched base rows survive via a LEFT ANTI join on
+    * the key, then non-delete change rows union in — inserts, updates, and
+    * deletes in one pass. Scale shape: a CDC batch is small relative to
+    * the base, so the anti join broadcasts the key set and the base table
+    * NEVER shuffles; the rewrite cost is the scan + write, which is the
+    * floor for any merge without a deletion-vector format.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, keyCol: String,
+             deleteCol: String = "_deleted"): DataFrame = {
+    val keep = base.join(
+      broadcast(changes.select(col(keyCol))), Seq(keyCol), "left_anti")
+    keep.unionByName(changes.where(!col(deleteCol)).drop(deleteCol))
+  }
+
   /** Morton/z-value of two numeric columns, each min-max scaled to `bits`
     * bits and bit-interleaved — rows close in BOTH dimensions get close
     * z-values. Static expression tree of native bitwise ops (codegen'd,
@@ -119,7 +155,7 @@ object Layout {
                   path: String, nFiles: Int): Unit = {
     val r = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     val z = zValue(col(colA), r.getLong(0), r.getLong(1),
                    col(colB), r.getLong(2), r.getLong(3))
     df.withColumn("__z", z)

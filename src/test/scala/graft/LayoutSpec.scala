@@ -103,6 +103,41 @@ class LayoutSpec extends SparkSpec {
     assert(box(spark.read.parquet(s"$dir/z")) == box(ev))
   }
 
+  test("compact merges small files to the target count without changing content") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val ev = Tables.events(spark, Sf0001).select("event_id", "event_type", "value")
+    ev.repartition(32).write.mode("overwrite").parquet(s"$dir/frag")
+    val fragBytes = new java.io.File(s"$dir/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = math.max(1L, fragBytes / 4) // expect ~4 output files
+    val nOut = Layout.compact(spark, s"$dir/frag", s"$dir/out", target)
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the writer may skip an empty coalesced partition, so files ≤ nOut;
+    // the contract is fewer-and-bigger files with identical content
+    assert(outFiles <= nOut && outFiles < 32 && outFiles >= 2,
+      s"nOut=$nOut outFiles=$outFiles")
+    // content identity
+    assert(spark.read.parquet(s"$dir/out").orderBy("event_id")
+      .collect().toSeq == ev.orderBy("event_id").collect().toSeq)
+  }
+
+  test("upsert applies inserts, updates, and deletes in one pass") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "t", "v")
+    val changes = Seq(
+      (2L, "b2", 20.0, false), // update
+      (3L, "c", 3.0, true),    // delete
+      (4L, "d", 4.0, false))   // insert
+      .toDF("k", "t", "v", "_deleted")
+    val out = Layout.upsert(base, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 1.0), (2L, "b2", 20.0), (4L, "d", 4.0)))
+    // the base side of the anti join must not shuffle: broadcast build
+    val plan = Layout.upsert(base, changes, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
   test("bucketed tables join without an exchange") {
     // self-clean: drop catalog entries AND stray locations from aborted runs
     Seq("bucket_a", "bucket_b").foreach { t =>
