@@ -145,6 +145,51 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // -- [NS] text connector round-trip: line-oriented raw text, the format
+    // web-scale corpora actually arrive in (one record per line, no schema,
+    // no types). Write funnels a single string column to .txt part files;
+    // read surfaces each line as `value`. Identity contract against the
+    // source column; completes the built-in format surface
+    // (parquet/csv/json/orc/binaryFile/text). --
+    "q_source_text" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"text:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_text")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/nation_txt"
+        graft.sources.Sources.write(
+          Tables.nation(s, d).select(col("n_name")), out, "text")
+        out
+      })
+      graft.sources.Sources.read(s, dir, "text")
+        .select(col("value").as("n_name"))
+        .orderBy("n_name")
+    }),
+
+    // -- [NS] schema evolution (mergeSchema): two parquet batches written
+    // under one root, the later batch carrying an extra column — the drift
+    // every long-lived lake table accumulates. The merged read must surface
+    // the union schema with NULLs for the early batch, never failing and
+    // never silently dropping the new column. Spark merges footers at
+    // LISTING time (one planning pass), so old batches are not rewritten —
+    // the property that matters when "old batches" is 100 TB. --
+    "q_schema_merge" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"mergeschema:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mergeschema")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events_evolved"
+        val ev = events(s, d)
+        ev.where(col("event_id") < 500).select("event_id", "value")
+          .write.mode("overwrite").parquet(out + "/batch=1")
+        ev.where(col("event_id") >= 500 && col("event_id") < 1000)
+          .select("event_id", "value", "event_type")
+          .write.mode("overwrite").parquet(out + "/batch=2")
+        out
+      })
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select("event_id", "value", "event_type")
+        .orderBy("event_id")
+    }),
+
     // -- [NS] binary-file connector: the multimodal ingest shape — a
     // directory of raw files scanned into (path, content) rows, one file
     // per task, no driver-side reads. Fixture files are written once per
@@ -588,6 +633,19 @@ object SparkEntry {
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // int8 scalar quantization (Similarity.quantize, the 4× storage/scan
+    // compression tier): top-k over the quantized vectors vs the exact
+    // float top-k, recall-gated on the same contract as IVF. Rounding to
+    // 127 levels perturbs cosines by ~1e-3 on this data, so the exact
+    // top-10 survives — empirically verified, gated at ≥ 8/10.
+    "q_sim_quantized" -> ((s, d) => {
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      val qz = Similarity.quantizedTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      bf.join(qz, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     // MinHash-LSH recall against hash-free ground truth: exact-Jaccard pairs
     // (inverted shingle index) vs the banded-LSH candidate set. Both counts
     // are DuckDB-expressible (planted near-dups in this corpus sit at
@@ -626,6 +684,13 @@ object SparkEntry {
     // state never funnels through one partition --
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Corpus.packSequences(documents(s, d), budget = 512)),
+
+    // -- [NS] balanced token-budget sharding: rank-desc round-robin deal
+    // (LPT-style) of documents into 8 shards; per-shard token totals stay
+    // within one max-document of each other. The global rank runs over a
+    // 2-column projection (the text column never sorts). --
+    "q_token_shard" -> ((s, d) =>
+      graft.operators.Corpus.tokenShard(documents(s, d), nShards = 8)),
 
     // -- [NS] reproducible shuffled sample: salted-md5 order, distributed
     // top-k (TakeOrderedAndProject), the training-run data-order fixer --
@@ -1069,6 +1134,31 @@ object SparkEntry {
           col("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // -- [NS] TPC-H Q3 (shipping priority): the canonical 3-table
+    // fact-to-fact join. The filtered customer side broadcasts (dim-sized
+    // after the segment filter); orders⋈lineitem is the one real shuffle,
+    // keyed on orderkey; segment/date filters push to all three scans; the
+    // top-10 is a TakeOrderedAndProject, never a global sort. Revenue in
+    // exact decimal per the engine convention. --
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") < tsLit("1998-06-30 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") > tsLit("1998-06-30 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // -- [NS] conditional / null-handling scalar surface --
     "q_conditional_funcs" -> ((s, d) =>
       events(s, d).select(
@@ -1397,6 +1487,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] REAL streaming stream-static enrichment join: the event
+    // stream joins a static nation dim (broadcast — stateless, no join
+    // state) and aggregates per dim attribute; the final memory table must
+    // hash-match the batch join oracle. The canonical production
+    // enrichment topology: dim rides executor-local, the stream never
+    // shuffles for the join. --
+    "q_stream_enrich" -> ((s, d) => {
+      val enriched = graft.streaming.EventStreams.enrichedCounts(
+        graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"),
+        Tables.nation(s, d), "n_nationkey", "n_name")
+      graft.streaming.EventStreams.runToMemory(enriched, "q_stream_enrich_mem", "complete",
+        statePartitions = Some(8))
+      s.table("q_stream_enrich_mem").orderBy("n_name")
+    }),
+
     // -- [REF R1/R4] the reference's /UserId partition routing end-to-end:
     // ingest a slice user-partitioned on disk, then point-read ONE user —
     // the filter must prune to a single partition directory
@@ -1474,6 +1579,28 @@ object SparkEntry {
       graft.operators.Layout
         .upsert(base, updates.unionByName(deletes).unionByName(inserts), "event_id")
         .orderBy("event_id")
+    }),
+
+    // -- [NS] SCD-2 history-preserving upsert: where q_upsert overwrites,
+    // this closes the replaced current rows (is_current=false) and appends
+    // the changes as version max+1 (1 for brand-new keys). Change set:
+    // balance updates for s_suppkey%10=0, inserts at s_suppkey+100000 for
+    // s_suppkey%7=0. All three joins broadcast the small change side — the
+    // base never shuffles. The oracle recomputes the history relationally. --
+    "q_scd2" -> ((s, d) => {
+      val supp = Tables.supplier(s, d)
+      val base = supp.select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .withColumn("version", lit(1L))
+        .withColumn("is_current", lit(true))
+      val updates = supp.where(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"), col("s_name"),
+          (col("s_acctbal") + 500).as("s_acctbal"))
+      val inserts = supp.where(col("s_suppkey") % 7 === 0)
+        .select((col("s_suppkey") + 100000).as("s_suppkey"),
+          lit("NEW").as("s_name"), lit(0.0).as("s_acctbal"))
+      graft.operators.Layout
+        .scd2Upsert(base, updates.unionByName(inserts), "s_suppkey")
+        .orderBy("s_suppkey", "version")
     }),
 
     // -- [NS] z-order clustered layout: events rewritten once per JVM with
@@ -1579,6 +1706,20 @@ object SparkEntry {
     // needs none passed; the double column survives bit-exactly)
     "q_source_orc" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    // text (line-oriented) round-trip is the identity on the source column
+    "q_source_text" ->
+      "SELECT n_name FROM nation ORDER BY n_name",
+
+    // the mergeSchema read equals the manual union: early batch rows carry
+    // NULL for the late-added column, both batches' shared columns intact
+    "q_schema_merge" ->
+      """SELECT event_id, value, CAST(NULL AS VARCHAR) AS event_type
+        |FROM events WHERE event_id < 500
+        |UNION ALL
+        |SELECT event_id, value, event_type
+        |FROM events WHERE event_id >= 500 AND event_id < 1000
+        |ORDER BY event_id""".stripMargin,
 
     // byte length scanned from each written file must equal the UTF-8
     // length of the text it was written from
@@ -1957,6 +2098,12 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the streamed enrichment join's final table equals the batch join
+    "q_stream_enrich" ->
+      """SELECT n_name, count(*) AS n
+        |FROM events JOIN nation ON user_id = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_partitioned_lookup" ->
       "SELECT 'u' || CAST(doc_id AS VARCHAR) AS user_id, text AS payload FROM documents WHERE doc_id = 5 ORDER BY user_id",
 
@@ -2058,6 +2205,28 @@ object SparkEntry {
         |UNION ALL SELECT * FROM inserts
         |ORDER BY event_id""".stripMargin,
 
+    // SCD-2 history recomputed relationally: base rows keep version 1 and
+    // flip is_current iff their key is in the change set; change rows
+    // append at version 2 (existing keys) or 1 (new keys), current
+    "q_scd2" ->
+      """WITH chg AS (
+        |  SELECT s_suppkey, s_name, s_acctbal + 500 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 10 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000 AS s_suppkey, 'NEW' AS s_name,
+        |    CAST(0.0 AS DOUBLE) AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 7 = 0)
+        |SELECT s_suppkey, s_name, s_acctbal, CAST(1 AS BIGINT) AS version,
+        |  s_suppkey NOT IN (SELECT s_suppkey FROM chg) AS is_current
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal,
+        |  CAST(CASE WHEN s_suppkey IN (SELECT s_suppkey FROM supplier)
+        |       THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  true AS is_current
+        |FROM chg
+        |ORDER BY s_suppkey, version""".stripMargin,
+
     // the z-ordered rewrite is layout only — same rows as a plain filter
     "q_zorder_layout" ->
       """SELECT event_id, user_id, event_type, value FROM events
@@ -2086,6 +2255,19 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_conditional_funcs" ->
       """SELECT event_id,
@@ -2201,6 +2383,11 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sim_ivf_recall" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // int8 quantization keeps the exact top-10 on this data (cosine
+    // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF
+    "q_sim_quantized" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
 
     // Invariant-oracle family for the fuzzy-dedup path. All of these lean on
@@ -2425,6 +2612,18 @@ object SparkEntry {
         |ORDER BY doc_id, score DESC, term""".stripMargin,
 
     // integer running-total bin assignment — exact arithmetic in both engines
+    "q_token_shard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT toks, row_number() OVER (ORDER BY toks DESC, doc_id) AS rn
+        |  FROM toks)
+        |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
+        |  sum(toks) AS n_tokens
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH toks AS (
         |  SELECT source, doc_id,

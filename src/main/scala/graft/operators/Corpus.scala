@@ -68,6 +68,30 @@ object Corpus {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Balanced token-budget sharding: rank documents by token count
+    * descending and deal them round-robin into `nShards` shards
+    * (`shard = (rank-1) mod n`) — the deterministic LPT-style greedy that
+    * keeps per-shard token totals within one max-document of each other,
+    * so no trainer rank starves while another overruns. Returns per-shard
+    * document and token counts (the balance audit); the same rank
+    * expression tags full rows when materializing the shards.
+    *
+    * Scale shape: the global rank runs over a two-column (doc_id, tokens)
+    * projection — a narrow sort of ~16 bytes/doc, fine to ~10⁹ docs; past
+    * that, rank via `repartitionByRange` on tokens + per-partition offsets
+    * (the zorderWrite discipline). The heavy text column never sorts.
+    */
+  def tokenShard(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("toks"))
+    val byToks = Window.orderBy(col("toks").desc, col("doc_id"))
+    toks
+      .withColumn("shard", (row_number().over(byToks) - 1) % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** Train/eval decontamination audit: for each eval document, how many of
     * its distinct word n-grams appear anywhere in the train corpus. The
     * standard pre-release check that benchmark text leaked into training

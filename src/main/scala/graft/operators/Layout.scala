@@ -117,6 +117,40 @@ object Layout {
     keep.unionByName(changes.where(!col(deleteCol)).drop(deleteCol))
   }
 
+  /** SCD-2 upsert (history-preserving MERGE): where SCD-1 (`upsert`)
+    * overwrites, SCD-2 keeps every prior version as a closed row. `base`
+    * carries `versionCol`/`currentCol` bookkeeping columns; `changes`
+    * carries replacement attribute rows (no bookkeeping, change keys
+    * unique). For each changed key the existing current row flips
+    * `currentCol` to false and a new row appends with version
+    * `max(version)+1`; unknown keys insert at version 1. Same scale shape
+    * as SCD-1: the change set is the small CDC side, so both the close and
+    * the version lookup are broadcast joins and the base NEVER shuffles —
+    * plus one tiny per-key max-version aggregate over changed keys only.
+    */
+  def scd2Upsert(base: DataFrame, changes: DataFrame, keyCol: String,
+                 versionCol: String = "version",
+                 currentCol: String = "is_current"): DataFrame = {
+    val changeKeys = changes.select(col(keyCol))
+    // rows whose key is being replaced flip to non-current; the rest pass through
+    val flipped = base
+      .join(broadcast(changeKeys), Seq(keyCol), "left_semi")
+      .withColumn(currentCol, lit(false))
+    val untouched = base.join(broadcast(changeKeys), Seq(keyCol), "left_anti")
+    // next version per changed key = max existing + 1 (1 for brand-new keys);
+    // the agg runs on the semi-joined slice, i.e. |changes| rows, not |base|
+    val nextVersion = base
+      .join(broadcast(changeKeys), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(max(col(versionCol)).as("__maxv"))
+    val appended = changes
+      .join(broadcast(nextVersion), Seq(keyCol), "left")
+      .withColumn(versionCol, coalesce(col("__maxv") + 1, lit(1L)))
+      .withColumn(currentCol, lit(true))
+      .drop("__maxv")
+    untouched.unionByName(flipped).unionByName(appended.select(untouched.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Morton/z-value of two numeric columns, each min-max scaled to `bits`
     * bits and bit-interleaved — rows close in BOTH dimensions get close
     * z-values. Static expression tree of native bitwise ops (codegen'd,

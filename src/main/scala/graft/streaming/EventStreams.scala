@@ -81,6 +81,24 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Stream-static enrichment join: the canonical production shape — an
+    * event stream joined to a slowly-changing dimension table, then
+    * aggregated by a dimension attribute. The static side is broadcast, so
+    * the join is STATELESS (no stream-side state, no watermark needed for
+    * the join itself): each micro-batch hash-joins against the executor-
+    * local dim copy, which is exactly how a 1000-executor topology enriches
+    * — the dim rides with the task binary, the stream never shuffles for
+    * the join. Only the downstream keyed aggregation carries state.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame,
+                     dimKey: String, dimName: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim.select(col(dimKey), col(dimName))),
+        col("user_id") === col(dimKey))
+      .groupBy(col(dimName))
+      .agg(count(lit(1)).as("n"))
+
   /** Per-user session windows (30-minute gap), watermarked. */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -55,6 +55,18 @@ class CorpusSpec extends SparkSpec with Checkers {
     assert(s1 == Seq((0L, 2L, 7L), (1L, 1L, 4L)))
   }
 
+  test("tokenShard deals round-robin by token rank and balances totals") {
+    // token counts: doc0=4, doc1=3, doc2=4, doc3=4, doc4=5
+    // rank desc (ties by doc_id): 4(5), 0(4), 2(4), 3(4), 1(3)
+    // 2 shards round-robin: shard0 = {4,2,1} = 12 toks, shard1 = {0,3} = 8
+    val out = Corpus.tokenShard(docs, nShards = 2)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 3L, 12L), (1, 2L, 8L)))
+    // totals preserved and balance within one max-document (5 tokens)
+    assert(out.map(_._3).sum == 20L)
+    assert(out.map(_._3).max - out.map(_._3).min <= 5L)
+  }
+
   test("contamination flags eval docs sharing an n-gram with train, and only those") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon", "s", 1L),

@@ -37,6 +37,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("stream-static enrichment join matches the batch join, stateless join") {
+    val dim = Tables.nation(spark, Sf0001)
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val enriched = EventStreams.enrichedCounts(stream, dim, "n_nationkey", "n_name")
+    EventStreams.runToMemory(enriched, "t_enrich", "complete")
+    val streamed = spark.table("t_enrich")
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, Sf0001)
+      .join(dim, col("user_id") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     EventStreams.runToMemory(

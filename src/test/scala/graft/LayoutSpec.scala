@@ -19,6 +19,32 @@ class LayoutSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("scd2Upsert closes replaced versions, increments, and inserts new keys") {
+    val base = Seq(
+      (1L, "a", 10.0, 1L, true),
+      (2L, "b", 20.0, 1L, true),
+      // key 3 already has history: v1 closed, v2 current
+      (3L, "c0", 5.0, 1L, false),
+      (3L, "c1", 30.0, 2L, true))
+      .toDF("k", "name", "bal", "version", "is_current")
+    val changes = Seq(
+      (2L, "b2", 25.0),  // update existing single-version key
+      (3L, "c2", 35.0),  // update key with prior history → v3
+      (9L, "n", 1.0))    // brand-new key → v1
+      .toDF("k", "name", "bal")
+    val out = Layout.scd2Upsert(base, changes, "k")
+      .orderBy("k", "version")
+      .as[(Long, String, Double, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 10.0, 1L, true),    // untouched key passes through
+      (2L, "b", 20.0, 1L, false),   // closed
+      (2L, "b2", 25.0, 2L, true),   // appended at max+1
+      (3L, "c0", 5.0, 1L, false),   // already-closed history survives
+      (3L, "c1", 30.0, 2L, false),  // was current, now closed
+      (3L, "c2", 35.0, 3L, true),   // appended at max+1 over full history
+      (9L, "n", 1.0, 1L, true)))    // new key inserts at version 1
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
     Tables.events(spark, Sf0001)

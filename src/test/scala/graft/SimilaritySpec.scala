@@ -41,6 +41,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("quantize emits int8-bounded components, scale-invariant ranking") {
+    import org.apache.spark.sql.functions.{abs => sabs, array_max, array_min, transform => stransform}
+    val q = Similarity.quantize(emb)
+    // every component rounds into the signed-byte range, and each vector's
+    // max-|component| hits 127 exactly (the per-vector scale is saturating)
+    val bounds = q.select(
+      array_max(stransform(col("qvec"), x => sabs(x.cast("int")))).as("mx"),
+      array_min(col("qvec").cast("array<int>")).as("mn")).collect()
+    assert(bounds.forall(r => r.getInt(0) == 127 && r.getInt(1) >= -127))
+  }
+
+  test("quantizedTopK recall vs exact is >= 4/5 on gaussian vectors") {
+    val exact = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect quant).size >= 4,
+      s"quantized recall too low: $quant vs $exact")
+  }
+
   test("ivfTopK with nprobe == nlist degrades to exact brute force") {
     val exact = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
       .select("vec_id").as[Long].collect().toSeq
