@@ -692,6 +692,14 @@ object SparkEntry {
     "q_token_shard" -> ((s, d) =>
       graft.operators.Corpus.tokenShard(documents(s, d), nShards = 8)),
 
+    // -- [NS] heavy hitters: Misra-Gries sketch (typed Aggregator, ≤ 64
+    // counters per partial) finds candidates in one pass, an exact recount
+    // of the ≤ 64 candidates makes the output deterministic — no
+    // full-vocabulary shuffle at any corpus size. k ≥ frac guarantees no
+    // qualifying token is missed, so the exact SQL oracle applies. --
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.operators.HeavyHitters.frequentTokens(documents(s, d), k = 64, frac = 32)),
+
     // -- [NS] reproducible shuffled sample: salted-md5 order, distributed
     // top-k (TakeOrderedAndProject), the training-run data-order fixer --
     "q_shuffle_sample" -> ((s, d) =>
@@ -1349,6 +1357,21 @@ object SparkEntry {
                WHERE EXISTS (SELECT 1 FROM orders_ec o
                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
                ORDER BY c_custkey""")
+    }),
+
+    // -- [NS] LATERAL correlated subquery: per-region top-2 nations — the
+    // SQL form of "for each outer row, run this dependent subquery";
+    // Catalyst decorrelates it into a ranked join (DecorrelateInnerQuery),
+    // so nothing executes per-row --
+    "q_lateral_join" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region_lj")
+      Tables.nation(s, d).createOrReplaceTempView("nation_lj")
+      s.sql("""SELECT r.r_name, l.n_nationkey, l.n_name
+               FROM region_lj r,
+               LATERAL (SELECT n_nationkey, n_name FROM nation_lj
+                        WHERE n_regionkey = r.r_regionkey
+                        ORDER BY n_nationkey LIMIT 2) l
+               ORDER BY r_name, n_nationkey""")
     }),
 
     // -- [NS] explicit cartesian: small × small cross join --
@@ -2376,6 +2399,14 @@ object SparkEntry {
     "q_cross_join" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
 
+    "q_lateral_join" ->
+      """SELECT r.r_name, l.n_nationkey, l.n_name
+        |FROM region r,
+        |LATERAL (SELECT n_nationkey, n_name FROM nation
+        |         WHERE n_regionkey = r.r_regionkey
+        |         ORDER BY n_nationkey LIMIT 2) l
+        |ORDER BY r_name, n_nationkey""".stripMargin,
+
     "q_window_range_frame" ->
       """SELECT event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
@@ -2612,6 +2643,17 @@ object SparkEntry {
         |ORDER BY doc_id, score DESC, term""".stripMargin,
 
     // integer running-total bin assignment — exact arithmetic in both engines
+    // exact recount of MG candidates = the plain frequency filter (k=64 ≥
+    // frac=32, so the sketch provably surfaces every qualifying token)
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, count(*) AS n FROM tok, tot
+        |GROUP BY token, n_total HAVING count(*) * 32 > n_total
+        |ORDER BY token""".stripMargin,
+
     "q_token_shard" ->
       """WITH toks AS (
         |  SELECT doc_id,

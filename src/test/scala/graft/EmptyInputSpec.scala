@@ -53,6 +53,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.repetitionStats(d).count() == 0)
   }
 
+  test("token sharding and heavy hitters return empty on an empty corpus") {
+    import graft.operators.{Corpus, HeavyHitters}
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Corpus.tokenShard(d).count() == 0)
+    // zero total tokens: the n*frac > n_total filter must not emit rows
+    // (0 > 0 is false), and the MG aggregate yields an empty candidate set
+    assert(HeavyHitters.frequentTokens(d).count() == 0)
+  }
+
+  test("scd2Upsert with an empty change set is the identity") {
+    import graft.operators.Layout
+    val base = Seq((1L, "a", 1L, true)).toDF("k", "v", "version", "is_current")
+    val changes = Seq.empty[(Long, String)].toDF("k", "v")
+    val out = Layout.scd2Upsert(base, changes, "k")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, "a", 1L, true)))
+  }
+
+  test("quantize of an empty embedding table is empty") {
+    import graft.operators.Similarity
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.quantize(e).count() == 0)
+  }
+
   test("probe-set similarity of an empty probe set is empty") {
     import graft.operators.Similarity
     val e = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
