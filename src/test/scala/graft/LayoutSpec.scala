@@ -67,6 +67,44 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the third pruning mechanism beside static pushdown and DPP: when a
+    // shuffle join's small side carries a selective filter, Catalyst
+    // injects bloom_filter_might_contain(join_key) into the FACT side's
+    // scan filter — at 100 TB this drops non-matching fact rows at the
+    // scan, before the shuffle. Thresholds tuned down to fire at test size;
+    // broadcast disabled because a broadcast join needs no runtime filter.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_extendedprice")
+      val dim = Tables.orders(spark, Sf0001)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      // Spark 4 renders the injected filter as might_contain(<scalar
+      // subquery computing bloom_filter_agg(join key)>) on the fact side
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected injected runtime bloom filter in:\n$plan")
+      // the filter is pruning-only: the result equals the unfiltered join
+      val n = q.as[Long].head()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val n0 = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n")).as[Long].head()
+      assert(n == n0 && n > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // one hot key holds ~90% of the left side; with skew thresholds tuned
     // down, AQE's OptimizeSkewedJoin must split that partition
