@@ -1188,6 +1188,28 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // -- [NS] array function surface over the embedding column --
+    // -- [NS] higher-order array functions (lambda surface): transform /
+    // filter / aggregate / zip_with / exists in one pass. All lambda
+    // results here are exact integers (counts and comparisons, no float
+    // folds) so the oracle is bit-deterministic regardless of either
+    // engine's summation order. --
+    "q_higher_order" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        // transform + aggregate with integer accumulation: positive count
+        aggregate(transform(col("embedding"), x => when(x > 0, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("n_pos_agg"),
+        // filter: the same count via the filtered array's size
+        size(filter(col("embedding"), x => x > 0)).as("n_pos_filter"),
+        // zip_with against the reversed vector: how many positions beat
+        // their mirror (strict), an exact pairwise comparison
+        aggregate(zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => when(a > b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .as("n_beats_mirror"),
+        // exists: any component above 3 sigma-ish
+        exists(col("embedding"), x => x > 3.0f).as("has_outlier"))
+        .orderBy("vec_id")),
+
     "q_array_funcs" -> ((s, d) =>
       embeddings(s, d).select(
         col("vec_id"),
@@ -2306,6 +2328,15 @@ object SparkEntry {
         |  arg_min(round(value, 4), event_id) AS first_value,
         |  max(event_id) AS max_id, min(event_id) AS min_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_higher_order" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS INT) AS n_pos_agg,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos_filter,
+        |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CASE WHEN embedding[i] > embedding[len(embedding) - i + 1] THEN 1 ELSE 0 END)) AS INT) AS n_beats_mirror,
+        |  len(list_filter(embedding, x -> x > 3.0)) > 0 AS has_outlier
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
