@@ -646,6 +646,21 @@ object SparkEntry {
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // IVF over QUANTIZED vectors — the two scale levers chained: cell
+    // pruning skips nprobe/nlist of the corpus AND the scanned column is
+    // int8 (4× less IO). Centroids build on the quantized vectors too, so
+    // the whole index path never touches float32. Recall-gated against the
+    // float brute-force truth like the other approximate tiers.
+    "q_sim_ivf_quantized" -> ((s, d) => {
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      val qemb = Similarity.quantize(embeddings(s, d))
+        .select(col("vec_id"), col("qvec").cast("array<float>").as("embedding"))
+      val ivfq = Similarity.ivfTopK(qemb, probeId = 0L, k = 10, nprobe = 8).select("vec_id")
+      bf.join(ivfq, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     // MinHash-LSH recall against hash-free ground truth: exact-Jaccard pairs
     // (inverted shingle index) vs the banded-LSH candidate set. Both counts
     // are DuckDB-expressible (planted near-dups in this corpus sit at
@@ -1165,6 +1180,38 @@ object SparkEntry {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // -- [NS] TPC-H Q5 (local-supplier volume): the 6-table join. The two
+    // genuinely big sides (lineitem, orders) meet in ONE shuffle on
+    // orderkey; customer/supplier/nation/region are all dim-sized and
+    // broadcast, including the c_nationkey = s_nationkey local-supplier
+    // equality folded into the supplier join. Region filter prunes before
+    // the nation broadcast. --
+    "q_tpch_q5" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < tsLit("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val reg = Tables.region(s, d).where(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }),
 
     // -- [NS] conditional / null-handling scalar surface --
@@ -2314,6 +2361,21 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM customer c
+        |JOIN orders o ON c_custkey = o_custkey
+        |JOIN lineitem l ON l_orderkey = o_orderkey
+        |JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation n ON s_nationkey = n_nationkey
+        |JOIN region r ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q_conditional_funcs" ->
       """SELECT event_id,
         |  CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS band,
@@ -2450,6 +2512,11 @@ object SparkEntry {
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF
     "q_sim_quantized" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // IVF cells over quantized vectors: both approximations composed still
+    // clear the 8/10 recall bar (deterministic for this data+index)
+    "q_sim_ivf_quantized" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
 
     // Invariant-oracle family for the fuzzy-dedup path. All of these lean on
