@@ -52,9 +52,14 @@ object StreamScaleProbe {
 
     val n1 = spark.read.parquet(oneX).count()
     val nN = spark.read.parquet(path).count()
+    // enrich joins user_id to the nation dim; replicated user_ids are offset
+    // by 10000·rep so only the original band matches — the join itself still
+    // evaluates per row, which is what the throughput number measures
+    val dim = Tables.nation(spark, base)
     for ((label, mk) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
       ("tumbling", df => graft.streaming.EventStreams.tumblingDaily(df)),
-      ("dedup", df => graft.streaming.EventStreams.dedupedEvents(df).groupBy().count()))) {
+      ("dedup", df => graft.streaming.EventStreams.dedupedEvents(df).groupBy().count()),
+      ("enrich", df => graft.streaming.EventStreams.enrichedCounts(df, dim, "n_nationkey", "n_name")))) {
       run(oneX, s"ss_w_$label", mk) // warm: session/codegen init
       val t1 = run(oneX, s"ss_1_$label", mk)
       val tN = run(path, s"ss_n_$label", mk)
