@@ -1718,6 +1718,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -- [NS] time-clustered layout: events rewritten once per JVM range-
+    // partitioned + sorted on ts_ns (Layout.clusteredWrite — the workhorse
+    // production layout for a time-series table), then read through a
+    // time-range predicate that parquet footer stats serve from 1-2 of the
+    // 16 files (pruning asserted in LayoutSpec). Layout must be
+    // result-invisible vs the plain filtered oracle. --
+    "q_time_clustered" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"clustered:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_clustered")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events_t"
+        graft.operators.Layout.clusteredWrite(
+          events(s, d).select("event_id", "ts_ns", "event_type", "value"),
+          "ts_ns", out, nFiles = 16)
+        out
+      })
+      s.read.parquet(dir)
+        .where(nsRange("2024-01-05 00:00:00", "2024-01-08 00:00:00"))
+        // the raw-nanos column drives the pruning predicate; the declared
+        // output carries the µs timestamp (nanos exceed DuckDB's precision)
+        .select(col("event_id"), timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // -- [NS] bucketed co-located join: write both sides bucketed+sorted by
     // the join key, then join through the catalog — no exchange on either
     // side (asserted in LayoutSpec). Tables are rewritten each invocation
@@ -2318,6 +2343,13 @@ object SparkEntry {
         |  true AS is_current
         |FROM chg
         |ORDER BY s_suppkey, version""".stripMargin,
+
+    // the time-clustered rewrite is layout only — same rows as a plain
+    // filter over the source table
+    "q_time_clustered" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |WHERE epoch_ns(ts) >= 1704412800000000000 AND epoch_ns(ts) < 1704672000000000000
+        |ORDER BY event_id""".stripMargin,
 
     // the z-ordered rewrite is layout only — same rows as a plain filter
     "q_zorder_layout" ->

@@ -173,6 +173,22 @@ object Layout {
     }
   }
 
+  /** Write `df` clustered on ONE column into `nFiles` parquet files:
+    * range-partition + sort within partitions, so each file covers a
+    * disjoint, compact range of the column. The workhorse production
+    * layout — a time-series table clustered on its timestamp serves every
+    * time-range query from footer min/max stats, skipping the files whose
+    * range can't match. The 1-D sibling of [[zorderWrite]] (which trades
+    * per-dimension precision for TWO range dimensions): for a single
+    * dominant predicate column, plain range clustering prunes strictly
+    * better. Cost: the one range shuffle any layout rewrite pays.
+    */
+  def clusteredWrite(df: DataFrame, clusterCol: String,
+                     path: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("overwrite").parquet(path)
+
   /** Write `df` z-ordered by two numeric columns into `nFiles` parquet
     * files: range-partition on the z-value, sort within partitions, drop
     * the helper column. Each output file then covers a compact z-range —

@@ -136,6 +136,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("clustered layout: a 1-D range predicate intersects few files, naive all") {
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "ts_ns", "event_type", "value")
+    Layout.clusteredWrite(ev, "ts_ns", s"$dir/c", nFiles = 16)
+    ev.repartition(16).write.mode("overwrite").parquet(s"$dir/naive")
+
+    // mid-span time window ≈ 1/16 of the range: the clustered layout must
+    // serve it from 1-2 files; a round-robin layout touches all of them
+    val Array(lo, hi) = ev.agg(min("ts_ns"), max("ts_ns")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val (wLo, wHi) = (lo + (hi - lo) / 2, lo + (hi - lo) / 2 + (hi - lo) / 16)
+    def intersecting(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("ts_ns").as("tlo"), max("ts_ns").as("thi"))
+        .where(col("thi") >= wLo && col("tlo") <= wHi)
+        .count()
+    val cHit = intersecting(s"$dir/c")
+    val nHit = intersecting(s"$dir/naive")
+    assert(nHit >= 14, s"naive layout unexpectedly clustered: $nHit/16")
+    assert(cHit <= 2, s"range clustering pruned too little: $cHit files")
+
+    // layout is result-invisible
+    val slice = (d: org.apache.spark.sql.DataFrame) => d
+      .where(col("ts_ns").between(wLo, wHi))
+      .select("event_id").as[Long].collect().toSet
+    assert(slice(spark.read.parquet(s"$dir/c")) == slice(ev))
+  }
+
   test("z-order layout: fewer files intersect a 2-D box than a naive layout") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val ev = Tables.events(spark, Sf0001)
