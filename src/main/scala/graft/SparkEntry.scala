@@ -700,6 +700,23 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Corpus.packSequences(documents(s, d), budget = 512)),
 
+    // -- [NS] unigram-LM quality scoring: add-1-smoothed LM trained on the
+    // doc_id >= 50 split scores the doc_id < 50 "incoming" docs by mean
+    // token log-prob — the perplexity-style pre-training filter. Token-
+    // keyed co-located join; per-token ln rounded to 6 dp then decimal-
+    // summed, so the mean is engine-identical. --
+    "q_lm_score" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Corpus.lmScore(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50))
+    }),
+
+    // -- [NS] pack materialization: the packSequences bins rendered as
+    // actual training sequences (doc_id-ordered concat per bin);
+    // fingerprinted by md5 + length so the declared rows stay bounded --
+    "q_pack_concat" -> ((s, d) =>
+      graft.operators.Corpus.packedTexts(documents(s, d), budget = 512)),
+
     // -- [NS] balanced token-budget sharding: rank-desc round-robin deal
     // (LPT-style) of documents into 8 shards; per-shard token totals stay
     // within one max-document of each other. The global rank runs over a
@@ -2783,6 +2800,40 @@ object SparkEntry {
         |SELECT token, count(*) AS n FROM tok, tot
         |GROUP BY token, n_total HAVING count(*) * 32 > n_total
         |ORDER BY token""".stripMargin,
+
+    // the LM twin recomputes counts, smoothing, and the 6-dp-rounded
+    // decimal-summed mean log-prob from first principles
+    "q_lm_score" ->
+      """WITH train AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id >= 50),
+        |lm AS (SELECT t, count(*) AS c FROM train GROUP BY t),
+        |tot AS (SELECT count(*) AS n, (SELECT count(*) FROM lm) AS v FROM train),
+        |ev AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(ln((coalesce(c, 0) + 1.0) / (n + v)), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logp,
+        |  count(*) AS n_tok
+        |FROM ev LEFT JOIN lm USING (t), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bin assignment identical to q_pack_sequences; the packed text's
+    // fingerprint recomputed via ORDER BY doc_id string_agg
+    "q_pack_concat" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |binned AS (
+        |  SELECT source, doc_id, text,
+        |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+        |  FROM toks)
+        |SELECT source, bin, CAST(count(*) AS INT) AS n_docs,
+        |  CAST(length(string_agg(text, ' ' ORDER BY doc_id)) AS INT) AS packed_chars,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS packed_md5
+        |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_token_shard" ->
       """WITH toks AS (

@@ -68,6 +68,65 @@ object Corpus {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Unigram language-model quality score: train an add-1-smoothed unigram
+    * LM on the train split (token counts), score each eval document by its
+    * mean token log-probability — the cheap perplexity-style filter a
+    * pre-training pipeline runs before an actual LM pass (low avg log-prob
+    * = gibberish / OOV-heavy / wrong-register text).
+    *
+    * Scale shape: the LM is a token-keyed aggregate; scoring joins eval
+    * tokens to it ON the token key (co-located, like TF-IDF); the two
+    * scalars (train size, vocab) broadcast. Determinism: each ln() is
+    * rounded to 6 dp (JVM and DuckDB libm agree far past that), then
+    * summed in DECIMAL — the engine-wide exact-sum convention — so the
+    * mean is bit-identical cross-engine.
+    */
+  def lmScore(train: DataFrame, eval: DataFrame): DataFrame = {
+    val trainToks = train.select(explode(TF.tokens(lower(col("text")))).as("t"))
+    val lm = trainToks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = trainToks.agg(count(lit(1)).as("n"))
+      .crossJoin(lm.agg(count(lit(1)).as("v")))
+    val evalToks = eval.select(col("doc_id"),
+      explode(TF.tokens(lower(col("text")))).as("t"))
+    evalToks
+      .join(lm, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(
+          sum(round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n") + col("v"))), 6)
+            .cast("decimal(18,6)")).cast("double") / count(lit(1)), 4).as("avg_logp"),
+        count(lit(1)).as("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Materialize [[packSequences]] bins as training rows: within each
+    * (shard, bin), member texts concatenate in doc_id order — the step
+    * that turns the packing PLAN into actual fixed-budget training
+    * sequences. Declared output carries the packed text's md5 and length
+    * (the content fingerprint), keeping result rows bounded; the same
+    * expression minus the md5 yields the raw sequences. Ordering inside a
+    * bin is by doc_id via array_sort over (doc_id, text) structs —
+    * deterministic regardless of aggregation order.
+    */
+  def packedTexts(docs: DataFrame, budget: Long = 512): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"), col("text"),
+      TF.tokenCount(col("text")).cast("long").as("toks"))
+    val prior = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("bin", floor(coalesce(sum(col("toks")).over(prior), lit(0L)) / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(collect_list(struct(col("doc_id"), col("text"))).as("parts"))
+      .withColumn("packed",
+        concat_ws(" ", transform(array_sort(col("parts")), p => p.getField("text"))))
+      .select(col("source"), col("bin"),
+        size(col("parts")).as("n_docs"),
+        length(col("packed")).as("packed_chars"),
+        md5(col("packed")).as("packed_md5"))
+      .orderBy("source", "bin")
+  }
+
   /** Balanced token-budget sharding: rank documents by token count
     * descending and deal them round-robin into `nShards` shards
     * (`shard = (rank-1) mod n`) — the deterministic LPT-style greedy that

@@ -55,6 +55,36 @@ class CorpusSpec extends SparkSpec with Checkers {
     assert(s1 == Seq((0L, 2L, 7L), (1L, 1L, 4L)))
   }
 
+  test("lmScore ranks in-distribution text above OOV-heavy text") {
+    val train = Seq(
+      (100L, "the cat sat on the mat", "s", 1L),
+      (101L, "the dog sat on the rug", "s", 1L)).toDF("doc_id", "text", "source", "n_chars")
+    val eval = Seq(
+      (0L, "the cat sat", "s", 1L),       // all in-vocabulary
+      (1L, "zyx qwv jkl", "s", 1L))       // all OOV → add-1 floor
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rows = Corpus.lmScore(train, eval)
+      .as[(Long, Double, Long)].collect().map { case (k, v, n) => k -> (v, n) }.toMap
+    assert(rows(0L)._2 == 3 && rows(1L)._2 == 3)
+    assert(rows(0L)._1 > rows(1L)._1, s"in-vocab doc must outscore OOV doc: $rows")
+    // OOV prob is exactly 1/(n+v): n=12 train tokens, v=7 vocab → ln(1/19)
+    assert(math.abs(rows(1L)._1 - BigDecimal(math.log(1.0 / 19)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("packedTexts materializes bins in doc_id order with exact fingerprints") {
+    val packed = Corpus.packedTexts(docs, budget = 5)
+      .as[(String, Long, Int, Int, String)].collect().toSeq
+    // same bin structure as packSequences (s1: bins 0,1; s2: bin 0)
+    assert(packed.map(p => (p._1, p._2, p._3)) ==
+      Seq(("s1", 0L, 2), ("s1", 1L, 1), ("s2", 0L, 2)))
+    // s1 bin 0 = docs 0,1 in id order
+    val expected = "apple banana apple cherry banana banana durian"
+    assert(packed.head._4 == expected.length)
+    assert(packed.head._5 == java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("tokenShard deals round-robin by token rank and balances totals") {
     // token counts: doc0=4, doc1=3, doc2=4, doc3=4, doc4=5
     // rank desc (ties by doc_id): 4(5), 0(4), 2(4), 3(4), 1(3)
