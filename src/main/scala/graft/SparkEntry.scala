@@ -700,6 +700,24 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Corpus.packSequences(documents(s, d), budget = 512)),
 
+    // -- [NS] the training-data pipeline COMPOSED end-to-end, one exact
+    // oracle: normalized exact dedup (keep min doc_id) → quality-score
+    // filter (≥ 0.5) → per-source corpus profile. Each stage is an
+    // already-oracled operator; this declares that they compose without
+    // semantic drift — the shape a real pre-training run executes. --
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = documents(s, d)
+      val kept = docs.join(
+        Dedup.exactNormalized(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      kept
+        .withColumn("p", TF.textProfileCol(col("text")))
+        .where(col("p.quality") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.n_tokens").cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // -- [NS] unigram-LM quality scoring: add-1-smoothed LM trained on the
     // doc_id >= 50 split scores the doc_id < 50 "incoming" docs by mean
     // token log-prob — the perplexity-style pre-training filter. Token-
@@ -2800,6 +2818,28 @@ object SparkEntry {
         |SELECT token, count(*) AS n FROM tok, tot
         |GROUP BY token, n_total HAVING count(*) * 32 > n_total
         |ORDER BY token""".stripMargin,
+
+    // the pipeline twin chains the exact-norm dedup and quality-formula
+    // CTEs (both proven standalone above) and profiles the survivors
+    "q_pipeline_e2e" ->
+      """WITH kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        |q AS (
+        |  SELECT d.doc_id, d.source,
+        |    length(text) AS len,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+        |    len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |        ['the','a','of','and','to','in','is','it','that','for'])) AS stop_hits
+        |  FROM documents d JOIN kept USING (doc_id))
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM q
+        |WHERE floor((0.3 * least(len / 200.0, 1.0)
+        |    + 0.3 * (CASE WHEN len > 0 THEN alpha * 1.0 / len ELSE 0.0 END)
+        |    + 0.2 * (1.0 - least(abs((CASE WHEN n_tok > 0 THEN len * 1.0 / n_tok ELSE 0.0 END) - 5.0) / 10.0, 1.0))
+        |    + 0.2 * least(stop_hits / 3.0, 1.0)) * 10000 + 0.5) / 10000 >= 0.5
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the LM twin recomputes counts, smoothing, and the 6-dp-rounded
     // decimal-summed mean log-prob from first principles
