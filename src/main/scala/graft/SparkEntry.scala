@@ -1629,6 +1629,34 @@ object SparkEntry {
       s.table("q_stream_enrich_mem").orderBy("n_name")
     }),
 
+    // -- [NS] the streaming pipeline COMPOSED: watermarked exact dedup →
+    // stream-static broadcast enrichment → keyed aggregation, chained
+    // stateful operators in ONE streaming query over the DOUBLED input
+    // (reuses q_stream_dedup's fixture). The final table must hash-match
+    // the batch chain on the original table — streaming composition is
+    // oracle-gated just like the batch q_pipeline_e2e. --
+    "q_stream_pipeline" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"dedup2x:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_streamdedup")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events2x"
+        val ev = events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ev.union(ev).write.mode("overwrite").parquet(out)
+        out
+      })
+      val deduped = graft.streaming.EventStreams.dedupedEvents(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      val enriched = deduped
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("user_id") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.EventStreams.runToMemory(enriched, "q_stream_pipeline_mem", "complete",
+        statePartitions = Some(8))
+      s.table("q_stream_pipeline_mem").orderBy("n_name")
+    }),
+
     // -- [REF R1/R4] the reference's /UserId partition routing end-to-end:
     // ingest a slice user-partitioned on disk, then point-read ONE user —
     // the filter must prune to a single partition directory
@@ -2249,6 +2277,13 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the composed stream (dedup → enrich → agg over the DOUBLED input)
+    // equals the batch chain on the original table
+    "q_stream_pipeline" ->
+      """SELECT n_name, count(DISTINCT event_id) AS n
+        |FROM events JOIN nation ON user_id = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the streamed enrichment join's final table equals the batch join
     "q_stream_enrich" ->
