@@ -700,6 +700,26 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.Corpus.packSequences(documents(s, d), budget = 512)),
 
+    // -- [NS] data-quality gate: five declarative expectations over
+    // lineitem in ONE aggregate pass (sum(when(!p,1)) counters + stack to
+    // long form — no shuffle beyond the 1-row combine) plus the
+    // referential-integrity orphan check as a broadcast anti join. The
+    // publish gate a production pipeline runs; one rule (quantity ≤ 49) is
+    // deliberately violated so the gate provably counts, not just passes. --
+    "q_data_audit" -> ((s, d) => {
+      import graft.operators.DataQuality._
+      val li = Tables.lineitem(s, d)
+      audit(li, Seq(
+        Rule("key_not_null", col("l_orderkey").isNotNull),
+        Rule("linenumber_positive", col("l_linenumber") >= 1),
+        Rule("price_positive", col("l_extendedprice") > 0),
+        Rule("discount_in_range", col("l_discount").between(0, 1)),
+        Rule("quantity_le_49", col("l_quantity") <= 49)))
+        .unionByName(refIntegrity(li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "orders_ref_integrity"))
+        .orderBy("rule")
+    }),
+
     // -- [NS] the training-data pipeline COMPOSED end-to-end, one exact
     // oracle: normalized exact dedup (keep min doc_id) → quality-score
     // filter (≥ 0.5) → per-source corpus profile. Each stage is an
@@ -2853,6 +2873,26 @@ object SparkEntry {
         |SELECT token, count(*) AS n FROM tok, tot
         |GROUP BY token, n_total HAVING count(*) * 32 > n_total
         |ORDER BY token""".stripMargin,
+
+    // each expectation recomputed as a direct violation count
+    "q_data_audit" ->
+      """WITH v AS (
+        |  SELECT 'discount_in_range' AS rule,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1, false) THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL SELECT 'key_not_null',
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'linenumber_positive',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_linenumber >= 1, false) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'orders_ref_integrity',
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'price_positive',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'quantity_le_49',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 49, false) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+        |SELECT rule, violations, violations = 0 AS ok
+        |FROM v ORDER BY rule""".stripMargin,
 
     // the pipeline twin chains the exact-norm dedup and quality-formula
     // CTEs (both proven standalone above) and profiles the survivors
