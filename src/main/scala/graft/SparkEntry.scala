@@ -1237,6 +1237,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // -- [NS] TPC-H Q6 (forecast revenue change): the pure scan-bandwidth
+    // headline — every predicate pushes to the parquet scan (date range,
+    // discount band, quantity cap), the read schema is 4 columns, and the
+    // whole query is one map-side partial sum into a 1-row combine. At
+    // 100 TB this query IS the IO subsystem. --
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
     // -- [NS] TPC-H Q5 (local-supplier volume): the 6-table join. The two
     // genuinely big sides (lineitem, orders) meet in ONE shuffle on
     // orderkey; customer/supplier/nation/region are all dim-sized and
@@ -2482,6 +2498,16 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
