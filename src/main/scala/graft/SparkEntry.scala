@@ -1665,6 +1665,31 @@ object SparkEntry {
       s.table("q_stream_enrich_mem").orderBy("n_name")
     }),
 
+    // -- [NS] STREAMING data-quality gate: the audit counters run as a
+    // streaming global aggregate (complete mode — violation counts are
+    // exactly the bounded state a quality monitor keeps), then the wide
+    // 1-row result stacks to long form batch-side. Expectations over the
+    // live events stream; one rule (value ≤ 195) deliberately trips. --
+    "q_stream_audit" -> ((s, d) => {
+      val ev = graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet")
+      def viol(p: org.apache.spark.sql.Column) =
+        sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L))
+      val wide = ev.agg(
+        viol(col("event_id").isNotNull).as("id_not_null"),
+        viol(col("user_id").between(0, 24)).as("user_in_dim_range"),
+        viol(col("value") >= 0).as("value_nonneg"),
+        viol(col("value") <= 195).as("value_le_195"))
+      graft.streaming.EventStreams.runToMemory(wide, "q_stream_audit_mem", "complete",
+        statePartitions = Some(8))
+      s.table("q_stream_audit_mem")
+        .selectExpr("stack(4, 'id_not_null', `id_not_null`, " +
+          "'user_in_dim_range', `user_in_dim_range`, " +
+          "'value_nonneg', `value_nonneg`, " +
+          "'value_le_195', `value_le_195`) as (rule, violations)")
+        .select(col("rule"), col("violations"), (col("violations") === 0).as("ok"))
+        .orderBy("rule")
+    }),
+
     // -- [NS] the streaming pipeline COMPOSED: watermarked exact dedup →
     // stream-static broadcast enrichment → keyed aggregation, chained
     // stateful operators in ONE streaming query over the DOUBLED input
@@ -2313,6 +2338,21 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streamed audit's final counters equal the batch recount
+    "q_stream_audit" ->
+      """WITH v AS (
+        |  SELECT 'id_not_null' AS rule,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM events
+        |  UNION ALL SELECT 'user_in_dim_range',
+        |    CAST(sum(CASE WHEN NOT coalesce(user_id BETWEEN 0 AND 24, false) THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |  UNION ALL SELECT 'value_le_195',
+        |    CAST(sum(CASE WHEN NOT coalesce(value <= 195, false) THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |  UNION ALL SELECT 'value_nonneg',
+        |    CAST(sum(CASE WHEN NOT coalesce(value >= 0, false) THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+        |SELECT rule, violations, violations = 0 AS ok
+        |FROM v ORDER BY rule""".stripMargin,
 
     // the composed stream (dedup → enrich → agg over the DOUBLED input)
     // equals the batch chain on the original table
