@@ -762,6 +762,13 @@ object SparkEntry {
     "q_token_shard" -> ((s, d) =>
       graft.operators.Corpus.tokenShard(documents(s, d), nShards = 8)),
 
+    // -- [NS] the same sharding via the lake-scale rank (range partition +
+    // local counters + offset table — no single-partition window over the
+    // data). Total order is identical, so it shares the window form's
+    // oracle VERBATIM: the scale path is gated on exact equality. --
+    "q_token_shard_ranged" -> ((s, d) =>
+      graft.operators.Corpus.tokenShardRanged(documents(s, d), nShards = 8)),
+
     // -- [NS] heavy hitters: Misra-Gries sketch (typed Aggregator, ≤ 64
     // counters per partial) finds candidates in one pass, an exact recount
     // of the ≤ 64 candidates makes the output deterministic — no
@@ -3017,6 +3024,19 @@ object SparkEntry {
         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_token_shard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT toks, row_number() OVER (ORDER BY toks DESC, doc_id) AS rn
+        |  FROM toks)
+        |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
+        |  sum(toks) AS n_tokens
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ranged form must produce the identical sharding — same oracle
+    "q_token_shard_ranged" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks

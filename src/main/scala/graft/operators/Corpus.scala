@@ -151,6 +151,45 @@ object Corpus {
       .orderBy(col("shard"))
   }
 
+  /** [[tokenShard]]'s lake-scale form: the same global rank WITHOUT a
+    * single-partition window. The (doc_id, tokens) projection is
+    * range-partitioned on the rank order (Spark's range partitioner
+    * samples boundaries deterministically per partition), ranked locally
+    * per partition (one mapPartitions counter over the sorted stream), and
+    * globalized by adding each partition's cumulative predecessor count —
+    * a 32-row offset table, broadcast back. Equality with [[tokenShard]]
+    * is exact (the composite (toks desc, doc_id) order is total), which is
+    * why the declared query shares the window form's oracle verbatim. The
+    * only single-partition step left is the window over the `parts`-row
+    * offset table — O(partitions), not O(docs).
+    */
+  def tokenShardRanged(docs: DataFrame, nShards: Int = 8, parts: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("toks"))
+    val ranged = toks
+      .repartitionByRange(parts, col("toks").desc, col("doc_id"))
+      .sortWithinPartitions(col("toks").desc, col("doc_id"))
+      .select(col("doc_id"), col("toks"), spark_partition_id().as("pid"))
+    val local = ranged.as[(Long, Long, Int)].mapPartitions { it =>
+      var i = 0L
+      it.map { case (id, t, pid) => i += 1; (id, t, pid, i) }
+    }.toDF("doc_id", "toks", "pid", "local_rk")
+    val byPid = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(byPid), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local
+      .join(broadcast(offsets), "pid")
+      .withColumn("shard",
+        ((col("local_rk") + col("offset") - 1) % nShards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** Train/eval decontamination audit: for each eval document, how many of
     * its distinct word n-grams appear anywhere in the train corpus. The
     * standard pre-release check that benchmark text leaked into training

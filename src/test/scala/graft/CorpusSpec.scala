@@ -97,6 +97,18 @@ class CorpusSpec extends SparkSpec with Checkers {
     assert(out.map(_._3).max - out.map(_._3).min <= 5L)
   }
 
+  test("tokenShardRanged equals the window form exactly") {
+    // enough rows to spread over several range partitions, with token ties
+    val many = (0L until 500L).map(i =>
+      (i, Seq.fill((i % 17 + 1).toInt)("w").mkString(" "), s"s${i % 3}", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val windowForm = Corpus.tokenShard(many, nShards = 8)
+      .as[(Int, Long, Long)].collect().toSeq
+    val rangedForm = Corpus.tokenShardRanged(many, nShards = 8, parts = 7)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rangedForm == windowForm)
+  }
+
   test("contamination flags eval docs sharing an n-gram with train, and only those") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon", "s", 1L),
