@@ -83,7 +83,9 @@ object Corpus {
     */
   def lmScore(train: DataFrame, eval: DataFrame): DataFrame = {
     val trainToks = train.select(explode(TF.tokens(lower(col("text")))).as("t"))
-    val lm = trainToks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // the LM feeds both the scoring join and the vocab count — persist so
+    // the tokenize+aggregate runs once (the house reused-intermediate rule)
+    val lm = trainToks.groupBy(col("t")).agg(count(lit(1)).as("c")).persist()
     val totals = trainToks.agg(count(lit(1)).as("n"))
       .crossJoin(lm.agg(count(lit(1)).as("v")))
     val evalToks = eval.select(col("doc_id"),
@@ -172,10 +174,12 @@ object Corpus {
       .repartitionByRange(parts, col("toks").desc, col("doc_id"))
       .sortWithinPartitions(col("toks").desc, col("doc_id"))
       .select(col("doc_id"), col("toks"), spark_partition_id().as("pid"))
+    // consumed by both the offset aggregate and the final join: persist so
+    // the range shuffle + sort + rank pass runs once
     val local = ranged.as[(Long, Long, Int)].mapPartitions { it =>
       var i = 0L
       it.map { case (id, t, pid) => i += 1; (id, t, pid, i) }
-    }.toDF("doc_id", "toks", "pid", "local_rk")
+    }.toDF("doc_id", "toks", "pid", "local_rk").persist()
     val byPid = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
