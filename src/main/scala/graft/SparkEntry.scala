@@ -1672,6 +1672,25 @@ object SparkEntry {
       s.table("q_stream_enrich_mem").orderBy("n_name")
     }),
 
+    // -- [NS] streaming dedup against HISTORY: the incoming stream
+    // anti-joins a static set of already-ingested keys (event_id < 5000 =
+    // "yesterday's corpus") — the shape an incremental ingest actually
+    // runs, complementing within-stream dedup (q_stream_dedup). The static
+    // key set broadcasts; the join is stateless; only the downstream
+    // per-type count carries state. --
+    "q_stream_dedup_hist" -> ((s, d) => {
+      val history = events(s, d).where(col("event_id") < 5000)
+        .select(col("event_id"))
+      val incoming = graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet")
+      val fresh = incoming
+        .join(broadcast(history), Seq("event_id"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.EventStreams.runToMemory(fresh, "q_stream_dedup_hist_mem", "complete",
+        statePartitions = Some(8))
+      s.table("q_stream_dedup_hist_mem").orderBy("event_type")
+    }),
+
     // -- [NS] STREAMING data-quality gate: the audit counters run as a
     // streaming global aggregate (complete mode — violation counts are
     // exactly the bounded state a quality monitor keeps), then the wide
@@ -2345,6 +2364,13 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the anti-joined stream equals the batch filter: only events outside
+    // the historical key set survive
+    "q_stream_dedup_hist" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_id >= 5000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the streamed audit's final counters equal the batch recount
     "q_stream_audit" ->
