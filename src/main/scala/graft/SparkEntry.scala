@@ -1244,6 +1244,31 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // -- [NS] TPC-H Q10 (returned-item reporting): lineitem filtered to
+    // returns joins the quarter's orders, grouped per customer with the
+    // nation dim riding broadcast — top-20 by lost revenue as a
+    // TakeOrderedAndProject. The classic "who to call" operational query. --
+    "q_tpch_q10" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < tsLit("1996-04-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // -- [NS] TPC-H Q6 (forecast revenue change): the pure scan-bandwidth
     // headline — every predicate pushes to the parquet scan (date range,
     // discount band, quantity cap), the read schema is 4 columns, and the
@@ -2571,6 +2596,19 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_tpch_q6" ->
       """SELECT
