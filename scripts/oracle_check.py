@@ -46,9 +46,21 @@ for name, sql in sorted(oracle.items()):
     try:
         d = con.execute(sql)
         d_cols = [d2[0] for d2 in d.description]
+        d_types = [str(d2[1]) for d2 in d.description]
         d_rows = d.fetchall()
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}")
+        fails += 1
+        continue
+    # the driver's compare coerces DuckDB results through pandas, where an
+    # int128 (HUGEINT, e.g. an uncast sum(BIGINT)) becomes float and its
+    # stringified form ("3444.0") no longer matches Spark's int ("3444").
+    # This local fetchall() path keeps python ints and would pass — so flag
+    # the type itself, hard, before it flakes only in the driver's run.
+    huge = [c for c, t in zip(d_cols, d_types) if "HUGEINT" in t.upper()]
+    if huge:
+        print(f"LINT     {name}: oracle returns HUGEINT column(s) {huge} — "
+              f"CAST the sum to BIGINT in the oracle SQL")
         fails += 1
         continue
     if sorted(s_cols) != sorted(d_cols):

@@ -3096,7 +3096,7 @@ object SparkEntry {
         |  SELECT toks, row_number() OVER (ORDER BY toks DESC, doc_id) AS rn
         |  FROM toks)
         |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
-        |  sum(toks) AS n_tokens
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the ranged form must produce the identical sharding — same oracle
@@ -3109,7 +3109,7 @@ object SparkEntry {
         |  SELECT toks, row_number() OVER (ORDER BY toks DESC, doc_id) AS rn
         |  FROM toks)
         |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
-        |  sum(toks) AS n_tokens
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pack_sequences" ->
