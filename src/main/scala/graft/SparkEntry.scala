@@ -145,6 +145,46 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // -- [REF §3.2] XML connector round-trip: the reference's ingest edge IS
+    // XML (`LogChange.loadXmlFile`, `LogChange.cs:99-175`) — documents
+    // arrive as XML and get serialized to strings before chunking. Spark 4
+    // ships XML natively; write the supplier dim out as <row> elements
+    // (once per JVM), re-read with an explicit schema, and the round-trip
+    // must be the identity — element escaping and numeric parsing on the
+    // hook. Scale shape: the read is a distributed file scan like any other
+    // connector; XML stays an ingest edge, Parquet the working format. --
+    "q_source_xml" -> ((s, d) => {
+      val schema = Tables.supplier(s, d).schema
+      val dir = scratchDirs.getOrElseUpdate(s"xml:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_xml")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/supplier_xml"
+        graft.sources.Sources.write(Tables.supplier(s, d), out, "xml")
+        out
+      })
+      graft.sources.Sources.read(s, dir, "xml", Some(schema))
+        .orderBy("s_suppkey")
+    }),
+
+    // -- [REF §3.2] in-engine XML serialize→parse round-trip — the
+    // `loadXmlFile` serialization step as column expressions: each document
+    // row becomes one XML string (`to_xml`), is parsed back (`from_xml`),
+    // and the extracted fields must equal the source table. Entity escaping
+    // of arbitrary text (&, <, >) is exactly what this gates. Both
+    // directions are codegen'd expressions — no files, no UDFs, fully
+    // distributed. --
+    "q_xml_roundtrip" -> ((s, d) => {
+      val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, source STRING, text STRING")
+      documents(s, d)
+        .select(to_xml(struct(col("doc_id"), col("lang"), col("source"),
+          col("text"))).as("xml"))
+        .select(from_xml(col("xml"), xmlSchema).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.source").as("source"), col("r.text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // -- [NS] text connector round-trip: line-oriented raw text, the format
     // web-scale corpora actually arrive in (one record per line, no schema,
     // no types). Write funnels a single string column to .txt part files;
@@ -522,6 +562,38 @@ object SparkEntry {
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").as("k"))
         .orderBy("event_id")),
+
+    // -- [NS] VARIANT semi-structured surface (Spark 4): parse the props
+    // JSON once into the binary VARIANT encoding and path-extract typed
+    // fields from it — the schema-on-read shape for logs whose payload
+    // drifts. Unlike from_json, VARIANT needs no up-front struct schema;
+    // unlike get_json_object, extraction reads the pre-parsed binary form,
+    // not the string. try_variant_get returns null (never throws) on a
+    // path/type miss — the posture a 100 TB ingest of drifting payloads
+    // needs. --
+    "q_variant_get" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "string").as("absent"))
+        .orderBy("event_id")),
+
+    // -- [NS] correlated scalar subqueries (TPC-H Q2/Q17 shape): parts
+    // strictly larger than their type's average size. Catalyst de-correlates
+    // the agg subquery into a grouped aggregate + join — asserted in the
+    // spec; no per-row re-execution anywhere. Stated in multiplication form
+    // (size·count > sum) so both engines compare exact integers, not
+    // engine-rounded decimal averages. --
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_sq")
+      s.sql("""SELECT p_partkey, p_type, p_size FROM part_sq p
+              |WHERE CAST(p_size AS BIGINT) *
+              |      (SELECT count(*) FROM part_sq p2 WHERE p2.p_type = p.p_type)
+              |    > (SELECT sum(CAST(p_size AS BIGINT)) FROM part_sq p2
+              |       WHERE p2.p_type = p.p_type)
+              |ORDER BY p_partkey""".stripMargin)
+    }),
 
     // -- [NS] LLM-pipeline: dedup, similarity, text analysis --
     "q_dedup_exact" -> ((s, d) =>
@@ -1999,6 +2071,13 @@ object SparkEntry {
     "q_source_orc" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
+    // XML round-trips are the identity on their source tables
+    "q_source_xml" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "q_xml_roundtrip" ->
+      "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
+
     // text (line-oriented) round-trip is the identity on the source column
     "q_source_text" ->
       "SELECT n_name FROM nation ORDER BY n_name",
@@ -2222,6 +2301,19 @@ object SparkEntry {
 
     "q_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+
+    "q_variant_get" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(NULL AS VARCHAR) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_type, p_size FROM part p
+        |WHERE CAST(p_size AS BIGINT) *
+        |      (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+        |    > (SELECT CAST(sum(p_size) AS BIGINT) FROM part p2
+        |       WHERE p2.p_type = p.p_type)
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents

@@ -20,6 +20,9 @@ object Sources {
     val withSchema = schema.fold(r)(r.schema)
     format match {
       case "csv" => withSchema.option("header", "true").load(path)
+      // XML is first-class in Spark 4 (the old spark-xml package moved into
+      // spark-sql); rowTag names the repeated element that becomes a row
+      case "xml" => withSchema.option("rowTag", "row").load(path)
       case _     => withSchema.load(path)
     }
   }
@@ -30,6 +33,7 @@ object Sources {
     val withPart = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     format match {
       case "csv" => withPart.option("header", "true").save(path)
+      case "xml" => withPart.option("rowTag", "row").save(path)
       case _     => withPart.save(path)
     }
   }
