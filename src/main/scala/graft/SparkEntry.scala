@@ -1357,6 +1357,71 @@ object SparkEntry {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // -- [NS] TPC-H Q14 (promo revenue): conditional aggregation over a
+    // broadcast fact⋈dim join, one shipdate month. Both legs of the ratio
+    // are decimal-exact sums; the percentage divides the two exact doubles
+    // (IEEE-deterministic) and rounds to 4 — the fact table never shuffles,
+    // part broadcasts, the date range prunes row groups at the scan. --
+    "q_tpch_q14" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= tsLit("1996-03-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
+            .cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .withColumn("promo_pct",
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+    }),
+
+    // -- [NS] TPC-H Q18 (large-volume customers): the big-aggregate-feeds-
+    // big-join shape. sum(l_quantity) per order is ONE hash aggregate with
+    // map-side partials; the >250 HAVING filter drops ~99% of orders BEFORE
+    // any join, so the surviving keys join orders (shuffle on orderkey) and
+    // broadcast-join customer. Top-k is TakeOrderedAndProject, never a full
+    // sort. --
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 250.0)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // -- [NS] TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    // OR-of-conjunctions join. The equi-key (l_partkey = p_partkey) still
+    // drives a broadcast HASH join — the three brand/size/quantity
+    // conjunctions evaluate as a residual filter on matches, not a nested
+    // loop; per-side prunable conjuncts (quantity band, size band) are
+    // pushed below the join by Catalyst. --
+    "q_tpch_q19" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val clause = (col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("p_size").between(5, 20) && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#15" &&
+          col("p_size").between(20, 35) && col("l_quantity").between(25, 40))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey") && clause)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // -- [NS] TPC-H Q5 (local-supplier volume): the 6-table join. The two
     // genuinely big sides (lineitem, orders) meet in ONE shuffle on
     // orderkey; customer/supplier/nation/region are all dim-sized and
@@ -2711,6 +2776,39 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |  round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+        |FROM (SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue FROM j)""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 25 AND 40)""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
