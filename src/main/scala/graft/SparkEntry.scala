@@ -841,6 +841,22 @@ object SparkEntry {
     "q_token_shard_ranged" -> ((s, d) =>
       graft.operators.Corpus.tokenShardRanged(documents(s, d), nShards = 8)),
 
+    // -- [NS] tokenizer-vocab coverage: top-256 train vocabulary (count
+    // desc, term asc — a total-ordered cut), per-source eval OOV rate. The
+    // vocab is TakeOrderedAndProject-sized and broadcast; the eval token
+    // stream never shuffles for the probe. --
+    "q_vocab_coverage" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Corpus.vocabCoverage(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), v = 256)
+    }),
+
+    // -- [NS] length-curriculum tiers: equal-count ntile buckets over the
+    // (toks, doc_id) total order; per-tier doc count, length envelope, and
+    // token mass — the short-to-long curriculum schedule. --
+    "q_length_curriculum" -> ((s, d) =>
+      graft.operators.Corpus.lengthCurriculum(documents(s, d), n = 4)),
+
     // -- [NS] heavy hitters: Misra-Gries sketch (typed Aggregator, ≤ 64
     // counters per partial) finds candidates in one pass, an exact recount
     // of the ≤ 64 candidates makes the output deterministic — no
@@ -3301,6 +3317,35 @@ object SparkEntry {
         |SELECT CAST((rn - 1) % 8 AS INT) AS shard, count(*) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // vocab cut is total-ordered (count desc, term asc) → engine-portable
+    "q_vocab_coverage" ->
+      """WITH train_tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id >= 50),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+        |    FROM train_tok GROUP BY t) WHERE rk <= 256),
+        |eval_tok AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(100.0 * CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS oov_pct
+        |FROM eval_tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_length_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |tiered AS (
+        |  SELECT toks, ntile(4) OVER (ORDER BY toks, doc_id) AS bucket FROM toks)
+        |SELECT bucket, count(*) AS n_docs, min(toks) AS min_toks,
+        |  max(toks) AS max_toks, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM tiered GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH toks AS (

@@ -320,6 +320,64 @@ object Corpus {
     * top-k (`TakeOrderedAndProject`), never a global sort: each partition
     * keeps its n smallest keys and the driver merges n·partitions rows.
     */
+  /** Tokenizer-vocabulary coverage audit: build the top-`v` train-corpus
+    * vocabulary by frequency (ties broken by term so the cut is total-
+    * ordered and engine-portable) and measure, per eval source, how many
+    * token OCCURRENCES fall outside it — the OOV rate a fixed-vocab
+    * tokenizer would hit on that slice. High OOV concentrations flag
+    * domains the tokenizer will fragment into bytes.
+    *
+    * Scale shape: the vocab is a top-k over the term-frequency table
+    * (vocab-sized, not corpus-sized) — `TakeOrderedAndProject`, no full
+    * sort — and joins back to the eval token stream as a BROADCAST
+    * left-semi probe keyed on the term: the eval corpus never shuffles;
+    * the per-source rollup is one map-side-combined hash aggregate.
+    */
+  def vocabCoverage(train: DataFrame, eval: DataFrame, v: Int = 256): DataFrame = {
+    val vocab = train
+      .select(explode(TF.tokens(lower(col("text")))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(v)
+      .select(col("t"))
+    val evalToks = eval.select(col("source"),
+      explode(TF.tokens(lower(col("text")))).as("t"))
+    evalToks
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_pct",
+        round(lit(100.0) * col("n_oov") / col("n_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** Length-curriculum buckets: split the corpus into `n` equal-count
+    * tiers by token length (ntile over the total order (toks, doc_id)) and
+    * report each tier's document count and token-length envelope — the
+    * short-to-long schedule curriculum training samples from.
+    *
+    * Scale shape: the ntile runs over a two-column (doc_id, toks)
+    * projection — same narrow-sort envelope as [[tokenShard]], fine to
+    * ~10⁹ docs; past that the rank comes from [[tokenShardRanged]]'s
+    * range-partition + offset-table form and the bucket is
+    * `(rank-1)*n/total`. The text column never sorts.
+    */
+  def lengthCurriculum(docs: DataFrame, n: Int = 4): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("toks"))
+    val byLen = Window.orderBy(col("toks"), col("doc_id"))
+    toks
+      .withColumn("bucket", ntile(n).over(byLen))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("toks")).as("min_toks"),
+        max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("n_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   def shuffledSample(docs: DataFrame, salt: String, n: Int = 100): DataFrame =
     docs
       .withColumn("shuffle_key", md5(concat(col("doc_id").cast("string"), lit(salt))))

@@ -109,6 +109,50 @@ class CorpusSpec extends SparkSpec with Checkers {
     assert(rangedForm == windowForm)
   }
 
+  test("vocabCoverage: OOV occurrences are exactly the out-of-vocab tokens") {
+    // train = docs 0-2 (tokens: apple banana cherry durian); top-3 vocab by
+    // (count desc, term asc): cherry(4), apple(3), banana(3) — durian cut.
+    val train = docs.where(col("doc_id") <= 2)
+    val eval_  = Seq(
+      (10L, "apple durian durian kumquat", "s1", 27L),
+      (11L, "banana cherry", "s2", 13L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.vocabCoverage(train, eval_, v = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // s1: 4 tokens, OOV = durian×2 + kumquat = 3 → 75%; s2: 2 tokens, 0 OOV
+    assert(out == Seq(("s1", 4L, 3L, 75.0), ("s2", 2L, 0L, 0.0)))
+  }
+
+  test("vocabCoverage vocab cut is deterministic under frequency ties") {
+    // all terms tie at count 1 → the v-cut must take the lexicographically
+    // first v terms, every run
+    val train = Seq((0L, "delta alpha echo bravo charlie", "s", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val eval_ = Seq((1L, "alpha bravo charlie delta echo", "s", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.vocabCoverage(train, eval_, v = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // vocab = {alpha, bravo, charlie}; OOV = {delta, echo} = 2 of 5
+    assert(out == Seq(("s", 5L, 2L, 40.0)))
+  }
+
+  test("lengthCurriculum tiers are equal-count and length-monotone") {
+    val many = (0L until 100L).map(i =>
+      (i, Seq.fill((i % 23 + 1).toInt)("w").mkString(" "), s"s${i % 3}", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.lengthCurriculum(many, n = 4)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 2, 3, 4))
+    assert(out.map(_._2).sum == 100L)
+    assert(out.map(_._2).max - out.map(_._2).min <= 1, "ntile equal-count")
+    // each tier's max length ≤ next tier's min length (monotone schedule)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._3, s"tier ${a._1} max ${a._4} > tier ${b._1} min ${b._3}")
+    }
+    assert(out.map(_._5).sum == many.select(sum(size(split(col("text"), " "))))
+      .as[Long].head())
+  }
+
   test("contamination flags eval docs sharing an n-gram with train, and only those") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon", "s", 1L),
