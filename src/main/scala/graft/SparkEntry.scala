@@ -1922,6 +1922,38 @@ object SparkEntry {
       s.table("q_stream_pipeline_mem").orderBy("n_name")
     }),
 
+    // -- [NS] REAL streaming foreachBatch MERGE sink: the events stream
+    // arrives in 4 micro-batches (maxFilesPerTrigger=1 over a 4-file input)
+    // and each batch UPSERTS per-user totals into a versioned parquet
+    // target — replay-idempotent (a re-run batch overwrites its own
+    // version). The final committed state must hash-match the batch
+    // group-by over the whole table. Input files are scratch-cached once;
+    // the streamed upsert itself re-runs per invocation into a fresh
+    // target, so the bench times the sink, not a cache. --
+    "q_stream_upsert" -> ((s, d) => {
+      val in = scratchDirs.getOrElseUpdate(s"upsert_in:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_in")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events4x"
+        events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .repartition(4)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+      val target = java.nio.file.Files.createTempDirectory("graft_upsert_tgt")
+      deleteRecursivelyOnExit(target)
+      val stream = s.readStream
+        .schema(graft.streaming.EventStreams.eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      graft.streaming.EventStreams.upsertUserTotals(
+        stream, target.toFile.getAbsolutePath)
+      graft.streaming.EventStreams
+        .latestUpsertState(s, target.toFile.getAbsolutePath)
+        .orderBy("user_id")
+    }),
+
     // -- [REF R1/R4] the reference's /UserId partition routing end-to-end:
     // ingest a slice user-partitioned on disk, then point-read ONE user —
     // the filter must prune to a single partition directory
@@ -2591,6 +2623,12 @@ object SparkEntry {
       """SELECT n_name, count(DISTINCT event_id) AS n
         |FROM events JOIN nation ON user_id = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streamed upsert's final committed version equals the batch rollup
+    "q_stream_upsert" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the streamed enrichment join's final table equals the batch join
     "q_stream_enrich" ->

@@ -224,6 +224,64 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming→table upsert through `foreachBatch` — the idempotent MERGE
+    * sink pattern: each micro-batch aggregates its own rows (cents-exact),
+    * merges them into the previous target version by key, and writes the
+    * result as a NEW immutable version directory named by `batchId`
+    * (`v0, v1, …`). A replayed batch after failure overwrites ITS OWN
+    * version — same inputs, same prior version, same output — which is
+    * exactly-once effect on top of the source's at-least-once replay,
+    * the property a real lakehouse MERGE sink (Delta/Iceberg commit) gives
+    * and plain parquet append does not.
+    *
+    * Scale shape: the per-batch merge is one keyed hash aggregate over
+    * (previous state ∪ batch aggregate) — both sides key-partitioned, no
+    * driver-side state; versions are O(distinct keys), not O(events).
+    */
+  def upsertUserTotals(stream: DataFrame, targetRoot: String): Unit = {
+    val q = stream
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .writeStream
+      .option("checkpointLocation", s"$targetRoot/_chk")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val agg = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val merged = latestVersion(targetRoot, below = batchId) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).unionByName(agg)
+              .groupBy(col("user_id"))
+              .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+          case None => agg
+        }
+        merged.write.mode("overwrite").parquet(s"$targetRoot/v$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The upsert target's current state: the highest committed version. */
+  def latestUpsertState(spark: SparkSession, targetRoot: String): DataFrame = {
+    val path = latestVersion(targetRoot, below = Long.MaxValue)
+      .getOrElse(sys.error(s"no committed version under $targetRoot"))
+    spark.read.parquet(path)
+      .select(col("user_id"), col("n"),
+        (col("cents") / 100.0).as("total"))
+  }
+
+  private def latestVersion(root: String, below: Long): Option[String] = {
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    dirs.filter(_.isDirectory).map(_.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+        s.drop(1).toLong }
+      .filter(_ < below)
+      .sorted(Ordering[Long].reverse)
+      .headOption
+      .map(v => s"$root/v$v")
+  }
+
   /** Run any of the above to completion against a static directory via the
     * memory sink — the synchronous harness pattern for tests.
     *

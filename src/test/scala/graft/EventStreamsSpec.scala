@@ -37,6 +37,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("foreachBatch upsert: multi-batch merge equals batch rollup; replay-idempotent") {
+    // 4-file input → 4 micro-batches under maxFilesPerTrigger=1
+    val in = java.nio.file.Files.createTempDirectory("upsert-in").toString
+    Tables.events(spark, Sf0001).drop("ts_ns")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    def stream = spark.readStream.schema(EventStreams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val target = java.nio.file.Files.createTempDirectory("upsert-tgt").toString
+
+    EventStreams.upsertUserTotals(stream, target)
+    val versions = new java.io.File(target).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+    assert(versions.toSeq == Seq("v0", "v1", "v2", "v3"),
+      s"expected 4 committed versions, got ${versions.toSeq}")
+
+    val got = EventStreams.latestUpsertState(spark, target)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum((col("value").cast("decimal(18,2)") * 100).cast("long")) / 100.0).as("total"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == want, "final upsert state must equal the batch rollup")
+
+    // replay the WHOLE stream with a fresh checkpoint into the same target:
+    // every batch re-commits over its own version — final state unchanged
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$target/_chk"))
+    EventStreams.upsertUserTotals(stream, target)
+    val replayed = EventStreams.latestUpsertState(spark, target)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(replayed == want, "replayed stream must not double-count")
+  }
+
   test("stream-static enrichment join matches the batch join, stateless join") {
     val dim = Tables.nation(spark, Sf0001)
     val stream = EventStreams.readEvents(spark, eventsDir)
