@@ -238,7 +238,20 @@ object EventStreams {
     * (previous state ∪ batch aggregate) — both sides key-partitioned, no
     * driver-side state; versions are O(distinct keys), not O(events).
     */
-  def upsertUserTotals(stream: DataFrame, targetRoot: String): Unit = {
+  def upsertUserTotals(stream: DataFrame, targetRoot: String,
+                       mergePartitions: Int = 8): Unit = {
+    // same explicit-sizing decision as runToMemory's statePartitions: the
+    // per-batch merge is a keyed aggregate over O(distinct keys) rows, and
+    // each shuffle partition costs a task per micro-batch regardless of
+    // data volume — size to the key cardinality, not the session default
+    val spark = stream.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", mergePartitions)
+    try upsertUserTotalsRun(stream, targetRoot)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def upsertUserTotalsRun(stream: DataFrame, targetRoot: String): Unit = {
     val q = stream
       .select(col("user_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
