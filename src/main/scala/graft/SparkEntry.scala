@@ -458,6 +458,100 @@ object SparkEntry {
             (col("n") - 1), 4).as("var_v"))
         .orderBy("event_type")),
 
+    // -- [NS] QUALIFY-style latest-per-key dedup: the newest event per
+    // (user, type) via row_number over the (ts, event_id) desc total order
+    // — the canonical "current state of every key" read. One shuffle on
+    // the key; WindowGroupLimit stops per-key work at rank 1. --
+    "q_window_qualify" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // -- [NS] bitwise aggregate family: bit_and / bit_or / bit_xor over
+    // exact integers per group — set-membership and parity rollups. --
+    "q_bitwise_agg" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("event_id")).as("bxor"))
+        .orderBy("event_type")),
+
+    // -- [NS] ordered string aggregation (listagg WITHIN GROUP): per-source
+    // doc_id-ordered concatenation, fingerprinted so the output stays
+    // group-sized. The ordered-agg shape the reference's reassembly (R14)
+    // uses, exposed through the standard SQL surface. --
+    "q_listagg" -> ((s, d) =>
+      documents(s, d).groupBy(col("source"))
+        .agg(
+          md5(expr("listagg(text, '|') WITHIN GROUP (ORDER BY doc_id)")).as("agg_md5"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    // -- [NS] time-series gap-fill + forward-fill: per-user daily totals
+    // left-joined onto the full January calendar (sequence → explode, a
+    // broadcast-sized dimension), missing days carried forward with
+    // last(ignoreNulls) over the per-user date order. The window shuffles
+    // once on user_id; the calendar never exceeds days×users rows. The
+    // standard resample-ffill that turns an irregular event log into a
+    // regular panel. --
+    "q_gapfill" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val cal = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-01-30")),
+        expr("interval 1 day"))).as("day"))
+      val users = events(s, d).select(col("user_id")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      users.crossJoin(cal)
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("v"), col("filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // -- [NS] conversion funnel (view → click-after → purchase-after):
+    // stage k is a per-user min-timestamp aggregate joined to stage k-1
+    // with a strictly-after predicate — each stage's table is user-sized
+    // and broadcastable; the event log is scanned once per stage with the
+    // type filter pushed down. --
+    "q_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(broadcast(v), "user_id").where(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id").where(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // -- [NS] cohort retention: users cohorted by first active day; for
+    // each (cohort, day-offset) cell, how many of that cohort were active.
+    // Two keyed aggregates and one join on user_id — the distinct
+    // (user, day) activity set is the only shuffle of event-scale data. --
+    "q_retention" -> ((s, d) => {
+      val act = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      act.join(first, "user_id")
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     "q_sessionize" -> ((s, d) => {
       val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, d)
@@ -2318,6 +2412,56 @@ object SparkEntry {
     // CAST to BIGINT: DuckDB's sum(INTEGER) returns HUGEINT, which a
     // pandas-based fetch renders as a float ("1.0" vs Spark's "1") — the
     // round-1 hash mismatch on this query despite identical values
+    "q_window_qualify" ->
+      """SELECT user_id, event_type, event_id, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT event_type, bit_and(user_id) AS band, bit_or(user_id) AS bor,
+        |  bit_xor(event_id) AS bxor
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT source, md5(string_agg(text, '|' ORDER BY doc_id)) AS agg_md5,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |    INTERVAL 1 DAY)) AS DATE) AS day),
+        |users AS (SELECT DISTINCT user_id FROM events)
+        |SELECT user_id, day, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM users CROSS JOIN cal LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t_click GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+        |  count(*) AS n_active
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_sessionize" ->
       """SELECT user_id, event_id,
         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
