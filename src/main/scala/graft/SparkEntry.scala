@@ -1564,6 +1564,373 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // -- [NS] TPC-H Q2 (min-cost supplier; schema-adapted: the generator
+    // has no partsupp, so the offer book is the distinct (part, supplier)
+    // pairs observed in lineitem, unit cost = min(l_extendedprice /
+    // l_quantity)). The groupwise-min-then-join-back shape survives: both
+    // aggs are map-side-partial hash aggs keyed on partkey (the second
+    // reuses the first's partitioning — no extra shuffle), the join back
+    // is on (partkey, min), and part/supplier/nation/region all broadcast.
+    // IEEE division + exact min selection make the double-equality join
+    // engine-portable: both engines pick bits from the same input set. --
+    "q_tpch_q2" -> ((s, d) => {
+      val offer = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ucost"))
+      val best = offer.groupBy(col("l_partkey").as("b_partkey"))
+        .agg(min(col("ucost")).as("min_cost"))
+      val pt = Tables.part(s, d)
+        .where(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+        .select("p_partkey", "p_size")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val reg = Tables.region(s, d).where(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      offer
+        .join(best, col("l_partkey") === col("b_partkey") &&
+          col("ucost") === col("min_cost"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_size"),
+          round(col("min_cost"), 4).as("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // -- [NS] TPC-H Q4 (order-priority checking; schema-adapted: no
+    // commit/receipt dates, so "late" = a lineitem shipped more than 60
+    // days after the order date). The EXISTS compiles to ONE left-semi
+    // hash join on orderkey with the date comparison as a residual; the
+    // quarter filter on orders is pushed to the scan. No per-order
+    // subquery re-execution survives. --
+    "q_tpch_q4" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < tsLit("1996-07-01 00:00:00"))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // -- [NS] TPC-H Q7 (volume shipping between two nations): lineitem
+    // and orders meet in ONE shuffle on orderkey; customer, supplier, and
+    // both nation legs broadcast. The nation legs are pre-filtered to the
+    // two nations of interest — at 100 TB that shrinks the broadcast
+    // matches before the pair-disjunction residual runs. --
+    "q_tpch_q7" -> ((s, d) => {
+      val twoNations = Seq("NATION_1", "NATION_2")
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1998-01-01 00:00:00"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+      val n1 = Tables.nation(s, d).where(col("n_name").isin(twoNations: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).where(col("n_name").isin(twoNations: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      li.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // -- [NS] TPC-H Q8 (national market share): the 7-table join with a
+    // conditional aggregate. Only li⋈orders shuffles; part (type-filtered),
+    // customer, supplier, both nation legs, and region all broadcast. Both
+    // ratio legs are exact decimal sums out of the SAME partial aggregate;
+    // the division happens once per year-group on identical bits. --
+    "q_tpch_q8" -> ((s, d) => {
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      val pt = Tables.part(s, d).where(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val natCust = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val natSupp = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val reg = Tables.region(s, d).where(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >= tsLit("1996-01-01 00:00:00") &&
+            col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natCust), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natSupp), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0))).as("nat_dec"),
+          sum(vol).as("tot_dec"))
+        .select(col("o_year"),
+          round(col("nat_dec").cast("double") / col("tot_dec").cast("double"), 4)
+            .as("mkt_share"),
+          col("tot_dec").cast("double").as("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // -- [NS] TPC-H Q9 (product-type profit; schema-adapted cost basis:
+    // p_retailprice * l_quantity stands in for the absent partsupp
+    // supplycost). Amount is exact-decimal end to end; grouped by supplier
+    // nation × ship year. Part and supplier/nation broadcast; the fact
+    // table never shuffles before its partial aggregate. --
+    "q_tpch_q9" -> ((s, d) => {
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")
+      val pt = Tables.part(s, d).where(col("p_type") === "PROMO")
+        .select("p_partkey", "p_retailprice")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_shipdate")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // -- [NS] TPC-H Q11 (important stock; schema-adapted: "stock value" =
+    // revenue per part from suppliers in nations 0-2). The
+    // fraction-of-total HAVING is the scalar-aggregate shape: the total is
+    // ONE extra reduce over the already-aggregated per-part table (tiny),
+    // broadcast back as a 1-row cross join. value*1000 > total compares
+    // exact decimals — no float-epsilon dependence. --
+    "q_tpch_q11" -> ((s, d) => {
+      val supp = Tables.supplier(s, d)
+        .where(col("s_nationkey").isin(0, 1, 2)).select("s_suppkey")
+      val perPart = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value_dec") * 1000 > col("total_dec"))
+        .select(col("partkey"), col("value_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("partkey"))
+    }),
+
+    // -- [NS] TPC-H Q12 (ship-mode service levels; schema-adapted: the
+    // generator has no l_shipmode, so the mode is a deterministic function
+    // of l_linenumber). One shuffle join on orderkey; both priority
+    // counters come out of the same partial aggregate. --
+    "q_tpch_q12" -> ((s, d) => {
+      val mode = when(col("l_linenumber") % 3 === 0, "AIR")
+        .when(col("l_linenumber") % 3 === 1, "SHIP").otherwise("TRUCK")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1997-01-01 00:00:00"))
+        .select(col("l_orderkey"), mode.as("ship_mode"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("ship_mode"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_mode")
+    }),
+
+    // -- [NS] TPC-H Q13 (customer order-count distribution): left outer
+    // join with an ON-clause filter (the o_comment stand-in is an
+    // order-priority exclusion), then two stacked aggregations. The
+    // distribution agg runs over a customer-count-sized input — the second
+    // shuffle is tiny by construction. --
+    "q_tpch_q13" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "5-LOW",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // -- [NS] TPC-H Q15 (top supplier): the revenue view + max scalar
+    // subquery. Revenue stays exact decimal through the max comparison, so
+    // the equality join back is bit-safe; the 1-row max broadcasts. --
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+      rev.crossJoin(broadcast(top))
+        .where(col("rev_dec") === col("max_dec"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // -- [NS] TPC-H Q16 (supplier counting; schema-adapted: offer book =
+    // distinct lineitem pairs; the complaint-comment exclusion becomes a
+    // negative-acctbal NOT IN, compiled as a broadcast anti join).
+    // count(DISTINCT) over pre-deduped pairs — the expensive distinct is
+    // map-side combined before its one shuffle. --
+    "q_tpch_q16" -> ((s, d) => {
+      val offer = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pt = Tables.part(s, d)
+        .where(col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45) &&
+          col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complained = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      offer.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // -- [NS] TPC-H Q17 (small-quantity-order revenue): the correlated
+    // per-part avg de-correlated into one grouped aggregate joined back on
+    // partkey. The avg is exact-decimal-sum / count so both engines divide
+    // identical bits. The per-part table is part-cardinality-sized — at
+    // lake scale it hash-joins on the same partkey the aggregate produced,
+    // no extra exchange. --
+    "q_tpch_q17" -> ((s, d) => {
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pa_key"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      val pt = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#3" && col("p_size") < 10)
+        .select("p_partkey")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pa_key"))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // -- [NS] TPC-H Q20 (potential part promotion; schema-adapted:
+    // suppliers who shipped >50 units of any PROMO part in 1996). The
+    // nested-IN chain becomes two stacked semi joins: part filter semi
+    // into the per-(supplier, part) shipped aggregate, the surviving
+    // supplier keys semi into supplier. Nothing bigger than the aggregate
+    // ever shuffles. --
+    "q_tpch_q20" -> ((s, d) => {
+      val promo = Tables.part(s, d).where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1997-01-01 00:00:00"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"))
+        .where(col("qty_dec") > 50)
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d).where(col("s_nationkey") < 13)
+        .join(broadcast(shipped), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    }),
+
+    // -- [NS] TPC-H Q21 (suppliers who kept orders waiting; schema-
+    // adapted: "late" = shipped >90 days after the order date of a
+    // finished order; a waiting supplier is late on a multi-supplier order
+    // where NO other supplier was late). The exists / not-exists pair
+    // de-correlates into per-order distinct counts joined back — one
+    // shuffle on orderkey, no per-row subquery. The annotated join is
+    // persisted because both the per-order profile and the final filter
+    // read it. --
+    "q_tpch_q21" -> ((s, d) => {
+      val ann = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+        .persist()
+      val perOrder = ann.groupBy(col("l_orderkey").as("po_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      ann.where(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_key"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(Tables.supplier(s, d).where(col("s_nationkey") < 5)
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // -- [NS] TPC-H Q22 (global sales opportunity; schema-adapted: country
+    // code = c_nationkey band; every generated customer has at least one
+    // order, so the anti join is "no orders since 2000"). The avg-balance
+    // bar is a 1-row scalar aggregate broadcast as a cross join; the anti
+    // join hashes on custkey. --
+    "q_tpch_q22" -> ((s, d) => {
+      val band = Tables.customer(s, d)
+        .where(col("c_nationkey").isin(5, 10, 15, 20, 24))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val bar = band.where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .where(col("o_orderdate") >= tsLit("2000-01-01 00:00:00"))
+        .select("o_custkey")
+      band.crossJoin(broadcast(bar))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // -- [NS] conditional / null-handling scalar surface --
     "q_conditional_funcs" -> ((s, d) =>
       events(s, d).select(
@@ -3022,6 +3389,196 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH offer AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS ucost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS b_partkey, min(ucost) AS min_cost FROM offer GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_size,
+        |  round(min_cost, 4) AS unit_cost
+        |FROM offer
+        |JOIN best ON l_partkey = b_partkey AND ucost = min_cost
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1, 2))
+        |  GROUP BY 1)
+        |SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM val
+        |WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM val)
+        |ORDER BY part_value DESC, partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT CASE l_linenumber % 3 WHEN 0 THEN 'AIR' WHEN 1 THEN 'SHIP' ELSE 'TRUCK' END AS ship_mode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """WITH offer AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM offer JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS pa_key,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN per_part ON l_partkey = pa_key
+        |WHERE p_brand = 'Brand#3' AND p_size < 10
+        |  AND l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_nationkey < 13
+        |  AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty_dec > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH ann AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey AS po_key, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM ann GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ann
+        |JOIN per_order ON l_orderkey = po_key
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late AND n_supp >= 2 AND n_late = 1 AND s_nationkey < 5
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH band AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (5, 10, 15, 20, 24)),
+        |bar AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM band WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM band, bar
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_conditional_funcs" ->
       """SELECT event_id,
