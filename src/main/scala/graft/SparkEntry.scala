@@ -1931,6 +1931,74 @@ object SparkEntry {
         .orderBy("cntrycode")
     }),
 
+    // -- [NS] behavioral sequence mining: per-user event-type bigram
+    // transition matrix (Markov transitions). The lag window partitions by
+    // user — state stays user-local, users process in parallel — and the
+    // transition table is event-type² sized, so the per-row probability
+    // window runs over a dimension-sized aggregate, not the fact table. --
+    "q_event_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .where(col("prev").isNotNull)
+      seq.groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev"))).cast("double"), 6))
+        .orderBy("prev", "cur")
+    }),
+
+    // -- [NS] grouped z-score anomaly detection: per-type mean/std from
+    // decimal-exact moments (n, Σx, Σx²) so the thresholds are
+    // bit-identical cross-engine; the 5-row stats table broadcasts back
+    // and the outlier filter is a map-side residual on the scan. --
+    "q_zscore_outliers" -> ((s, d) => {
+      val m = events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(28,6)"))
+            .cast("double").as("sxx"))
+      val st = m.select(col("event_type"),
+        (col("sx") / col("n")).as("mu"),
+        sqrt(greatest(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0))).as("sigma"))
+      events(s, d).join(broadcast(st), Seq("event_type"))
+        .where(col("sigma") > 0 && abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("v"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // -- [NS] C4-style boilerplate strip: segments repeated across >= 3
+    // documents removed corpus-wide, survivors reassembled in order
+    // (Corpus.boilerplateStrip). Exact value oracle via the DuckDB twin. --
+    "q_boilerplate_strip" -> ((s, d) =>
+      graft.operators.Corpus.boilerplateStrip(documents(s, d), width = 4, minDf = 3)),
+
+    // -- [NS] Count-Min-Sketch frequency audit: the sketch is built
+    // DISTRIBUTED with a fixed seed (only the kilobyte-sized sketch
+    // reaches the driver — bounded regardless of row count), then each
+    // type's estimate is checked against the CMS guarantee: exact <= est
+    // <= exact + ceil(eps·N). Like the HLL query, the sketch itself has
+    // no DuckDB twin but the error-bound invariant does. --
+    "q_cms_freq" -> ((s, d) => {
+      val ev = events(s, d)
+      val cms = ev.stat.countMinSketch(col("event_type"),
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val est = udf((t: String) => cms.estimateCount(t))
+      val total = ev.agg(count(lit(1)).as("n_total"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(total))
+        .select(col("event_type"), col("n_events"),
+          (est(col("event_type")) >= col("n_events") &&
+            est(col("event_type")) <= col("n_events") +
+              ceil(lit(0.001) * col("n_total")).cast("long")).as("within_eps"))
+        .orderBy("event_type")
+    }),
+
     // -- [NS] conditional / null-handling scalar surface --
     "q_conditional_funcs" -> ((s, d) =>
       events(s, d).select(
@@ -3579,6 +3647,50 @@ object SparkEntry {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, event_type AS cur, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, cur, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY prev, cur""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, sx / n AS mu,
+        |  sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS sigma FROM m)
+        |SELECT event_id, e.event_type, round(value, 4) AS v,
+        |  round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+        |ORDER BY event_id""".stripMargin,
+
+    "q_boilerplate_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i AS seg_idx, array_to_string(tk[(i*4+1):(i*4+4)], ' ') AS seg
+        |  FROM toks, unnest(range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT))) AS u(i)),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS dfreq FROM seg GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(sum(CASE WHEN dfreq < 3 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  CAST(sum(CASE WHEN dfreq >= 3 THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN dfreq < 3 THEN seg END, ' ' ORDER BY seg_idx), '')) AS cleaned_md5
+        |FROM seg s JOIN df USING (seg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cms_freq" ->
+      """SELECT event_type, count(*) AS n_events, true AS within_eps
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_conditional_funcs" ->
       """SELECT event_id,

@@ -384,4 +384,45 @@ object Corpus {
       .select(col("shuffle_key"), col("doc_id"))
       .orderBy(col("shuffle_key"), col("doc_id"))
       .limit(n)
+
+  /** C4-style boilerplate stripping: cut each document into fixed-width
+    * token segments (the generator's texts carry no line breaks, so
+    * `width`-token windows stand in for lines), count each segment's
+    * document frequency across the corpus, remove every occurrence of a
+    * segment that appears in `minDf`+ distinct documents, and reassemble
+    * the survivors in order. This is the "remove lines repeated across
+    * pages" pass a web-scale corpus runs before dedup. Output per doc:
+    * kept/dropped segment counts and the md5 of the cleaned text (rows
+    * stay bounded regardless of document size).
+    *
+    * Scale shape: tokenize → segment explode (map-only) → segment-keyed
+    * document-frequency aggregate (map-side combine) → equi-join back on
+    * the SAME segment key → per-doc ordered reassembly whose collect_list
+    * is bounded by document length, never corpus size. No all-pairs and
+    * no driver state; at 100 TB the frequency table is the corpus's
+    * unique-segment set, and the join back is hash-partitioned on the key
+    * its aggregate already produced.
+    */
+  def boilerplateStrip(docs: DataFrame, width: Int = 4, minDf: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), "\\s+"), t => t =!= "").as("tk"))
+      .where(size(col("tk")) > 0)
+    val seg = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("tk")) / lit(width.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("tk"), i * width + 1, lit(width)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val dfreq = seg.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+    seg.join(dfreq, "seg")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("dfreq") < minDf, 1L).otherwise(0L)).cast("int").as("n_kept"),
+        sum(when(col("dfreq") >= minDf, 1L).otherwise(0L)).cast("int").as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("dfreq") < minDf,
+            struct(col("seg_idx"), col("seg"))))),
+          p => p.getField("seg")), " ")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
 }
