@@ -1999,6 +1999,91 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] full-outer join surface: per-user high-value purchase vs
+    // error profiles, users present on either side. USING-style key
+    // coalescing; both sides are pre-aggregated (user-cardinality-sized)
+    // before the join, so the full-outer shuffle moves aggregates, not
+    // events. --
+    "q_join_full" -> ((s, d) => {
+      val purch = events(s, d)
+        .where(col("event_type") === "purchase" && col("value") > 150)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purch"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("purch_val"))
+      val errs = events(s, d)
+        .where(col("event_type") === "error" && col("value") > 150)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_err"))
+      purch.join(errs, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+          round(coalesce(col("purch_val"), lit(0.0)), 4).as("purch_val"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"))
+        .orderBy("user_id")
+    }),
+
+    // -- [NS] exponential rolling smoother (EWMA, 8-term lag form): the
+    // recursion is unrolled to 8 explicit lag terms with 2^-k weights —
+    // every weight is an exact binary double and both engines sum the
+    // terms in the same written order, so the result is bit-deterministic
+    // with no decimal detour. Per-user window: state stays user-local. --
+    "q_ewma_smooth" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lags = (0 until 8).map { k =>
+        if (k == 0) col("value") else lag(col("value"), k).over(w)
+      }
+      val num = lags.zipWithIndex.map { case (lg, k) =>
+        when(lg.isNotNull, lg * lit(math.pow(0.5, k))).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val den = lags.zipWithIndex.map { case (lg, k) =>
+        when(lg.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("ewma", round(num / den, 6))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("v"), col("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // -- [NS] grouped OLS trend (regr_slope/intercept semantics) from
+    // decimal-exact moments (n, Σx, Σy, Σxy, Σx²) — the same convention as
+    // q_corr_stats, so float addition order can't shift either engine's
+    // slope. x = days since the epoch start of the event window. --
+    "q_regr_trend" -> ((s, d) => {
+      val x = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
+      val m = events(s, d)
+        .select(col("event_type"), col("value"), x.as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sy"),
+          sum((col("x") * col("value")).cast("decimal(28,6)")).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(col("event_type"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // -- [NS] fuzzy-match surface: consecutive-doc Levenshtein distance on
+    // a bounded 60-char prefix (edit distance is O(len²) per pair — the
+    // prefix cap keeps per-row cost constant at any corpus size). The
+    // pairing is an equi-join on doc_id+1, not a cross join. --
+    "q_fuzzy_pairs" -> ((s, d) => {
+      val a = documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("ta"), length(col("text")).as("la"))
+      val b = documents(s, d).select((col("doc_id") - 1).as("join_id"),
+        substring(col("text"), 1, 60).as("tb"), length(col("text")).as("lb"))
+      a.join(b, col("doc_id") === col("join_id"))
+        .select(col("doc_id"),
+          levenshtein(col("ta"), col("tb")).as("lev"),
+          (col("lb") - col("la")).as("len_delta"))
+        .orderBy("doc_id")
+    }),
+
     // -- [NS] conditional / null-handling scalar surface --
     "q_conditional_funcs" -> ((s, d) =>
       events(s, d).select(
@@ -3691,6 +3776,68 @@ object SparkEntry {
     "q_cms_freq" ->
       """SELECT event_type, count(*) AS n_events, true AS within_eps
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_full" ->
+      """WITH purch AS (
+        |  SELECT user_id, count(*) AS n_purch,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS purch_val
+        |  FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1),
+        |errs AS (
+        |  SELECT user_id, count(*) AS n_err
+        |  FROM events WHERE event_type = 'error' AND value > 150 GROUP BY 1)
+        |SELECT user_id, coalesce(n_purch, 0) AS n_purch,
+        |  round(coalesce(purch_val, 0), 4) AS purch_val,
+        |  coalesce(n_err, 0) AS n_err
+        |FROM purch FULL OUTER JOIN errs USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ewma_smooth" ->
+      """SELECT event_id, user_id, round(value, 4) AS v,
+        |  round(
+        |    (CASE WHEN value IS NOT NULL THEN value * 1.0 ELSE 0 END
+        |     + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN lag(value, 1) OVER w * 0.5 ELSE 0 END
+        |     + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN lag(value, 2) OVER w * 0.25 ELSE 0 END
+        |     + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN lag(value, 3) OVER w * 0.125 ELSE 0 END
+        |     + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN lag(value, 4) OVER w * 0.0625 ELSE 0 END
+        |     + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN lag(value, 5) OVER w * 0.03125 ELSE 0 END
+        |     + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN lag(value, 6) OVER w * 0.015625 ELSE 0 END
+        |     + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN lag(value, 7) OVER w * 0.0078125 ELSE 0 END)
+        |    /
+        |    (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0 END
+        |     + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0 END
+        |     + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0 END
+        |     + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0 END
+        |     + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0 END
+        |     + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0 END
+        |     + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0 END
+        |     + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0 END), 6) AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_regr_trend" ->
+      """WITH pts AS (
+        |  SELECT event_type, value,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """SELECT a.doc_id,
+        |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INT) AS lev,
+        |  CAST(length(b.text) - length(a.text) AS INT) AS len_delta
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_conditional_funcs" ->
       """SELECT event_id,
