@@ -2068,6 +2068,44 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] temperature-scaled domain mixing (the n^alpha sampling rule
+    // a multi-source pre-training run uses to up-weight small domains):
+    // per-source doc counts -> weight ∝ n^0.7 -> normalized quota. Each
+    // pow() is rounded to 6 dp before the decimal-exact normalization sum
+    // (the engine's ln()-rounding convention), so both engines' libm
+    // disagreement in the last ulp can't leak into the output. The count
+    // table is domain-cardinality-sized; everything after the one
+    // aggregate is broadcast arithmetic. --
+    "q_mix_temperature" -> ((s, d) => {
+      val counts = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_raw", round(pow(col("n_docs").cast("double"), 0.7), 6))
+      val total = counts.agg(
+        sum(col("w_raw").cast("decimal(18,6)")).cast("double").as("w_total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"),
+          round(col("w_raw") / col("w_total"), 6).as("weight"),
+          floor(lit(10000) * (col("w_raw") / col("w_total"))).cast("long")
+            .as("quota_docs"))
+        .orderBy("source")
+    }),
+
+    // -- [NS] weighted aggregate surface: per-type value-weighted mean
+    // with the weight parsed from the JSON props column; both moment sums
+    // are decimal-exact so the final division divides identical bits. --
+    "q_weighted_avg" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      events(s, d)
+        .select(col("event_type"), col("value"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") * col("k")).cast("decimal(28,6)")).cast("double").as("swx"),
+          sum(col("k").cast("decimal(28,6)")).cast("double").as("sw"))
+        .select(col("event_type"), col("n"),
+          round(col("swx") / col("sw"), 6).as("wavg"))
+        .orderBy("event_type")
+    }),
+
     // -- [NS] fuzzy-match surface: consecutive-doc Levenshtein distance on
     // a bounded 60-char prefix (edit distance is O(len²) per pair — the
     // prefix cap keeps per-row cost constant at any corpus size). The
@@ -3831,6 +3869,23 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
         |FROM m ORDER BY 1""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    round(pow(CAST(count(*) AS DOUBLE), 0.7), 6) AS w_raw
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS w_total FROM c)
+        |SELECT source, n_docs, round(w_raw / w_total, 6) AS weight,
+        |  CAST(floor(10000 * (w_raw / w_total)) AS BIGINT) AS quota_docs
+        |FROM c, t ORDER BY 1""".stripMargin,
+
+    "q_weighted_avg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(
+        |    CAST(sum(CAST(value * CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,6))) AS DOUBLE) /
+        |    CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,6))) AS DOUBLE), 6) AS wavg
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """SELECT a.doc_id,

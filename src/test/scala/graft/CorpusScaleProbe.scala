@@ -36,7 +36,8 @@ object CorpusScaleProbe {
     Seq("q_tfidf_topterms", "q_pack_sequences", "q_text_repetition",
         "q_decontaminate", "q_decontaminate_bloom", "q_decontaminate_bcast",
         "q_shuffle_sample", "q_token_shard", "q_token_shard_ranged",
-        "q_heavy_hitters", "q_vocab_coverage", "q_length_curriculum").foreach { q =>
+        "q_heavy_hitters", "q_vocab_coverage", "q_length_curriculum",
+        "q_boilerplate_strip", "q_fuzzy_pairs").foreach { q =>
       time(base, q)
       val t1 = time(base, q)
       val tn = time(out, q)

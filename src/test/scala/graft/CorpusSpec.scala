@@ -244,4 +244,38 @@ class CorpusSpec extends SparkSpec with Checkers {
     assert(a.map(_._1) == a.map(_._1).sorted) // ordered by shuffle key
     assert(a.map(_._2).distinct.size == 3) // a permutation prefix, no repeats
   }
+
+  test("boilerplateStrip removes exactly the segments repeated across >= minDf docs") {
+    // width=2 segments; "follow us" planted in 3 of 4 docs -> boilerplate;
+    // every other segment is unique and must survive.
+    val planted = Seq(
+      (0L, "alpha beta follow us gamma delta", "s", 1L),
+      (1L, "epsilon zeta follow us", "s", 1L),
+      (2L, "eta theta follow us iota kappa", "s", 1L),
+      (3L, "lambda mu nu xi", "s", 1L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.boilerplateStrip(planted, width = 2, minDf = 3)
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (id, k, dr, m) => (id, (k, dr, m)) }.toMap
+    // docs 0-2 each drop exactly their one "follow us" segment
+    assert(out(0L)._1 == 2 && out(0L)._2 == 1)
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)
+    // doc 3 keeps everything
+    assert(out(3L)._1 == 2 && out(3L)._2 == 0)
+    // the cleaned fingerprint matches the expected reassembly for doc 0
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma delta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0L)._3 == expected)
+    // a doc whose every segment is boilerplate fingerprints the empty string
+    val allBp = Seq(
+      (0L, "spam ham", "s", 1L), (1L, "spam ham", "s", 1L), (2L, "spam ham", "s", 1L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    val bp = Corpus.boilerplateStrip(allBp, width = 2, minDf = 3)
+      .as[(Long, Int, Int, String)].collect()
+    assert(bp.forall { case (_, k, dr, m) => k == 0 && dr == 1 && m == emptyMd5 })
+  }
 }
