@@ -2401,6 +2401,19 @@ object SparkEntry {
       s.table("q_stream_interval_mem").orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // -- [NS] REAL streaming stream-stream LEFT OUTER interval join:
+    // unmatched clicks null-extend only after the watermark proves no
+    // match can arrive, so the twin filters unmatched rows to the
+    // finalized region (click_ts + 1h < final global watermark). --
+    "q_stream_outer" -> ((s, d) => {
+      val ev = graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet")
+      val joined = graft.streaming.EventStreams.clickPurchaseLeftJoin(ev, ev)
+      graft.streaming.EventStreams.runToMemory(joined, "q_stream_outer_mem", "append",
+        statePartitions = Some(8))
+      s.table("q_stream_outer_mem")
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // -- [NS] REAL streaming session windows through the state store; the
     // final table must hash-match the batch session-window oracle --
     "q_stream_session" -> ((s, d) => {
@@ -3247,6 +3260,27 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // streamed LEFT OUTER interval join: matched rows equal the batch
+    // left join; unmatched rows are exactly those the final watermark
+    // finalized (click_ts + 1h behind min-over-sides max event time - 1h,
+    // ms-floored the way Spark tracks event-time stats)
+    "q_stream_outer" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT user_id, click_id, purchase_id, click_ts, purchase_ts
+        |  FROM c LEFT JOIN p ON user_id = p_user_id
+        |    AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR),
+        |w AS (SELECT least(
+        |    (SELECT date_trunc('millisecond', max(ts)) FROM events WHERE event_type = 'click'),
+        |    (SELECT date_trunc('millisecond', max(ts)) FROM events WHERE event_type = 'purchase'))
+        |  - INTERVAL 1 HOUR AS wm)
+        |SELECT user_id, click_id, purchase_id, click_ts, purchase_ts
+        |FROM j, w
+        |WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 1 HOUR < wm
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     // streamed session windows must equal the batch session-window twin
     "q_stream_session" ->

@@ -178,6 +178,36 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click, matched to the
+    * same user's purchases in the following hour — clicks with no purchase
+    * emit null-extended ONCE the watermark proves no match can still
+    * arrive. This is the outer-join contract batch engines get for free
+    * and streaming must earn with state eviction: a left row finalizes
+    * when `click_ts + 1h` falls behind the global watermark
+    * (min over both sides' `max(event time) - 1h`). The driver-visible
+    * result therefore excludes unmatched clicks inside the final
+    * watermark horizon — exactly the rows a still-running job could yet
+    * match — and the batch twin reproduces that boundary explicitly.
+    */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
