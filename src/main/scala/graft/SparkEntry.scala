@@ -812,6 +812,19 @@ object SparkEntry {
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // Product quantization (Similarity.pqTopK): the 32× compression tier —
+    // vectors become m=8 codes into 32-entry per-subspace codebooks, and a
+    // probe scores rows by summing 8 LUT entries (ADC) instead of a 64-term
+    // dot product. Recall-gated against the float brute-force truth on the
+    // same ≥ 8/10 contract as the IVF and int8 tiers.
+    "q_sim_pq" -> ((s, d) => {
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      val pq = Similarity.pqTopK(embeddings(s, d), probeId = 0L, kTop = 10).select("vec_id")
+      bf.join(pq, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     // IVF over QUANTIZED vectors — the two scale levers chained: cell
     // pruning skips nprobe/nlist of the corpus AND the scanned column is
     // int8 (4× less IO). Centroids build on the quantized vectors too, so
@@ -4069,6 +4082,11 @@ object SparkEntry {
     // IVF cells over quantized vectors: both approximations composed still
     // clear the 8/10 recall bar (deterministic for this data+index)
     "q_sim_ivf_quantized" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // PQ/ADC at 32x compression keeps >= 8 of the exact top-10 on this
+    // data (deterministic: ordered sample, seed-free per-subspace k-means)
+    "q_sim_pq" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
 
     // Invariant-oracle family for the fuzzy-dedup path. All of these lean on
