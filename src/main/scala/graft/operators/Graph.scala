@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs.
+  *
+  * The reference has no graph surface (its engine is Cosmos DB,
+  * `BigDataLogControl.cs:206-330`); this is the north-star centrality
+  * pass a curation pipeline runs over the document-similarity graph —
+  * e.g. to find template hubs: heavily-duplicated content accumulates
+  * rank, organic documents stay near the uniform floor.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over the exact-Jaccard similarity graph
+    * (undirected: each pair contributes both orientations).
+    *
+    * Scale shape: edges come from the prefix-filtered AllPairs join
+    * ([[Dedup.exactJaccardPairs]] — no doc×doc), each iteration is ONE
+    * join of the node-sized rank table to the edge list plus a dst-keyed
+    * aggregate, and iteration count is fixed (5 here, like the label-
+    * propagation dedup's bounded sweeps). Ranks persist per iteration so
+    * the recursive lineage doesn't re-expand (2^iters recompute
+    * otherwise); at lake scale each iteration would checkpoint exactly
+    * like `Dedup.transitiveClusters` does.
+    *
+    * Determinism convention: each neighbor contribution r/deg is rounded
+    * to 12 dp then summed in DECIMAL (the engine-wide exact-sum rule), and
+    * each new rank is rounded to 12 dp — so Spark's parallel aggregation
+    * and a serial engine produce identical bits every iteration. No
+    * dangling-mass redistribution: isolated nodes decay to the reset
+    * floor, which is the property the curation signal wants.
+    */
+  def pageRankSim(
+      docs: DataFrame, minJaccard: Double = 0.4, iters: Int = 5,
+      damping: Double = 0.85, reset: Double = 0.15): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(docs, n = 3, minJaccard = minJaccard)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").persist()
+    val nodes = docs.select(col("doc_id"))
+    val nTotal = nodes.agg(count(lit(1)).cast("double").as("n_total"))
+    var ranks = nodes.crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), (lit(1.0) / col("n_total")).as("r"), col("n_total"))
+      .persist()
+    for (_ <- 0 until iters) {
+      val contrib = ranks
+        .join(withDeg, ranks("doc_id") === withDeg("src"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("r") / col("deg"), 12).cast("decimal(28,14)"))
+          .cast("double").as("contrib"))
+      ranks = ranks.join(contrib, ranks("doc_id") === contrib("dst"), "left_outer")
+        .select(ranks("doc_id"),
+          round(lit(reset) / col("n_total") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0)), 12).as("r"),
+          col("n_total"))
+        .persist()
+    }
+    ranks.select(col("doc_id"), round(col("r") * 1e6, 4).as("rank_ppm"))
+      .orderBy("doc_id")
+  }
+}
