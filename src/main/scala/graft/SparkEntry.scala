@@ -1225,6 +1225,30 @@ object SparkEntry {
             col("n_users").cast("double") * 0.05).as("within_5pct"))
         .orderBy("event_type")),
 
+    // -- [NS] mergeable-sketch rollup — the production pattern for
+    // distinct counts at 100 TB: per-day HLL sketches (order-independent
+    // register maxima, so partial aggregation commutes) merged upward with
+    // hll_union_agg into weekly estimates WITHOUT re-touching the events.
+    // A pre-aggregated sketch table makes every future rollup
+    // sketch-table-sized; the estimate is gated within 5% of the exact
+    // recount like the other sketch queries. --
+    "q_hll_merge" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily
+        .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(weekly, Seq("week"))
+        .select(col("week"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")) <=
+            col("n_users").cast("double") * 0.05).as("within_5pct"))
+        .orderBy("week")
+    }),
+
     // -- [NS] grouping breadth: cube + grouping sets --
     "q_cube_type_day" -> ((s, d) =>
       events(s, d)
@@ -1984,6 +2008,14 @@ object SparkEntry {
           round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
         .orderBy("event_id")
     }),
+
+    // -- [NS] graph analytics: fixed-iteration PageRank over the exact-
+    // Jaccard similarity graph (Graph.pageRankSim) — template hubs
+    // accumulate rank, organic docs stay at the uniform floor. Edges from
+    // the prefix-filtered AllPairs join; per-iteration 12-dp + decimal-sum
+    // convention makes all 5 iterations bit-identical cross-engine. --
+    "q_pagerank_sim" -> ((s, d) =>
+      graft.operators.Graph.pageRankSim(documents(s, d))),
 
     // -- [NS] C4-style boilerplate strip: segments repeated across >= 3
     // documents removed corpus-wide, survivors reassembled in order
@@ -3532,6 +3564,14 @@ object SparkEntry {
     "q_agg_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, true AS within_5pct FROM events GROUP BY 1 ORDER BY 1",
 
+    // weekly exact recount is the oracle; the merged-sketch estimate must
+    // land within the 5% gate (deterministic: HLL registers are
+    // order-independent maxima)
+    "q_hll_merge" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  count(DISTINCT user_id) AS n_users, true AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -4088,6 +4128,34 @@ object SparkEntry {
     // data (deterministic: ordered sample, seed-free per-subspace k-means)
     "q_sim_pq" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // PageRank over the first-principles exact-Jaccard graph, 5 unrolled
+    // iterations with the identical 12-dp + decimal-sum convention — the
+    // whole trajectory is value-oracled, not just the fixed point
+    "q_pagerank_sim" ->
+      ("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db AS src, da AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM nodes),
+        |r0 AS (SELECT doc_id, 1.0 / (SELECT n_total FROM nn) AS r FROM nodes),
+        |""".stripMargin +
+        (1 to 5).map { i =>
+          s"""r$i AS (SELECT n.doc_id,
+             |  round(0.15 / (SELECT n_total FROM nn) + 0.85 * coalesce(c.contrib, 0), 12) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst, CAST(sum(CAST(round(p.r / d.deg, 12) AS DECIMAL(28,14))) AS DOUBLE) AS contrib
+             |    FROM r${i - 1} p JOIN edges e ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+             |    GROUP BY e.dst) c ON n.doc_id = c.dst)""".stripMargin
+        }.mkString(",\n") +
+        "\nSELECT doc_id, round(r * 1000000, 4) AS rank_ppm FROM r5 ORDER BY doc_id"),
 
     // Invariant-oracle family for the fuzzy-dedup path. All of these lean on
     // the corpus's clean separation (planted pairs at J ≥ 0.9, organic pairs

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Fixed-iteration PageRank over the exact-Jaccard similarity graph
-    * (undirected: each pair contributes both orientations).
+    * (undirected: each pair contributes both orientations). The default
+    * threshold is 0.7 — the planted-duplicate graph: the 0.4 organic graph
+    * inflates AllPairs candidates quadratically on this low-diversity
+    * corpus (measured 27 s at sf0.1 vs ~3 s at 0.7) without changing the
+    * curation signal, which is about duplicate hubs.
     *
     * Scale shape: edges come from the prefix-filtered AllPairs join
     * ([[Dedup.exactJaccardPairs]] — no doc×doc), each iteration is ONE
@@ -33,10 +37,14 @@ object Graph {
     * floor, which is the property the curation signal wants.
     */
   def pageRankSim(
-      docs: DataFrame, minJaccard: Double = 0.4, iters: Int = 5,
+      docs: DataFrame, minJaccard: Double = 0.7, iters: Int = 5,
       damping: Double = 0.85, reset: Double = 0.15): DataFrame = {
+    // persist the pair list FIRST: the union (both orientations), the
+    // degree aggregate, and the degree join each re-evaluate their input,
+    // so an unpersisted AllPairs join would run ~6× (measured 26 s -> 4 s
+    // at sf0.1 from this one barrier)
     val pairs = Dedup.exactJaccardPairs(docs, n = 3, minJaccard = minJaccard)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -52,12 +60,18 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(round(col("r") / col("deg"), 12).cast("decimal(28,14)"))
           .cast("double").as("contrib"))
+      // localCheckpoint, not persist: caching reuses the DATA but the
+      // logical plan still nests the previous iteration twice (contrib +
+      // outer join), so analysis alone grows 2^i — measured 0.75 s ->
+      // 17 s by iteration 5. Truncating lineage per sweep is the same
+      // discipline as Dedup.transitiveClusters' label propagation; a
+      // cluster deployment would use reliable checkpoints instead.
       ranks = ranks.join(contrib, ranks("doc_id") === contrib("dst"), "left_outer")
         .select(ranks("doc_id"),
           round(lit(reset) / col("n_total") +
             lit(damping) * coalesce(col("contrib"), lit(0.0)), 12).as("r"),
           col("n_total"))
-        .persist()
+        .localCheckpoint()
     }
     ranks.select(col("doc_id"), round(col("r") * 1e6, 4).as("rank_ppm"))
       .orderBy("doc_id")
