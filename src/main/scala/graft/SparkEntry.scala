@@ -732,6 +732,13 @@ object SparkEntry {
       Dedup.ngramJaccard(documents(s, d), minJaccard = 0.7, minEstJaccard = 0.35)
         .orderBy("doc_a", "doc_b")),
 
+    // -- [NS] exact substring-window dedup (Lee et al. 2021 family):
+    // content-defined 1/16 window sample (winnowing-style md5-nibble
+    // anchor, alignment-independent), bucket join, shared-window counts --
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.substringDupPairs(documents(s, d), width = 40, minShared = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // the synthetic embeddings have no organic near-dups (max pairwise
     // cosine ≈ 0.51), so recall is made non-vacuous by planting one: vec -1
     // is a byte-identical clone of vec 0 — identical hyperplane signature →
@@ -2475,6 +2482,19 @@ object SparkEntry {
     // lives on executor-local disk with the same checkpoint contract). Must
     // hash-match the identical batch oracle: the provider is an execution
     // detail, never a semantics change. --
+    // -- [NS] REAL streaming run: gap sessionization as an explicit
+    // flatMapGroupsWithState state machine with EVENT-TIME TIMEOUT — close
+    // by successor emits in-batch, close by silence emits from the timeout
+    // callback; each user's still-open final session (inside the watermark
+    // horizon) is withheld, and the oracle reproduces that boundary --
+    "q_stream_fmgs" -> ((s, d) => {
+      val sess = graft.streaming.EventStreams.gapSessions(s,
+        graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
+      graft.streaming.EventStreams.runToMemory(sess, "q_stream_fmgs_mem", "append",
+        statePartitions = Some(8))
+      s.table("q_stream_fmgs_mem").orderBy("user_id", "session_start")
+    }),
+
     "q_stream_rocksdb" -> ((s, d) => {
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -3326,6 +3346,30 @@ object SparkEntry {
         |FROM j, w
         |WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 1 HOUR < wm
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+
+    // twin of EventStreams.gapSessions: 30-min-gap sessions at ms precision;
+    // a session is VISIBLE iff a successor session closed it in-stream OR its
+    // event-time timeout (last+gap) fell behind the final watermark
+    // (max event time - 1h) — each user's still-open final session inside
+    // the horizon is exactly what a still-running job could yet extend
+    "q_stream_fmgs" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |lagged AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (SELECT user_id, ms, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM lagged),
+        |sess AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS last_ms,
+        |                count(*) AS n_events FROM g GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+        |SELECT user_id, make_timestamp(start_ms * 1000) AS session_start, n_events
+        |FROM sess, wm
+        |WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+        |   OR last_ms + 1800000 < w
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // streamed session windows must equal the batch session-window twin
     "q_stream_session" ->
@@ -4291,6 +4335,19 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
+
+    // exact twin of Dedup.substringDupPairs: every 40-char window, kept iff
+    // md5's first hex nibble is '0' (same md5, same lowercase hex in both
+    // engines), distinct (doc, win), self-join, shared-window counts >= 2
+    "q_dedup_substring" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |  WHERE length(text) >= 40
+        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0')
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
     // faithful SQL twin of TextFunctions.textProfile (minus the fingerprint,
     // which lives in the invariant-oracled q_text_fingerprint).

@@ -325,6 +325,62 @@ object Dedup {
     * exact baseline is `Similarity.bruteForceTopK`. 16-bit bands keep bucket
     * occupancy ≈ n/65536, so bucket sizes stay small at 10⁸ rows.
     */
+  /** Exact substring-window dedup — the document-pair form of exact-substring
+    * deduplication (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", which finds verbatim repeated spans with a
+    * suffix array): two documents sharing a verbatim `width`-character
+    * window are flagged as sharing copied text, with the count of distinct
+    * shared windows as evidence weight.
+    *
+    * Window selection is CONTENT-DEFINED (winnowing-family, Schleimer et al.
+    * 2003): a window is kept iff the first hex nibble of `md5(window)` is
+    * '0' — an expected 1/16 sample that depends only on the window's bytes,
+    * so a span shared at DIFFERENT offsets in two documents still selects
+    * identical windows on both sides (positional striding would need the
+    * offsets to agree mod stride). Detection of a shared span with m
+    * eligible windows fails w.p. (15/16)^m — ≈ 4e-4 at 120 chars —
+    * documented probabilistic recall like the LSH tiers; the deterministic
+    * alternative is stride=1 (index every position), which is exactly the
+    * suffix-array cost this sampling avoids.
+    *
+    * Scale shape: one explode over positions (codegen'd, no array
+    * materialization of the grams — `sequence` explodes 4-byte offsets and
+    * the gram is sliced AFTER the explode), 15/16 of grams dropped before
+    * any shuffle, then the same bucket-join + `MaxBucket` star-degradation
+    * as every other dedup tier. Nothing is O(n²); shuffle bytes ≈
+    * corpus_bytes × width/16. A rolling-hash native `Expression` replacing
+    * the md5-per-window is the next constant-factor lever if profiles say
+    * the CPU matters.
+    */
+  def substringDupPairs(
+      docs: DataFrame,
+      width: Int = 40,
+      minShared: Long = 2): DataFrame = {
+    val wins = docs
+      .where(length(col("text")) >= width)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"))
+      .select(col("doc_id"), col("text").substr(col("pos"), lit(width)).as("win"))
+      .where(substring(md5(col("win")), 1, 1) === "0")
+      .distinct()
+    val grouped = wins.groupBy(col("win")).agg(collect_list(col("doc_id")).as("ids"))
+    val allPairs = flatten(transform(col("ids"),
+      a => filter(col("ids"), b => b > a).pipe(bs => transform(bs, b => struct(a.as("a"), b.as("b"))))))
+    val starPairs = transform(
+      filter(col("ids"), b => b > array_min(col("ids"))),
+      b => struct(array_min(col("ids")).as("a"), b.as("b")))
+    grouped
+      .where(size(col("ids")) > 1)
+      .select(explode(when(size(col("ids")) <= MaxBucket, allPairs)
+        .otherwise(starPairs)).as("pair"))
+      .select(col("pair.a").as("doc_a"), col("pair.b").as("doc_b"))
+      // (doc, win) is distinct and a window contributes a pair once, so the
+      // count IS the number of distinct shared selected windows.
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id").as("doc_id"), col("embedding"),

@@ -254,6 +254,79 @@ object EventStreams {
       .toDF()
   }
 
+  /** Open-session state for gap sessionization: epoch-ms bounds + count. */
+  case class SessAcc(startMs: Long, lastMs: Long, n: Long)
+
+  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization as an EXPLICIT state machine —
+    * `flatMapGroupsWithState` with **event-time timeout**, the surface for
+    * session semantics the built-in `session_window` can't express (emit on
+    * close, custom merge rules, per-session derived state). A session
+    * closes two ways, and both emit exactly once:
+    *
+    *   - a later event of the same user arrives more than `gapMs` after the
+    *     session's last event → the old session emits in that batch, the new
+    *     one opens;
+    *   - no such event can ever arrive: the registered event-time timeout
+    *     (`lastMs + gapMs`) falls behind the watermark → the open session
+    *     emits from the timeout callback and its state is removed.
+    *
+    * The driver-visible result therefore excludes each user's final session
+    * when it is still inside the final watermark horizon (max event time −
+    * 1 h) — the same explicitly-reproduced boundary as the stream-stream
+    * outer join's (`clickPurchaseLeftJoin`); the oracle twin states it as a
+    * predicate. Timestamps are ms-truncated (`unix_millis`), the engine-wide
+    * sessionization convention (`q_sessionize`).
+    *
+    * Scale shape: state is ONE fixed-size record per open session key
+    * (three longs — not the session's events), partitioned by user across
+    * executors; timeouts bound state lifetime to gap + watermark delay. The
+    * per-invocation sort sees one user's single-batch rows, not the stream.
+    */
+  def gapSessions(spark: SparkSession, events: DataFrame,
+                  gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessAcc, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionRow(uid, new java.sql.Timestamp(s.startMs), s.n))
+          } else {
+            val sorted = rows.map(_._3).toArray
+            java.util.Arrays.sort(sorted)
+            val out = Seq.newBuilder[SessionRow]
+            var cur = state.getOption.orNull
+            sorted.foreach { ms =>
+              if (cur == null) cur = SessAcc(ms, ms, 1L)
+              else if (ms - cur.lastMs <= gapMs) cur = SessAcc(cur.startMs, ms, cur.n + 1L)
+              else {
+                out += SessionRow(uid, new java.sql.Timestamp(cur.startMs), cur.n)
+                cur = SessAcc(ms, ms, 1L)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              // a timeout in the past is rejected by the state store; clamp
+              // to just above the current watermark (emits on the next tick)
+              state.setTimeoutTimestamp(
+                math.max(cur.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming→table upsert through `foreachBatch` — the idempotent MERGE
     * sink pattern: each micro-batch aggregates its own rows (cents-exact),
     * merges them into the previous target version by key, and writes the

@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("substring windows: shared span found at DIFFERENT offsets; unrelated docs clean") {
+    val span = (1 to 60).map(i => s"shared$i").mkString(" ") // ~480 chars of copied text
+    val a = "prefix one two three " + span
+    val b = "a completely different and much longer lead-in before the copy " + span
+    val c = (1 to 80).map(i => s"other$i").mkString(" ")
+    val out = Dedup.substringDupPairs(docs(1L -> a, 2L -> b, 3L -> c), width = 40, minShared = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // content-defined selection is alignment-independent: the span sits at
+    // offset 21 in doc 1 and offset 64 in doc 2, yet selects identical windows
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("substring windows: disjoint texts produce no pairs") {
+    val d = docs(1L -> ("x" * 100), 2L -> (1 to 50).map(i => s"q$i").mkString(" "))
+    assert(Dedup.substringDupPairs(d, width = 40, minShared = 1).count() == 0)
+  }
+
   test("ngram: exact jaccard confirms the planted pair") {
     val base = (1 to 300).map(i => s"w$i").mkString(" ")
     val near = (1 to 300).map(i => if (i == 150) "CHANGED" else s"w$i").mkString(" ")

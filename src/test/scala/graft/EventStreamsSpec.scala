@@ -108,6 +108,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("gapSessions: closes by successor AND by event-time timeout; withholds open sessions") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, uid: Long, offMin: Long) =
+      (id, new Timestamp(base + offMin * 60000L), uid, "click", 1.0, "{}")
+    // user 1: two events 10min apart (one session), then a 40min gap closes
+    //   it; the successor session ends 5h before max ts -> times out too.
+    // user 2: a single event just 30min before max ts -> still open at the
+    //   final watermark (max-1h), must be withheld.
+    val rows = Seq(
+      ev(1, 1L, 0), ev(2, 1L, 10), ev(3, 1L, 50), ev(4, 1L, 55),
+      ev(5, 2L, 330), ev(6, 9L, 360)) // uid 9 pushes max ts for the watermark
+    val dir = java.nio.file.Files.createTempDirectory("fmgs-events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val sess = EventStreams.gapSessions(spark, EventStreams.readEvents(spark, dir))
+    EventStreams.runToMemory(sess, "t_fmgs", "append", statePartitions = Some(2))
+    val got = spark.table("t_fmgs")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // watermark = 360min - 60min = 300min. user 1 session A (0..10) closed by
+    // successor; session B (50..55) timeout 85 < 300 fires. user 2's session
+    // (330) and uid 9's (360) are open inside the horizon: withheld.
+    assert(got == Set(
+      (1L, new java.sql.Timestamp(base), 2L),
+      (1L, new java.sql.Timestamp(base + 50 * 60000L), 2L)))
+  }
+
   test("file sink: stream-to-parquet with checkpoint preserves every event") {
     val outDir = java.nio.file.Files.createTempDirectory("stream-out").toString
     val q = EventStreams.readEvents(spark, eventsDir)
