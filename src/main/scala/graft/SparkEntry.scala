@@ -832,6 +832,18 @@ object SparkEntry {
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] SRP/Hamming ANN: 64-bit sign-projection signatures, Hamming
+    // shortlist (8-byte scan, TakeOrderedAndProject, no index build), exact
+    // re-rank — recall-gated against the brute-force truth like the other
+    // approximate tiers --
+    "q_sim_hamming" -> ((s, d) => {
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      val hm = Similarity.hammingTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      bf.join(hm, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     // IVF over QUANTIZED vectors — the two scale levers chained: cell
     // pruning skips nprobe/nlist of the corpus AND the scanned column is
     // int8 (4× less IO). Centroids build on the quantized vectors too, so
@@ -1239,6 +1251,43 @@ object SparkEntry {
     // A pre-aggregated sketch table makes every future rollup
     // sketch-table-sized; the estimate is gated within 5% of the exact
     // recount like the other sketch queries. --
+    // -- [NS] mergeable quantile-sketch rollup (DDSketch-style custom
+    // Aggregator pair): per-(type, day) sketches merged per type must be
+    // BIT-IDENTICAL to sketching each type directly (bucket-wise adds
+    // commute), estimates within the α relative-error bound vs the exact
+    // percentile, and the sketch's total count exactly the row count. The
+    // quantile twin of q_hll_merge, with a custom sketch instead of a
+    // builtin — KLL/GK can't do this rollup deterministically (their state
+    // is arrival-order-dependent); DDSketch's isn't. --
+    "q_quantile_sketch" -> ((s, d) => {
+      import graft.functions.QuantileSketch
+      import org.apache.spark.sql.Encoders
+      val skUdaf = udaf(QuantileSketch.sketch, Encoders.scalaDouble)
+      val mergeUdaf = udaf(QuantileSketch.mergeSketch,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      val est = udf((packed: Seq[Long], q: Double) =>
+        QuantileSketch.estimateQuantile(packed.toArray, q))
+      val total = udf((packed: Seq[Long]) => QuantileSketch.totalCount(packed.toArray))
+      def withinRel(e: Column, x: Column): Column =
+        abs(e - x) <= x * 0.05 + lit(0.01)
+      val ev = events(s, d).select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val direct = ev.groupBy("event_type").agg(
+        skUdaf(col("value")).as("sk"),
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("x50"),
+        expr("percentile(value, 0.95)").as("x95"))
+      val merged = ev.groupBy(col("event_type"), col("day"))
+        .agg(skUdaf(col("value")).as("dsk"))
+        .groupBy("event_type").agg(mergeUdaf(col("dsk")).as("skm"))
+      direct.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (total(col("sk")) === col("n")).as("count_ok"),
+          withinRel(est(col("sk"), lit(0.5)), col("x50")).as("q50_ok"),
+          withinRel(est(col("sk"), lit(0.95)), col("x95")).as("q95_ok"),
+          (col("sk") === col("skm")).as("merged_eq"))
+        .orderBy("event_type")
+    }),
+
     "q_hll_merge" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -3616,6 +3665,14 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users, true AS within_5pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // invariant oracle for the DDSketch rollup: the real data check is n
+    // (exact row count recovered from the sketch); the bound/equality
+    // booleans are computed Spark-side against Spark's exact percentile
+    "q_quantile_sketch" ->
+      """SELECT event_type, count(*) AS n, true AS count_ok,
+        |  true AS q50_ok, true AS q95_ok, true AS merged_eq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -4171,6 +4228,11 @@ object SparkEntry {
     // PQ/ADC at 32x compression keeps >= 8 of the exact top-10 on this
     // data (deterministic: ordered sample, seed-free per-subspace k-means)
     "q_sim_pq" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // 64-bit Hamming shortlist of 100 (of 500) then exact re-rank keeps
+    // >= 8 of the exact top-10 (deterministic splitmix64 hyperplanes)
+    "q_sim_hamming" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
 
     // PageRank over the first-principles exact-Jaccard graph, 5 unrolled

@@ -46,6 +46,40 @@ object Similarity {
       .where(col("cosine") >= minCosine)
       .select(col("probe_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
 
+  /** SRP/Hamming ANN tier: 64-bit sign-random-projection signatures
+    * (Charikar 2002 — P[bit differs] = θ/π), coarse shortlist by Hamming
+    * distance, exact cosine re-rank of the shortlist. Completes the ANN
+    * family: unlike IVF it needs NO index build or centroid broadcast
+    * (stateless — signatures are pure functions of the vector), and unlike
+    * the banded near-dup tier it RANKS (top-k search) instead of
+    * thresholding at a similarity cut.
+    *
+    * Scale shape: probe is a 1-row broadcast; the corpus streams through a
+    * codegen'd `bit_count(xor)` (8 bytes/row of signature instead of
+    * 4·dim of floats) into a `TakeOrderedAndProject` shortlist — the big
+    * side never shuffles; only `shortlist` rows reach the float re-rank.
+    * At 100 TB the signature column is precomputed once and stored
+    * (the 512× narrower scan is the point); recall is tuned by
+    * `shortlist`, gated by `q_sim_hamming`'s brute-force twin.
+    */
+  def hammingTopK(embeddings: DataFrame, probeId: Long, k: Int = 10,
+                  shortlist: Int = 100): DataFrame = {
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+      VectorOps.lshSignature(col("embedding"), bits = 64).as("sig"))
+    val probe = sigs.where(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"), col("sig").as("probe_sig"))
+    sigs
+      .where(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("probe_sig"))))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic driver-side k-means (few iterations, fixed seed-free
     * init: first `k` distinct vectors of the ordered sample) over a bounded
     * sample. Returns centroid arrays. Pure Scala — runs once per index

@@ -89,6 +89,23 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.values.forall(_ <= 5))
   }
 
+  test("hammingTopK: shortlist >= corpus degrades to exact; planted clone ranks first") {
+    // with shortlist >= corpus the Hamming pass is a no-op filter and the
+    // exact re-rank must reproduce brute force bit-for-bit
+    val exact = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val hm = Similarity.hammingTopK(emb, probeId = 0L, k = 5, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hm == exact)
+    // a byte-identical clone has Hamming 0 and cosine 1.0 — it must survive
+    // even a 1-row shortlist
+    val clone = emb.where(col("vec_id") === 0L)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val top = Similarity.hammingTopK(emb.unionByName(clone), probeId = 0L, k = 1, shortlist = 1)
+      .as[(Long, Double)].collect().head
+    assert(top == (-1L, 1.0))
+  }
+
   test("kmeans: centroids converge on separated clusters") {
     val a = Array.fill(50)(Array(0.0 + util.Random.nextDouble() * 0.1, 0.0))
     val b = Array.fill(50)(Array(10.0 + util.Random.nextDouble() * 0.1, 10.0))
