@@ -2073,6 +2073,12 @@ object SparkEntry {
     "q_pagerank_sim" -> ((s, d) =>
       graft.operators.Graph.pageRankSim(documents(s, d))),
 
+    // -- [NS] degree-oriented triangle counting over the same similarity
+    // graph — local clustering / duplicate-clique signal; O(m^1.5) wedge
+    // bound from the orientation, three hash joins, no iteration --
+    "q_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(documents(s, d))),
+
     // -- [NS] C4-style boilerplate strip: segments repeated across >= 3
     // documents removed corpus-wide, survivors reassembled in order
     // (Corpus.boilerplateStrip). Exact value oracle via the DuckDB twin. --
@@ -4262,6 +4268,27 @@ object SparkEntry {
              |    GROUP BY e.dst) c ON n.doc_id = c.dst)""".stripMargin
         }.mkString(",\n") +
         "\nSELECT doc_id, round(r * 1000000, 4) AS rank_ppm FROM r5 ORDER BY doc_id"),
+
+    // same truth-pair CTE as pagerank_sim, closed into triangles by a
+    // 3-way join on canonical (a < b < c) ids — orientation-free twin of
+    // the degree-oriented Spark plan
+    "q_triangles" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+        |tri AS (
+        |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+        |  FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+        |  JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b),
+        |corners AS (SELECT a AS doc_id FROM tri UNION ALL
+        |            SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT doc_id, count(*) AS n_triangles FROM corners
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Invariant-oracle family for the fuzzy-dedup path. All of these lean on
     // the corpus's clean separation (planted pairs at J ≥ 0.9, organic pairs
