@@ -1288,6 +1288,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] REAL streaming run of the SAME DDSketch: per-type bucket
+    // state accumulated across micro-batches in flatMapGroupsWithState
+    // must be BIT-IDENTICAL to the batch aggregator's sketch of the same
+    // rows (bucket adds commute with any row partitioning) — the
+    // batch/stream-equivalence property, asserted as stream_eq_batch --
+    "q_stream_quantile" -> ((s, d) => {
+      import graft.functions.QuantileSketch
+      import org.apache.spark.sql.Encoders
+      val st = graft.streaming.EventStreams.streamingQuantiles(s,
+        graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
+      graft.streaming.EventStreams.runToMemory(st, "q_stream_quantile_mem", "update",
+        statePartitions = Some(8))
+      val total = udf((p: Seq[Long]) => QuantileSketch.totalCount(p.toArray))
+      val est = udf((p: Seq[Long], q: Double) =>
+        QuantileSketch.estimateQuantile(p.toArray, q))
+      // update mode emits one row per (micro-batch, key); the final state
+      // is the row with the largest held count (monotone accumulation)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(total(col("sketch")).desc)
+      val last = s.table("q_stream_quantile_mem")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      val skUdaf = udaf(QuantileSketch.sketch, Encoders.scalaDouble)
+      val batchSide = events(s, d).groupBy("event_type").agg(
+        skUdaf(col("value")).as("bsk"), count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("x50"))
+      last.join(batchSide, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (total(col("sketch")) === col("n")).as("count_ok"),
+          (col("sketch") === col("bsk")).as("stream_eq_batch"),
+          (abs(est(col("sketch"), lit(0.5)) - col("x50")) <=
+            col("x50") * 0.05 + lit(0.01)).as("q50_ok"))
+        .orderBy("event_type")
+    }),
+
     "q_hll_merge" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -3677,6 +3711,12 @@ object SparkEntry {
     "q_quantile_sketch" ->
       """SELECT event_type, count(*) AS n, true AS count_ok,
         |  true AS q50_ok, true AS q95_ok, true AS merged_eq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming accumulation must land on the identical canonical sketch
+    "q_stream_quantile" ->
+      """SELECT event_type, count(*) AS n, true AS count_ok,
+        |  true AS stream_eq_batch, true AS q50_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tpch_q1" ->

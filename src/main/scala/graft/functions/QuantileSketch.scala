@@ -116,6 +116,14 @@ object QuantileSketch {
       def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     }
 
+  /** Public canonical-form helpers for callers that hold sketch state
+    * outside an Aggregator (the streaming fMGWS accumulator).
+    */
+  def pack(m: Map[Int, Long]): Array[Long] = serialize(m)
+
+  def mergePacked(a: Array[Long], b: Array[Long]): Array[Long] =
+    serialize(deserializeInto(deserializeInto(Map.empty[Int, Long], a), b))
+
   /** Total count held by a serialized sketch. */
   def totalCount(packed: Array[Long]): Long = {
     var n = 0L; var i = 1

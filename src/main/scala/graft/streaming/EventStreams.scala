@@ -327,6 +327,48 @@ object EventStreams {
       .toDF()
   }
 
+  case class SketchRow(event_type: String, sketch: Array[Long])
+
+  /** Streaming quantile sketches — the DDSketch rollup's streaming half:
+    * the SAME canonical bucket-count state accumulates across micro-batches
+    * under `flatMapGroupsWithState`, because bucket-wise addition commutes
+    * with ANY partitioning of the rows — batch/stream equivalence is a
+    * property of the sketch, not of the harness. Each batch emits the
+    * group's updated serialized sketch; the final row per key is the sketch
+    * of every row seen, bit-identical to the batch aggregator's
+    * (`QuantileSketch.sketch`) output on the same data — which is exactly
+    * what `q_stream_quantile` gates.
+    *
+    * State is O(buckets touched) per key (~hundreds of longs), partitioned
+    * by key across executors; no watermark is needed because the sketch
+    * never evicts — a production job bounds state by keying on
+    * (type, window) instead, and merges windows with `mergeSketch`.
+    */
+  def streamingQuantiles(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.QuantileSketch
+    events
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], SketchRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[Array[Long]]) =>
+          var m = Map.empty[Int, Long]
+          rows.foreach { r =>
+            val b = QuantileSketch.bucketOf(r._2)
+            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val merged = QuantileSketch.mergePacked(
+            state.getOption.getOrElse(Array.empty[Long]),
+            QuantileSketch.pack(m))
+          state.update(merged)
+          Iterator(SketchRow(key, merged))
+      }
+      .toDF()
+  }
+
   /** Streaming→table upsert through `foreachBatch` — the idempotent MERGE
     * sink pattern: each micro-batch aggregates its own rows (cents-exact),
     * merges them into the previous target version by key, and writes the

@@ -108,6 +108,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("streamingQuantiles: sketch accumulated over 4 micro-batches equals the batch sketch") {
+    import graft.functions.QuantileSketch
+    val in = java.nio.file.Files.createTempDirectory("sketch-in").toString
+    Tables.events(spark, Sf0001).drop("ts_ns")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(EventStreams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    EventStreams.runToMemory(
+      EventStreams.streamingQuantiles(spark, stream), "t_squant", "update",
+      statePartitions = Some(2))
+    val total = udf((p: Seq[Long]) => QuantileSketch.totalCount(p.toArray))
+    val finalSketches = spark.table("t_squant")
+      .withColumn("n", total(col("sketch")))
+      .groupBy(col("event_type"))
+      .agg(max_by(col("sketch"), col("n")).as("sketch"))
+      .as[(String, Array[Long])].collect().toMap
+    val skUdaf = udaf(QuantileSketch.sketch, org.apache.spark.sql.Encoders.scalaDouble)
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type")).agg(skUdaf(col("value")).as("sk"))
+      .as[(String, Array[Long])].collect().toMap
+    assert(finalSketches.keySet == batch.keySet)
+    batch.foreach { case (k, sk) =>
+      assert(finalSketches(k).sameElements(sk), s"stream/batch sketch diverged for $k")
+    }
+  }
+
   test("gapSessions: closes by successor AND by event-time timeout; withholds open sessions") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
