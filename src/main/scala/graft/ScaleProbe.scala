@@ -13,7 +13,8 @@ object ScaleProbe {
     val base   = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val probeOverride = args.drop(2)
-    val out = s"/tmp/scale$factor"
+    val saltWords = sys.env.get("SPARK_GRAFT_SALT_WORDS").contains("1")
+    val out = s"/tmp/scale$factor" + (if (saltWords) "w" else "")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -34,12 +35,22 @@ object ScaleProbe {
       }
     }
     // events: shift ids; documents: shift ids AND salt the text so dedup
-    // doesn't see 10 exact copies of everything; embeddings: shift ids
+    // doesn't see 10 exact copies of everything; embeddings: shift ids.
+    // Suffix salting keeps replicas NEAR-duplicates of each other — right
+    // for probing how dedup behaves on a duplicate-heavy corpus, but then
+    // true pair output grows ~factor² (and triangles ~factor³), so
+    // output-proportional operators measure the OUTPUT growth, not the
+    // data scaling. SPARK_GRAFT_SALT_WORDS=1 word-salts instead (every
+    // word tagged with the replica id → replicas share no shingles):
+    // replicas become mutually-disjoint corpora, isolating the
+    // data-volume exponent for pair/triangle operators.
     replicate("events", "event_id", (t, i) =>
       t.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
     replicate("documents", "doc_id", (t, i) =>
       t.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
-        .withColumn("text", concat(col("text"), lit(s" copysalt$i"))))
+        .withColumn("text",
+          if (saltWords) regexp_replace(col("text"), "(\\S+)", s"$$1$i")
+          else concat(col("text"), lit(s" copysalt$i"))))
     replicate("embeddings", "vec_id", (t, i) =>
       t.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
 

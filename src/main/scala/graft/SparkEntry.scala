@@ -732,6 +732,14 @@ object SparkEntry {
       Dedup.ngramJaccard(documents(s, d), minJaccard = 0.7, minEstJaccard = 0.35)
         .orderBy("doc_a", "doc_b")),
 
+    // -- [NS] directed containment pairs (|A∩B|/|A| >= 0.9): the
+    // quote/subset-copy detector Jaccard's union denominator misses;
+    // asymmetric prefix filter (contained side probes rare shingles,
+    // container side is a full inverted index) --
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), n = 3, minContain = 0.9)
+        .orderBy("doc_a", "doc_b")),
+
     // -- [NS] exact substring-window dedup (Lee et al. 2021 family):
     // content-defined 1/16 window sample (winnowing-style md5-nibble
     // anchor, alignment-independent), bucket join, shared-window counts --
@@ -4464,6 +4472,18 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin,
+
+    // brute-force containment twin: |A∩B|/|A| over distinct word 3-gram
+    // shingles, both directions (a≠b), threshold 0.9
+    "q_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // exact twin of Dedup.substringDupPairs: every 40-char window, kept iff
     // md5's first hex nibble is '0' (same md5, same lowercase hex in both

@@ -175,6 +175,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact DIRECTED containment pairs: C(a→b) = |A∩B| / |A| ≥ t — catches
+    * quote/subset copies (a short doc embedded verbatim in a long one) that
+    * symmetric Jaccard misses, because the union in J's denominator dilutes
+    * a small A inside a big B. The asymmetric twin of
+    * [[exactJaccardPairs]], same Bayardo/Xiao prefix principle adapted to
+    * containment:
+    *
+    *   - the CONTAINED side probes with its `|A| - ⌈t·|A|⌉ + 1` rarest
+    *     shingles (an overlap of ⌈t·|A|⌉ must touch the prefix);
+    *   - the CONTAINER side indexes ALL its shingles — containment puts no
+    *     lower bound on how much of B is shared, so B cannot prefix-prune
+    *     (the decontamination semi-join's shape, `Corpus.contamination`);
+    *   - candidates also pass `|B| ≥ ⌈t·|A|⌉` (B must hold the overlap),
+    *     then verify with exact intersection.
+    *
+    * Scale: join keys are only the probe side's globally-rare shingles, so
+    * postings lists stay short on low-diversity corpora — the full index
+    * is big but each LOOKUP touches little of it; at lake scale the
+    * container index is the once-built inverted index, not a per-query
+    * artifact.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, minContain: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+      .persist() // feeds prefix build, full index, and both verify sides
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val t = lit(BigDecimal.decimal(minContain))
+    val probe = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        ceil(col("n_sh") * t).as("min_common"), col("s"))
+    val index = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
+    val cand = probe.join(index, "s")
+      .where(col("doc_a") =!= col("doc_b") && col("n_b") >= col("min_common"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        col("common").cast("double") / size(col("sh_a")))
+      .where(col("containment") >= minContain)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Exact word-n-gram Jaccard over MinHash candidates — the verify pass.
     * Bucketed candidates keep the exact set intersection off the full cross
     * product.

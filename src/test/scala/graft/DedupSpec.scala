@@ -30,6 +30,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("containment: subset copy found in the direction Jaccard misses") {
+    val small = (1 to 50).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 200).map(i => s"x$i").mkString(" ")
+    val other = (1 to 100).map(i => s"y$i").mkString(" ")
+    val d = docs(1L -> small, 2L -> big, 3L -> other)
+    // symmetric jaccard ~ 48/248 — far below any dedup threshold
+    assert(Dedup.ngramJaccard(d, minJaccard = 0.7, minEstJaccard = 0.2).count() == 0)
+    val out = Dedup.containmentPairs(d, minContain = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // only the directed pair small→big: big's shingles are NOT ⊆ small's
+    assert(out == Set((1L, 2L)))
+  }
+
   test("substring windows: shared span found at DIFFERENT offsets; unrelated docs clean") {
     val span = (1 to 60).map(i => s"shared$i").mkString(" ") // ~480 chars of copied text
     val a = "prefix one two three " + span
