@@ -840,6 +840,31 @@ object SparkEntry {
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] batch-probe SRP/Hamming: N probes, one signature pass (8-byte
+    // coarse ops vs broadcast probes), per-probe WindowGroupLimit
+    // shortlist, exact re-rank; per-probe recall gated vs the exact
+    // probe-set top-k --
+    "q_sim_hamming_batch" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val probes = emb.where(col("vec_id").isin(0L, 1L, 2L, 3L))
+      val wC = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(probes.select(
+          col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(wC)).where(col("rk") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      val hm = Similarity.hammingProbeSetTopK(emb, probes, k = 10, shortlist = 200)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(hm, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_common"))
+        .select(col("probe_id"), lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     // -- [NS] SRP/Hamming ANN: 64-bit sign-projection signatures, Hamming
     // shortlist (8-byte scan, TakeOrderedAndProject, no index build), exact
     // re-rank — recall-gated against the brute-force truth like the other
@@ -4288,6 +4313,12 @@ object SparkEntry {
     // >= 8 of the exact top-10 (deterministic splitmix64 hyperplanes)
     "q_sim_hamming" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // per-probe recall gate for the batch Hamming pass (4 probes)
+    "q_sim_hamming_batch" ->
+      """SELECT probe_id, CAST(10 AS INT) AS k, true AS recall_ok
+        |FROM (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS probe_id)
+        |ORDER BY probe_id""".stripMargin,
 
     // PageRank over the first-principles exact-Jaccard graph, 5 unrolled
     // iterations with the identical 12-dp + decimal-sum convention — the

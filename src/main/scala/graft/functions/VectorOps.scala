@@ -74,4 +74,40 @@ object VectorOps {
 
   def lshSignature(v: Column, bits: Int = 16): Column =
     udf((vec: Seq[Float]) => lshSigScala(vec, bits)).apply(v)
+
+  /** Wide SRP signature: `bits` sign bits packed into ⌈bits/64⌉ longs.
+    * One long (64 bits) separates neighbors from noise at z ≈ 1.3 on
+    * near-orthogonal corpora (cosine ~0.25 → P[bit agrees] ≈ 0.58) —
+    * enough for bucketing duplicates, not for RANKING top-k; 256 bits
+    * quadruple the signal-to-noise (z ≈ 2.6), which is what the Hamming
+    * shortlist tiers need. Same deterministic splitmix64 hyperplanes.
+    */
+  def lshSigWideScala(v: Seq[Float], bits: Int): Array[Long] = {
+    val s = signs(bits, v.length)
+    val words = (bits + 63) / 64
+    val sig = new Array[Long](words)
+    var p = 0
+    while (p < bits) {
+      val row = s(p)
+      var proj = 0.0
+      var j = 0
+      while (j < v.length) { proj += row(j) * v(j); j += 1 }
+      if (proj > 0) sig(p / 64) |= (1L << (p % 64))
+      p += 1
+    }
+    sig
+  }
+
+  def lshSignatureWide(v: Column, bits: Int = 256): Column =
+    udf((vec: Seq[Float]) => lshSigWideScala(vec, bits)).apply(v)
+
+  /** Hamming distance between two wide signatures of `words` longs —
+    * an explicit codegen'd sum of `bit_count(xor)` terms (the higher-order
+    * `zip_with`/`aggregate` form is CodegenFallback).
+    */
+  def hammingWide(a: Column, b: Column, words: Int): Column =
+    (0 until words)
+      .map(i => bit_count(org.apache.spark.sql.functions.element_at(a, i + 1)
+        .bitwiseXOR(org.apache.spark.sql.functions.element_at(b, i + 1))))
+      .reduce(_ + _)
 }

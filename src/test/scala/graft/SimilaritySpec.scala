@@ -106,6 +106,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top == (-1L, 1.0))
   }
 
+  test("hammingProbeSetTopK with shortlist >= corpus equals per-probe brute force") {
+    val probes = emb.where(col("vec_id").isin(0L, 1L))
+    val got = Similarity.hammingProbeSetTopK(emb, probes, k = 5, shortlist = 1000)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    // both sides exclude only the probe itself from its own corpus view
+    val want = Seq(0L, 1L).flatMap { p =>
+      Similarity.bruteForceTopK(emb, probeId = p, k = 5)
+        .select("vec_id").as[Long].collect().map(v => (p, v))
+    }.toSet
+    assert(got == want)
+  }
+
   test("kmeans: centroids converge on separated clusters") {
     val a = Array.fill(50)(Array(0.0 + util.Random.nextDouble() * 0.1, 0.0))
     val b = Array.fill(50)(Array(10.0 + util.Random.nextDouble() * 0.1, 10.0))

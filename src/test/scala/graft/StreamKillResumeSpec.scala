@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 class StreamKillResumeSpec extends SparkSpec {
 
-  private def forkPhase(inDir: String, outDir: String, ckpt: String): Unit = {
+  private def forkPhase(inDir: String, outDir: String, ckpt: String,
+                        kind: String = "session"): Unit = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -37,7 +38,7 @@ class StreamKillResumeSpec extends SparkSpec {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
-      "graft.StreamResumePhase", inDir, outDir, ckpt)
+      "graft.StreamResumePhase", inDir, outDir, ckpt, kind)
     val proc = new ProcessBuilder(cmd: _*)
       .redirectOutput(ProcessBuilder.Redirect.DISCARD)
       .redirectErrorStream(false)
@@ -93,6 +94,54 @@ class StreamKillResumeSpec extends SparkSpec {
     assert(resumed.nonEmpty, "resumed run emitted no sessions")
     assert(resumed == twin,
       s"resumed-run sessions differ from uninterrupted twin: " +
+        s"only-resumed=${(resumed -- twin).take(5)} only-twin=${(twin -- resumed).take(5)}")
+    all.unpersist()
+    ()
+  }
+
+  test("fMGWS custom session state survives a JVM kill and restores in a new process") {
+    // the explicit-state analogue of the session-window test: the open
+    // SessAcc record (three longs per user) lives only in the checkpoint's
+    // state store between the two phase JVMs, and the registered event-time
+    // timeouts must re-arm from restored state in the new process
+    val all = Tables.events(spark, Sf0001).drop("ts_ns").cache()
+    val medianMs = all.select(unix_millis(col("ts")).as("ms"))
+      .stat.approxQuantile("ms", Array(0.5), 0.0).head.toLong
+
+    val inDir = Files.createTempDirectory("krf_in").toString
+    val outDir = Files.createTempDirectory("krf_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("krf_ckpt").toString
+
+    addSlice(all.where(unix_millis(col("ts")) < medianMs), inDir, "early")
+    forkPhase(inDir, outDir, ckpt, kind = "fmgs")
+    addSlice(all.where(unix_millis(col("ts")) >= medianMs), inDir, "late")
+    forkPhase(inDir, outDir, ckpt, kind = "fmgs")
+
+    val twinIn = Files.createTempDirectory("krf_twin_in").toString
+    val twinOut = Files.createTempDirectory("krf_twin_out").toString + "/out"
+    val twinCkpt = Files.createTempDirectory("krf_twin_ckpt").toString
+    addSlice(all, twinIn, "all")
+    val q = EventStreams.gapSessions(spark, EventStreams.readEvents(spark, twinIn))
+      .writeStream.format("parquet")
+      .option("path", twinOut)
+      .option("checkpointLocation", twinCkpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def emitted(dir: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .select(unix_millis(col("session_start")), col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val resumed = emitted(outDir)
+    val twin = emitted(twinOut)
+    assert(resumed.nonEmpty, "resumed fMGWS run emitted no sessions")
+    // phase 1's earlier watermark can only WITHHOLD emissions relative to
+    // the twin, never invent them; after phase 2 drains the same data the
+    // sets must coincide exactly (timeout boundary argument in the header)
+    assert(resumed == twin,
+      s"resumed fMGWS sessions differ from uninterrupted twin: " +
         s"only-resumed=${(resumed -- twin).take(5)} only-twin=${(twin -- resumed).take(5)}")
     all.unpersist()
     ()

@@ -12,11 +12,12 @@ import org.apache.spark.sql.SparkSession
   * dies exists ONLY in the checkpoint's state store — the next invocation
   * must restore it from disk, which is exactly what the spec asserts.
   *
-  * args: inDir outDir ckptDir
+  * args: inDir outDir ckptDir [kind]   kind = session (default) | fmgs
   */
 object StreamResumePhase {
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, ckpt) = args
+    val (inDir, outDir, ckpt) = (args(0), args(1), args(2))
+    val kind = args.lift(3).getOrElse("session")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("stream-resume-phase")
@@ -25,8 +26,12 @@ object StreamResumePhase {
       .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
     try {
-      val q = graft.streaming.EventStreams
-        .userSessionCounts(graft.streaming.EventStreams.readEvents(spark, inDir))
+      val src = graft.streaming.EventStreams.readEvents(spark, inDir)
+      val transformed = kind match {
+        case "fmgs" => graft.streaming.EventStreams.gapSessions(spark, src)
+        case _      => graft.streaming.EventStreams.userSessionCounts(src)
+      }
+      val q = transformed
         .writeStream
         .format("parquet")
         .option("path", outDir)
