@@ -1321,6 +1321,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] trailing 7-day sliding quantiles from the SAME daily
+    // sketches: the windowed rollup touches 7 sketch rows per day (a
+    // 30×7 broadcast range join), never the raw events — the pattern that
+    // turns one fine-grained sketch pass into ANY window shape at lake
+    // scale. Exact-count oracle + α-bound vs the exact windowed
+    // percentile (itself recomputed through the same range join). --
+    "q_quantile_sliding" -> ((s, d) => {
+      import graft.functions.QuantileSketch
+      import org.apache.spark.sql.Encoders
+      val skUdaf = udaf(QuantileSketch.sketch, Encoders.scalaDouble)
+      val mergeUdaf = udaf(QuantileSketch.mergeSketch,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      val est = udf((p: Seq[Long], q: Double) =>
+        QuantileSketch.estimateQuantile(p.toArray, q))
+      val total = udf((p: Seq[Long]) => QuantileSketch.totalCount(p.toArray))
+      val ev = events(s, d).select(to_date(col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy(col("day")).agg(skUdaf(col("value")).as("dsk"))
+      val days = daily.select(col("day").as("w_day"))
+      val merged = days.join(broadcast(daily),
+          datediff(col("w_day"), col("day")).between(0, 6))
+        .groupBy(col("w_day")).agg(mergeUdaf(col("dsk")).as("wsk"))
+      val exact = days.join(broadcast(ev), datediff(col("w_day"), col("day")).between(0, 6))
+        .groupBy(col("w_day"))
+        .agg(count(lit(1)).as("n"), expr("percentile(value, 0.5)").as("x50"))
+      merged.join(exact, Seq("w_day"))
+        .select(col("w_day").as("day"), col("n"),
+          (total(col("wsk")) === col("n")).as("count_ok"),
+          (abs(est(col("wsk"), lit(0.5)) - col("x50")) <=
+            col("x50") * 0.05 + lit(0.01)).as("q50_ok"))
+        .orderBy("day")
+    }),
+
     // -- [NS] REAL streaming run of the SAME DDSketch: per-type bucket
     // state accumulated across micro-batches in flatMapGroupsWithState
     // must be BIT-IDENTICAL to the batch aggregator's sketch of the same
@@ -3745,6 +3777,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, true AS count_ok,
         |  true AS q50_ok, true AS q95_ok, true AS merged_eq
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // trailing-window twin: exact count per 7-day window ending at each
+    // active day; the bound booleans are Spark-side invariants
+    "q_quantile_sliding" ->
+      """SELECT d.day, count(*) AS n, true AS count_ok, true AS q50_ok
+        |FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+        |JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // streaming accumulation must land on the identical canonical sketch
     "q_stream_quantile" ->
