@@ -58,14 +58,18 @@ object VectorOps {
     })
 
   def lshSigScala(v: Seq[Float], bits: Int): Long = {
-    val s = signs(bits, v.length)
+    // copy to a primitive array FIRST: the Seq apply in the plane loop is a
+    // boxed generic access, and it runs bits× per element — measured 4.6 s
+    // per 5k rows at 256 bits (80M boxed reads) vs one arraycopy here
+    val a = v.toArray
+    val s = signs(bits, a.length)
     var sig = 0L
     var p = 0
     while (p < bits) {
       val row = s(p)
       var proj = 0.0
       var j = 0
-      while (j < v.length) { proj += row(j) * v(j); j += 1 }
+      while (j < a.length) { proj += row(j) * a(j); j += 1 }
       if (proj > 0) sig |= (1L << p)
       p += 1
     }
@@ -83,7 +87,8 @@ object VectorOps {
     * shortlist tiers need. Same deterministic splitmix64 hyperplanes.
     */
   def lshSigWideScala(v: Seq[Float], bits: Int): Array[Long] = {
-    val s = signs(bits, v.length)
+    val a = v.toArray // primitive copy — see lshSigScala
+    val s = signs(bits, a.length)
     val words = (bits + 63) / 64
     val sig = new Array[Long](words)
     var p = 0
@@ -91,7 +96,7 @@ object VectorOps {
       val row = s(p)
       var proj = 0.0
       var j = 0
-      while (j < v.length) { proj += row(j) * v(j); j += 1 }
+      while (j < a.length) { proj += row(j) * a(j); j += 1 }
       if (proj > 0) sig(p / 64) |= (1L << (p % 64))
       p += 1
     }
