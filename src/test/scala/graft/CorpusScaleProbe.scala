@@ -37,7 +37,10 @@ object CorpusScaleProbe {
         "q_decontaminate", "q_decontaminate_bloom", "q_decontaminate_bcast",
         "q_shuffle_sample", "q_token_shard", "q_token_shard_ranged",
         "q_heavy_hitters", "q_vocab_coverage", "q_length_curriculum",
-        "q_boilerplate_strip", "q_fuzzy_pairs").foreach { q =>
+        "q_boilerplate_strip", "q_fuzzy_pairs",
+        // duplicate-heavy stress for the substring tier: every window sits
+        // in a ~factor-sized bucket, so the MaxBucket star cap is load-bearing
+        "q_dedup_substring").foreach { q =>
       time(base, q)
       val t1 = time(base, q)
       val tn = time(out, q)
