@@ -740,6 +740,12 @@ object SparkEntry {
       Dedup.containmentPairs(documents(s, d), n = 3, minContain = 0.9)
         .orderBy("doc_a", "doc_b")),
 
+    // -- [NS] per-doc duplicated-text mass: windows shared with ANY other
+    // doc — the corpus-health headline (no doc×doc pair space touched) --
+    "q_dedup_substring_mass" -> ((s, d) =>
+      Dedup.substringDupMass(documents(s, d), width = 40)
+        .orderBy("doc_id")),
+
     // -- [NS] exact substring-window dedup (Lee et al. 2021 family):
     // content-defined 1/16 window sample (winnowing-style md5-nibble
     // anchor, alignment-independent), bucket join, shared-window counts --
@@ -4555,6 +4561,18 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same window CTE, census form: windows held by >= 2 docs, counted per doc
+    "q_dedup_substring_mass" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |  WHERE length(text) >= 40
+        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
+        |SELECT w.doc_id, count(*) AS n_dup_windows
+        |FROM w JOIN shared USING (win)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact twin of Dedup.substringDupPairs: every 40-char window, kept iff
     // md5's first hex nibble is '0' (same md5, same lowercase hex in both

@@ -407,13 +407,7 @@ object Dedup {
       docs: DataFrame,
       width: Int = 40,
       minShared: Long = 2): DataFrame = {
-    val wins = docs
-      .where(length(col("text")) >= width)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"))
-      .select(col("doc_id"), col("text").substr(col("pos"), lit(width)).as("win"))
-      .where(substring(md5(col("win")), 1, 1) === "0")
-      .distinct()
+    val wins = selectedWindows(docs, width)
     val grouped = wins.groupBy(col("win")).agg(collect_list(col("doc_id")).as("ids"))
     val allPairs = flatten(transform(col("ids"),
       a => filter(col("ids"), b => b > a).pipe(bs => transform(bs, b => struct(a.as("a"), b.as("b"))))))
@@ -430,6 +424,37 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Distinct content-defined windows per doc (the substring tier's shared
+    * extraction): explode positions, slice the gram AFTER the explode,
+    * keep the md5-nibble 1/16 sample map-side.
+    */
+  private def selectedWindows(docs: DataFrame, width: Int): DataFrame =
+    docs
+      .where(length(col("text")) >= width)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"))
+      .select(col("doc_id"), col("text").substr(col("pos"), lit(width)).as("win"))
+      .where(substring(md5(col("win")), 1, 1) === "0")
+      .distinct()
+
+  /** Per-document duplicated-text mass: how many of a doc's sampled windows
+    * are shared with ANY other document — the corpus-level "fraction of
+    * text that is verbatim duplicate" statistic dedup papers headline
+    * (×16/width ≈ duplicated chars, by the sampling rate). Two hash
+    * aggregations and a semi-join on the window key; the doc×doc pair
+    * space is never touched, so this is the cheap corpus-health dashboard
+    * number, with `substringDupPairs` as the drill-down.
+    */
+  def substringDupMass(docs: DataFrame, width: Int = 40): DataFrame = {
+    val wins = selectedWindows(docs, width).persist() // feeds census + semi-join probe
+    val shared = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("win"))
+    wins.join(shared, Seq("win"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
   }
 
   def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {

@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("substring mass: copied span counted on BOTH holders, clean doc absent") {
+    val span = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val d = docs(
+      1L -> ("intro words " + span),
+      2L -> (span + " trailing content here"),
+      3L -> (1 to 80).map(i => s"other$i").mkString(" "))
+    val out = Dedup.substringDupMass(d, width = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out.values.forall(_ >= 2))
+  }
+
   test("substring windows: disjoint texts produce no pairs") {
     val d = docs(1L -> ("x" * 100), 2L -> (1 to 50).map(i => s"q$i").mkString(" "))
     assert(Dedup.substringDupPairs(d, width = 40, minShared = 1).count() == 0)
