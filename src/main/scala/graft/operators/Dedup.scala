@@ -157,12 +157,31 @@ object Dedup {
     val prefix = ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(byRarity))
       .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
-      .select(col("doc_id"), col("n_sh"), ceil(col("n_sh") * t).as("min_len"), col("s"))
+      .select(col("doc_id"), col("n_sh"), ceil(col("n_sh") * t).as("min_len"),
+        col("rk"), col("s"))
+    // ppjoin POSITIONAL filter (Xiao et al. 2008 §3.2): a collision at
+    // canonical positions (rk_a, rk_b) caps the overlap at
+    // 1 + min(n_a − rk_a, n_b − rk_b); J ≥ t needs overlap
+    // α = ⌈t/(1+t)·(n_a+n_b)⌉. For a TRUE pair the bound holds at its
+    // FIRST common prefix shingle, so keeping pairs where ANY collision
+    // passes loses nothing. α in EXACT integer arithmetic: t = p/10^s
+    // (the decimal's unscaled value), so α = ⌈p·(n_a+n_b)/(10^s+p)⌉ —
+    // products ≪ 2^53, the double floor is exact (same discipline as the
+    // decimal prefix threshold above). Cuts candidates ~an order of
+    // magnitude on low-diversity corpora where the prefix filter alone
+    // is weak — measured below in AllPairsProbe.
+    val td = BigDecimal.decimal(minJaccard)
+    val p0 = td.underlying.unscaledValue.longValueExact
+    val den = math.round(math.pow(10, td.scale)) + p0
+    val sumN = col("a.n_sh") + col("b.n_sh")
+    val alpha = floor(((lit(p0) * sumN + lit(den - 1)).cast("double")) / lit(den.toDouble))
+      .cast("long")
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") >= col("b.min_len") &&
-          col("b.n_sh") >= col("a.min_len"))
+          col("b.n_sh") >= col("a.min_len") &&
+          lit(1) + least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
