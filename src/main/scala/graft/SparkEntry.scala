@@ -2655,6 +2655,31 @@ object SparkEntry {
       s.table("q_stream_fmgs_mem").orderBy("user_id", "session_start")
     }),
 
+    // -- [NS] State-V2 `transformWithState` (the modern arbitrary-state
+    // API): per-user running totals in a typed ValueState cell on the
+    // RocksDB backend — REAL streaming run, same oracle as the
+    // flatMapGroupsWithState form (q_stateful_totals) --
+    "q_stream_tws" -> ((s, d) => {
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val totals = graft.streaming.EventStreams.statefulUserTotalsV2(s,
+          graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet"))
+        graft.streaming.EventStreams.runToMemory(totals, "q_stream_tws_mem", "update",
+          statePartitions = Some(8))
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // update mode emits one row per (micro-batch, key); the final state
+      // per user is the row with the largest n (monotone accumulation)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+      s.table("q_stream_tws_mem")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    }),
+
     "q_stream_rocksdb" -> ((s, d) => {
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -3687,6 +3712,12 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_stateful_totals" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the transformWithState twin must land on the identical totals
+    "q_stream_tws" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -369,6 +369,49 @@ object EventStreams {
       .toDF()
   }
 
+  /** State-V2 (`transformWithState`) processor: the modern arbitrary-state
+    * API Spark 4 ships to replace `flatMapGroupsWithState` — typed, named
+    * state cells fetched from a handle instead of one opaque state object,
+    * first-class timers, and TTL. Same Long-cents determinism contract as
+    * [[statefulUserTotals]], whose semantics this mirrors exactly so the
+    * two APIs are gated by the same oracle.
+    */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[TotalsState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[TotalsState]("totals",
+        org.apache.spark.sql.Encoders.product[TotalsState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[UserTotal] = {
+      var n = 0L; var cents = 0L
+      rows.foreach { r => n += 1; cents += r._2 }
+      val prev = if (totals.exists()) totals.get() else TotalsState(0L, 0L)
+      val acc = TotalsState(prev.n + n, prev.cents + cents)
+      totals.update(acc)
+      Iterator(UserTotal(uid, acc.n, acc.cents / 100.0))
+    }
+  }
+
+  /** Per-user running totals on the State-V2 API — the `transformWithState`
+    * twin of [[statefulUserTotals]]. Requires the RocksDB state-store
+    * provider (the State-V2 backend); callers set it for the run like
+    * `q_stream_rocksdb` does.
+    */
+  def statefulUserTotalsV2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[UserTotal]])
+      .toDF()
+  }
+
   /** Streaming→table upsert through `foreachBatch` — the idempotent MERGE
     * sink pattern: each micro-batch aggregates its own rows (cents-exact),
     * merges them into the previous target version by key, and writes the

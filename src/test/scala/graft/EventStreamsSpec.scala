@@ -134,6 +134,31 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState totals over 4 micro-batches equal the batch groupBy") {
+    val in = java.nio.file.Files.createTempDirectory("tws-in").toString
+    Tables.events(spark, Sf0001).drop("ts_ns")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(EventStreams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try EventStreams.runToMemory(
+      EventStreams.statefulUserTotalsV2(spark, stream), "t_tws", "update",
+      statePartitions = Some(2))
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val finalState = spark.table("t_tws")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(finalState == batch)
+  }
+
   test("gapSessions: closes by successor AND by event-time timeout; withholds open sessions") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
