@@ -2626,6 +2626,20 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // -- [NS] REAL streaming stream-stream FULL OUTER interval join: both
+    // sides' unmatched rows emit null-extended at watermark finality;
+    // explicit NULLS LAST on both engines (Spark defaults nulls-first,
+    // DuckDB nulls-last — the full join is where that first matters) --
+    "q_stream_full" -> ((s, d) => {
+      val ev = graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet")
+      val joined = graft.streaming.EventStreams.clickPurchaseFullJoin(ev, ev)
+      graft.streaming.EventStreams.runToMemory(joined, "q_stream_full_mem", "append",
+        statePartitions = Some(8))
+      s.table("q_stream_full_mem")
+        .orderBy(col("user_id"), col("click_id").asc_nulls_last,
+          col("purchase_id").asc_nulls_last)
+    }),
+
     // -- [NS] REAL streaming session windows through the state store; the
     // final table must hash-match the batch session-window oracle --
     "q_stream_session" -> ((s, d) => {
@@ -3531,6 +3545,28 @@ object SparkEntry {
         |FROM j, w
         |WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 1 HOUR < wm
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+
+    // full-outer twin: matched rows always; unmatched clicks final when
+    // click_ts + 1h < wm; unmatched purchases final when purchase_ts < wm
+    "q_stream_full" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT coalesce(user_id, p_user_id) AS user_id, click_id, purchase_id,
+        |             click_ts, purchase_ts
+        |  FROM c FULL JOIN p ON user_id = p_user_id
+        |    AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR),
+        |w AS (SELECT least(
+        |    (SELECT date_trunc('millisecond', max(ts)) FROM events WHERE event_type = 'click'),
+        |    (SELECT date_trunc('millisecond', max(ts)) FROM events WHERE event_type = 'purchase'))
+        |  - INTERVAL 1 HOUR AS wm)
+        |SELECT user_id, click_id, purchase_id, click_ts, purchase_ts
+        |FROM j, w
+        |WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |   OR (purchase_id IS NULL AND click_ts + INTERVAL 1 HOUR < wm)
+        |   OR (click_id IS NULL AND purchase_ts < wm)
+        |ORDER BY user_id, click_id NULLS LAST, purchase_id NULLS LAST""".stripMargin,
 
     // twin of EventStreams.gapSessions: 30-min-gap sessions at ms precision;
     // a session is VISIBLE iff a successor session closed it in-stream OR its

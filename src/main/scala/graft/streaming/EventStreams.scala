@@ -208,6 +208,34 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — both unmatched sides emit
+    * null-extended once the watermark proves no match can arrive: an
+    * unmatched click finalizes when `click_ts + 1h` falls behind the
+    * global watermark (no purchase in its forward window can appear), an
+    * unmatched purchase when `purchase_ts` itself does (every click that
+    * could precede it inside the hour is already final). Completes the
+    * stream-stream join family (inner, left outer, full outer); the twin
+    * reproduces both boundaries explicitly.
+    */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
