@@ -26,6 +26,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.clusters(emptyPairs).count() == 0)
   }
 
+  test("round-6 dedup/graph/similarity tiers return empty on empty input") {
+    assert(Dedup.substringDupPairs(emptyDocs).count() == 0)
+    assert(Dedup.substringDupMass(emptyDocs).count() == 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() == 0)
+    assert(graft.operators.Graph.triangleCounts(emptyDocs).count() == 0)
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.hammingTopK(e, probeId = 0L).count() == 0)
+    assert(graft.operators.Similarity.hammingProbeSetTopK(e, e).count() == 0)
+  }
+
+  test("quantile sketch of an empty frame: empty rollup, NaN estimate guarded") {
+    import graft.functions.QuantileSketch
+    val d = Seq.empty[Double].toDF("v")
+    val skUdaf = udaf(QuantileSketch.sketch, org.apache.spark.sql.Encoders.scalaDouble)
+    val packed = d.agg(skUdaf(col("v"))).as[Array[Long]].head()
+    assert(packed.isEmpty)
+    assert(QuantileSketch.totalCount(packed) == 0L)
+    assert(QuantileSketch.estimateQuantile(packed, 0.5).isNaN)
+  }
+
   test("sampling of an empty frame is empty") {
     val d = Seq.empty[(Long, String)].toDF("doc_id", "lang")
     assert(Sampling.stratified(d, "lang", "doc_id", Map("en" -> 0.5)).count() == 0)
