@@ -102,6 +102,43 @@ object SparkEntry {
     // identity against the original table — quoting, header, and type
     // parsing all on the hook. CSV is the ingest/egress edge; Parquet stays
     // the primary format (TESTDATA.md). --
+    // -- [NS] malformed-input handling on the CSV connector: PERMISSIVE
+    // mode quarantines bad rows into _corrupt_record instead of failing
+    // the scan — the lake-ingest contract (one bad row must not kill a
+    // 100 TB load). Fixture: nation as CSV plus two injected garbage
+    // lines; the declared result is the survivor count + quarantine count.
+    "q_source_csv_corrupt" -> ((s, d) => {
+      val base = Tables.nation(s, d)
+      val dir = scratchDirs.getOrElseUpdate(s"csvcorrupt:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_bad")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/nation_bad"
+        // header-free on purpose: with header=true Spark blindly skips the
+        // FIRST line of every part file, which would swallow one injected
+        // garbage line (and the writer's header would itself quarantine
+        // under header=false) — headerless keeps the contract exact
+        base.coalesce(1).write.mode("overwrite")
+          .option("header", "false").csv(out)
+        // append a malformed part file: wrong arity + non-numeric key
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "part-99999-garbage.csv"),
+          "not_a_number,XX\ntoo,many,columns,here,entirely,extra,cols\n")
+        out
+      })
+      val schema = org.apache.spark.sql.types.StructType(
+        base.schema.fields :+
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType, true))
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .cache() // corrupt-record column requires a materialized referenced scan
+      read.agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+    }),
+
     "q_source_csv" -> ((s, d) => {
       val schema = Tables.nation(s, d).schema
       val dir = scratchDirs.getOrElseUpdate(s"csv:$d", {
@@ -575,6 +612,21 @@ object SparkEntry {
           last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
         .where(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    }),
+
+    // -- [NS] FORWARD as-of join (the time-reversed twin): each click
+    // matched to the earliest strictly-later purchase of the same user —
+    // attribution's "time to conversion" shape; same one-shuffle window
+    // plan, frame flipped to (1 FOLLOWING, UNBOUNDED FOLLOWING) --
+    "q_asof_forward" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      events(s, d)
+        .withColumn("next_purchase_ts",
+          first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "next_purchase_ts")
         .orderBy("event_id")
     }),
 
@@ -3097,6 +3149,11 @@ object SparkEntry {
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
+    // 25 well-formed nation rows survive; exactly the 2 injected garbage
+    // lines land in quarantine
+    "q_source_csv_corrupt" ->
+      "SELECT (SELECT count(*) FROM nation) AS n_good, CAST(2 AS BIGINT) AS n_corrupt",
+
     // the map/struct plumbing is Spark-side; every output is derivable
     // directly from the base columns
     "q_complex_types" ->
@@ -3316,6 +3373,15 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, CAST(next_purchase_ts AS TIMESTAMP) AS next_purchase_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        |  FROM events)
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
