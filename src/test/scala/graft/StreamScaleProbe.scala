@@ -42,10 +42,11 @@ object StreamScaleProbe {
       Tables.events(spark, base).drop("ts_ns")
         .repartition(4).write.mode("overwrite").parquet(oneX)
 
-    def run(dir: String, name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+    def run(dir: String, name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            mode: String = "complete"): Double = {
       val t0 = System.nanoTime()
       graft.streaming.EventStreams.runToMemory(
-        mk(graft.streaming.EventStreams.readEvents(spark, dir)), name, "complete",
+        mk(graft.streaming.EventStreams.readEvents(spark, dir)), name, mode,
         statePartitions = Some(8))
       (System.nanoTime() - t0) / 1e9
     }
@@ -56,13 +57,19 @@ object StreamScaleProbe {
     // by 10000·rep so only the original band matches — the join itself still
     // evaluates per row, which is what the throughput number measures
     val dim = Tables.nation(spark, base)
-    for ((label, mk) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
-      ("tumbling", df => graft.streaming.EventStreams.tumblingDaily(df)),
-      ("dedup", df => graft.streaming.EventStreams.dedupedEvents(df).groupBy().count()),
-      ("enrich", df => graft.streaming.EventStreams.enrichedCounts(df, dim, "n_nationkey", "n_name")))) {
-      run(oneX, s"ss_w_$label", mk) // warm: session/codegen init
-      val t1 = run(oneX, s"ss_1_$label", mk)
-      val tN = run(path, s"ss_n_$label", mk)
+    // the two explicit-state APIs run in their native output modes; TWS
+    // additionally needs the RocksDB (State-V2) backend
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    for ((label, mode, mk) <- Seq[(String, String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("tumbling", "complete", df => graft.streaming.EventStreams.tumblingDaily(df)),
+      ("dedup", "complete", df => graft.streaming.EventStreams.dedupedEvents(df).groupBy().count()),
+      ("enrich", "complete", df => graft.streaming.EventStreams.enrichedCounts(df, dim, "n_nationkey", "n_name")),
+      ("fmgs", "append", df => graft.streaming.EventStreams.gapSessions(spark, df)),
+      ("tws", "update", df => graft.streaming.EventStreams.statefulUserTotalsV2(spark, df)))) {
+      run(oneX, s"ss_w_$label", mk, mode) // warm: session/codegen init
+      val t1 = run(oneX, s"ss_1_$label", mk, mode)
+      val tN = run(path, s"ss_n_$label", mk, mode)
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
       println(f"[sscale] $label%-9s 1x ${t1}%6.2f s (${n1 / t1 / 1000}%.0fk rows/s) -> " +
         f"${factor}x ${tN}%6.2f s (${nN / tN / 1000}%.0fk rows/s)  exp $exp%.2f")
