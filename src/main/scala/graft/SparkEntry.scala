@@ -792,6 +792,27 @@ object SparkEntry {
       Dedup.containmentPairs(documents(s, d), n = 3, minContain = 0.9)
         .orderBy("doc_a", "doc_b")),
 
+    // -- [NS] the dedup FUNNEL: every tier composed into one curation
+    // dashboard — raw → byte-exact → normalized-exact → fuzzy-transitive
+    // survivors → substring-clean docs. Each count exercises its tier's
+    // full machinery; the oracle recomputes all five from first
+    // principles (incl. the recursive-CTE closure twin). --
+    "q_dedup_funnel" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      def stage(i: Int, tier: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage"), lit(tier).as("tier"), col("n_docs"))
+      val massDocs = Dedup.substringDupMass(docs0, width = 40).select("doc_id")
+      stage(0, "raw", docs0)
+        .unionByName(stage(1, "exact", Dedup.exact(docs0)))
+        .unionByName(stage(2, "exact_norm", Dedup.exactNormalized(docs0)))
+        .unionByName(stage(3, "fuzzy_transitive",
+          Dedup.minhashDedupedTransitive(docs0, minEstJaccard = 0.4)))
+        .unionByName(stage(4, "substring_clean",
+          docs0.join(massDocs, Seq("doc_id"), "left_anti")))
+        .orderBy("stage")
+    }),
+
     // -- [NS] per-doc duplicated-text mass: windows shared with ANY other
     // doc — the corpus-health headline (no doc×doc pair space touched) --
     "q_dedup_substring_mass" -> ((s, d) =>
@@ -4694,6 +4715,33 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // five first-principles tier counts; fuzzy via the recursive closure
+    "q_dedup_funnel" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |tp AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |       WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |e AS (SELECT da AS a, db AS b FROM tp UNION SELECT db AS a, da AS b FROM tp),
+        |reach AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach WHERE b <> a GROUP BY a),
+        |fuzzy AS (SELECT count(*) AS n FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+        |          WHERE l.doc_id IS NULL OR l.mn > d.doc_id),
+        |w AS (SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
+        |      FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |      WHERE length(text) >= 40 AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |dup_docs AS (SELECT DISTINCT doc_id FROM w JOIN shared USING (win))
+        |SELECT * FROM (
+        |  SELECT 0 AS stage, 'raw' AS tier, count(*) AS n_docs FROM documents
+        |  UNION ALL SELECT 1, 'exact', count(DISTINCT text) FROM documents
+        |  UNION ALL SELECT 2, 'exact_norm', count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) FROM documents
+        |  UNION ALL SELECT 3, 'fuzzy_transitive', (SELECT n FROM fuzzy)
+        |  UNION ALL SELECT 4, 'substring_clean', (SELECT count(*) FROM documents) - (SELECT count(*) FROM dup_docs)
+        |) ORDER BY stage""".stripMargin,
 
     // same window CTE, census form: windows held by >= 2 docs, counted per doc
     "q_dedup_substring_mass" ->
