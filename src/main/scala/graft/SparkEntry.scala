@@ -792,6 +792,20 @@ object SparkEntry {
       Dedup.containmentPairs(documents(s, d), n = 3, minContain = 0.9)
         .orderBy("doc_a", "doc_b")),
 
+    // -- [NS] INCREMENTAL fuzzy dedup: the new batch (doc_id >= 400)
+    // deduped against the standing corpus without re-pairing corpus×corpus
+    // — emits the increment ids to DROP (match in corpus or earlier
+    // arrival); est >= 0.4 equals the exact J >= 0.9 truth on this corpus
+    // (the same separation invariant the other LSH tiers gate on) --
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      Dedup.minhashIncremental(
+        docs0.where(col("doc_id") < 400),
+        docs0.where(col("doc_id") >= 400),
+        minEstJaccard = 0.4)
+        .orderBy("doc_id")
+    }),
+
     // -- [NS] the dedup FUNNEL: every tier composed into one curation
     // dashboard — raw → byte-exact → normalized-exact → fuzzy-transitive
     // survivors → substring-clean docs. Each count exercises its tier's
@@ -4715,6 +4729,19 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact-Jaccard twin: an increment doc (>= 400) drops iff some partner
+    // in the corpus (< 400) or an earlier increment doc matches at J >= 0.9
+    "q_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3)
+        |SELECT DISTINCT b.doc_id
+        |FROM sh b JOIN sh a ON b.doc_id >= 400 AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
+        |  AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY 1""".stripMargin,
 
     // five first-principles tier counts; fuzzy via the recursive closure
     "q_dedup_funnel" ->

@@ -116,6 +116,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** INCREMENTAL fuzzy dedup — the production shape for a growing lake:
+    * dedup a new batch against the already-deduped corpus (and itself)
+    * WITHOUT ever re-pairing corpus×corpus. The corpus contributes only
+    * its banded signature index (in production: precomputed and stored —
+    * signatures are pure functions of text, so the index appends); the
+    * increment's bands probe it, candidates verify by signature-estimated
+    * Jaccard, and an increment doc drops if it matches the corpus or an
+    * EARLIER increment doc (id order = arrival order, the keep-first rule).
+    * Per-increment cost is O(increment bands + bucket collisions) —
+    * independent of corpus size beyond the index lookups.
+    */
+  def minhashIncremental(
+      corpus: DataFrame,
+      increment: DataFrame,
+      n: Int = 3,
+      perms: Int = 32,
+      bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    def sigsOf(df: DataFrame, isInc: Boolean) = df
+      .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"),
+        lit(isInc).as("is_inc"))
+      .where(col("sig").isNotNull)
+    val allSigs = sigsOf(corpus, isInc = false)
+      .unionByName(sigsOf(increment, isInc = true))
+      .persist() // the signature index: feeds band explode + both verify sides
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("is_inc"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+    val probe = banded(allSigs.where(col("is_inc")))
+      .select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val index = banded(allSigs)
+      .select(col("doc_id").as("doc_a"), col("is_inc").as("a_inc"),
+        col("band"), col("band_hash"))
+    val cand = probe.join(index, Seq("band", "band_hash"))
+      .where(!col("a_inc") || col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .where(TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms >= minEstJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+  }
+
   /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing
     * anywhere — the AllPairs/ppjoin prefix-filtered similarity join
     * (Bayardo et al. 2007; Xiao et al. 2008):

@@ -30,6 +30,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("incremental: increment drops corpus dups and later intra-increment dups only") {
+    val a = (1 to 300).map(i => s"w$i").mkString(" ")
+    val b = (1 to 300).map(i => s"v$i").mkString(" ")
+    val fresh = (1 to 300).map(i => s"z$i").mkString(" ")
+    val corpus = docs(1L -> a, 2L -> b)
+    // 10: dup of corpus doc 1 -> drop; 11: fresh -> keep;
+    // 12: dup of increment doc 11 (later arrival) -> drop
+    val inc = docs(10L -> a, 11L -> fresh, 12L -> fresh)
+    val dropped = Dedup.minhashIncremental(corpus, inc, minEstJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(dropped == Set(10L, 12L))
+  }
+
   test("containment: subset copy found in the direction Jaccard misses") {
     val small = (1 to 50).map(i => s"w$i").mkString(" ")
     val big = small + " " + (1 to 200).map(i => s"x$i").mkString(" ")
