@@ -3029,6 +3029,61 @@ object SparkEntry {
       s.read.parquet(dir).orderBy("event_id")
     }),
 
+    // -- [NS] dynamic partition overwrite: events laid out by event_type
+    // once per JVM, then the 'click' partition ALONE is rewritten (GDPR-
+    // style erasure: odd-user rows dropped) via Layout.overwritePartitions.
+    // partitionOverwriteMode=dynamic replaces only the partitions present
+    // in the update batch — the other four partitions' files are byte-
+    // untouched (file identity asserted in LayoutSpec). The oracle
+    // recomputes the post-rewrite table relationally. --
+    "q_partition_overwrite" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"partoverwrite:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_partow")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events_by_type"
+        val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
+        ev.write.partitionBy("event_type").parquet(out)
+        graft.operators.Layout.overwritePartitions(
+          ev.where(col("event_type") === "click" && col("user_id") % 2 === 0),
+          out, "event_type")
+        out
+      })
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // -- [NS] SQL DDL surface: CREATE OR REPLACE TEMP VIEW + CTAS
+    // (CREATE TABLE ... USING PARQUET LOCATION ... AS SELECT) through the
+    // session catalog, then a pure-SQL join through both catalog objects.
+    // The CTAS materializes once per JVM (scratch guard); the views are
+    // metadata, re-registered per call. Oracle recomputes the same join
+    // directly over the base parquet. --
+    "q_sql_ddl" -> ((s, d) => {
+      scratchDirs.getOrElseUpdate(s"ctas:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ctas")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/cust_orders"
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_src")
+        s.sql("DROP TABLE IF EXISTS graft_cust_orders")
+        s.sql(
+          s"""CREATE TABLE graft_cust_orders USING PARQUET LOCATION '$out' AS
+             |SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |FROM graft_orders_src GROUP BY o_custkey""".stripMargin)
+        out
+      })
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      s.sql(
+        """SELECT c.c_mktsegment, count(*) AS n_cust,
+          |  CAST(sum(CAST(o.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
+          |FROM graft_customer_v c
+          |JOIN graft_cust_orders o ON c.c_custkey = o.o_custkey
+          |GROUP BY c.c_mktsegment
+          |ORDER BY c.c_mktsegment""".stripMargin)
+    }),
+
     // -- [NS] SCD-1 upsert (MERGE): a deterministic change set derived from
     // the base (updates for id%100=0, deletes for id%97=0 not already
     // updated, inserts at id+1000000) applied via Layout.upsert — one
@@ -3869,6 +3924,27 @@ object SparkEntry {
     "q_compact" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // end state after the click-partition rewrite: every other partition
+    // as-is, click reduced to its even-user rows
+    "q_partition_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type <> 'click' OR user_id % 2 = 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // the catalog objects are pass-through: same join computed directly
+    "q_sql_ddl" ->
+      """WITH co AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(co.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
+        |FROM customer c JOIN co ON c.c_custkey = co.o_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     // relational recomputation of the SCD-1 merge: survivors = base rows
     // whose key is untouched; plus updated rows; plus inserted rows

@@ -214,4 +214,26 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `update`, leaving every other partition's files byte-untouched. This
+    * is the lake maintenance primitive behind partition-scoped rewrites —
+    * late-data backfill, GDPR erasure of one day/tenant, compaction of a
+    * hot partition — where a plain `mode("overwrite")` would delete the
+    * whole table and rewriting 100 TB to touch 100 GB is not an option.
+    *
+    * Scale shape: cost is O(rows in the touched partitions) — the write
+    * job plans only `update`'s rows, and commit replaces just the matching
+    * partition directories. Untouched partitions are never read, planned,
+    * or listed beyond the final commit's directory swap.
+    */
+  def overwritePartitions(update: DataFrame, dir: String,
+                          partitionCol: String): Unit = {
+    val spark = update.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try update.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    finally spark.conf.set(key, prev)
+  }
 }

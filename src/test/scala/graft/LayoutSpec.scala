@@ -217,6 +217,30 @@ class LayoutSpec extends SparkSpec {
       .collect().toSeq == ev.orderBy("event_id").collect().toSeq)
   }
 
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    val dir = java.nio.file.Files.createTempDirectory("partow").toString + "/t"
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.partitionBy("event_type").parquet(dir)
+    def files(part: String) =
+      new java.io.File(s"$dir/event_type=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sorted
+    val viewBefore  = files("view")
+    val errorBefore = files("error")
+    Layout.overwritePartitions(
+      ev.where(col("event_type") === "click" && col("user_id") % 2 === 0),
+      dir, "event_type")
+    // untouched partitions: identical file names, mtimes, and sizes
+    assert(files("view") == viewBefore && files("error") == errorBefore)
+    // touched partition: only the even-user rows survive
+    val expected = ev.where(col("event_type") =!= "click" || col("user_id") % 2 === 0)
+      .orderBy("event_id").collect().toSeq
+    assert(spark.read.parquet(dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").collect().toSeq == expected)
+  }
+
   test("upsert applies inserts, updates, and deletes in one pass") {
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("k", "t", "v")
