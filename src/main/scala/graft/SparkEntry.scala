@@ -2970,6 +2970,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // -- [NS] Trigger.AvailableNow incremental catch-up: the events land in
+    // TWO arrivals (even ids, then odd ids appended); each arrival is
+    // followed by a catch-up run that processes only the files the
+    // checkpoint hasn't seen, appending to one parquet sink. If the second
+    // run re-processed the first arrival the append sink would double those
+    // rows — so the oracle (one aggregate over everything, exactly once) IS
+    // the exactly-once-per-file evidence. Incremental file counts are
+    // additionally asserted in EventStreamsSpec. --
+    "q_stream_availablenow" -> ((s, d) => {
+      val root = scratchDirs.getOrElseUpdate(s"availnow:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_availnow")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
+        ev.where(col("event_id") % 2 === 0).write.parquet(s"$r/in")
+        graft.streaming.EventStreams.catchUpAvailableNow(s, s"$r/in", s"$r/sink", s"$r/chk")
+        ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$r/in")
+        graft.streaming.EventStreams.catchUpAvailableNow(s, s"$r/in", s"$r/sink", s"$r/chk")
+        r
+      })
+      s.read.parquet(s"$root/sink")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // -- [REF R1/R4] the reference's /UserId partition routing end-to-end:
     // ingest a slice user-partitioned on disk, then point-read ONE user —
     // the filter must prune to a single partition directory
@@ -3831,6 +3857,15 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // two catch-up runs over two arrivals = every qualifying event exactly
+    // once in the sink (a re-processed arrival would double its rows)
+    "q_stream_availablenow" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // the streamed enrichment join's final table equals the batch join
     "q_stream_enrich" ->

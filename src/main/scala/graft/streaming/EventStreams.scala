@@ -511,6 +511,37 @@ object EventStreams {
       .map(v => s"$root/v$v")
   }
 
+  /** Incremental catch-up run (`Trigger.AvailableNow`): process every file
+    * currently in `inDir` through a stateless filter+project into an
+    * append parquet sink, then STOP. The checkpoint's file index carries
+    * processed-file state across runs, so a later invocation over a grown
+    * directory processes ONLY the new files — the "nightly incremental
+    * batch" production pattern: exactly-once per file with no always-on
+    * cluster, and a re-run after failure resumes from the last committed
+    * epoch instead of double-appending.
+    *
+    * Scale shape: per run, cost is O(new files) — the source lists the
+    * directory once and diffs against the checkpoint index; committed
+    * files are never re-read. At lake scale the listing itself is the
+    * bound, which is why production sources partition input directories
+    * by arrival date (noted here; the contract is unchanged).
+    */
+  def catchUpAvailableNow(spark: SparkSession, inDir: String,
+                          sinkDir: String, chkDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .where(col("event_type").isin("click", "purchase"))
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", chkDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
   /** Run any of the above to completion against a static directory via the
     * memory sink — the synchronous harness pattern for tests.
     *

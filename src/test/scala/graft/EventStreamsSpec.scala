@@ -204,6 +204,29 @@ class EventStreamsSpec extends SparkSpec {
       Tables.events(spark, Sf0001).drop("ts_ns").columns.sorted.toSeq)
   }
 
+  test("AvailableNow catch-up processes only new files per run") {
+    val root = java.nio.file.Files.createTempDirectory("availnow").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val expected1 = ev.where(col("event_id") % 2 === 0 &&
+      col("event_type").isin("click", "purchase")).count()
+    val expectedAll = ev.where(col("event_type").isin("click", "purchase")).count()
+
+    ev.where(col("event_id") % 2 === 0).write.parquet(s"$root/in")
+    EventStreams.catchUpAvailableNow(spark, s"$root/in", s"$root/sink", s"$root/chk")
+    assert(spark.read.parquet(s"$root/sink").count() == expected1)
+
+    ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$root/in")
+    EventStreams.catchUpAvailableNow(spark, s"$root/in", s"$root/sink", s"$root/chk")
+    // exactly the second arrival added — a re-processed first arrival
+    // would push the append sink past expectedAll
+    assert(spark.read.parquet(s"$root/sink").count() == expectedAll)
+
+    // a third run with NO new input appends nothing
+    EventStreams.catchUpAvailableNow(spark, s"$root/in", s"$root/sink", s"$root/chk")
+    assert(spark.read.parquet(s"$root/sink").count() == expectedAll)
+  }
+
   test("sliding hourly windows emit and every count is positive") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     EventStreams.runToMemory(EventStreams.slidingHourly(stream), "t_sliding", "append")
