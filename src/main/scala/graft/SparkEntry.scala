@@ -1019,6 +1019,15 @@ object SparkEntry {
     "q_tfidf_topterms" -> ((s, d) =>
       graft.operators.Corpus.tfidfTopTerms(documents(s, d), k = 3)),
 
+    // -- [NS] BM25 retrieval: top-20 documents for a 3-term query mixing a
+    // rare term (high idf) with two common ones — the classic search-
+    // ranking operator over the corpus; scoring discipline documented on
+    // Corpus.bm25TopK (ln rounded at 6 dp, per-term decimal fixing, final
+    // 4 dp) so the oracle reproduces it bit-for-bit --
+    "q_bm25_search" -> ((s, d) =>
+      graft.operators.Corpus.bm25TopK(documents(s, d),
+        Seq("dup", "merge", "scan"), k = 20)),
+
     // -- [NS] token-budget sequence packing, per-shard (source) so packing
     // state never funnels through one partition --
     "q_pack_sequences" -> ((s, d) =>
@@ -4991,6 +5000,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, score FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    // BM25 recomputed with the identical operation order and rounding
+    // discipline (ln at 6 dp, per-term DECIMAL(18,8), final 4 dp)
+    "q_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
+        |      AS DECIMAL(18,8)) AS score_t
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        |SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     // integer running-total bin assignment — exact arithmetic in both engines
     // exact recount of MG candidates = the plain frequency filter (k=64 ≥

@@ -425,4 +425,48 @@ object Corpus {
           p => p.getField("seg")), " ")).as("cleaned_md5"))
       .orderBy("doc_id")
   }
+
+  /** BM25 document retrieval (Robertson/Spärck Jones; the Okapi form with
+    * the +1 idf floor Lucene uses): top-k documents for a bag of query
+    * terms, `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Engine-portable float discipline: the one transcendental (`ln`) is
+    * rounded to 6 dp the moment it's computed; every other step is IEEE
+    * double arithmetic written in the same operation order as the oracle,
+    * then each term's score is fixed to decimal(18,8) so the per-doc sum
+    * is addition-order-free; the final score rounds to 4 dp.
+    *
+    * Scale shape: the corpus-wide work is two keyed aggregates (doc
+    * lengths; per-doc query-term tf AFTER filtering the token stream to
+    * the query terms — only matching postings ever shuffle). df and the
+    * global length stats ride in as broadcasts of ≤|terms| rows, and the
+    * result is a TakeOrderedAndProject, never a full sort.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TF.tokens(lower(col("text")))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("total_toks"))
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("score_t",
+        (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / (col("total_toks") / col("n_docs")))))
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score_t")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
 }
