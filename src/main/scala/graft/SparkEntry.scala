@@ -845,6 +845,20 @@ object SparkEntry {
     // is a byte-identical clone of vec 0 — identical hyperplane signature →
     // same bucket in every band → the pair (-1, 0) at cosine 1.0 is found
     // deterministically, and it is the ONLY pair ≥ 0.9 in the augmented set
+    // -- [NS] SemDeDup semantic dedup: cluster-then-pair inside IVF cells.
+    // Same planted-clone discipline as q_neardup_embedding (organic max
+    // pairwise cosine ≈0.51 « 0.95): three byte-identical clones at high
+    // vec_ids land in their originals' cells at cosine 1.0 and are the
+    // ONLY drops — survivors must be exactly the original corpus. --
+    "q_semdedup" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val clones = e.where(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      graft.operators.Dedup.semDedup(e.unionByName(clones), minCosine = 0.95)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     "q_neardup_embedding" -> ((s, d) => {
       val e = embeddings(s, d)
       val probe = e.where(col("vec_id") === 0).withColumn("vec_id", lit(-1L))
@@ -4774,6 +4788,12 @@ object SparkEntry {
     "q_mm_neardup" ->
       """SELECT doc_id AS vec_a, doc_id + 1000 AS vec_b, 1.0 AS cosine
         |FROM documents WHERE doc_id < 3 ORDER BY vec_a""".stripMargin,
+
+    // the three planted clones are the only semantic duplicates (organic
+    // max pairwise cosine ≈0.51 « 0.95), so SemDeDup's survivors are
+    // exactly the original corpus
+    "q_semdedup" ->
+      """SELECT vec_id, label FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // the planted clone (vec -1 = vec 0) is the only pair at cosine >= 0.9;
     // DuckDB recomputes its cosine from the stored vector

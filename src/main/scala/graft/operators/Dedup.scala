@@ -520,6 +520,38 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embedding space coarsely, then search for near-duplicate pairs ONLY
+    * within each cluster — pairs above `minCosine` drop the later vec_id,
+    * keeping one representative per semantic duplicate group. The
+    * published recipe for pruning web-scale corpora by meaning (paraphrase
+    * mirrors, templated rewrites) where exact/MinHash tiers see distinct
+    * strings. Complements `embeddingNearDup`: hyperplane-LSH blocks by
+    * random projections, SemDeDup by learned cluster structure — the
+    * latter keeps recall when near-dups straddle band boundaries, at the
+    * cost of one index build.
+    *
+    * Scale shape: clustering reuses the cached bounded-sample k-means
+    * index (`Similarity.buildCentroids` — the only collect, nlist×dim
+    * doubles); assignment is one map pass. The pair space is Σ|cellᵢ|² —
+    * with nlist grown ∝ corpus (FAISS's √N rule or coarser), expected
+    * cell size is constant and the join stays linear; the cell equi-join
+    * hash-partitions by cell, so no executor ever sees the full corpus.
+    */
+  def semDedup(embeddings: DataFrame, minCosine: Double = 0.95,
+               nlist: Int = 16, sampleRows: Int = 2048): DataFrame = {
+    val assigned = Similarity.assignCells(embeddings, nlist, sampleRows)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val drops = a.join(b, "cell")
+      .where(col("vec_a") < col("vec_b") &&
+        VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+    embeddings.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id").as("doc_id"), col("embedding"),

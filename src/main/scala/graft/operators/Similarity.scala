@@ -215,6 +215,18 @@ object Similarity {
       best
     }
 
+  /** Corpus with its IVF cell id attached (`cell` = nearest centroid) —
+    * the shared coarse-quantization step behind `ivfTopK`,
+    * `ivfProbeSetTopK`, and `Dedup.semDedup`. Index build is the cached
+    * bounded-sample k-means above; assignment is one codegen-adjacent JVM
+    * loop per row.
+    */
+  private[operators] def assignCells(
+      embeddings: DataFrame, nlist: Int, sampleRows: Int): DataFrame = {
+    val centroids = buildCentroids(embeddings, nlist, sampleRows)
+    embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+  }
+
   /** IVF (inverted-file) approximate top-k: partition vectors by nearest
     * centroid; a probe searches only its `nprobe` nearest cells. Recall is
     * tunable via `nprobe`; `nprobe == nlist` degrades gracefully to exact.

@@ -202,6 +202,20 @@ class DedupSpec extends SparkSpec {
     assert(expect.contains((31L, 32L))) // the test isn't vacuous
   }
 
+  test("semDedup drops every clone of a vector and keeps the original") {
+    val e = Tables.embeddings(spark, Sf0001)
+    // two clones of vec 0 and one of vec 1 — all three must drop (the
+    // within-cell pair space covers clone↔original AND clone↔clone)
+    val clones = e.where(col("vec_id") === 0)
+      .withColumn("vec_id", lit(5000000L))
+      .unionByName(e.where(col("vec_id") === 0).withColumn("vec_id", lit(5000001L)))
+      .unionByName(e.where(col("vec_id") === 1).withColumn("vec_id", lit(5000002L)))
+    val survivors = Dedup.semDedup(e.unionByName(clones), minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val original = e.select("vec_id").as[Long].collect().toSet
+    assert(survivors == original)
+  }
+
   test("embedding near-dup: planted duplicate vector found, orthogonal not") {
     val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // same direction
