@@ -445,14 +445,24 @@ object Corpus {
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TF.tokens(lower(col("text")))).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length via regexp_count, NOT a tokenize-explode-count pass: the
+    // length pass needs only the count of \S+ runs (identical value), and
+    // skipping the second array materialization halved the sf0.1 time
+    // persisted: dl feeds the stats broadcast job AND the final join — one
+    // regexp scan instead of two (same discipline as tf below)
+    val dl = docs.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("dl"))
+      .persist()
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).cast("double").as("total_toks"))
-    val tf = toks.where(col("term").isin(terms: _*))
+    // persisted: tf feeds both the dfreq broadcast job and the final join —
+    // without it each job re-runs the tokenize-explode over the corpus
+    val tf = docs.select(col("doc_id"),
+        explode(TF.tokens(lower(col("text")))).as("term"))
+      .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
