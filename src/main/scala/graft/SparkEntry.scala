@@ -2566,6 +2566,18 @@ object SparkEntry {
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)),
 
+    // -- [NS] BPE tokenizer-training first iteration: top-20 adjacent
+    // character pairs weighted by word frequency, computed over the
+    // distinct-word dictionary (the real trainer's corpus collapse) --
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.operators.Corpus.bpePairs(documents(s, d), k = 20)),
+
+    // -- [NS] PMI collocations: top-20 adjacent word bigrams by pointwise
+    // mutual information at support >= 20 — phrase mining over the corpus;
+    // float discipline documented on Corpus.pmiBigrams --
+    "q_pmi_bigrams" -> ((s, d) =>
+      graft.operators.Corpus.pmiBigrams(documents(s, d), k = 20, minCount = 20)),
+
     // -- [NS] multimodal resize plumbing: header rewrite + proportional body
     // truncation, then metadata re-extraction audits the new header --
     "q_mm_resize" -> ((s, d) =>
@@ -4575,6 +4587,39 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS shingle
         |       FROM tok WHERE len(t) >= 3)
         |SELECT shingle, count(*) AS df FROM sh GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    // pair counts recomputed over the same word-frequency dictionary
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM words
+        |       WHERE length(word) >= 2 GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(word, i, 2) AS pair, freq
+        |  FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // identical count assembly and single-ln rounding discipline
+    "q_pmi_bigrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tk2 AS (SELECT * FROM tk WHERE len(tk) >= 2),
+        |uni AS (SELECT unnest(tk) AS w FROM tk),
+        |unic AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+        |bic AS (
+        |  SELECT tk[i] AS a, tk[i+1] AS b, count(*) AS n_ab
+        |  FROM tk2, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_uni FROM uni),
+        |nbi AS (SELECT CAST(sum(len(tk) - 1) AS DOUBLE) AS n_bi FROM tk2)
+        |SELECT bic.a, bic.b, CAST(bic.n_ab AS BIGINT) AS n_ab,
+        |  round(ln((bic.n_ab * n_uni * n_uni) / (n_bi * ua.n_w * ub.n_w)), 4) AS pmi
+        |FROM bic JOIN unic ua ON bic.a = ua.w JOIN unic ub ON bic.b = ub.w, tot, nbi
+        |ORDER BY pmi DESC, a, b
+        |LIMIT 20""".stripMargin,
 
     // resize arithmetic: new dims are literal, body truncates to
     // min(L, max(ceil(L * newArea / oldArea), 1))

@@ -426,6 +426,74 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-candidate counting (Sennrich et al. 2016, the first
+    * iteration of byte-pair-encoding tokenizer training): corpus-wide
+    * frequency of adjacent CHARACTER pairs, each occurrence weighted by
+    * its word's corpus frequency. Returns the top-k pairs — the merge
+    * table's first k candidates.
+    *
+    * Scale shape: exactly the real trainer's trick — collapse the corpus
+    * to its distinct-word frequency dictionary FIRST (one keyed agg; the
+    * dictionary is vocabulary-sized, not corpus-sized), then generate
+    * pairs over the dictionary only. A 100 TB corpus has millions of
+    * distinct words, not trillions; the pair explode runs over that.
+    */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    val wordFreq = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .where(length(col("word")) >= 2)
+    wordFreq
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** PMI collocations over adjacent word bigrams:
+    * `pmi = ln(n_ab · n_uni² / (n_bigrams · n_a · n_b))`, reported for
+    * bigrams with support ≥ `minCount` — the classic collocation /
+    * phrase-mining statistic (Church & Hanks 1990). Engine-portable float
+    * discipline: counts are exact longs, the ratio is assembled in one
+    * fixed operation order, and the single `ln` rounds to 4 dp.
+    *
+    * Scale shape: two keyed aggregates (unigrams, bigrams) over the token
+    * stream — both map-side-combine shuffles on the gram key; the scalar
+    * totals ride in as a broadcast 1-row cross join. No pair space beyond
+    * bigrams that actually occur.
+    */
+  def pmiBigrams(docs: DataFrame, k: Int = 20, minCount: Long = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TF.tokens(lower(col("text"))).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val uni = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = toks
+      .select(explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("a"),
+                    element_at(col("tk"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val totals = uni.agg(sum(col("n_w")).cast("double").as("n_uni"))
+    val nBigrams = toks.agg(sum(size(col("tk")) - 1).cast("double").as("n_bi"))
+    bi
+      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nBigrams))
+      .withColumn("pmi", round(log(
+        (col("n_ab") * col("n_uni") * col("n_uni")) /
+          (col("n_bi") * col("n_a") * col("n_b"))), 4))
+      .select(col("a"), col("b"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** BM25 document retrieval (Robertson/Spärck Jones; the Okapi form with
     * the +1 idf floor Lucene uses): top-k documents for a bag of query
     * terms, `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
