@@ -885,6 +885,19 @@ object SparkEntry {
     "q_sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10, nprobe = 8)),
 
+    // -- [NS] incremental IVF: the index is trained on the first 400
+    // vectors ONLY; the remaining batch is assigned to those centroids in
+    // one map pass (no re-train) and must be immediately searchable — the
+    // declared result still hash-matches the brute-force twin over the
+    // FULL set, so appended vectors provably surface in the top-k --
+    "q_sim_ivf_append" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfAppendTopK(
+        e.where(col("vec_id") < 400),
+        e.where(col("vec_id") >= 400),
+        probeId = 0L, k = 10, nprobe = 8)
+    }),
+
     // batch (probe-set) IVF: 4 probes against the corpus in ONE pass — the
     // training-pipeline shape. nprobe=10 of nlist=16 still skips 3/8 of the
     // corpus per probe but empirically recovers the exact per-probe top-10
@@ -4874,6 +4887,15 @@ object SparkEntry {
     // at nprobe=8/nlist=16 the IVF result equals the exact top-10 on this
     // data (verified at the gate SF) — same twin as the brute-force query
     "q_sim_ivf" ->
+      """SELECT e2.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e1, embeddings e2
+        |WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // appended vectors searchable without re-train: same brute-force twin
+    // over the FULL set as q_sim_ivf
+    "q_sim_ivf_append" ->
       """SELECT e2.vec_id AS vec_id,
         |  round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
         |FROM embeddings e1, embeddings e2

@@ -243,8 +243,39 @@ object Similarity {
       nprobe: Int = 4,
       sampleRows: Int = 2048): DataFrame = {
     val centroids = buildCentroids(embeddings, nlist, sampleRows)
-    val assigned = embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
-    val probe = embeddings.where(col("vec_id") === probeId)
+    ivfProbe(embeddings, centroids, probeId, k, nprobe)
+  }
+
+  /** IVF probe over `corpus ∪ batch` with the index trained on the CORPUS
+    * ONLY — incremental index maintenance: appended vectors are assigned to
+    * the existing centroids in one map pass and become searchable
+    * immediately; the k-means never re-runs. This is how a production IVF
+    * absorbs a daily embedding drop (FAISS `add` vs `train`) — re-training
+    * on every append would re-shuffle 100 TB of vectors to move cell
+    * boundaries marginally. Pairs with `Dedup.minhashIncremental` as the
+    * ANN side of the incremental-corpus story; drift is bounded by the
+    * recall gate re-checked against the grown corpus (`q_sim_ivf_recall`'s
+    * contract), the trigger for an eventual off-line re-train.
+    */
+  def ivfAppendTopK(
+      corpus: DataFrame,
+      batch: DataFrame,
+      probeId: Long,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleRows: Int = 2048): DataFrame = {
+    val centroids = buildCentroids(corpus, nlist, sampleRows)
+    ivfProbe(corpus.unionByName(batch), centroids, probeId, k, nprobe)
+  }
+
+  /** Shared probe tail: assign cells with the given centroids, rank the
+    * probe's `nprobe` nearest cells, exact-cosine within them.
+    */
+  private def ivfProbe(all: DataFrame, centroids: Array[Array[Double]],
+                       probeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val assigned = all.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+    val probe = all.where(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
 
     val probeRows = probe.collect()
