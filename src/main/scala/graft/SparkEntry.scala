@@ -2579,6 +2579,12 @@ object SparkEntry {
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)),
 
+    // -- [NS] RAG overlap chunking: 128-char windows every 96 chars (32
+    // shared context chars per boundary); exact integer chunk-count
+    // arithmetic, per-chunk md5+length fingerprint --
+    "q_chunk_overlap" -> ((s, d) =>
+      graft.operators.Corpus.overlapChunks(documents(s, d), width = 128, stride = 96)),
+
     // -- [NS] BPE tokenizer-training first iteration: top-20 adjacent
     // character pairs weighted by word frequency, computed over the
     // distinct-word dictionary (the real trainer's corpus collapse) --
@@ -4600,6 +4606,19 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS shingle
         |       FROM tok WHERE len(t) >= 3)
         |SELECT shingle, count(*) AS df FROM sh GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    // identical integer chunk-count arithmetic and 1-based substr windows
+    "q_chunk_overlap" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 128 THEN 1
+        |         ELSE 1 + (length(text) - 128 + 95) // 96 END AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |  length(substr(text, CAST(i * 96 + 1 AS BIGINT), 128)) AS chunk_chars,
+        |  md5(substr(text, CAST(i * 96 + 1 AS BIGINT), 128)) AS chunk_md5
+        |FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // pair counts recomputed over the same word-frequency dictionary
     "q_bpe_pairs" ->

@@ -426,6 +426,35 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Overlapping sliding-window chunking (the RAG / context-window prep
+    * op): fixed `width`-char chunks starting every `stride` chars, so
+    * consecutive chunks share `width - stride` chars of context and no
+    * span is lost at a boundary — the complement of the reference tiler's
+    * non-overlapping splits (`LogChange.cs:99-175`, exact-reassembly
+    * contract) for retrieval, where boundary-straddling answers need the
+    * overlap. Chunk count is exact integer arithmetic
+    * (`1 + ⌈(len−width)/stride⌉` for len > width, else 1) so both engines
+    * agree row-for-row; declared output carries per-chunk length + md5,
+    * keeping result width bounded while fingerprinting full content.
+    *
+    * Scale shape: embarrassingly parallel — one generator pass, no
+    * shuffle; output is ~len/stride rows per doc, linear in corpus bytes.
+    */
+  def overlapChunks(docs: DataFrame, width: Int = 512, stride: Int = 448): DataFrame = {
+    require(stride >= 1 && stride <= width, s"need 1 <= stride <= width")
+    val len = length(col("text")).cast("long")
+    val n = when(len <= width, lit(1L))
+      .otherwise(((len - width + (stride - 1)) / stride).cast("long") + 1L)
+    docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), n - 1),
+          i => col("text").substr((i * stride + 1).cast("int"), lit(width))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** BPE merge-candidate counting (Sennrich et al. 2016, the first
     * iteration of byte-pair-encoding tokenizer training): corpus-wide
     * frequency of adjacent CHARACTER pairs, each occurrence weighted by
