@@ -885,6 +885,19 @@ object SparkEntry {
     "q_sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10, nprobe = 8)),
 
+    // -- [NS] hard-negative mining: per-anchor most-similar vector BELOW
+    // the 0.9 positive band. The planted clone of vec 0 (cosine 1.0) makes
+    // the band exclusion load-bearing: anchor 0's hardest negative must be
+    // an organic neighbor, never the clone. --
+    "q_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val clone0 = e.where(col("vec_id") === 0).withColumn("vec_id", lit(-1L))
+      Similarity.hardNegatives(
+        e.unionByName(clone0),
+        e.where(col("vec_id") < 10),
+        posFloor = 0.9)
+    }),
+
     // -- [NS] incremental IVF: the index is trained on the first 400
     // vectors ONLY; the remaining batch is assigned to those centroids in
     // one map pass (no re-train) and must be immediately searchable — the
@@ -4911,6 +4924,26 @@ object SparkEntry {
         |FROM embeddings e1, embeddings e2
         |WHERE e1.vec_id = 0 AND e2.vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // per-anchor exact top-1 below the band, clone row included in the
+    // corpus side so the exclusion is exercised
+    "q_hard_negatives" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT a.vec_id AS anchor_id, e.vec_id AS negative_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4) AS cosine
+        |  FROM embeddings a, corpus e
+        |  WHERE a.vec_id < 10 AND e.vec_id <> a.vec_id),
+        |r AS (
+        |  SELECT anchor_id, negative_id, cosine,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rk
+        |  FROM sims WHERE cosine < 0.9)
+        |SELECT anchor_id, negative_id, cosine FROM r WHERE rk = 1
+        |ORDER BY anchor_id""".stripMargin,
 
     // appended vectors searchable without re-train: same brute-force twin
     // over the FULL set as q_sim_ivf

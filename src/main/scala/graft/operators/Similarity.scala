@@ -215,6 +215,38 @@ object Similarity {
       best
     }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor, the most-similar corpus vector BELOW the positive band
+    * (`cosine < posFloor`) — the classic in-batch-negatives upgrade where
+    * the hardest negatives (similar but not duplicate/positive) carry the
+    * gradient signal. The band filter is load-bearing: a near-duplicate of
+    * the anchor (cosine ≥ posFloor) must be EXCLUDED, not returned as the
+    * top negative.
+    *
+    * Scale shape: anchors broadcast (training batches are small), ONE
+    * corpus pass computes all anchor×corpus cosines, per-anchor top-1 via
+    * the same rank-limit the batch-IVF path uses (`WindowGroupLimit`
+    * pushes `rk = 1` into the sort). The corpus never shuffles.
+    */
+  def hardNegatives(embeddings: DataFrame, anchors: DataFrame,
+                    posFloor: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("anchor_emb"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id"))
+    embeddings.crossJoin(broadcast(a))
+      .where(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col("embedding"), col("anchor_emb")), 4))
+      .where(col("cosine") < posFloor)
+      .withColumnRenamed("vec_id", "negative_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("anchor_id"), col("negative_id"), col("cosine"))
+      .orderBy("anchor_id")
+  }
+
   /** Corpus with its IVF cell id attached (`cell` = nearest centroid) —
     * the shared coarse-quantization step behind `ivfTopK`,
     * `ivfProbeSetTopK`, and `Dedup.semDedup`. Index build is the cached

@@ -38,6 +38,7 @@ object CorpusScaleProbe {
         "q_shuffle_sample", "q_token_shard", "q_token_shard_ranged",
         "q_heavy_hitters", "q_vocab_coverage", "q_length_curriculum",
         "q_boilerplate_strip", "q_fuzzy_pairs",
+        "q_bm25_search", "q_bpe_pairs", "q_pmi_bigrams", "q_chunk_overlap",
         // duplicate-heavy stress for the substring tier: every window sits
         // in a ~factor-sized bucket, so the MaxBucket star cap is load-bearing
         "q_dedup_substring").foreach { q =>
