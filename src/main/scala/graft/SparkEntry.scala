@@ -2480,6 +2480,19 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] try_* ANSI-safety family: errors become NULLs instead of
+    // killing a 10-hour job — division by a zero denominator, long-add
+    // overflow, and out-of-bounds array access; the oracle reproduces each
+    // null site relationally --
+    "q_try_funcs" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        round(try_divide(col("value"), (col("user_id") % 3).cast("double")), 4)
+          .as("safe_div"),
+        try_add(col("event_id"), lit(Long.MaxValue)).as("safe_add"),
+        try_element_at(array(col("event_type")), lit(2)).as("safe_elem"))
+        .orderBy("event_id")),
+
     // -- [NS] arg-min/max aggregates (deterministic: keyed by unique event_id) --
     "q_minmax_by" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
@@ -4559,6 +4572,17 @@ object SparkEntry {
         |  coalesce(nullif(event_type, 'view'), 'filtered') AS type_or_filtered,
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // each try_* null site reproduced: zero denominator, guaranteed
+    // overflow for positive ids, index past a 1-element list
+    "q_try_funcs" ->
+      """SELECT event_id,
+        |  CASE WHEN user_id % 3 = 0 THEN NULL
+        |       ELSE round(value / CAST(user_id % 3 AS DOUBLE), 4) END AS safe_div,
+        |  CASE WHEN event_id > 0 THEN NULL
+        |       ELSE CAST(CAST(event_id AS HUGEINT) + 9223372036854775807 AS BIGINT) END AS safe_add,
+        |  CAST(NULL AS VARCHAR) AS safe_elem
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_minmax_by" ->
