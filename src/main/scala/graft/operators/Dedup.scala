@@ -545,10 +545,14 @@ object Dedup {
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"))
+    // persisted: when the input is a union, Catalyst pushes the anti join
+    // below it and would otherwise evaluate the within-cell pair join once
+    // per branch
     val drops = a.join(b, "cell")
       .where(col("vec_a") < col("vec_b") &&
         VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("vec_b").as("vec_id")).distinct()
+      .persist()
     embeddings.join(drops, Seq("vec_id"), "left_anti")
   }
 
