@@ -540,6 +540,9 @@ object Dedup {
     */
   def semDedup(embeddings: DataFrame, minCosine: Double = 0.95,
                nlist: Int = 16, sampleRows: Int = 2048): DataFrame = {
+    // empty corpus: nothing to cluster or drop — and the k-means index
+    // build requires a non-empty sample
+    if (embeddings.isEmpty) return embeddings
     val assigned = Similarity.assignCells(embeddings, nlist, sampleRows)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))

@@ -36,6 +36,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Similarity.hammingProbeSetTopK(e, e).count() == 0)
   }
 
+  test("retrieval/chunking/semantic tiers return empty on empty input") {
+    import graft.operators.{Corpus, Similarity}
+    assert(Corpus.bm25TopK(emptyDocs, Seq("a", "b")).count() == 0)
+    assert(Corpus.bpePairs(emptyDocs).count() == 0)
+    assert(Corpus.pmiBigrams(emptyDocs).count() == 0)
+    assert(Corpus.overlapChunks(emptyDocs).count() == 0)
+    val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(e).count() == 0)
+    assert(Similarity.hardNegatives(e, e).count() == 0)
+  }
+
+  test("dynamic partition overwrite with an empty update touches nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("partow_empty").toString + "/t"
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v")
+    base.write.partitionBy("part").parquet(dir)
+    graft.operators.Layout.overwritePartitions(
+      base.where(lit(false)), dir, "part")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("quantile sketch of an empty frame: empty rollup, NaN estimate guarded") {
     import graft.functions.QuantileSketch
     val d = Seq.empty[Double].toDF("v")
