@@ -1610,6 +1610,26 @@ object SparkEntry {
           round(percentile(col("value"), lit(0.9)), 4).as("p90"))
         .orderBy("event_type")),
 
+    // -- [NS] winsorization: per-type p05/p95 caps (exact interpolated
+    // percentiles, 4-dp-rounded before clamping so both engines compare
+    // values against identical thresholds) applied back through a
+    // broadcast join — the outlier-capping cleaning pass --
+    "q_winsorize" -> ((s, d) => {
+      val ev = events(s, d)
+      val q = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.05)), 4).as("p05"),
+             round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+      ev.join(broadcast(q), "event_type")
+        .withColumn("clamped",
+          round(least(greatest(col("value"), col("p05")), col("p95")), 4))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("clamped").cast("decimal(18,4)")).cast("double")
+            .as("total_winsorized"),
+          first(col("p05")).as("p05"), first(col("p95")).as("p95"))
+        .orderBy("event_type")
+    }),
+
     // -- [NS] fixed-width histogram binning (floor(value/width) keys) --
     "q_histogram" -> ((s, d) =>
       events(s, d)
@@ -3764,6 +3784,20 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical rounded thresholds, identical clamp order, decimal sum
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS p05,
+        |    round(quantile_cont(value, 0.95), 4) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(least(greatest(e.value, q.p05), q.p95), 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_winsorized,
+        |  any_value(q.p05) AS p05, any_value(q.p95) AS p95
+        |FROM events e JOIN q USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type, count(*) AS n
