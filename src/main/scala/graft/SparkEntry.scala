@@ -1610,6 +1610,27 @@ object SparkEntry {
           round(percentile(col("value"), lit(0.9)), 4).as("p90"))
         .orderBy("event_type")),
 
+    // -- [NS] observe() metrics: data-quality counters collected DURING the
+    // one pass an action already makes (`Observation` listener) — the
+    // audit-without-a-second-scan API a production pipeline attaches to
+    // every stage; the declared rows are the observed metrics themselves,
+    // and the oracle recomputes them relationally --
+    "q_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val o = new org.apache.spark.sql.Observation()
+      events(s, d)
+        .observe(o,
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          count(when(col("value") > 100, 1)).as("n_high"))
+        .write.format("noop").mode("overwrite").save()
+      val m = o.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("total_value").asInstanceOf[Double],
+        m("n_high").asInstanceOf[Long]))
+        .toDF("n_rows", "total_value", "n_high")
+    }),
+
     // -- [NS] winsorization: per-type p05/p95 caps (exact interpolated
     // percentiles, 4-dp-rounded before clamping so both engines compare
     // values against identical thresholds) applied back through a
@@ -3784,6 +3805,13 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the observed counters recomputed as a plain aggregate
+    "q_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(CASE WHEN value > 100 THEN 1 END) AS n_high
+        |FROM events""".stripMargin,
 
     // identical rounded thresholds, identical clamp order, decimal sum
     "q_winsorize" ->
