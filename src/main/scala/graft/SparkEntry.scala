@@ -3208,14 +3208,18 @@ object SparkEntry {
     // metadata, re-registered per call. Oracle recomputes the same join
     // directly over the base parquet. --
     "q_sql_ddl" -> ((s, d) => {
+      // table name carries the sf dir (hex of its hash): two dirs in one
+      // JVM (spec at sf0.001, a dev Verify at sf0.01) must not clobber one
+      // catalog entry out from under the other's scratch guard
+      val tbl = f"graft_cust_orders_${d.hashCode & 0x7fffffff}%x"
       scratchDirs.getOrElseUpdate(s"ctas:$d", {
         val tmp = java.nio.file.Files.createTempDirectory("graft_ctas")
         deleteRecursivelyOnExit(tmp)
         val out = tmp.toFile.getAbsolutePath + "/cust_orders"
         Tables.orders(s, d).createOrReplaceTempView("graft_orders_src")
-        s.sql("DROP TABLE IF EXISTS graft_cust_orders")
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         s.sql(
-          s"""CREATE TABLE graft_cust_orders USING PARQUET LOCATION '$out' AS
+          s"""CREATE TABLE `$tbl` USING PARQUET LOCATION '$out' AS
              |SELECT o_custkey, count(*) AS n_orders,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
              |FROM graft_orders_src GROUP BY o_custkey""".stripMargin)
@@ -3223,12 +3227,12 @@ object SparkEntry {
       })
       Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
       s.sql(
-        """SELECT c.c_mktsegment, count(*) AS n_cust,
-          |  CAST(sum(CAST(o.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
-          |FROM graft_customer_v c
-          |JOIN graft_cust_orders o ON c.c_custkey = o.o_custkey
-          |GROUP BY c.c_mktsegment
-          |ORDER BY c.c_mktsegment""".stripMargin)
+        s"""SELECT c.c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(o.spend AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
+           |FROM graft_customer_v c
+           |JOIN `$tbl` o ON c.c_custkey = o.o_custkey
+           |GROUP BY c.c_mktsegment
+           |ORDER BY c.c_mktsegment""".stripMargin)
     }),
 
     // -- [NS] SCD-1 upsert (MERGE): a deterministic change set derived from
