@@ -497,9 +497,13 @@ object Corpus {
     val toks = docs.select(col("doc_id"),
       TF.tokens(lower(col("text"))).as("tk"))
       .where(size(col("tk")) >= 2)
+    // both persisted: uni feeds the totals scalar AND the trimmed lookup;
+    // bi feeds its own term set AND the final join — without the cache each
+    // consumer re-runs the corpus explode
     val uni = docs
       .select(explode(TF.tokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .persist()
     val bi = toks
       .select(explode(transform(
         sequence(lit(0), size(col("tk")) - 2),
@@ -508,11 +512,19 @@ object Corpus {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
+      .persist()
     val totals = uni.agg(sum(col("n_w")).cast("double").as("n_uni"))
     val nBigrams = toks.agg(sum(size(col("tk")) - 1).cast("double").as("n_bi"))
+    // the full unigram table is vocabulary-sized (100M+ terms at lake
+    // scale) — never broadcast it; trim it to the terms the support-
+    // filtered bigrams actually reference (≤ 2·|bi|, broadcast-safe both
+    // directions) before the two lookup joins
+    val biTerms = bi.select(col("a").as("w"))
+      .union(bi.select(col("b").as("w"))).distinct()
+    val uniNeeded = uni.join(broadcast(biTerms), Seq("w"), "left_semi")
     bi
-      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))), "a")
-      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))), "b")
+      .join(broadcast(uniNeeded.select(col("w").as("a"), col("n_w").as("n_a"))), "a")
+      .join(broadcast(uniNeeded.select(col("w").as("b"), col("n_w").as("n_b"))), "b")
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(nBigrams))
       .withColumn("pmi", round(log(
