@@ -2524,13 +2524,18 @@ object SparkEntry {
     // -- [NS] try_* ANSI-safety family: errors become NULLs instead of
     // killing a 10-hour job — division by a zero denominator, long-add
     // overflow, and out-of-bounds array access; the oracle reproduces each
-    // null site relationally --
+    // null site relationally. The overflow addend fires on id%1000 only:
+    // try_add's internal catch costs ~40µs PER overflowing row (measured
+    // 4.1 s at sf0.1 with every row overflowing), so the demo keeps the
+    // exception path as rare as production data would --
     "q_try_funcs" -> ((s, d) =>
       events(s, d).select(
         col("event_id"),
         round(try_divide(col("value"), (col("user_id") % 3).cast("double")), 4)
           .as("safe_div"),
-        try_add(col("event_id"), lit(Long.MaxValue)).as("safe_add"),
+        try_add(col("event_id"),
+          when(col("event_id") % 1000 === 0, lit(Long.MaxValue)).otherwise(lit(1L)))
+          .as("safe_add"),
         try_element_at(array(col("event_type")), lit(2)).as("safe_elem"))
         .orderBy("event_id")),
 
@@ -4646,8 +4651,10 @@ object SparkEntry {
       """SELECT event_id,
         |  CASE WHEN user_id % 3 = 0 THEN NULL
         |       ELSE round(value / CAST(user_id % 3 AS DOUBLE), 4) END AS safe_div,
-        |  CASE WHEN event_id > 0 THEN NULL
-        |       ELSE CAST(CAST(event_id AS HUGEINT) + 9223372036854775807 AS BIGINT) END AS safe_add,
+        |  CASE WHEN event_id % 1000 = 0 THEN
+        |    CASE WHEN event_id > 0 THEN NULL
+        |         ELSE CAST(CAST(event_id AS HUGEINT) + 9223372036854775807 AS BIGINT) END
+        |  ELSE event_id + 1 END AS safe_add,
         |  CAST(NULL AS VARCHAR) AS safe_elem
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -257,6 +257,35 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesUdfs.getOrElseUpdate(n, udf((t: String) => shinglesScala(t, n))).apply(text)
 
+  /** Word n-grams WITH multiplicities (document order) — the
+    * count-preserving sibling of [[shinglesScala]] for collocation /
+    * bigram statistics, same JVM-loop rationale (the transform/sequence/
+    * element_at expression form is CodegenFallback and measured ~3×
+    * slower on the bigram explode).
+    */
+  def ngramsScala(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val out = new Array[String](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  private val ngramsUdfs =
+    new scala.collection.concurrent.TrieMap[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+
+  /** Column form of count-preserving word n-grams. */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsUdfs.getOrElseUpdate(n, udf((t: String) => ngramsScala(t, n))).apply(text)
+
   /** splitmix64 finalizer — cheap, well-mixed 64-bit permutation hash. */
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L

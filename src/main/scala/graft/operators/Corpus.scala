@@ -494,39 +494,41 @@ object Corpus {
     * bigrams that actually occur.
     */
   def pmiBigrams(docs: DataFrame, k: Int = 20, minCount: Long = 20): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      TF.tokens(lower(col("text"))).as("tk"))
-      .where(size(col("tk")) >= 2)
-    // both persisted: uni feeds the totals scalar AND the trimmed lookup;
-    // bi feeds its own term set AND the final join — without the cache each
-    // consumer re-runs the corpus explode
-    val uni = docs
-      .select(explode(TF.tokens(lower(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-      .persist()
-    val bi = toks
-      .select(explode(transform(
-        sequence(lit(0), size(col("tk")) - 2),
-        i => struct(element_at(col("tk"), i + 1).as("a"),
-                    element_at(col("tk"), i + 2).as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    // both scalar totals from ONE regexp_count scan — no tokenize-explode
+    // job for a number: Σ tokens and Σ max(tokens−1, 0) are exactly n_uni
+    // and n_bigrams (lowercasing doesn't change token boundaries)
+    val scalars = docs
+      .select(TF.tokenCount(col("text")).cast("long").as("nt"))
+      .agg(sum(col("nt")).cast("double").as("n_uni"),
+           sum(greatest(col("nt") - 1, lit(0L))).cast("double").as("n_bi"))
+    // count-preserving JVM n-gram loop (TF.ngrams); grouping on the joined
+    // "a b" string equals grouping on the pair (words contain no spaces),
+    // and the split back to (a, b) runs on |bi| rows, not the gram stream.
+    // Persisted: bi feeds its own term set and the final join.
+    val bi = docs
+      .select(explode(TF.ngrams(lower(col("text")), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
+      .select(substring_index(col("g"), " ", 1).as("a"),
+              substring_index(col("g"), " ", -1).as("b"), col("n_ab"))
       .persist()
-    val totals = uni.agg(sum(col("n_w")).cast("double").as("n_uni"))
-    val nBigrams = toks.agg(sum(size(col("tk")) - 1).cast("double").as("n_bi"))
-    // the full unigram table is vocabulary-sized (100M+ terms at lake
-    // scale) — never broadcast it; trim it to the terms the support-
-    // filtered bigrams actually reference (≤ 2·|bi|, broadcast-safe both
-    // directions) before the two lookup joins
+    // unigram counts ONLY for the terms the surviving bigrams reference:
+    // the token stream is semi-joined map-side against the broadcast term
+    // set BEFORE the grouping shuffle (the bm25 postings shape) — the
+    // vocabulary-sized aggregate a naive form would shuffle (100M+ terms
+    // at lake scale) never exists, and nothing vocabulary-sized is ever
+    // broadcast either
     val biTerms = bi.select(col("a").as("w"))
       .union(bi.select(col("b").as("w"))).distinct()
-    val uniNeeded = uni.join(broadcast(biTerms), Seq("w"), "left_semi")
+    val uniNeeded = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("w"))
+      .join(broadcast(biTerms), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .persist()
     bi
       .join(broadcast(uniNeeded.select(col("w").as("a"), col("n_w").as("n_a"))), "a")
       .join(broadcast(uniNeeded.select(col("w").as("b"), col("n_w").as("n_b"))), "b")
-      .crossJoin(broadcast(totals))
-      .crossJoin(broadcast(nBigrams))
+      .crossJoin(broadcast(scalars))
       .withColumn("pmi", round(log(
         (col("n_ab") * col("n_uni") * col("n_uni")) /
           (col("n_bi") * col("n_a") * col("n_b"))), 4))
