@@ -3096,6 +3096,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // -- [REF R2/R3 streaming] the reference's ingest path (adaptive chunk
+    // + zip + ULID lineage) run as a Structured Streaming job: the same
+    // stateless LogStore.ingest expressions bind to a file stream
+    // (maxFilesPerTrigger=1 forces multiple micro-batches), appending to a
+    // user-partitioned parquet sink; reassembly of the sink must restore
+    // every payload byte-for-byte (md5-oracled per document) --
+    "q_stream_ingest" -> ((s, d) => {
+      import s.implicits._
+      val root = scratchDirs.getOrElseUpdate(s"streamingest:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_streamingest")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        documents(s, d).where(col("doc_id") < 200)
+          .select(concat(lit("u"), col("doc_id") % 16).as("user_id"),
+            lit("activity").as("event_type"),
+            lit("schedulechange").as("trigger"),
+            col("doc_id").as("js_time_of_creation"),
+            col("text").as("payload"))
+          .repartition(4).write.parquet(s"$r/in")
+        val src = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id STRING, event_type STRING, trigger STRING, " +
+              "js_time_of_creation BIGINT, payload STRING"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$r/in")
+          .as[graft.operators.LogStore.LogDoc]
+        val q = graft.operators.LogStore.ingest(src)
+          .writeStream.format("parquet")
+          .option("path", s"$r/logs")
+          .option("checkpointLocation", s"$r/chk")
+          .partitionBy("user_id")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        r
+      })
+      graft.operators.LogStore.reassemble(s.read.parquet(s"$root/logs"))
+        .select(col("user_id"), md5(col("payload")).as("payload_md5"))
+        .orderBy("user_id", "payload_md5")
+    }),
+
     // -- [NS] Trigger.AvailableNow incremental catch-up: the events land in
     // TWO arrivals (even ids, then odd ids appended); each arrival is
     // followed by a catch-up run that processes only the files the
@@ -4008,6 +4048,13 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streamed chunk+zip+ULID ingest then reassembly restores every
+    // payload: md5 per (user, document) equals the source text's md5
+    "q_stream_ingest" ->
+      """SELECT 'u' || CAST(doc_id % 16 AS VARCHAR) AS user_id, md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY user_id, payload_md5""".stripMargin,
 
     // two catch-up runs over two arrivals = every qualifying event exactly
     // once in the sink (a re-processed arrival would double its rows)
