@@ -3096,6 +3096,34 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // -- [NS] streaming trending top-k: the stream maintains the per-(day,
+    // type) aggregate (the part needing incremental state); each micro-
+    // batch ranks the complete state in foreachBatch and overwrites the
+    // serving table — window-rank is unsupported inside a stream, and this
+    // is the production split. Final table = batch rank twin. --
+    "q_stream_trending" -> ((s, d) => {
+      val in = scratchDirs.getOrElseUpdate(s"upsert_in:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_in")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events4x"
+        events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .repartition(4)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+      val target = java.nio.file.Files.createTempDirectory("graft_trending")
+      deleteRecursivelyOnExit(target)
+      val stream = s.readStream
+        .schema(graft.streaming.EventStreams.eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      graft.streaming.EventStreams.trendingTypes(
+        stream, target.toFile.getAbsolutePath, k = 3)
+      s.read.parquet(target.toFile.getAbsolutePath + "/current")
+        .orderBy("day_start", "rk")
+    }),
+
     // -- [REF R2/R3 streaming] the reference's ingest path (adaptive chunk
     // + zip + ULID lineage) run as a Structured Streaming job: the same
     // stateless LogStore.ingest expressions bind to a file stream
@@ -4048,6 +4076,18 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the serving table after the final micro-batch = the batch rank
+    "q_stream_trending" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT day_start, event_type, n,
+        |        row_number() OVER (PARTITION BY day_start ORDER BY n DESC, event_type) AS rk
+        |      FROM c)
+        |SELECT day_start, event_type, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3
+        |ORDER BY day_start, rk""".stripMargin,
 
     // streamed chunk+zip+ULID ingest then reassembly restores every
     // payload: md5 per (user, document) equals the source text's md5

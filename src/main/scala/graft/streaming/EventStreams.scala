@@ -511,6 +511,46 @@ object EventStreams {
       .map(v => s"$root/v$v")
   }
 
+  /** Streaming trending top-k: per-day top-`k` event types by running
+    * count. Window-rank functions are unsupported INSIDE a stream (no
+    * incremental plan exists for a rank over mutating state), so this is
+    * the production pattern: the stream maintains the keyed aggregate —
+    * the part that needs incremental state — and each micro-batch's
+    * `foreachBatch` ranks the complete aggregate as a plain batch frame
+    * and overwrites the serving table (idempotent: same state → same
+    * ranking → same overwrite, so a replayed batch is harmless).
+    *
+    * Scale shape: state is O(days × types) — key-partitioned, bounded;
+    * the ranked overwrite is window work over that same bounded state,
+    * not the event stream.
+    */
+  def trendingTypes(stream: DataFrame, targetRoot: String, k: Int = 3,
+                    statePartitions: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = stream.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val agg = stream
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("day_start"), col("event_type"), col("n"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$targetRoot/_chk")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val byDay = Window.partitionBy(col("day_start"))
+            .orderBy(col("n").desc, col("event_type"))
+          batch.withColumn("rk", row_number().over(byDay))
+            .where(col("rk") <= k)
+            .write.mode("overwrite").parquet(s"$targetRoot/current")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Incremental catch-up run (`Trigger.AvailableNow`): process every file
     * currently in `inDir` through a stateless filter+project into an
     * append parquet sink, then STOP. The checkpoint's file index carries
