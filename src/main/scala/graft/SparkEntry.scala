@@ -2521,6 +2521,22 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] SQL pipe syntax (Spark 4) + lateral column aliases: the
+    // modern composable-SQL surface — each |> stage consumes the previous
+    // one, and `v` is referenced by the sibling alias `v2` in the same
+    // SELECT. Same plan as the nested-SQL equivalent; the oracle is the
+    // plain-SQL twin. --
+    "q_sql_pipe" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("graft_events_pipe")
+      s.sql(
+        """FROM graft_events_pipe
+          ||> WHERE event_type IN ('click', 'purchase')
+          ||> SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, v * 2 AS v2
+          ||> AGGREGATE count(*) AS n, CAST(sum(v2) AS DOUBLE) AS doubled_total
+          |   GROUP BY event_type
+          ||> ORDER BY event_type""".stripMargin)
+    }),
+
     // -- [NS] try_* ANSI-safety family: errors become NULLs instead of
     // killing a 10-hour job — division by a zero denominator, long-add
     // overflow, and out-of-bounds array access; the oracle reproduces each
@@ -4731,6 +4747,14 @@ object SparkEntry {
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the pipe chain re-expressed as plain SQL
+    "q_sql_pipe" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * 2) AS DOUBLE) AS doubled_total
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // each try_* null site reproduced: zero denominator, guaranteed
     // overflow for positive ids, index past a 1-element list
