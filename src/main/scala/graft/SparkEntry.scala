@@ -2521,6 +2521,21 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] string collations (Spark 4): case-insensitive grouping via
+    // UTF8_LCASE — the engine-level answer to case-variant keys (the
+    // normalize-by-hand alternative is q_dedup_exact_norm). Mixed case is
+    // planted deterministically; the output key is lower()ed because a
+    // collated group's representative is first-seen. --
+    "q_collation" -> ((s, d) =>
+      events(s, d)
+        .withColumn("mixed",
+          when(col("event_id") % 2 === 0, upper(col("event_type")))
+            .otherwise(col("event_type")))
+        .groupBy(collate(col("mixed"), "UTF8_LCASE").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lower(col("k")).as("event_type"), col("n"))
+        .orderBy("event_type")),
+
     // -- [NS] SQL pipe syntax (Spark 4) + lateral column aliases: the
     // modern composable-SQL surface — each |> stage consumes the previous
     // one, and `v` is referenced by the sibling alias `v2` in the same
@@ -4747,6 +4762,14 @@ object SparkEntry {
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // collated grouping = grouping on the lowercased key
+    "q_collation" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |               ELSE event_type END) AS event_type
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the pipe chain re-expressed as plain SQL
     "q_sql_pipe" ->
