@@ -2521,6 +2521,19 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] parameterized SQL: named parameter markers bound server-side
+    // (`spark.sql(text, args)`) — the injection-safe way user input reaches
+    // a query; literals never string-concatenate into the text --
+    "q_sql_params" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("graft_events_params")
+      s.sql(
+        """SELECT event_type, count(*) AS n
+          |FROM graft_events_params
+          |WHERE value > :floor AND event_type IN (:a, :b)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("floor" -> 50.0, "a" -> "click", "b" -> "purchase"))
+    }),
+
     // -- [NS] string collations (Spark 4): case-insensitive grouping via
     // UTF8_LCASE — the engine-level answer to case-variant keys (the
     // normalize-by-hand alternative is q_dedup_exact_norm). Mixed case is
@@ -4762,6 +4775,12 @@ object SparkEntry {
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // parameters bound to their literal values
+    "q_sql_params" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE value > 50.0 AND event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // collated grouping = grouping on the lowercased key
     "q_collation" ->
