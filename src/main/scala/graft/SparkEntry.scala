@@ -3140,6 +3140,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // -- [NS] STATEFUL AvailableNow catch-up: running per-user totals fold
+    // across two separate runs through the checkpoint's state store — run 2
+    // reads only the second arrival yet serves totals over everything; a
+    // re-read of arrival 1 would double it, so the batch-rollup oracle is
+    // the exactly-once evidence --
+    "q_availablenow_totals" -> ((s, d) => {
+      val root = scratchDirs.getOrElseUpdate(s"availtotals:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_availtotals")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
+        ev.where(col("event_id") % 2 === 0).write.parquet(s"$r/in")
+        graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
+        ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$r/in")
+        graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
+        r
+      })
+      s.read.parquet(s"$root/tgt/current")
+        .select(col("user_id"), col("n"), (col("cents") / 100.0).as("total"))
+        .orderBy("user_id")
+    }),
+
     // -- [NS] streaming trending top-k: the stream maintains the per-(day,
     // type) aggregate (the part needing incremental state); each micro-
     // batch ranks the complete state in foreachBatch and overwrites the
@@ -4117,6 +4139,12 @@ object SparkEntry {
 
     // the streamed upsert's final committed version equals the batch rollup
     "q_stream_upsert" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // state folded across two catch-up runs = the one-shot batch rollup
+    "q_availablenow_totals" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -582,6 +582,48 @@ object EventStreams {
     try q.awaitTermination() finally q.stop()
   }
 
+  /** STATEFUL catch-up: per-user running totals maintained ACROSS separate
+    * `AvailableNow` runs through the checkpoint's state store. Each
+    * nightly-style run reads only the files the file index hasn't seen,
+    * folds them into the persisted aggregate state, and overwrites the
+    * serving table with the complete result — incremental analytics
+    * without an always-on cluster, the stateful upgrade of
+    * [[catchUpAvailableNow]]. If a later run re-read an earlier arrival,
+    * the totals would double it — so the batch-rollup oracle is itself the
+    * exactly-once evidence.
+    *
+    * Scale shape: per run, input cost is O(new files); state is O(distinct
+    * users), key-partitioned; the complete-mode overwrite is state-sized,
+    * not input-sized. Cents-Long state (not per-row decimal) per the
+    * measured stateful_totals lesson.
+    */
+  def catchUpRunningTotals(spark: SparkSession, inDir: String,
+                           targetRoot: String,
+                           statePartitions: Int = 8): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      val agg = spark.readStream.schema(schema).parquet(inDir)
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$targetRoot/_chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$targetRoot/current")
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run any of the above to completion against a static directory via the
     * memory sink — the synchronous harness pattern for tests.
     *
