@@ -2883,6 +2883,18 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // -- [NS] REAL streaming stream-stream LEFT SEMI interval join:
+    // "which clicks converted" — a click emits exactly once on its first
+    // matching purchase; unmatched clicks never emit, so the batch EXISTS
+    // twin is exact with no watermark-horizon clause --
+    "q_stream_semi" -> ((s, d) => {
+      val ev = graft.streaming.EventStreams.readEventsNanos(s, s"$d/events.parquet")
+      val joined = graft.streaming.EventStreams.clickPurchaseSemiJoin(ev, ev)
+      graft.streaming.EventStreams.runToMemory(joined, "q_stream_semi_mem", "append",
+        statePartitions = Some(8))
+      s.table("q_stream_semi_mem").orderBy("user_id", "click_id")
+    }),
+
     // -- [NS] REAL streaming stream-stream FULL OUTER interval join: both
     // sides' unmatched rows emit null-extended at watermark finality;
     // explicit NULLS LAST on both engines (Spark defaults nulls-first,
@@ -3996,6 +4008,17 @@ object SparkEntry {
     // left join; unmatched rows are exactly those the final watermark
     // finalized (click_ts + 1h behind min-over-sides max event time - 1h,
     // ms-floored the way Spark tracks event-time stats)
+    // semi join: clicks with at least one same-user purchase in the
+    // forward hour — exact, no horizon clause (unmatched rows never emit)
+    "q_stream_semi" ->
+      """SELECT c.user_id, c.click_ts, c.click_id
+        |FROM (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |      FROM events WHERE event_type = 'click') c
+        |WHERE EXISTS (SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.ts >= c.click_ts AND p.ts <= c.click_ts + INTERVAL 1 HOUR)
+        |ORDER BY user_id, click_id""".stripMargin,
+
     "q_stream_outer" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
         |  FROM events WHERE event_type = 'click'),

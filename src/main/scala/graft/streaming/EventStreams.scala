@@ -208,6 +208,32 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — "which clicks converted":
+    * each click emits (left columns only, exactly once) as soon as ANY
+    * same-user purchase lands in its forward hour; unmatched clicks never
+    * emit, so no watermark-finality boundary appears in the result — the
+    * batch EXISTS twin is exact with no horizon clause. Completes the
+    * stream-stream join family (inner, left outer, full outer, left semi);
+    * state eviction still needs both watermarks, matched-click state just
+    * also retires early on first match.
+    */
+  def clickPurchaseSemiJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftSemi")
+  }
+
   /** Stream-stream FULL OUTER interval join — both unmatched sides emit
     * null-extended once the watermark proves no match can arrive: an
     * unmatched click finalizes when `click_ts + 1h` falls behind the
