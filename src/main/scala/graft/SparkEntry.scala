@@ -2521,6 +2521,19 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] timezone conversion: UTC instants rendered as wall time in
+    // three zones (one DST-observing — the conversion is rule-aware, not a
+    // fixed offset) plus a zone-local formatted hour; the oracle converts
+    // through DuckDB's AT TIME ZONE chain --
+    "q_timezone" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        from_utc_timestamp(col("ts"), "America/New_York").as("ny_wall"),
+        from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo_wall"),
+        date_format(from_utc_timestamp(col("ts"), "Europe/Paris"), "yyyy-MM-dd HH")
+          .as("paris_hour"))
+        .orderBy("event_id")),
+
     // -- [NS] parameterized SQL: named parameter markers bound server-side
     // (`spark.sql(text, args)`) — the injection-safe way user input reaches
     // a query; literals never string-concatenate into the text --
@@ -4825,6 +4838,14 @@ object SparkEntry {
         |  coalesce(nullif(event_type, 'view'), 'filtered') AS type_or_filtered,
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // same instants through the AT TIME ZONE chain (DST-rule-aware)
+    "q_timezone" ->
+      """SELECT event_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ny_wall,
+        |  CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS tokyo_wall,
+        |  strftime(CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Paris' AS TIMESTAMP), '%Y-%m-%d %H') AS paris_hour
         |FROM events ORDER BY event_id""".stripMargin,
 
     // parameters bound to their literal values
