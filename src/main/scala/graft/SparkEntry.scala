@@ -40,6 +40,24 @@ object SparkEntry {
   private val scratchDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Shared scratch for the stateful-catch-up pair: two arrivals, two
+    * `catchUpRunningTotals` runs against one checkpoint. `q_availablenow_
+    * totals` declares the served table; `q_state_reader` reads the same
+    * checkpoint's STATE STORE back as data.
+    */
+  private def availTotalsRoot(s: SparkSession, d: String): String =
+    scratchDirs.getOrElseUpdate(s"availtotals:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_availtotals")
+      deleteRecursivelyOnExit(tmp)
+      val r = tmp.toFile.getAbsolutePath
+      val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
+      ev.where(col("event_id") % 2 === 0).write.parquet(s"$r/in")
+      graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
+      ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$r/in")
+      graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
+      r
+    })
+
   private[graft] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
@@ -3171,19 +3189,23 @@ object SparkEntry {
     // re-read of arrival 1 would double it, so the batch-rollup oracle is
     // the exactly-once evidence --
     "q_availablenow_totals" -> ((s, d) => {
-      val root = scratchDirs.getOrElseUpdate(s"availtotals:$d", {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_availtotals")
-        deleteRecursivelyOnExit(tmp)
-        val r = tmp.toFile.getAbsolutePath
-        val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
-        ev.where(col("event_id") % 2 === 0).write.parquet(s"$r/in")
-        graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
-        ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$r/in")
-        graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
-        r
-      })
+      val root = availTotalsRoot(s, d)
       s.read.parquet(s"$root/tgt/current")
         .select(col("user_id"), col("n"), (col("cents") / 100.0).as("total"))
+        .orderBy("user_id")
+    }),
+
+    // -- [NS] State Data Source (Spark 4): the stateful catch-up's
+    // checkpoint READ BACK as a DataFrame — state-store introspection, the
+    // debugging/audit surface for production stateful jobs. The aggregate
+    // buffer (count, cents-sum per user key) must itself equal the batch
+    // rollup: state is data here, not a black box. --
+    "q_state_reader" -> ((s, d) => {
+      val root = availTotalsRoot(s, d)
+      s.read.format("statestore").load(s"$root/tgt/_chk")
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n"),
+          (col("value.sum") / 100.0).as("total"))
         .orderBy("user_id")
     }),
 
@@ -4181,6 +4203,12 @@ object SparkEntry {
 
     // state folded across two catch-up runs = the one-shot batch rollup
     "q_availablenow_totals" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the state store's aggregate buffers = the same batch rollup
+    "q_state_reader" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
