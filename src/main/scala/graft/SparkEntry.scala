@@ -845,6 +845,27 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // -- [NS] dedup explainability: per flagged document, WHICH tiers flag
+    // it (exact / normalized / fuzzy-transitive / substring) — the "why was
+    // my document dropped" audit a curation pipeline owes its users; same
+    // tier machinery and thresholds as q_dedup_funnel, re-aimed from counts
+    // to per-doc attribution --
+    "q_dedup_explain" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      def drops(survivors: DataFrame, tier: String) =
+        docs0.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id")).withColumn("tier", lit(tier))
+      drops(Dedup.exact(docs0), "exact")
+        .unionByName(drops(Dedup.exactNormalized(docs0), "exact_norm"))
+        .unionByName(drops(Dedup.minhashDedupedTransitive(docs0, minEstJaccard = 0.4),
+          "fuzzy_transitive"))
+        .unionByName(Dedup.substringDupMass(docs0, width = 40)
+          .select(col("doc_id")).withColumn("tier", lit("substring")))
+        .groupBy(col("doc_id"))
+        .agg(array_join(array_sort(collect_set(col("tier"))), ",").as("tiers"))
+        .orderBy("doc_id")
+    }),
+
     // -- [NS] per-doc duplicated-text mass: windows shared with ANY other
     // doc — the corpus-health headline (no doc×doc pair space touched) --
     "q_dedup_substring_mass" -> ((s, d) =>
@@ -5378,6 +5399,38 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'fuzzy_transitive', (SELECT n FROM fuzzy)
         |  UNION ALL SELECT 4, 'substring_clean', (SELECT count(*) FROM documents) - (SELECT count(*) FROM dup_docs)
         |) ORDER BY stage""".stripMargin,
+
+    // same tier CTEs as the funnel, re-aimed to per-doc attribution
+    "q_dedup_explain" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |tp AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |       WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |e AS (SELECT da AS a, db AS b FROM tp UNION SELECT db AS a, da AS b FROM tp),
+        |reach AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach WHERE b <> a GROUP BY a),
+        |w AS (SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
+        |      FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |      WHERE length(text) >= 40 AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |u AS (
+        |  SELECT doc_id, 'exact' AS tier FROM documents d
+        |  WHERE EXISTS (SELECT 1 FROM documents d2 WHERE d2.text = d.text AND d2.doc_id < d.doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, 'exact_norm' FROM documents d
+        |  WHERE EXISTS (SELECT 1 FROM documents d2
+        |    WHERE regexp_replace(trim(lower(d2.text)), '\s+', ' ', 'g') = regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')
+        |      AND d2.doc_id < d.doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id, 'fuzzy_transitive' FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+        |  WHERE l.mn < d.doc_id
+        |  UNION ALL
+        |  SELECT DISTINCT doc_id, 'substring' FROM w JOIN shared USING (win))
+        |SELECT doc_id, string_agg(tier, ',' ORDER BY tier) AS tiers
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same window CTE, census form: windows held by >= 2 docs, counted per doc
     "q_dedup_substring_mass" ->
