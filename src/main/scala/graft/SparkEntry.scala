@@ -3324,6 +3324,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] version-retention vacuum: a multi-version MERGE-sink target
+    // (4 micro-batch versions) vacuumed to keep=1 — old versions deleted,
+    // the served state untouched; the oracle is the same batch rollup the
+    // surviving version must equal, and VacuumSpec asserts the deletions --
+    "q_vacuum" -> ((s, d) => {
+      val root = scratchDirs.getOrElseUpdate(s"vacuum:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_vacuum")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$r/in")
+        val stream = s.readStream
+          .schema(graft.streaming.EventStreams.eventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$r/in")
+        graft.streaming.EventStreams.upsertUserTotals(stream, s"$r/tgt")
+        graft.operators.Layout.vacuumVersions(s"$r/tgt", keep = 1)
+        r
+      })
+      graft.streaming.EventStreams.latestUpsertState(s, s"$root/tgt")
+        .orderBy("user_id")
+    }),
+
     // -- [REF R1/R4] the reference's /UserId partition routing end-to-end:
     // ingest a slice user-partitioned on disk, then point-read ONE user —
     // the filter must prune to a single partition directory
@@ -4270,6 +4295,12 @@ object SparkEntry {
 
     "q_partitioned_lookup" ->
       "SELECT 'u' || CAST(doc_id AS VARCHAR) AS user_id, text AS payload FROM documents WHERE doc_id = 5 ORDER BY user_id",
+
+    // the surviving (latest) version after vacuum = the batch rollup
+    "q_vacuum" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n,

@@ -215,6 +215,28 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Version-retention vacuum for the immutable-version sink layout
+    * (`v0, v1, …` directories as written by the streaming upsert's MERGE
+    * sink): delete every committed version older than the newest `keep`,
+    * returning the number removed. The retention half of the maintenance
+    * triad (compact = file count, partition overwrite = partition-scoped
+    * rewrite, vacuum = history). Driver-side filesystem walk by design:
+    * versions are O(runs), metadata-scale — never data-scale — and the
+    * listing is one directory read. Readers of the LATEST version are
+    * unaffected; time travel to vacuumed versions is deliberately
+    * surrendered, which is the entire point of retention.
+    */
+  def vacuumVersions(root: String, keep: Int = 1): Int = {
+    require(keep >= 1, "must keep at least the latest version")
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit))
+      .sortBy(f => -f.getName.drop(1).toLong)
+    val stale = dirs.drop(keep)
+    stale.foreach(deleteRecursively)
+    stale.length
+  }
+
   /** Dynamic partition overwrite: replace ONLY the partitions present in
     * `update`, leaving every other partition's files byte-untouched. This
     * is the lake maintenance primitive behind partition-scoped rewrites —

@@ -217,6 +217,19 @@ class LayoutSpec extends SparkSpec {
       .collect().toSeq == ev.orderBy("event_id").collect().toSeq)
   }
 
+  test("vacuumVersions deletes old versions, keeps the newest, spares non-version dirs") {
+    val root = java.nio.file.Files.createTempDirectory("vacuum").toString
+    Seq("v0", "v1", "v3", "_chk", "current").foreach { n =>
+      val dir = new java.io.File(s"$root/$n"); dir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/$n/part-0"), "x")
+    }
+    val removed = Layout.vacuumVersions(root, keep = 1)
+    assert(removed == 2)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("v3", "_chk", "current"))
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     val dir = java.nio.file.Files.createTempDirectory("partow").toString + "/t"
     val ev = Tables.events(spark, Sf0001)
