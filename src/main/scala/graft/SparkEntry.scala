@@ -3517,6 +3517,25 @@ object SparkEntry {
     // single-column sort can only serve one of the two predicates).
     // Pruning counts are asserted in LayoutSpec; the layout must be
     // result-invisible vs the plain filtered oracle. --
+    // -- [NS] Hilbert-curve clustered layout: same contract as the z-order
+    // twin below, better box locality (no Morton diagonal jumps); pruning
+    // comparison asserted in LayoutSpec, layout result-invisible vs the
+    // same plain-filter oracle --
+    "q_hilbert_layout" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"hilbert:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hilbert")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events_h"
+        graft.operators.Layout.hilbertWrite(
+          events(s, d).select("event_id", "user_id", "event_type", "value"),
+          "user_id", "event_id", out, nFiles = 16)
+        out
+      })
+      s.read.parquet(dir)
+        .where(col("user_id").between(3, 7) && col("event_id").between(100, 20000))
+        .orderBy("event_id")
+    }),
+
     "q_zorder_layout" -> ((s, d) => {
       val dir = scratchDirs.getOrElseUpdate(s"zorder:$d", {
         val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
@@ -4454,6 +4473,12 @@ object SparkEntry {
     "q_time_clustered" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
         |WHERE epoch_ns(ts) >= 1704412800000000000 AND epoch_ns(ts) < 1704672000000000000
+        |ORDER BY event_id""".stripMargin,
+
+    // the Hilbert rewrite is layout only — same rows as a plain filter
+    "q_hilbert_layout" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 3 AND 7 AND event_id BETWEEN 100 AND 20000
         |ORDER BY event_id""".stripMargin,
 
     // the z-ordered rewrite is layout only — same rows as a plain filter

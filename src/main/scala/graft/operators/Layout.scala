@@ -156,21 +156,70 @@ object Layout {
     * z-values. Static expression tree of native bitwise ops (codegen'd,
     * no UDF): 2·bits OR-terms.
     */
+  private def scaledCol(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val span = math.max(1L, hi - lo)
+    val top = (1L << bits) - 1
+    least(lit(top), greatest(lit(0L),
+      ((c.cast("long") - lit(lo)) * lit(top) / lit(span)).cast("long")))
+  }
+
   def zValue(a: Column, aMin: Long, aMax: Long,
              b: Column, bMin: Long, bMax: Long, bits: Int = 16): Column = {
-    def scaled(c: Column, lo: Long, hi: Long): Column = {
-      val span = math.max(1L, hi - lo)
-      val top = (1L << bits) - 1
-      least(lit(top), greatest(lit(0L),
-        ((c.cast("long") - lit(lo)) * lit(top) / lit(span)).cast("long")))
-    }
-    val sa = scaled(a, aMin, aMax)
-    val sb = scaled(b, bMin, bMax)
+    val sa = scaledCol(a, aMin, aMax, bits)
+    val sb = scaledCol(b, bMin, bMax, bits)
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
+
+  /** Hilbert-curve index of the scaled (a, b) pair — the classic xy→d
+    * rotation walk (public-domain algorithm, cf. Wikipedia "Hilbert
+    * curve"). Unlike Morton/z-order, the Hilbert curve has no long
+    * diagonal jumps, so consecutive curve positions are always spatially
+    * adjacent — file z-ranges cover tighter boxes and 2-D range predicates
+    * intersect fewer files (this is why Delta's OPTIMIZE offers Hilbert
+    * over Z). JVM UDF by design: it is the WRITE path's clustering key,
+    * computed once per row at rewrite time, never in a read plan.
+    */
+  def hilbertValue(a: Column, aMin: Long, aMax: Long,
+                   b: Column, bMin: Long, bMax: Long, bits: Int = 16): Column = {
+    val n = 1L << bits
+    val xy2d = udf { (x0: Long, y0: Long) =>
+      var x = x0; var y = y0; var d = 0L
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    xy2d(scaledCol(a, aMin, aMax, bits), scaledCol(b, bMin, bMax, bits))
+  }
+
+  /** [[zorderWrite]] with the Hilbert key: range-partition + sort on the
+    * Hilbert index, drop the helper column. Same rewrite cost, strictly
+    * better expected box locality.
+    */
+  def hilbertWrite(df: DataFrame, colA: String, colB: String,
+                   path: String, nFiles: Int): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val h = hilbertValue(col(colA), r.getLong(0), r.getLong(1),
+                         col(colB), r.getLong(2), r.getLong(3))
+    df.withColumn("__h", h)
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Write `df` clustered on ONE column into `nFiles` parquet files:

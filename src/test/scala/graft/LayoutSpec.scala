@@ -198,6 +198,33 @@ class LayoutSpec extends SparkSpec {
     assert(box(spark.read.parquet(s"$dir/z")) == box(ev))
   }
 
+  test("hilbert layout prunes a 2-D box at least as well as naive, content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("hilbert").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    Layout.hilbertWrite(ev, "user_id", "event_id", s"$dir/h", nFiles = 16)
+    ev.repartition(16).write.mode("overwrite").parquet(s"$dir/naive")
+
+    def intersecting(path: String): Long = {
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("event_id").as("elo"), max("event_id").as("ehi"))
+        .where(col("uhi") >= 3 && col("ulo") <= 7 &&
+          col("ehi") >= 100 && col("elo") <= 700)
+        .count()
+    }
+    val hHit = intersecting(s"$dir/h")
+    val nHit = intersecting(s"$dir/naive")
+    assert(nHit >= 14, s"naive layout unexpectedly clustered: $nHit/16")
+    assert(hHit <= nHit / 2, s"hilbert pruned too little: $hHit vs naive $nHit")
+
+    val box = (d: org.apache.spark.sql.DataFrame) => d
+      .where(col("user_id").between(3, 7) && col("event_id").between(100, 700))
+      .select("event_id").as[Long].collect().toSet
+    assert(box(spark.read.parquet(s"$dir/h")) == box(ev))
+  }
+
   test("compact merges small files to the target count without changing content") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val ev = Tables.events(spark, Sf0001).select("event_id", "event_type", "value")
