@@ -2560,6 +2560,20 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] hidden `_metadata` file column: per-source-file provenance
+    // (name, row count, row_index span) without any user column — the
+    // lineage-audit surface every ingest pipeline stamps rows with. The
+    // testdata table is one file, so the row_index span is exactly
+    // [0, n−1] — which is what the oracle derives relationally. --
+    "q_file_metadata" -> ((s, d) =>
+      events(s, d)
+        .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("file_name"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ri")).as("min_ri"), max(col("ri")).as("max_ri"))
+        .orderBy("file_name")),
+
     // -- [NS] timezone conversion: UTC instants rendered as wall time in
     // three zones (one DST-observing — the conversion is rule-aware, not a
     // fixed offset) plus a zone-local formatted hour; the oracle converts
@@ -4944,6 +4958,12 @@ object SparkEntry {
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // one source file → n rows indexed 0..n-1, derived relationally
+    "q_file_metadata" ->
+      """SELECT 'events.parquet' AS file_name, count(*) AS n,
+        |  CAST(0 AS BIGINT) AS min_ri, count(*) - 1 AS max_ri
+        |FROM events""".stripMargin,
 
     // same instants through the AT TIME ZONE chain (DST-rule-aware)
     "q_timezone" ->
