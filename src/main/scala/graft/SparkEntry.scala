@@ -2560,6 +2560,32 @@ object SparkEntry {
         round(least(col("value"), lit(500.0)), 4).as("clamped_hi"))
         .orderBy("event_id")),
 
+    // -- [NS] bitmap aggregate family (Spark 4): exact distinct counting
+    // through roaring-style position bitmaps — the mergeable EXACT
+    // distinct structure (HLL's q_agg_approx_distinct is the approximate
+    // sibling). user_id < 32768 keeps one bucket; the lake-scale form
+    // adds bitmap_bucket_number to the key. Must equal countDistinct. --
+    "q_bitmap_distinct" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          // +1: bitmap_bit_position is 1-based (position v-1); value 0
+          // would fall off the bitmap and undercount by one
+          bitmap_count(bitmap_construct_agg(bitmap_bit_position(col("user_id") + 1)))
+            .as("nd_bitmap"),
+          countDistinct(col("user_id")).as("nd_exact"))
+        .orderBy("event_type")),
+
+    // -- [NS] AES column encryption round-trip: decrypt(encrypt(text)) is
+    // the identity — the at-rest column-crypto surface (GCM, random IV, so
+    // only the ROUND TRIP is deterministic — which is what's declared) --
+    "q_aes_roundtrip" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        aes_decrypt(
+          aes_encrypt(col("text").cast("binary"), lit("0123456789abcdef")),
+          lit("0123456789abcdef")).cast("string").as("rt"))
+        .orderBy("doc_id")),
+
     // -- [NS] hidden `_metadata` file column: per-source-file provenance
     // (name, row count, row_index span) without any user column — the
     // lineage-audit surface every ingest pipeline stamps rows with. The
@@ -4958,6 +4984,17 @@ object SparkEntry {
         |  round(greatest(value, 0.0), 4) AS clamped_lo,
         |  round(least(value, 500.0), 4) AS clamped_hi
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the bitmap's exact distinct = plain COUNT(DISTINCT)
+    "q_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS nd_bitmap,
+        |  count(DISTINCT user_id) AS nd_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // round-trip identity: decrypt(encrypt(text)) = text
+    "q_aes_roundtrip" ->
+      """SELECT doc_id, text AS rt FROM documents ORDER BY doc_id""",
 
     // one source file → n rows indexed 0..n-1, derived relationally
     "q_file_metadata" ->
