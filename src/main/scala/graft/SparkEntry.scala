@@ -53,6 +53,10 @@ object SparkEntry {
       val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
       ev.where(col("event_id") % 2 === 0).write.parquet(s"$r/in")
       graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
+      // snapshot the run-1 state before run 2 overwrites it: q_cdc_diff
+      // declares the change feed between the two served versions
+      s.read.parquet(s"$r/tgt/current")
+        .write.parquet(s"$r/tgt/snap1")
       ev.where(col("event_id") % 2 =!= 0).write.mode("append").parquet(s"$r/in")
       graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
       r
@@ -3256,6 +3260,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // -- [NS] CDC-style change feed between two served versions of the
+    // catch-up target: run-1 state (even event_ids) full-outer-joined to
+    // run-2 state (everything) per user — inserts (new users) vs updates
+    // (grown totals); the oracle recomputes both versions relationally.
+    // Append-only source ⇒ no deletes, and that absence is part of the
+    // declared result. --
+    "q_cdc_diff" -> ((s, d) => {
+      val root = availTotalsRoot(s, d)
+      val v1 = s.read.parquet(s"$root/tgt/snap1")
+        .select(col("user_id"), col("n").as("n1"), col("cents").as("c1"))
+      val v2 = s.read.parquet(s"$root/tgt/current")
+        .select(col("user_id"), col("n").as("n2"), col("cents").as("c2"))
+      v1.join(v2, Seq("user_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("n1").isNull, lit("insert"))
+            .when(col("n1") =!= col("n2"), lit("update"))
+            .otherwise(lit("unchanged")))
+        .select(col("user_id"), col("change_type"),
+          coalesce(col("n2"), lit(0L)).as("n"),
+          (coalesce(col("c2"), lit(0L)) / 100.0).as("total"))
+        .orderBy("user_id")
+    }),
+
     // -- [NS] State Data Source (Spark 4): the stateful catch-up's
     // checkpoint READ BACK as a DataFrame — state-store introspection, the
     // debugging/audit surface for production stateful jobs. The aggregate
@@ -4311,6 +4338,23 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both versions recomputed relationally (v1 = even event_ids only)
+    "q_cdc_diff" ->
+      """WITH v1 AS (
+        |  SELECT user_id, count(*) AS n1
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |v2 AS (
+        |  SELECT user_id, count(*) AS n2,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1)
+        |SELECT v2.user_id,
+        |  CASE WHEN v1.user_id IS NULL THEN 'insert'
+        |       WHEN v1.n1 <> v2.n2 THEN 'update'
+        |       ELSE 'unchanged' END AS change_type,
+        |  v2.n2 AS n, v2.total
+        |FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id
+        |ORDER BY v2.user_id""".stripMargin,
 
     // the state store's aggregate buffers = the same batch rollup
     "q_state_reader" ->
