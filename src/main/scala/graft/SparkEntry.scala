@@ -870,6 +870,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- [NS] the substring-clean corpus MATERIALIZED (Lee et al.'s
+    // excision step): shared-window spans merged into runs and cut out,
+    // survivors fingerprinted — run counts, removed chars, cleaned md5
+    // all row-for-row against the relational twin --
+    "q_substring_clean" -> ((s, d) =>
+      Dedup.substringClean(documents(s, d), width = 40)),
+
     // -- [NS] per-doc duplicated-text mass: windows shared with ANY other
     // doc — the corpus-health headline (no doc×doc pair space touched) --
     "q_dedup_substring_mass" -> ((s, d) =>
@@ -5588,6 +5595,58 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, 'substring' FROM w JOIN shared USING (win))
         |SELECT doc_id, string_agg(tier, ',' ORDER BY tier) AS tiers
         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same window sample; cross-doc shared spans -> gaps-and-islands runs
+    // -> string reconstruction from the kept segments
+    "q_substring_clean" ->
+      """WITH wp AS (
+        |  SELECT doc_id, i AS s, i + 39 AS e, substring(text, i::INT, 40) AS win
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |  WHERE length(text) >= 40
+        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |shared AS (
+        |  SELECT win FROM (SELECT DISTINCT doc_id, win FROM wp)
+        |  GROUP BY win HAVING count(*) >= 2),
+        |fl AS (SELECT doc_id, s, e FROM wp JOIN shared USING (win)),
+        |m AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM fl),
+        |r AS (SELECT doc_id, s, e,
+        |        sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY s) AS run
+        |      FROM m),
+        |runs AS (SELECT doc_id, run, min(s) AS s, max(e) AS e FROM r GROUP BY 1, 2),
+        |k AS (SELECT doc_id, s, e,
+        |        lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+        |      FROM runs),
+        |pieces AS (
+        |  SELECT k.doc_id,
+        |    substring(d.text, (prev_e + 1)::INT, (s - prev_e - 1)::INT) AS piece,
+        |    s AS ord
+        |  FROM k JOIN documents d USING (doc_id)
+        |  UNION ALL
+        |  SELECT r2.doc_id,
+        |    substring(d.text, (max_e + 1)::INT, 100000000) AS piece,
+        |    2000000000 AS ord
+        |  FROM (SELECT doc_id, max(e) AS max_e FROM runs GROUP BY 1) r2
+        |  JOIN documents d USING (doc_id)),
+        |cleaned AS (
+        |  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
+        |  FROM pieces GROUP BY 1),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        |  FROM runs GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_runs, 0) AS n_runs,
+        |  coalesce(st.removed_chars, 0) AS removed_chars,
+        |  length(coalesce(c.ct, d.text)) AS cleaned_chars,
+        |  md5(coalesce(c.ct, d.text)) AS cleaned_md5
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same window CTE, census form: windows held by >= 2 docs, counted per doc
     "q_dedup_substring_mass" ->

@@ -520,6 +520,79 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
   }
 
+  /** Materialized substring-clean corpus (the excision step of Lee et al.
+    * 2021's "Deduplicating Training Data Makes Language Models Better"):
+    * every sampled window shared with ANOTHER document marks its char span;
+    * overlapping/adjacent spans merge into runs (relational gaps-and-
+    * islands — `max(e) over preceding` then run-id prefix sums); runs are
+    * excised and the surviving text fingerprinted. Returns per doc: run
+    * count, removed chars, cleaned md5 + length.
+    *
+    * Scale shape: the window pass is the same content-defined 1/16 sample
+    * as [[substringDupMass]] (map-side filter before any shuffle); islands
+    * are per-doc windows over FLAGGED spans only (bounded by dup mass, not
+    * text length); the one JVM UDF splices each doc's own runs — O(doc
+    * length), embarrassingly parallel, no pair space anywhere.
+    */
+  def substringClean(docs: DataFrame, width: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winsPos = docs
+      .where(length(col("text")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(width)).as("win"))
+      .where(substring(md5(col("win")), 1, 1) === "0")
+      .persist() // feeds the shared-window census AND the flagged probe
+    // cross-DOC sharing only: a window repeated inside one document is
+    // self-similarity, not corpus duplication
+    val shared = winsPos.select(col("doc_id"), col("win")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("win"))
+    val flagged = winsPos.join(shared, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + width - 1).as("e"))
+    val prior = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val runs = flagged
+      .withColumn("pmax", max(col("e")).over(prior))
+      .withColumn("newRun",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("run", sum(col("newRun")).over(ordered))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val excise = udf { (text: String, starts: Seq[Long], ends: Seq[Long]) =>
+      val sb = new java.lang.StringBuilder
+      var from = 0 // 0-based exclusive end of last removed run
+      var i = 0
+      while (i < starts.length) {
+        sb.append(text.substring(from, starts(i).toInt - 1))
+        from = ends(i).toInt
+        i += 1
+      }
+      sb.append(text.substring(from))
+      sb.toString
+    }
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("rs"),
+        count(lit(1)).as("n_runs"),
+        sum(col("e") - col("s") + 1).as("removed_chars"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("cleaned",
+        when(col("rs").isNull, col("text"))
+          .otherwise(excise(col("text"),
+            transform(col("rs"), r => r.getField("s")),
+            transform(col("rs"), r => r.getField("e")))))
+      .select(col("doc_id"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(col("cleaned")).cast("long").as("cleaned_chars"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embedding space coarsely, then search for near-duplicate pairs ONLY
     * within each cluster — pairs above `minCosine` drop the later vec_id,
