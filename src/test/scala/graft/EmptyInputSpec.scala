@@ -45,6 +45,7 @@ class EmptyInputSpec extends SparkSpec {
     val e = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Dedup.semDedup(e).count() == 0)
     assert(Similarity.hardNegatives(e, e).count() == 0)
+    assert(Dedup.substringClean(emptyDocs).count() == 0)
   }
 
   test("dynamic partition overwrite with an empty update touches nothing") {
