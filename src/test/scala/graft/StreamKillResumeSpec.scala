@@ -146,4 +146,36 @@ class StreamKillResumeSpec extends SparkSpec {
     all.unpersist()
     ()
   }
+
+  test("AvailableNow stateful catch-up state survives a JVM kill between runs") {
+    // the nightly-incremental analogue: the per-user aggregate state
+    // between the two catch-up runs exists ONLY in the checkpoint on disk
+    // (each phase JVM exits completely). Phase 2 must fold the second
+    // arrival into the restored totals; if it instead restarted from
+    // nothing or re-read arrival 1, the served table would diverge from
+    // the batch rollup computed here.
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value").cache()
+    val inDir = Files.createTempDirectory("an_in").toString
+    val tgt = Files.createTempDirectory("an_tgt").toString + "/tgt"
+
+    addSlice(ev.where(col("event_id") % 2 === 0), inDir, "even")
+    forkPhase(inDir, tgt, "", kind = "availtotals") // JVM 1 dies after run 1
+    addSlice(ev.where(col("event_id") % 2 =!= 0), inDir, "odd")
+    forkPhase(inDir, tgt, "", kind = "availtotals") // JVM 2 resumes from disk
+
+    val served = spark.read.parquet(s"$tgt/current")
+      .select(col("user_id"), col("n"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == expected,
+      s"resumed catch-up diverges from batch rollup: " +
+        s"only-served=${(served -- expected).take(5)} only-batch=${(expected -- served).take(5)}")
+    ev.unpersist()
+    ()
+  }
 }

@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * dies exists ONLY in the checkpoint's state store — the next invocation
   * must restore it from disk, which is exactly what the spec asserts.
   *
-  * args: inDir outDir ckptDir [kind]   kind = session (default) | fmgs
+  * args: inDir outDir ckptDir [kind]   kind = session (default) | fmgs |
+  * availtotals (AvailableNow stateful catch-up: one catch-up run over
+  * whatever is in inDir, target/checkpoint under outDir, then exit — the
+  * aggregate state between phase JVMs lives only in outDir/_chk)
   */
 object StreamResumePhase {
   def main(args: Array[String]): Unit = {
@@ -25,6 +28,11 @@ object StreamResumePhase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
+    if (kind == "availtotals") {
+      try graft.streaming.EventStreams.catchUpRunningTotals(spark, inDir, outDir)
+      finally spark.stop()
+      return
+    }
     try {
       val src = graft.streaming.EventStreams.readEvents(spark, inDir)
       val transformed = kind match {
