@@ -696,6 +696,20 @@ object SparkEntry {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name").orderBy("c_custkey")),
 
+    // -- [NS] join strategy hints: the same aggregate join under an
+    // explicit SHUFFLE_HASH hint — the manual override for when the
+    // optimizer's choice is wrong (a build side that fits memory but
+    // exceeds the broadcast threshold). Hints must be result-invisible;
+    // the hinted plan shape is asserted in a spec, the values here --
+    "q_join_hint" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0)), 4).as("total_spend"))
+        .orderBy("c_custkey")),
+
     "q_join_anti" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
@@ -2729,6 +2743,18 @@ object SparkEntry {
         round(element_at(array_sort(col("embedding")), 3).cast("double"), 4).as("third_smallest"))
         .orderBy("vec_id")),
 
+    // -- [NS] explode_outer: the null-preserving generator — rows whose
+    // array is EMPTY survive with a null element instead of vanishing (the
+    // classic silent-row-loss trap of plain explode); every 10th doc gets
+    // an empty array deterministically --
+    "q_explode_outer" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("arr",
+          when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+            .otherwise(slice(TF.tokens(lower(col("text"))), 1, 3)))
+        .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_last)),
+
     // -- [NS] grouped Pearson correlation from decimal-exact moments (the
     // streaming corr() aggregate is float-order-sensitive; this form isn't) --
     "q_corr_stats" -> ((s, d) => {
@@ -3979,6 +4005,25 @@ object SparkEntry {
         |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    // hints are result-invisible: identical twin to q_join_outer
+    "q_join_hint" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    // empty arrays survive as one null row (the outer-generator contract)
+    "q_explode_outer" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:3] END AS arr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS tok
+        |FROM a
+        |ORDER BY doc_id, tok NULLS LAST""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, rn FROM (

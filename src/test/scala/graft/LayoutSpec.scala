@@ -244,6 +244,12 @@ class LayoutSpec extends SparkSpec {
       .collect().toSeq == ev.orderBy("event_id").collect().toSeq)
   }
 
+  test("shuffle_hash hint forces a ShuffledHashJoin where broadcast would win") {
+    val plan = SparkEntry.queries("q_join_hint")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(500))
+  }
+
   test("vacuumVersions deletes old versions, keeps the newest, spares non-version dirs") {
     val root = java.nio.file.Files.createTempDirectory("vacuum").toString
     Seq("v0", "v1", "v3", "_chk", "current").foreach { n =>
