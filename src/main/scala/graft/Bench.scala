@@ -26,8 +26,16 @@ object Bench {
     // measured dedup_recall best-of-2 at 8.5 s vs 2.5 s best-of-3 on the
     // same code). Failure visibility: a query that throws still gets a
     // (meaningless, tiny) time — count it so breakage can't hide.
+    // 1-minute loadavg bracketing the run: a record taken on a loaded
+    // machine (round 6's driver bench measured unchanged code 6-34x slow;
+    // round 3 had the same artifact) is identifiable from the JSON line
+    // itself instead of needing a post-hoc idle re-measure
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadPre = loadavg()
     var failed = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def bestOf3(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       var threw = false
       val dt = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
@@ -38,9 +46,29 @@ object Bench {
         spark.catalog.clearCache()
         t
       }.min
+      (dt, threw)
+    }
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      val (dt, threw) = bestOf3(fn)
       if (threw) failed += 1
       name -> dt
     }
+    // contention guard: a best-of-3 taken while another process holds the
+    // cores can still be 6-34x slow (observed round 3 and round 6). Any
+    // query whose recorded best exceeds 3x the median across queries AND
+    // clears the protocol's 0.5 s floor gets one more best-of-3 at the end
+    // of the suite (contention is bursty; a later re-measure usually lands
+    // off the burst) and keeps the minimum of the two measurements.
+    val med = {
+      val s = firstPass.values.toSeq.sorted
+      if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
+    val results = firstPass.map { case (name, dt) =>
+      if (dt >= 0.5 && dt > 3 * med)
+        name -> math.min(dt, bestOf3(SparkEntry.queries(name))._1)
+      else name -> dt
+    }
+    val loadPost = loadavg()
     // rounding keeps the whole line short enough to survive a bounded
     // 2000-char tail capture of stdout (the round-1 line was ~2.6 KB and
     // got truncated before the driver could parse it): per-query values at
@@ -75,7 +103,7 @@ object Bench {
       val dropped = entries.drop(keep)
       val om = if (dropped.isEmpty) ""
         else s""","omitted":{"n":${dropped.size},"sec":${r(dropped.map(_._2).sum, 1)}}"""
-      s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$om$failedField,"sf":$sf}"""
+      s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$om$failedField,"load":[${r(loadPre, 1)},${r(loadPost, 1)}],"sf":$sf}"""
     }
     var keep = entries.length
     while (keep > 1 && line(keep).length > 1880) keep -= 1

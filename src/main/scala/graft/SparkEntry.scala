@@ -848,7 +848,10 @@ object SparkEntry {
     // full machinery; the oracle recomputes all five from first
     // principles (incl. the recursive-CTE closure twin). --
     "q_dedup_funnel" -> ((s, d) => {
-      val docs0 = documents(s, d)
+      // persist: five tiers each re-derive from the documents scan (and
+      // the transitive tier's closure loop re-reads it per iteration);
+      // cached docs cut the two funnel queries roughly in half (judge r6)
+      val docs0 = documents(s, d).persist()
       def stage(i: Int, tier: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(i).as("stage"), lit(tier).as("tier"), col("n_docs"))
@@ -869,7 +872,7 @@ object SparkEntry {
     // tier machinery and thresholds as q_dedup_funnel, re-aimed from counts
     // to per-doc attribution --
     "q_dedup_explain" -> ((s, d) => {
-      val docs0 = documents(s, d)
+      val docs0 = documents(s, d).persist() // see q_dedup_funnel
       def drops(survivors: DataFrame, tier: String) =
         docs0.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
           .select(col("doc_id")).withColumn("tier", lit(tier))
@@ -1222,6 +1225,13 @@ object SparkEntry {
     "q_length_curriculum" -> ((s, d) =>
       graft.operators.Corpus.lengthCurriculum(documents(s, d), n = 4)),
 
+    // -- [NS] the same curriculum tiers via the lake-scale rank (range
+    // partition + local counters + offset table, exact ntile tiling
+    // arithmetic — no single-partition window over the data). Total order
+    // is identical, so it shares the window form's oracle VERBATIM. --
+    "q_length_curriculum_ranged" -> ((s, d) =>
+      graft.operators.Corpus.lengthCurriculumRanged(documents(s, d), n = 4)),
+
     // -- [NS] heavy hitters: Misra-Gries sketch (typed Aggregator, ≤ 64
     // counters per partial) finds candidates in one pass, an exact recount
     // of the ≤ 64 candidates makes the output deterministic — no
@@ -1372,6 +1382,23 @@ object SparkEntry {
     "q_mm_decode_batch" -> ((s, d) =>
       Multimodal.decodeMapPartitions(s, Multimodal.mediaFromDocuments(documents(s, d)))
         .orderBy("media_id")),
+
+    // -- [NS] REAL image headers: byte-genuine PNG (signature + IHDR +
+    // CRC32-correct chunks) for even docs, baseline JPEG (SOI/APP0/SOF0)
+    // for odd, dimensions parsed back from the actual magic bytes by the
+    // marker-walking header decoder — no codec library, the header-sniff
+    // pass a 100 TB ingest runs before any pixel decode. The oracle knows
+    // the dimension arithmetic, not the bytes: a parser that cheats on the
+    // real formats can't match it. --
+    "q_mm_meta_real" -> ((s, d) => {
+      val w = (lit(32) + col("doc_id") % 96).cast("int")
+      val h = (lit(24) + col("doc_id") % 72).cast("int")
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, Multimodal.encodePng(w, h, col("text")))
+          .otherwise(Multimodal.encodeJpeg(w, h, col("text"))).as("payload"))
+      Multimodal.decodeImages(s, media).orderBy("media_id")
+    }),
 
     // -- [NS] END-TO-END multimodal ingest: media payloads written as raw
     // FILES (the shape assets actually arrive in), scanned back through the
@@ -4124,6 +4151,17 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS body_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // the real-header twin: the oracle recomputes the dimension arithmetic
+    // and the format parity; the Spark side must recover both from genuine
+    // PNG/JPEG bytes
+    "q_mm_meta_real" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  true AS valid,
+        |  CAST(32 + doc_id % 96 AS INT) AS width,
+        |  CAST(24 + doc_id % 72 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // file-scanned headers must decode to the same metadata the in-row
     // payloads carry (same arithmetic as q_mm_meta, ingest-subset)
     "q_mm_ingest" ->
@@ -5960,6 +5998,18 @@ object SparkEntry {
         |FROM eval_tok GROUP BY source ORDER BY source""".stripMargin,
 
     "q_length_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |tiered AS (
+        |  SELECT toks, ntile(4) OVER (ORDER BY toks, doc_id) AS bucket FROM toks)
+        |SELECT bucket, count(*) AS n_docs, min(toks) AS min_toks,
+        |  max(toks) AS max_toks, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM tiered GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the ranged form must produce the identical tiers — same oracle
+    "q_length_curriculum_ranged" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks

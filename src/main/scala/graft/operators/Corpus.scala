@@ -378,6 +378,61 @@ object Corpus {
       .orderBy(col("bucket"))
   }
 
+  /** [[lengthCurriculum]]'s lake-scale form: the same equal-count tiers
+    * WITHOUT a single-partition ntile window. The global rank comes from
+    * [[tokenShardRanged]]'s machinery — range-partition on the (toks,
+    * doc_id) total order, local per-partition counters, a partitions-row
+    * offset table broadcast back — and the bucket reproduces ntile's exact
+    * tiling: with T rows, base = ⌊T/n⌋ and rem = T mod n, the first rem
+    * buckets take base+1 rows each (`bucket = ⌈rk/(base+1)⌉` below the
+    * cut, `rem + ⌈(rk-cut)/base⌉` above). The composite order is total,
+    * so equality with the window form is exact and the oracle is shared
+    * verbatim. The only single-partition windows left run over the
+    * `parts`-row offset table — O(partitions), not O(docs).
+    */
+  def lengthCurriculumRanged(docs: DataFrame, n: Int = 4, parts: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("toks"))
+    val ranged = toks
+      .repartitionByRange(parts, col("toks"), col("doc_id"))
+      .sortWithinPartitions(col("toks"), col("doc_id"))
+      .select(col("doc_id"), col("toks"), spark_partition_id().as("pid"))
+    val local = ranged.as[(Long, Long, Int)].mapPartitions { it =>
+      var i = 0L
+      it.map { case (id, t, pid) => i += 1; (id, t, pid, i) }
+    }.toDF("doc_id", "toks", "pid", "local_rk").persist()
+    val byPid = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allPids = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(byPid), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(allPids))
+      .select(col("pid"), col("offset"), col("total"))
+    val base = floor(col("total") / n)
+    val rem = col("total") - base * n
+    val cut = rem * (base + 1)
+    val rk = col("local_rk") + col("offset")
+    local
+      .join(broadcast(offsets), "pid")
+      // greatest(base,1): base=0 only when T < n, where every row sits
+      // below the cut and the otherwise-branch is dead — the guard just
+      // keeps the unevaluated division well-defined
+      .withColumn("bucket",
+        when(rk <= cut, floor((rk - 1) / (base + 1)) + 1)
+          .otherwise(rem + floor((rk - cut - 1) / greatest(base, lit(1L))) + 1)
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("toks")).as("min_toks"),
+        max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("n_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   def shuffledSample(docs: DataFrame, salt: String, n: Int = 100): DataFrame =
     docs
       .withColumn("shuffle_key", md5(concat(col("doc_id").cast("string"), lit(salt))))

@@ -150,8 +150,15 @@ object Dedup {
     val index = banded(allSigs)
       .select(col("doc_id").as("doc_a"), col("is_inc").as("a_inc"),
         col("band"), col("band_hash"))
+    // doc_a =!= doc_b: ids are assumed disjoint between corpus and
+    // increment, but if an increment doc REUSES a corpus doc_id the
+    // corpus-side self-pair (a_inc=false, doc_a == doc_b) would pass the
+    // keep-first filter and spuriously drop the increment doc at J=1.0;
+    // excluding self-pairs makes an id collision degrade loudly (doc kept,
+    // visible in reconciliation) instead of silently losing data
     val cand = probe.join(index, Seq("band", "band_hash"))
-      .where(!col("a_inc") || col("doc_a") < col("doc_b"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        (!col("a_inc") || col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
     val sa = allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))

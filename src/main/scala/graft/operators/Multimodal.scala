@@ -162,6 +162,107 @@ object Multimodal {
     u(payload)
   }
 
+  // ---------------------------------------------------------------------
+  // REAL image headers: PNG IHDR + JPEG SOF over genuine magic bytes.
+  // No codec library — pure byte arithmetic, which is exactly what a
+  // header-sniff pass does at 100 TB (full pixel decode only after
+  // pushdown-filtered selection). The GRFT stub path stays for the
+  // synthetic corpus; real and fake payloads discriminate by magic.
+  // ---------------------------------------------------------------------
+
+  private def be16c(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+  private def be32c(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+
+  /** One PNG chunk: length | type | data | CRC32(type+data) — the CRC is
+    * real (Spark's `crc32`), so the emitted bytes are spec-correct PNG.
+    */
+  private def pngChunk(typ: String, data: Column): Column = {
+    val t = encode(lit(typ), "US-ASCII")
+    concat(be32c(length(data)), t, data, be32c(crc32(concat(t, data))))
+  }
+
+  /** Byte-genuine PNG: 8-byte signature, IHDR (8-bit RGB, no interlace),
+    * the body as an IDAT chunk, IEND. Any header-sniffing tool reads the
+    * dimensions; only pixel decode (zlib) would reject the fake body.
+    */
+  def encodePng(width: Column, height: Column, body: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A")),
+      pngChunk("IHDR", concat(be32c(width), be32c(height), unhex(lit("0802000000")))),
+      pngChunk("IDAT", encode(body, "UTF-8")),
+      pngChunk("IEND", lit(Array.empty[Byte])))
+
+  /** Byte-genuine JPEG prefix: SOI, JFIF APP0, a baseline SOF0 carrying the
+    * real dimensions, SOS, body as entropy bytes, EOI. A marker walk (ours
+    * below, or any EXIF tool) reads the dimensions from SOF0.
+    */
+  def encodeJpeg(width: Column, height: Column, body: Column): Column =
+    concat(
+      unhex(lit("FFD8")), // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")), // APP0 "JFIF"
+      unhex(lit("FFC00011" + "08")), be16c(height), be16c(width), // SOF0: len 17, precision 8
+      unhex(lit("03" + "011100" + "021101" + "031101")), // 3 components
+      unhex(lit("FFDA000C03010002110311003F00")), // SOS
+      encode(body, "UTF-8"),
+      unhex(lit("FFD9"))) // EOI
+
+  /** Parsed image-header row — the real-decode contract's output schema. */
+  case class ImageMeta(
+      media_id: Long, format: String, valid: Boolean, width: Int, height: Int)
+
+  /** Real header parse: PNG (signature + IHDR — the spec fixes IHDR as the
+    * first chunk, so width/height sit at bytes 16..23), JPEG (marker walk
+    * to the first SOF0-SOF15 frame header, skipping DHT/JPG/DAC which
+    * share the Cx range but carry no dimensions), with the GRFT stub
+    * header still honored for the synthetic corpus. Pure byte arithmetic.
+    */
+  def parseImage(mediaId: Long, b: Array[Byte]): ImageMeta = {
+    def be32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def be16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    if (b == null || b.length < 4)
+      ImageMeta(mediaId, "unknown", valid = false, 0, 0)
+    else if (b.length >= 24 && be32(0) == 0x89504E47 && be32(4) == 0x0D0A1A0A &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      ImageMeta(mediaId, "png", valid = true, be32(16), be32(20))
+    else if ((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) {
+      var i = 2
+      var out: ImageMeta = null
+      while (out == null && i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xFF) i += 1 // resync to next marker
+        else {
+          val m = b(i + 1) & 0xff
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // standalone
+          else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            // SOF: precision(1) height(2) width(2) after the 2-byte length
+            if (i + 8 < b.length)
+              out = ImageMeta(mediaId, "jpeg", valid = true, be16(i + 7), be16(i + 5))
+            else i = b.length
+          }
+          else if (m == 0xDA || m == 0xD9) i = b.length // into entropy data / EOI: no SOF seen
+          else i += 2 + be16(i + 2) // skip the segment
+        }
+      }
+      if (out != null) out else ImageMeta(mediaId, "jpeg", valid = false, 0, 0)
+    }
+    else if (b.length >= 16 && be32(0) == Magic)
+      ImageMeta(mediaId, "grft", valid = true, be32(8), be32(12))
+    else ImageMeta(mediaId, "unknown", valid = false, 0, 0)
+  }
+
+  /** Batch-shaped REAL header decode — same mapPartitions plumbing as
+    * [[decodeMapPartitions]], but over genuine PNG/JPEG magic bytes.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, payload) => parseImage(id, payload) })
+      .toDF()
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size slice
     * of the body becomes a frame row `(media_id, frame_idx, frame_bytes)`.
     * Explode keeps frames as independent rows — the unit of parallelism for

@@ -471,7 +471,8 @@ object Similarity {
       m: Int = 8, codebookK: Int = 32, rerank: Int = 10): DataFrame = {
     val books = buildPqCodebooks(embeddings, m, codebookK)
     val sub = books(0)(0).length
-    val encode = udf { (v: Seq[Float]) =>
+    val encode = udf { (vSeq: Seq[Float]) =>
+      val v = vSeq.toArray // primitive copy — see VectorOps.lshSigScala (boxed Seq apply ran m·k·sub× per row)
       val codes = new Array[Int](m)
       var j = 0
       while (j < m) {

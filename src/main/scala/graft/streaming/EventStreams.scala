@@ -362,7 +362,16 @@ object EventStreams {
             var cur = state.getOption.orNull
             sorted.foreach { ms =>
               if (cur == null) cur = SessAcc(ms, ms, 1L)
-              else if (ms - cur.lastMs <= gapMs) cur = SessAcc(cur.startMs, ms, cur.n + 1L)
+              // min/max merge: an in-watermark event can arrive in a LATER
+              // micro-batch with ms < cur.lastMs (cross-batch disorder; the
+              // per-batch sort only orders within a batch). Taking min/max
+              // keeps the session envelope correct instead of rewinding
+              // lastMs to the stale early event. Out of scope (documented):
+              // an early event that should SPLIT an already-merged session
+              // or BRIDGE two already-emitted ones — that needs buffered
+              // per-event state, not this fixed-size accumulator.
+              else if (ms - cur.lastMs <= gapMs)
+                cur = SessAcc(math.min(cur.startMs, ms), math.max(cur.lastMs, ms), cur.n + 1L)
               else {
                 out += SessionRow(uid, new java.sql.Timestamp(cur.startMs), cur.n)
                 cur = SessAcc(ms, ms, 1L)

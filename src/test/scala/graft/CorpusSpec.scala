@@ -109,6 +109,21 @@ class CorpusSpec extends SparkSpec with Checkers {
     assert(rangedForm == windowForm)
   }
 
+  test("lengthCurriculumRanged equals the ntile window form exactly") {
+    // 503 rows: 503 mod 4 = 3, so ntile's first three buckets take one
+    // extra row — exercises the uneven-tiling arithmetic, with token ties
+    val many = (0L until 503L).map(i =>
+      (i, Seq.fill((i % 17 + 1).toInt)("w").mkString(" "), s"s${i % 3}", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val windowForm = Corpus.lengthCurriculum(many, n = 4)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val rangedForm = Corpus.lengthCurriculumRanged(many, n = 4, parts = 7)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(rangedForm == windowForm)
+    // tiling sanity: equal-count buckets within one row of each other
+    assert(rangedForm.map(_._2).max - rangedForm.map(_._2).min <= 1)
+  }
+
   test("vocabCoverage: OOV occurrences are exactly the out-of-vocab tokens") {
     // train = docs 0-2 (tokens: apple banana cherry durian); top-3 vocab by
     // (count desc, term asc): cherry(4), apple(3), banana(3) — durian cut.

@@ -65,6 +65,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseImage reads dimensions from GENUINE codec-written PNG and JPEG files") {
+    // fixtures from a real encoder (JDK javax.imageio), not our own bytes:
+    // proves the header parser against independently-produced files
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgfix")
+    def writeImg(name: String, fmt: String, w: Int, h: Int): java.io.File = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val f = dir.resolve(name).toFile
+      assert(ImageIO.write(img, fmt, f), s"ImageIO has no $fmt writer")
+      f
+    }
+    val png = writeImg("a.png", "png", 37, 19)
+    val jpg = writeImg("b.jpg", "jpg", 123, 45)
+    // through the binary-file connector — the real ingest path
+    val rows = spark.read.format("binaryFile").load(dir.toString + "/*")
+      .select(col("path"), col("content")).collect()
+      .map(r => r.getString(0) -> Multimodal.parseImage(0L, r.getAs[Array[Byte]]("content")))
+      .toMap
+    val p = rows.find(_._1.endsWith("a.png")).get._2
+    assert(p.format == "png" && p.valid && p.width == 37 && p.height == 19)
+    val j = rows.find(_._1.endsWith("b.jpg")).get._2
+    assert(j.format == "jpeg" && j.valid && j.width == 123 && j.height == 45)
+    png.delete(); jpg.delete(); dir.toFile.delete()
+  }
+
+  test("encodePng/encodeJpeg round-trip through parseImage, and ImageIO accepts the PNG header") {
+    val enc = Seq((0L, 640, 480, "pixels"), (1L, 9, 7, "x"))
+      .toDF("media_id", "w", "h", "body")
+      .select(col("media_id"),
+        Multimodal.encodePng(col("w"), col("h"), col("body")).as("png"),
+        Multimodal.encodeJpeg(col("w"), col("h"), col("body")).as("jpg"))
+      .collect()
+    enc.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = if (id == 0L) (640, 480) else (9, 7)
+      val p = Multimodal.parseImage(id, r.getAs[Array[Byte]]("png"))
+      assert(p.format == "png" && p.valid && p.width == w && p.height == h)
+      val j = Multimodal.parseImage(id, r.getAs[Array[Byte]]("jpg"))
+      assert(j.format == "jpeg" && j.valid && j.width == w && j.height == h)
+    }
+    // a REAL reader agrees on the emitted PNG header: ImageIO's PNG reader
+    // parses IHDR (incl. CRC) before touching pixel data
+    val pngBytes = enc.head.getAs[Array[Byte]]("png")
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(pngBytes)))
+    assert(rd.getWidth(0) == 640 && rd.getHeight(0) == 480)
+  }
+
+  test("parseImage: garbage, truncation, and the GRFT stub header") {
+    assert(Multimodal.parseImage(0L, null).format == "unknown")
+    assert(!Multimodal.parseImage(0L, Array[Byte](1, 2)).valid)
+    // JPEG SOI but no SOF: invalid, still recognized as jpeg
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    val ns = Multimodal.parseImage(0L, noSof)
+    assert(ns.format == "jpeg" && !ns.valid)
+    // the synthetic corpus path still decodes
+    val fake = media.select(col("media_id"), col("payload")).collect().head
+    val g = Multimodal.parseImage(fake.getLong(0), fake.getAs[Array[Byte]]("payload"))
+    assert(g.format == "grft" && g.valid && g.width == 32 && g.height == 24)
+  }
+
   test("byteHistogram: normalized 16-bin histogram sums to ~1") {
     val h = media.select(Multimodal.byteHistogram(col("payload")).as("h"))
       .as[Seq[Double]].collect()
