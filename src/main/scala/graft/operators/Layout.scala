@@ -264,9 +264,73 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Version-retention vacuum for the immutable-version sink layout
+  /** Atomic-commit protocol for the immutable-version sink layout
     * (`v0, v1, …` directories as written by the streaming upsert's MERGE
-    * sink): delete every committed version older than the newest `keep`,
+    * sink). A version is COMMITTED only once the `_LATEST` pointer file
+    * names it; the write path stages the directory under a temp name,
+    * renames it into place, then swaps the pointer — both renames are
+    * single-filesystem-op atomic, so a reader can never list a
+    * half-written version as current. This is the manifest-pointer commit
+    * every lakehouse format ends up with (Delta's `_last_checkpoint`,
+    * Iceberg's `version-hint.text`): at 100 TB with concurrent readers,
+    * directory listing alone races the writer.
+    */
+  private[graft] val PointerFile = "_LATEST"
+
+  /** Highest committed version per the `_LATEST` pointer; `None` for a
+    * target that predates the pointer protocol (readers then fall back to
+    * directory listing, the pre-protocol behavior).
+    */
+  def committedVersion(root: String): Option[Long] = {
+    val p = new java.io.File(root, PointerFile)
+    if (!p.isFile) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(p.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+  }
+
+  /** Atomically publish `stagedDir` as version `version` under `root`:
+    * rename the staged directory to `v<version>` (a replayed batch deletes
+    * and replaces ITS OWN version first — idempotent by construction),
+    * then swap the `_LATEST` pointer via write-temp + atomic rename.
+    * Crash between the two renames leaves a dangling uncommitted `v<N>`
+    * that the pointer never names and the replay overwrites.
+    */
+  def commitVersion(root: String, version: Long, stagedDir: java.io.File): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dst = new java.io.File(root, s"v$version")
+    if (dst.exists()) deleteRecursively(dst)
+    Files.move(stagedDir.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = new java.io.File(root, PointerFile + ".tmp")
+    Files.write(tmp.toPath, version.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new java.io.File(root, PointerFile).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Version numbers present under `root`, newest first. */
+  private def listVersions(root: String): Array[Long] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.length > 1)
+      .map(_.getName.drop(1).toLong)
+      .sorted(Ordering[Long].reverse)
+
+  /** The MERGE-sink stream's last checkpoint-committed batch, if a
+    * checkpoint exists under the target (`<root>/_chk/commits/<id>`).
+    */
+  private def lastCheckpointedBatch(root: String): Option[Long] = {
+    val dir = new java.io.File(s"$root/_chk", "commits")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .sorted(Ordering[Long].reverse)
+      .headOption
+  }
+
+  /** Version-retention vacuum for the immutable-version sink layout:
+    * delete every committed version older than the newest `keep`,
     * returning the number removed. The retention half of the maintenance
     * triad (compact = file count, partition overwrite = partition-scoped
     * rewrite, vacuum = history). Driver-side filesystem walk by design:
@@ -274,15 +338,28 @@ object Layout {
     * listing is one directory read. Readers of the LATEST version are
     * unaffected; time travel to vacuumed versions is deliberately
     * surrendered, which is the entire point of retention.
+    *
+    * Two safety rails beyond the count:
+    *  - only POINTER-COMMITTED versions are vacuum candidates; a dangling
+    *    uncommitted directory (crash between the two commit renames) is
+    *    left for its replaying batch to overwrite.
+    *  - replay guard: the stream's checkpoint can trail the pointer by one
+    *    batch (crash after `commitVersion` but before the checkpoint
+    *    commit). The replayed batch B = lastCheckpointedBatch+1 rebuilds
+    *    from `latestVersion(below = B)`, so the newest version ≤
+    *    lastCheckpointedBatch survives regardless of `keep` — without it,
+    *    a keep=1 vacuum in that window would silently erase all prior
+    *    totals from the rebuilt version.
     */
   def vacuumVersions(root: String, keep: Int = 1): Int = {
     require(keep >= 1, "must keep at least the latest version")
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        f.getName.drop(1).forall(_.isDigit))
-      .sortBy(f => -f.getName.drop(1).toLong)
-    val stale = dirs.drop(keep)
-    stale.foreach(deleteRecursively)
+    val all = listVersions(root)
+    val ceiling = committedVersion(root)
+    val committed = all.filter(v => ceiling.forall(v <= _))
+    val protectForReplay = lastCheckpointedBatch(root)
+      .flatMap(c => committed.find(_ <= c))
+    val stale = committed.drop(keep).filterNot(v => protectForReplay.contains(v))
+    stale.foreach(v => deleteRecursively(new java.io.File(root, s"v$v")))
     stale.length
   }
 

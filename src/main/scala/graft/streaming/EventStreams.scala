@@ -485,6 +485,12 @@ object EventStreams {
     * the property a real lakehouse MERGE sink (Delta/Iceberg commit) gives
     * and plain parquet append does not.
     *
+    * Versions commit ATOMICALLY via [[graft.operators.Layout.commitVersion]]:
+    * the batch writes to a staged temp directory, renames it into place,
+    * and swaps the `_LATEST` pointer — a concurrent reader resolves the
+    * pointer and can never observe a half-written version, the property
+    * plain directory listing lacks once readers and the writer race.
+    *
     * Scale shape: the per-batch merge is one keyed hash aggregate over
     * (previous state ∪ batch aggregate) — both sides key-partitioned, no
     * driver-side state; versions are O(distinct keys), not O(events).
@@ -519,7 +525,9 @@ object EventStreams {
               .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
           case None => agg
         }
-        merged.write.mode("overwrite").parquet(s"$targetRoot/v$batchId")
+        val staged = new java.io.File(targetRoot, s"_staged_v$batchId")
+        merged.write.mode("overwrite").parquet(staged.getAbsolutePath)
+        graft.operators.Layout.commitVersion(targetRoot, batchId, staged)
         ()
       }
       .start()
@@ -535,12 +543,20 @@ object EventStreams {
         (col("cents") / 100.0).as("total"))
   }
 
+  /** Newest COMMITTED version below `below`: only versions the `_LATEST`
+    * pointer has reached count — a dangling directory from a crash between
+    * the commit's two renames is invisible here, so both the merge's
+    * previous-state read and the serving read resolve committed state
+    * only. Targets without a pointer (pre-protocol) fall back to pure
+    * directory listing.
+    */
   private def latestVersion(root: String, below: Long): Option[String] = {
+    val ceiling = graft.operators.Layout.committedVersion(root)
     val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
     dirs.filter(_.isDirectory).map(_.getName)
       .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
         s.drop(1).toLong }
-      .filter(_ < below)
+      .filter(v => v < below && ceiling.forall(v <= _))
       .sorted(Ordering[Long].reverse)
       .headOption
       .map(v => s"$root/v$v")

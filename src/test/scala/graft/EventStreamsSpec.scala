@@ -61,6 +61,20 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(got == want, "final upsert state must equal the batch rollup")
 
+    // atomic commit: the _LATEST pointer names the newest version
+    assert(graft.operators.Layout.committedVersion(target).contains(3L),
+      "pointer must name the newest committed version")
+
+    // a torn (uncommitted) version directory — crash between the commit's
+    // two renames — is invisible to readers: the pointer still resolves v3
+    val torn = new java.io.File(target, "v99"); torn.mkdirs()
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+      Array[Byte](0, 1, 2, 3)) // garbage, not parquet
+    val served = EventStreams.latestUpsertState(spark, target)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(served == want, "reader must never see an uncommitted version")
+    org.apache.commons.io.FileUtils.deleteDirectory(torn)
+
     // replay the WHOLE stream with a fresh checkpoint into the same target:
     // every batch re-commits over its own version — final state unchanged
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$target/_chk"))

@@ -263,6 +263,42 @@ class LayoutSpec extends SparkSpec {
     assert(left == Set("v3", "_chk", "current"))
   }
 
+  test("vacuumVersions protects the replay-needed version when the checkpoint trails the pointer") {
+    // crash window: commitVersion published v3 (pointer = 3) but the stream
+    // checkpoint only committed batch 2 — batch 3 will replay and rebuild
+    // from latestVersion(below = 3) = v2, so keep=1 must NOT delete v2
+    val root = java.nio.file.Files.createTempDirectory("vacuum-guard").toString
+    Seq("v0", "v1", "v2", "v3").foreach { n =>
+      val dir = new java.io.File(s"$root/$n"); dir.mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/$n/part-0"), "x")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/_LATEST"), "3")
+    new java.io.File(s"$root/_chk/commits").mkdirs()
+    Seq("0", "1", "2").foreach { b =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/_chk/commits/$b"), "{}")
+    }
+    val removed = Layout.vacuumVersions(root, keep = 1)
+    assert(removed == 2, s"expected only v0/v1 removed, removed $removed")
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("v2", "v3", "_LATEST", "_chk"))
+  }
+
+  test("vacuumVersions never deletes an uncommitted (dangling) version") {
+    // v5 exists but the pointer stops at 4: v5 is a torn commit awaiting
+    // replay — vacuum leaves it for its batch to overwrite, and the keep
+    // count applies to committed versions only
+    val root = java.nio.file.Files.createTempDirectory("vacuum-dangle").toString
+    Seq("v3", "v4", "v5").foreach { n =>
+      val dir = new java.io.File(s"$root/$n"); dir.mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/$n/part-0"), "x")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/_LATEST"), "4")
+    val removed = Layout.vacuumVersions(root, keep = 1)
+    assert(removed == 1)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("v4", "v5", "_LATEST"))
+  }
+
   test("dynamic partition overwrite rewrites only the touched partition") {
     val dir = java.nio.file.Files.createTempDirectory("partow").toString + "/t"
     val ev = Tables.events(spark, Sf0001)
