@@ -1040,6 +1040,42 @@ object SparkEntry {
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] PERSISTED IVF index: the centroid matrix is written to
+    // parquet ONCE per (JVM, sf) and every probe LOADS the artifact — no
+    // re-sample, no re-train (SimilaritySpec proves the k-means count stays
+    // flat across an index-cache clear). A production IVF index is durable
+    // state that outlives the driver; this is the load-probe path. nprobe=8
+    // recovers the exact top-10 here, so the declared rows share
+    // q_sim_ivf's brute-force twin. --
+    "q_sim_ivf_persisted" -> ((s, d) => {
+      val idx = scratchDirs.getOrElseUpdate(s"ivfindex:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfindex")
+        deleteRecursivelyOnExit(tmp)
+        val p = tmp.toFile.getAbsolutePath + "/ivf"
+        Similarity.saveIvfIndex(embeddings(s, d), p)
+        p
+      })
+      Similarity.ivfTopKPersisted(embeddings(s, d), idx, probeId = 0L, k = 10, nprobe = 8)
+    }),
+
+    // -- [NS] persisted PQ codebooks, same durability contract: load the
+    // (subspace, code, centroid) artifact and ADC-probe with it; recall
+    // gated vs the float brute-force truth like every compressed tier. --
+    "q_sim_pq_persisted" -> ((s, d) => {
+      val idx = scratchDirs.getOrElseUpdate(s"pqindex:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pqindex")
+        deleteRecursivelyOnExit(tmp)
+        val p = tmp.toFile.getAbsolutePath + "/pq"
+        Similarity.savePqIndex(embeddings(s, d), p)
+        p
+      })
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
+      val pq = Similarity.pqTopKPersisted(embeddings(s, d), idx, probeId = 0L, kTop = 10).select("vec_id")
+      bf.join(pq, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     // -- [NS] batch-probe SRP/Hamming: N probes, one signature pass (8-byte
     // coarse ops vs broadcast probes), per-probe WindowGroupLimit
     // shortlist, exact re-rank; per-probe recall gated vs the exact
@@ -2415,6 +2451,17 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("prev"))).cast("double"), 6))
         .orderBy("prev", "cur")
     }),
+
+    // -- [NS] ANALYZE-style table statistics: exact per-column profile
+    // (row count, ndv, null count, min/max) of 4 orders columns in ONE
+    // aggregate pass, unpivoted to a row per column — the stats-collection
+    // scan that feeds CBO (StatsSpec proves the planner flips an un-hinted
+    // join to broadcast once these stats exist). The exact-ndv form is the
+    // oracle gate; Stats.columnStatsApprox is the one-pass HLL form a
+    // 100 TB profile job runs. --
+    "q_table_stats" -> ((s, d) =>
+      graft.operators.Stats.columnStats(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))),
 
     // -- [NS] grouped z-score anomaly detection: per-type mean/std from
     // decimal-exact moments (n, Σx, Σx²) so the thresholds are
@@ -5013,6 +5060,26 @@ object SparkEntry {
         |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
         |ORDER BY event_id""".stripMargin,
 
+    // ANALYZE-style exact column profile, one row per column; null count
+    // as n_rows - count(col) so the type stays BIGINT in both engines
+    "q_table_stats" ->
+      """WITH s AS (SELECT * FROM orders)
+        |SELECT column, n_rows, ndv, n_nulls, min_value, max_value FROM (
+        |  SELECT 'o_custkey' AS column, count(*) AS n_rows,
+        |    count(DISTINCT o_custkey) AS ndv, count(*) - count(o_custkey) AS n_nulls,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*), count(DISTINCT o_orderkey), count(*) - count(o_orderkey),
+        |    CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(DISTINCT o_orderpriority), count(*) - count(o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus), count(*) - count(o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM s)
+        |ORDER BY column""".stripMargin,
+
     "q_boilerplate_strip" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
@@ -5365,6 +5432,11 @@ object SparkEntry {
     "q_sim_pq" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
 
+    // persisted-codebook PQ probe: identical math to q_sim_pq through the
+    // parquet round-trip (doubles survive exactly), same recall gate
+    "q_sim_pq_persisted" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
     // 64-bit Hamming shortlist of 100 (of 500) then exact re-rank keeps
     // >= 8 of the exact top-10 (deterministic splitmix64 hyperplanes)
     "q_sim_hamming" ->
@@ -5537,6 +5609,16 @@ object SparkEntry {
     // at nprobe=8/nlist=16 the IVF result equals the exact top-10 on this
     // data (verified at the gate SF) — same twin as the brute-force query
     "q_sim_ivf" ->
+      """SELECT e2.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e1, embeddings e2
+        |WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the persisted-index probe loads the SAME deterministic centroids the
+    // in-memory build produced (doubles round-trip parquet exactly), so the
+    // nprobe=8 result is the same exact top-10 — same brute-force twin
+    "q_sim_ivf_persisted" ->
       """SELECT e2.vec_id AS vec_id,
         |  round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
         |FROM embeddings e1, embeddings e2

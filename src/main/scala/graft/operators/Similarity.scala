@@ -140,6 +140,7 @@ object Similarity {
     */
   private[graft] def kmeans(sample: Array[Array[Double]], k: Int, iters: Int = 8): Array[Array[Double]] = {
     require(sample.nonEmpty, "kmeans needs a non-empty sample")
+    kmeansTrainings += 1
     val dim = sample.head.length
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
@@ -329,6 +330,96 @@ object Similarity {
       .limit(k)
   }
 
+  /** Number of k-means trainings this JVM has run — test instrumentation
+    * proving the persisted-index load path never retrains.
+    */
+  @volatile private[graft] var kmeansTrainings: Long = 0L
+
+  /** Drop the in-memory index caches — simulates a fresh driver JVM for
+    * tests of the persisted-index path.
+    */
+  private[graft] def clearIndexCaches(): Unit = {
+    centroidCache.clear()
+    pqCache.clear()
+    loadedIvfCache.clear()
+    loadedPqCache.clear()
+  }
+
+  /** Persist the IVF index (the centroid matrix) as a tiny parquet table
+    * `(cell int, centroid array<double>)`. A production IVF index is a
+    * durable artifact: training samples the corpus once, but every new
+    * driver/probe job must NOT re-collect and re-train — at 100 TB the
+    * index outlives any single session (FAISS serializes its index for the
+    * same reason). Size is nlist × dim doubles — metadata-scale.
+    */
+  def saveIvfIndex(embeddings: DataFrame, path: String,
+                   nlist: Int = 16, sampleRows: Int = 2048): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = buildCentroids(embeddings, nlist, sampleRows)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF index back into the centroid matrix — one tiny
+    * parquet read, no sampling, no k-means. The loaded index is also
+    * planted in `centroidCache` under the artifact path so repeat loads in
+    * the same JVM are free.
+    */
+  private val loadedIvfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    loadedIvfCache.getOrElseUpdate(path, {
+      spark.read.parquet(path)
+        .orderBy(col("cell"))
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+    })
+
+  /** IVF top-k probing a PERSISTED index: load the centroids (no retrain)
+    * and run the shared probe tail. Same result contract as [[ivfTopK]]
+    * over the corpus the index was trained on.
+    */
+  def ivfTopKPersisted(embeddings: DataFrame, indexPath: String, probeId: Long,
+                       k: Int = 10, nprobe: Int = 4): DataFrame =
+    ivfProbe(embeddings, loadIvfIndex(embeddings.sparkSession, indexPath), probeId, k, nprobe)
+
+  /** Persist the PQ index (per-subspace codebooks) as parquet
+    * `(subspace int, code int, centroid array<double>)` — m × k × (dim/m)
+    * doubles, the whole index. Same durability contract as
+    * [[saveIvfIndex]].
+    */
+  def savePqIndex(embeddings: DataFrame, path: String,
+                  m: Int = 8, codebookK: Int = 32, sampleRows: Int = 2048): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = buildPqCodebooks(embeddings, m, codebookK, sampleRows)
+    (for {
+      j <- books.indices
+      c <- books(j).indices
+    } yield (j, c, books(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private val loadedPqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Array[Double]]] =
+    loadedPqCache.getOrElseUpdate(path, {
+      val rows = spark.read.parquet(path)
+        .orderBy(col("subspace"), col("code"))
+        .collect()
+      rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    })
+
   /** Scalar int8 quantization of the embedding column: per-vector scale
     * `127 / max|xᵢ|`, components rounded to `array<tinyint>`. 4× smaller
     * than float32 at rest and on the wire — at 100 TB of embeddings the
@@ -468,8 +559,22 @@ object Similarity {
     */
   def pqTopK(
       embeddings: DataFrame, probeId: Long, kTop: Int = 10,
-      m: Int = 8, codebookK: Int = 32, rerank: Int = 10): DataFrame = {
-    val books = buildPqCodebooks(embeddings, m, codebookK)
+      m: Int = 8, codebookK: Int = 32, rerank: Int = 10): DataFrame =
+    pqTopKWith(embeddings, buildPqCodebooks(embeddings, m, codebookK),
+      probeId, kTop, rerank)
+
+  /** [[pqTopK]] probing a PERSISTED codebook artifact — load, no retrain. */
+  def pqTopKPersisted(
+      embeddings: DataFrame, indexPath: String, probeId: Long,
+      kTop: Int = 10, rerank: Int = 10): DataFrame =
+    pqTopKWith(embeddings, loadPqIndex(embeddings.sparkSession, indexPath),
+      probeId, kTop, rerank)
+
+  private def pqTopKWith(
+      embeddings: DataFrame, books: Array[Array[Array[Double]]],
+      probeId: Long, kTop: Int, rerank: Int): DataFrame = {
+    val m = books.length
+    val codebookK = books(0).length
     val sub = books(0)(0).length
     val encode = udf { (vSeq: Seq[Float]) =>
       val v = vSeq.toArray // primitive copy — see VectorOps.lshSigScala (boxed Seq apply ran m·k·sub× per row)

@@ -125,4 +125,42 @@ class SimilaritySpec extends SparkSpec {
     val xs = cs.map(_.head).sorted
     assert(xs(0) < 1.0 && xs(1) > 9.0)
   }
+
+  test("persisted IVF index: load reproduces the trained centroids and never retrains") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/ivf"
+    Similarity.saveIvfIndex(emb, dir, nlist = 4, sampleRows = 40)
+    val trained = Similarity.buildCentroids(emb, nlist = 4, sampleRows = 40)
+
+    // simulate a fresh driver: drop every in-memory index cache, then load
+    Similarity.clearIndexCaches()
+    val before = Similarity.kmeansTrainings
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(Similarity.kmeansTrainings == before,
+      "loading a persisted index must not re-run k-means")
+    // doubles round-trip parquet exactly
+    assert(loaded.length == trained.length &&
+      loaded.zip(trained).forall { case (l, t) => l.sameElements(t) })
+
+    // and the persisted probe equals the in-memory probe
+    val viaIndex = Similarity.ivfTopKPersisted(emb, dir, probeId = 0L, k = 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val direct = Similarity.ivfTopK(emb, probeId = 0L, k = 5, nlist = 4, nprobe = 4, sampleRows = 40)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex == direct)
+  }
+
+  test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/pq"
+    Similarity.savePqIndex(emb, dir, m = 4, codebookK = 8, sampleRows = 40)
+    val direct = Similarity.pqTopK(emb, probeId = 0L, kTop = 5, m = 4, codebookK = 8)
+      .as[(Long, Double)].collect().toSeq
+
+    Similarity.clearIndexCaches()
+    val before = Similarity.kmeansTrainings
+    val viaIndex = Similarity.pqTopKPersisted(emb, dir, probeId = 0L, kTop = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(Similarity.kmeansTrainings == before,
+      "probing a persisted PQ index must not re-run k-means")
+    assert(viaIndex == direct)
+  }
 }
