@@ -5064,8 +5064,8 @@ object SparkEntry {
     // as n_rows - count(col) so the type stays BIGINT in both engines
     "q_table_stats" ->
       """WITH s AS (SELECT * FROM orders)
-        |SELECT column, n_rows, ndv, n_nulls, min_value, max_value FROM (
-        |  SELECT 'o_custkey' AS column, count(*) AS n_rows,
+        |SELECT "column", n_rows, ndv, n_nulls, min_value, max_value FROM (
+        |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
         |    count(DISTINCT o_custkey) AS ndv, count(*) - count(o_custkey) AS n_nulls,
         |    CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value
         |  FROM s
@@ -5078,7 +5078,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus), count(*) - count(o_orderstatus),
         |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM s)
-        |ORDER BY column""".stripMargin,
+        |ORDER BY "column"""".stripMargin,
 
     "q_boilerplate_strip" ->
       """WITH toks AS (

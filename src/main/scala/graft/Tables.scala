@@ -23,24 +23,37 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
 
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read it as raw nanos via the legacy conf and surface a proper
-    * microsecond `TimestampType` column (the reference's epoch-ms semantics
-    * lose nothing — `LogChange.cs:52-53` is millis).
+  /** `events.ts` has shipped in three physical forms across testdata
+    * generations: Parquet TIMESTAMP(NANOS) (Spark 4 rejects it unless read
+    * as raw long via the legacy conf), TIMESTAMP(MICROS) UTC-adjusted
+    * (reads as TimestampType directly), and TIMESTAMP(MICROS) with no
+    * UTC-adjusted flag — which Spark 4 infers as TIMESTAMP_NTZ by default,
+    * a type `unix_micros` and the window functions reject at analysis time.
+    * Disabling NTZ inference makes the third form read as session-TZ
+    * TimestampType (all sessions here run UTC, matching the oracle's naive
+    * read of the same file) and keeps `ts` a NATIVE scan column, so time
+    * predicates still push down to parquet row groups.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      // driver testdata: TIMESTAMP(NANOS) read as raw long. Integer `div`,
-      // NOT `/`: float division of ~1.7e18 ns loses precision past double's
-      // 53-bit mantissa and rounds some µs up by one. The raw column is kept
-      // as ts_ns because predicates on the CONVERTED ts can't push down
-      // (they're a function of the scan column) — time-critical queries add
-      // an equivalent ts_ns range, which reaches the parquet row groups.
+      // driver testdata gen-1: TIMESTAMP(NANOS) read as raw long. Integer
+      // `div`, NOT `/`: float division of ~1.7e18 ns loses precision past
+      // double's 53-bit mantissa and rounds some µs up by one. The raw
+      // column is kept as ts_ns because predicates on the CONVERTED ts
+      // can't push down (they're a function of the scan column) —
+      // time-critical queries add an equivalent ts_ns range, which reaches
+      // the parquet row groups.
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // defensive: a relation cached before the NTZ conf was set (or a
+      // future conf rename) — localize in the session TZ explicitly.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val ltz = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.withColumn("ts", ltz).withColumn("ts_ns", unix_micros(ltz) * 1000L)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

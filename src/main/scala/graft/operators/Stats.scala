@@ -31,8 +31,12 @@ object Stats {
     if (cols.nonEmpty)
       spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS FOR COLUMNS " +
         cols.map(c => s"`$c`").mkString(", "))
-    spark.table(table).queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong)
+    // read the cataloged stats directly: plan-side stats.rowCount is only
+    // populated when CBO/planStats is on, but ANALYZE writes the catalog
+    // entry unconditionally — this must work on a default-conf session.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(ident).stats
+      .flatMap(_.rowCount).map(_.toLong)
       .getOrElse(sys.error(s"ANALYZE left no row count for $table"))
   }
 
