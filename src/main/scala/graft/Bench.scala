@@ -107,7 +107,14 @@ object Bench {
     }
     var keep = entries.length
     while (keep > 1 && line(keep).length > 1880) keep -= 1
-    println(line(keep))
-    spark.stop()
+    // stop Spark BEFORE printing: shutdown chatter (e.g. "Cannot find
+    // active jobs" from the status tracker) otherwise lands AFTER the
+    // metric line in the driver's bounded tail capture and pollutes the
+    // archived record. Logs off first so stop itself is silent.
+    val out = line(keep)
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => }
+    println(out)
+    Console.out.flush()
   }
 }

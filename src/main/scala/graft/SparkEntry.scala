@@ -1436,6 +1436,34 @@ object SparkEntry {
       Multimodal.decodeImages(s, media).orderBy("media_id")
     }),
 
+    // -- [NS] REAL audio headers: byte-genuine PCM WAV (RIFF/WAVE +
+    // spec-complete fmt chunk — javax.sound reads it) with per-doc
+    // deterministic rate/channels/bit-depth, parsed back by a proper RIFF
+    // chunk walk. The oracle recomputes the parameter arithmetic and the
+    // dataLen/byteRate duration; the Spark side must recover it all from
+    // genuine bytes. --
+    "q_mm_audio_meta" -> ((s, d) => {
+      val sr = (lit(8000) + (col("doc_id") % 5) * 1000).cast("int")
+      val ch = (lit(1) + col("doc_id") % 2).cast("int")
+      val bits = (lit(8) + (col("doc_id") % 2) * 8).cast("int")
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        Multimodal.encodeWav(sr, ch, bits, col("text")).as("payload"))
+      Multimodal.decodeAudio(s, media).orderBy("media_id")
+    }),
+
+    // -- [NS] REAL video headers: byte-genuine minimal MP4 (ftyp brand +
+    // moov/mvhd with real timescale+duration + mdat), parsed back by an
+    // ISO-BMFF box walk (largesize/size-0 forms handled, mvhd v0 and v1).
+    // Duration arithmetic is the oracle gate. --
+    "q_mm_video_meta" -> ((s, d) => {
+      val dur = ((lit(1) + col("doc_id") % 120) * 600).cast("int")
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        Multimodal.encodeMp4(lit(600), dur, col("text")).as("payload"))
+      Multimodal.decodeVideo(s, media).orderBy("media_id")
+    }),
+
     // -- [NS] END-TO-END multimodal ingest: media payloads written as raw
     // FILES (the shape assets actually arrive in), scanned back through the
     // binary-file connector into rows, then header-sniffed by extractMeta —
@@ -4207,6 +4235,29 @@ object SparkEntry {
         |  true AS valid,
         |  CAST(32 + doc_id % 96 AS INT) AS width,
         |  CAST(24 + doc_id % 72 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the WAV twin: oracle recomputes the per-doc format parameters and the
+    // floor(dataLen*1000/byteRate) duration (// = integer division)
+    "q_mm_audio_meta" ->
+      """SELECT doc_id AS media_id, 'wav' AS format, true AS valid,
+        |  CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8 + (doc_id % 2) * 8 AS INT) AS bits_per_sample,
+        |  CAST(octet_length(encode(text)) AS INT) AS data_bytes,
+        |  CAST(octet_length(encode(text)) * 1000
+        |    // ((8000 + (doc_id % 5) * 1000) * (1 + doc_id % 2) * (8 + (doc_id % 2) * 8) // 8)
+        |    AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the MP4 twin: duration rides in mvhd ticks (timescale 600); the
+    // oracle recomputes ticks and milliseconds from doc_id
+    "q_mm_video_meta" ->
+      """SELECT doc_id AS media_id, 'mp4' AS format, true AS valid,
+        |  'isom' AS brand, CAST(600 AS INT) AS timescale,
+        |  CAST((1 + doc_id % 120) * 600 AS BIGINT) AS duration,
+        |  CAST((1 + doc_id % 120) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(octet_length(encode(text)) AS INT) AS mdat_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // file-scanned headers must decode to the same metadata the in-row

@@ -277,16 +277,42 @@ object Layout {
     */
   private[graft] val PointerFile = "_LATEST"
 
-  /** Highest committed version per the `_LATEST` pointer; `None` for a
-    * target that predates the pointer protocol (readers then fall back to
-    * directory listing, the pre-protocol behavior).
+  /** Object-store-safe commit log: `_manifest/<20-digit version>.commit`,
+    * one immutable entry per committed version, never rewritten. The
+    * `_LATEST` rename swap is atomic on POSIX/HDFS but NOT on S3-class
+    * stores (rename there is copy+delete, and a reader can observe the
+    * gap); a single-key PUT of a NEW object, however, is atomic and
+    * immediately list-visible on every major object store. So the
+    * manifest variant commits by creating one new file — the Iceberg
+    * metadata-log shape — and readers recover the current version as the
+    * max manifest entry (zero-padded names make lexicographic listing =
+    * numeric order). Entries are O(commits): metadata-scale, bounded by
+    * [[vacuumVersions]] retention.
+    */
+  private[graft] val ManifestDir = "_manifest"
+
+  private def manifestEntries(root: String): Array[Long] =
+    Option(new java.io.File(root, ManifestDir).listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.endsWith(".commit") && n.length == 27 &&
+        n.dropRight(7).forall(_.isDigit))
+      .map(_.dropRight(7).toLong)
+
+  /** Highest committed version: the manifest log wins when present, else
+    * the legacy `_LATEST` pointer; `None` for a target predating both
+    * (readers then fall back to directory listing).
     */
   def committedVersion(root: String): Option[Long] = {
-    val p = new java.io.File(root, PointerFile)
-    if (!p.isFile) None
-    else scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(p.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+    val fromManifest = manifestEntries(root)
+    if (fromManifest.nonEmpty) Some(fromManifest.max)
+    else {
+      val p = new java.io.File(root, PointerFile)
+      if (!p.isFile) None
+      else scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(p.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+    }
   }
 
   /** Atomically publish `stagedDir` as version `version` under `root`:
@@ -301,6 +327,20 @@ object Layout {
     val dst = new java.io.File(root, s"v$version")
     if (dst.exists()) deleteRecursively(dst)
     Files.move(stagedDir.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // commit marker #1: append-only manifest entry — the object-store-safe
+    // signal (one CREATE_NEW of an immutable object; no rename anywhere on
+    // the commit path). A replayed batch finds its entry already present:
+    // that's the idempotent re-commit of the same version, not an error.
+    val mdir = new java.io.File(root, ManifestDir)
+    mdir.mkdirs()
+    val entry = new java.io.File(mdir, f"$version%020d.commit")
+    try Files.write(entry.toPath, version.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // commit marker #2: the legacy `_LATEST` pointer (write-temp + atomic
+    // rename), kept for pre-manifest readers; on POSIX/HDFS it is exactly
+    // as safe, on object stores the manifest above is the one that holds.
     val tmp = new java.io.File(root, PointerFile + ".tmp")
     Files.write(tmp.toPath, version.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -359,7 +399,13 @@ object Layout {
     val protectForReplay = lastCheckpointedBatch(root)
       .flatMap(c => committed.find(_ <= c))
     val stale = committed.drop(keep).filterNot(v => protectForReplay.contains(v))
-    stale.foreach(v => deleteRecursively(new java.io.File(root, s"v$v")))
+    stale.foreach { v =>
+      deleteRecursively(new java.io.File(root, s"v$v"))
+      // retire the version's manifest entry with it: the log stays
+      // O(retained versions), and a time-travel read of a vacuumed version
+      // fails at the manifest (clean) instead of at a missing directory
+      new java.io.File(new java.io.File(root, ManifestDir), f"$v%020d.commit").delete()
+    }
     stale.length
   }
 

@@ -263,6 +263,190 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio/video headers: WAV (RIFF `fmt `/`data` chunk walk) + MP4
+  // (ISO-BMFF box walk to ftyp brand and moov/mvhd timescale+duration).
+  // Same discipline as the PNG/JPEG pass: byte-genuine encoders (any
+  // standard reader parses them — javax.sound reads our WAV), pure byte
+  // arithmetic parsers, no codec library. Full sample/frame decode stays
+  // post-pushdown; this header sniff IS the 100 TB ingest shape.
+  // ---------------------------------------------------------------------
+
+  // RIFF is little-endian: flip the byte order of the zero-padded hex form
+  private def le16c(v: Column): Column = {
+    val hx = lpad(hex(v), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+  private def le32c(v: Column): Column = {
+    val hx = lpad(hex(v), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+  private def fourcc(s: String): Column = encode(lit(s), "US-ASCII")
+
+  /** Byte-genuine PCM WAV: RIFF/WAVE signature, a spec-complete `fmt `
+    * chunk (format 1 = PCM, with derived byteRate/blockAlign), the body as
+    * the `data` chunk. `javax.sound.sampled.AudioSystem` reads it.
+    */
+  def encodeWav(sampleRate: Column, channels: Column, bitsPerSample: Column,
+      body: Column): Column = {
+    val data = encode(body, "UTF-8")
+    val blockAlign = (channels * bitsPerSample / 8).cast("int")
+    val byteRate = (sampleRate * blockAlign).cast("int")
+    concat(
+      fourcc("RIFF"), le32c(length(data) + 36), fourcc("WAVE"),
+      fourcc("fmt "), le32c(lit(16)), le16c(lit(1)), le16c(channels),
+      le32c(sampleRate), le32c(byteRate), le16c(blockAlign), le16c(bitsPerSample),
+      fourcc("data"), le32c(length(data)), data)
+  }
+
+  /** Byte-genuine minimal MP4 (ISO-BMFF): `ftyp` (brand isom), `moov`
+    * containing a spec-exact 108-byte version-0 `mvhd` (timescale +
+    * duration + unity matrix), body as `mdat`. Any box-walking tool reads
+    * the brand and duration.
+    */
+  def encodeMp4(timescale: Column, duration: Column, body: Column): Column = {
+    val data = encode(body, "UTF-8")
+    val mvhd = concat(
+      be32c(lit(108)), fourcc("mvhd"),
+      be32c(lit(0)),                 // version 0 + flags
+      be32c(lit(0)), be32c(lit(0)),  // creation, modification
+      be32c(timescale), be32c(duration),
+      unhex(lit("00010000" + "0100" + "0000")),  // rate 1.0, volume 1.0, reserved
+      unhex(lit("00000000" * 2)),                // reserved[2]
+      unhex(lit("00010000" + "00000000" * 3 +    // unity display matrix
+        "00010000" + "00000000" * 3 + "40000000")),
+      unhex(lit("00000000" * 6)),                // pre_defined[6]
+      be32c(lit(2)))                             // next_track_ID
+    concat(
+      be32c(lit(20)), fourcc("ftyp"), fourcc("isom"), be32c(lit(512)), fourcc("isom"),
+      be32c(lit(116)), fourcc("moov"), mvhd,
+      be32c(length(data) + 8), fourcc("mdat"), data)
+  }
+
+  /** Parsed WAV-header row — the real-audio-decode contract's output. */
+  case class AudioMeta(
+      media_id: Long, format: String, valid: Boolean, sample_rate: Int,
+      channels: Int, bits_per_sample: Int, data_bytes: Int, duration_ms: Long)
+
+  /** Real WAV header parse: RIFF signature check, then a proper chunk walk
+    * (not fixed offsets — real encoders interleave LIST/fact chunks before
+    * `data`) honoring RIFF's odd-size padding byte. Duration derives from
+    * the data chunk length over the fmt byte rate.
+    */
+  def parseAudio(mediaId: Long, b: Array[Byte]): AudioMeta = {
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    val bad = AudioMeta(mediaId, "unknown", valid = false, 0, 0, 0, 0, 0L)
+    if (b == null || b.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE") bad
+    else {
+      var i = 12
+      var sr, ch, bits = 0
+      var dataLen = -1
+      var haveFmt = false
+      while (i + 8 <= b.length && !(haveFmt && dataLen >= 0)) {
+        val id = cc(i)
+        val sz = le32(i + 4)
+        if (sz < 0) { i = b.length } // corrupt size: stop the walk
+        else {
+          if (id == "fmt " && i + 24 <= b.length) {
+            ch = le16(i + 10); sr = le32(i + 12); bits = le16(i + 22); haveFmt = true
+          } else if (id == "data") dataLen = math.min(sz.toLong, (b.length - i - 8).toLong).toInt
+          i += 8 + sz + (sz & 1) // RIFF pads odd-length chunks
+        }
+      }
+      val byteRate = sr.toLong * ch * bits / 8
+      if (!haveFmt || dataLen < 0 || byteRate <= 0) bad
+      else AudioMeta(mediaId, "wav", valid = true, sr, ch, bits, dataLen,
+        dataLen.toLong * 1000L / byteRate)
+    }
+  }
+
+  /** Parsed MP4-header row — brand + mvhd timing, the metadata a catalog
+    * scan of a video lake records before any frame decode.
+    */
+  case class VideoMeta(
+      media_id: Long, format: String, valid: Boolean, brand: String,
+      timescale: Int, duration: Long, duration_ms: Long, mdat_bytes: Int)
+
+  /** Real MP4 header parse: top-level ISO-BMFF box walk (honoring the
+    * 64-bit `largesize` and size-0 "to end of file" forms), brand from
+    * `ftyp`, then a nested walk of `moov` to `mvhd` handling both version
+    * 0 (32-bit times) and version 1 (64-bit times) layouts.
+    */
+  def parseVideo(mediaId: Long, b: Array[Byte]): VideoMeta = {
+    def be32(off: Int): Long =
+      (((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)).toLong & 0xffffffffL
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    val bad = VideoMeta(mediaId, "unknown", valid = false, "", 0, 0L, 0L, 0)
+    if (b == null || b.length < 8) bad
+    else {
+      var brand = ""
+      var tscale = 0L
+      var dur = -1L
+      var mdat = -1
+      var i = 0
+      var ok = cc(4) == "ftyp" // MP4 files lead with ftyp; anything else is not ours
+      while (ok && i + 8 <= b.length) {
+        val typ = cc(i + 4)
+        val sz0 = be32(i)
+        val (hdr, sz) =
+          if (sz0 == 1L && i + 16 <= b.length) (16, be64(i + 8))
+          else if (sz0 == 0L) (8, (b.length - i).toLong) // box extends to EOF
+          else (8, sz0)
+        if (sz < hdr || i + sz > b.length) ok = false
+        else {
+          if (typ == "ftyp") brand = cc(i + hdr)
+          else if (typ == "mdat") mdat = (sz - hdr).toInt
+          else if (typ == "moov") {
+            var j = i + hdr
+            val end = i + sz.toInt
+            while (j + 8 <= end) {
+              val csz = be32(j)
+              if (csz < 8 || j + csz > end) { j = end }
+              else {
+                if (cc(j + 4) == "mvhd" && j + 12 <= end) {
+                  val v = b(j + 8) & 0xff
+                  if (v == 1 && j + 44 <= end) { tscale = be32(j + 28); dur = be64(j + 32) }
+                  else if (v == 0 && j + 32 <= end) { tscale = be32(j + 20); dur = be32(j + 24) }
+                }
+                j += csz.toInt
+              }
+            }
+          }
+          i += sz.toInt
+        }
+      }
+      if (!ok || brand.isEmpty || tscale <= 0 || dur < 0) bad
+      else VideoMeta(mediaId, "mp4", valid = true, brand, tscale.toInt, dur,
+        dur * 1000L / tscale, math.max(mdat, 0))
+    }
+  }
+
+  /** Batch-shaped REAL WAV header decode — the [[decodeImages]] plumbing
+    * over genuine RIFF bytes.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, p) => parseAudio(id, p) })
+      .toDF()
+  }
+
+  /** Batch-shaped REAL MP4 header decode. */
+  def decodeVideo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, p) => parseVideo(id, p) })
+      .toDF()
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size slice
     * of the body becomes a frame row `(media_id, frame_idx, frame_bytes)`.
     * Explode keeps frames as independent rows — the unit of parallelism for

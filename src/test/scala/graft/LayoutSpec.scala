@@ -283,6 +283,36 @@ class LayoutSpec extends SparkSpec {
     assert(left == Set("v2", "v3", "_LATEST", "_chk"))
   }
 
+  test("manifest-log commit: append-only entries, no-rename recovery, idempotent replay") {
+    val root = java.nio.file.Files.createTempDirectory("manifest").toString
+    def stage(v: Long): java.io.File = {
+      val d = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(root), s".stage-$v").toFile
+      java.nio.file.Files.writeString(new java.io.File(d, "part-0").toPath, s"data$v")
+      d
+    }
+    Layout.commitVersion(root, 0L, stage(0))
+    Layout.commitVersion(root, 1L, stage(1))
+    // one immutable entry per commit, zero-padded so listing order = commit order
+    val entries = new java.io.File(root, "_manifest").listFiles().map(_.getName).sorted
+    assert(entries.toSeq == Seq(f"${0L}%020d.commit", f"${1L}%020d.commit"))
+    assert(Layout.committedVersion(root).contains(1L))
+    // the object-store story: recovery must not depend on the renamed
+    // pointer at all — delete it and the manifest alone names the version
+    new java.io.File(root, "_LATEST").delete()
+    assert(Layout.committedVersion(root).contains(1L))
+    // idempotent replay of an already-committed version: no throw, same state
+    Layout.commitVersion(root, 1L, stage(1))
+    assert(Layout.committedVersion(root).contains(1L))
+    assert(new java.io.File(root, "_manifest").listFiles().length == 2)
+    // vacuum retires the stale version's manifest entry with its directory
+    Layout.commitVersion(root, 2L, stage(2))
+    assert(Layout.vacuumVersions(root, keep = 1) == 2)
+    assert(new java.io.File(root, "_manifest").listFiles().map(_.getName).toSeq ==
+      Seq(f"${2L}%020d.commit"))
+    assert(Layout.committedVersion(root).contains(2L))
+  }
+
   test("vacuumVersions never deletes an uncommitted (dangling) version") {
     // v5 exists but the pointer stops at 4: v5 is a torn commit awaiting
     // replay — vacuum leaves it for its batch to overwrite, and the keep

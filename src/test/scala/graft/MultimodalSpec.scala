@@ -129,6 +129,82 @@ class MultimodalSpec extends SparkSpec {
     assert(g.format == "grft" && g.valid && g.width == 32 && g.height == 24)
   }
 
+  test("encodeWav round-trips through parseAudio, and javax.sound accepts it") {
+    val enc = Seq((0L, 16000, 2, 16, "a" * 64000), (1L, 8000, 1, 8, "pcm"))
+      .toDF("media_id", "sr", "ch", "bits", "body")
+      .select(col("media_id"), col("sr"), col("ch"), col("bits"),
+        Multimodal.encodeWav(col("sr"), col("ch"), col("bits"), col("body")).as("wav"))
+      .collect()
+    enc.foreach { r =>
+      val (sr, ch, bits) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      val a = Multimodal.parseAudio(r.getLong(0), r.getAs[Array[Byte]]("wav"))
+      assert(a.format == "wav" && a.valid)
+      assert(a.sample_rate == sr && a.channels == ch && a.bits_per_sample == bits)
+      assert(a.duration_ms == a.data_bytes.toLong * 1000 / (sr.toLong * ch * bits / 8))
+    }
+    // a REAL reader agrees: the JDK's WAV parser reads our fmt chunk
+    val af = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(enc.head.getAs[Array[Byte]]("wav")))
+    val fmt = af.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 2 &&
+      fmt.getSampleSizeInBits == 16)
+  }
+
+  test("parseAudio reads a GENUINE javax.sound-written WAV file") {
+    // fixture from the JDK encoder, not our bytes: 100 ms of silence at
+    // 22050 Hz mono 16-bit
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(22050f, 16, 1, true, false)
+    val pcm = new Array[Byte](2 * 2205)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 2205L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val a = Multimodal.parseAudio(7L, bos.toByteArray)
+    assert(a.format == "wav" && a.valid)
+    assert(a.sample_rate == 22050 && a.channels == 1 && a.bits_per_sample == 16)
+    assert(a.data_bytes == pcm.length && a.duration_ms == 100L)
+  }
+
+  test("encodeMp4 round-trips through parseVideo, incl. v1 mvhd and largesize") {
+    val enc = Seq((0L, 600, 72000, "frames"), (1L, 90000, 123456, "x"))
+      .toDF("media_id", "tscale", "dur", "body")
+      .select(col("media_id"), col("tscale"), col("dur"),
+        Multimodal.encodeMp4(col("tscale"), col("dur"), col("body")).as("mp4"))
+      .collect()
+    enc.foreach { r =>
+      val (ts, du) = (r.getInt(1), r.getInt(2))
+      val v = Multimodal.parseVideo(r.getLong(0), r.getAs[Array[Byte]]("mp4"))
+      assert(v.format == "mp4" && v.valid && v.brand == "isom")
+      assert(v.timescale == ts && v.duration == du.toLong)
+      assert(v.duration_ms == du.toLong * 1000 / ts)
+      assert(v.mdat_bytes == (if (r.getLong(0) == 0L) 6 else 1))
+    }
+    // hand-build a version-1 mvhd (64-bit times) + largesize mdat: the box
+    // walk must handle both extended forms real muxers emit
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    val mvhdV1 = be32(120) ++ "mvhd".getBytes ++ Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(1000) ++ be64(98765L) ++ new Array[Byte](80)
+    val moov = be32(8 + mvhdV1.length) ++ "moov".getBytes ++ mvhdV1
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "mp42".getBytes ++ be32(0)
+    val mdatBody = new Array[Byte](5)
+    val mdat = be32(1) ++ "mdat".getBytes ++ be64(16 + mdatBody.length) ++ mdatBody
+    val v1 = Multimodal.parseVideo(9L, ftyp ++ moov ++ mdat)
+    assert(v1.valid && v1.brand == "mp42" && v1.timescale == 1000)
+    assert(v1.duration == 98765L && v1.duration_ms == 98765L && v1.mdat_bytes == 5)
+  }
+
+  test("parseAudio/parseVideo: garbage and truncation flag invalid") {
+    assert(!Multimodal.parseAudio(0L, null).valid)
+    assert(!Multimodal.parseAudio(0L, "RIFFxxxxWAVE".getBytes).valid) // no fmt/data
+    assert(!Multimodal.parseAudio(0L, Array[Byte](1, 2, 3)).valid)
+    assert(!Multimodal.parseVideo(0L, null).valid)
+    assert(!Multimodal.parseVideo(0L, Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')).valid)
+    // ftyp but no moov: recognized shape, still invalid (no timing)
+    val ftypOnly = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(!Multimodal.parseVideo(0L, ftypOnly).valid)
+  }
+
   test("byteHistogram: normalized 16-bin histogram sums to ~1") {
     val h = media.select(Multimodal.byteHistogram(col("payload")).as("h"))
       .as[Seq[Double]].collect()

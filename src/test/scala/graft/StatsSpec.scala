@@ -31,7 +31,7 @@ class StatsSpec extends SparkSpec {
     val orders = Tables.orders(spark, Sf0001)
     val lineitem = Tables.lineitem(spark, Sf0001)
     // same fresh-catalog/stale-warehouse hygiene as Layout.writeBucketed
-    Seq("stats_orders", "stats_lineitem").foreach { t =>
+    Seq("stats_orders", "stats_orders_raw", "stats_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val whPath = (try Option(new java.net.URI(wh).getPath) catch { case _: Exception => None })
@@ -39,45 +39,50 @@ class StatsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(whPath, t))
     }
     orders.write.mode("overwrite").saveAsTable("stats_orders")
+    orders.write.mode("overwrite").saveAsTable("stats_orders_raw") // same data, NEVER analyzed
     lineitem.write.mode("overwrite").saveAsTable("stats_lineitem")
-    val n = Stats.analyze(spark, "stats_orders",
-      Seq("o_orderkey", "o_orderstatus"))
+    val n = Stats.analyze(spark, "stats_orders", Seq("o_orderkey", "o_custkey"))
     Stats.analyze(spark, "stats_lineitem", Seq("l_orderkey"))
     assert(n == orders.count(), "cataloged row count must be exact")
 
-    // the build side: a selective filter on the analyzed column. Without
-    // CBO the filter's size estimate equals the full table's, so with the
-    // threshold pinned between (filtered, full) the planner must refuse to
-    // broadcast; with CBO the FilterEstimation shrinks the estimate below
-    // the threshold and the SAME un-hinted query broadcasts.
-    def join() = spark.table("stats_lineitem")
-      .join(spark.table("stats_orders").where(col("o_orderstatus") === "F"),
+    // the build side: an equality filter on an analyzed high-ndv column —
+    // with column stats CBO estimates rows/ndv (~10 rows, a few hundred
+    // bytes); without stats the Filter estimate passes through the table's
+    // file-size-based estimate unchanged. Pinning the broadcast threshold
+    // between the two, the SAME un-hinted query broadcasts exactly when
+    // ANALYZE has run — the load-bearing claim for a 100 TB warehouse,
+    // where hints can't know post-filter sizes but statistics can.
+    def join(ordersTable: String) = spark.table("stats_lineitem")
+      .join(spark.table(ordersTable).where(col("o_custkey") === 42),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
 
     val confs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
       "spark.sql.autoBroadcastJoinThreshold")
     val saved = confs.map(k => k -> spark.conf.get(k))
     try {
       spark.conf.set("spark.sql.cbo.enabled", "true")
-      val fullSize = spark.table("stats_orders")
+      // the estimate of the join's ACTUAL build side (filter + the pruned
+      // two-column projection): column pruning scales the no-stats size
+      // estimate too, so measuring the filter alone would pin the
+      // threshold against a plan the join never builds
+      def filteredEstimate(t: String) = spark.table(t)
+        .where(col("o_custkey") === 42).select("o_orderkey", "o_custkey")
         .queryExecution.optimizedPlan.stats.sizeInBytes
-      val filteredSize = spark.table("stats_orders")
-        .where(col("o_orderstatus") === "F")
-        .queryExecution.optimizedPlan.stats.sizeInBytes
-      assert(filteredSize < fullSize,
-        s"CBO must shrink the filtered estimate: $filteredSize vs $fullSize")
-      val threshold = (filteredSize + fullSize) / 2
+      val withStats = filteredEstimate("stats_orders")
+      val noStats = filteredEstimate("stats_orders_raw")
+      assert(withStats < noStats,
+        s"column stats must shrink the filtered estimate: $withStats vs $noStats")
+      val threshold = (withStats + noStats) / 2
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
 
-      val withCbo = join().queryExecution.executedPlan.toString
-      assert(withCbo.contains("BroadcastHashJoin"),
-        s"stats + CBO must pick broadcast:\n${withCbo.take(800)}")
+      val analyzed = join("stats_orders").queryExecution.executedPlan.toString
+      assert(analyzed.contains("BroadcastHashJoin"),
+        s"stats + CBO must pick broadcast:\n${analyzed.take(800)}")
 
-      spark.conf.set("spark.sql.cbo.enabled", "false")
-      val withoutCbo = join().queryExecution.executedPlan.toString
-      assert(!withoutCbo.contains("BroadcastHashJoin"),
-        s"without CBO the filtered estimate stays full-size, no broadcast:\n${withoutCbo.take(800)}")
+      val unanalyzed = join("stats_orders_raw").queryExecution.executedPlan.toString
+      assert(!unanalyzed.contains("BroadcastHashJoin"),
+        s"without stats the filtered estimate stays full-size, no broadcast:\n${unanalyzed.take(800)}")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
