@@ -79,15 +79,21 @@ object SparkEntry {
 
   private def tsLit(s: String): Column = lit(s).cast("timestamp")
 
-  /** Half-open `[start, end)` time range as a raw-nanos predicate. Exactly
-    * equivalent to the converted-ts comparison (X div 1000 >= T·1000 ⟺
-    * X >= T·10⁶ for whole-second bounds) but, unlike it, pushes down to the
-    * parquet scan — at 100 TB this is row-group pruning on the time axis.
+  /** Half-open `[start, end)` time range, expressed on BOTH the raw-nanos
+    * column and the timestamp column. The two forms are exactly equivalent
+    * for whole-second bounds (X div 1000 >= T·1000 ⟺ X >= T·10⁶), and
+    * which one is the PHYSICAL scan column depends on the testdata
+    * generation (nanos-era files scan `ts` as a raw long surfaced as
+    * `ts_ns`; µs-era files scan `ts` as a native timestamp and derive
+    * `ts_ns`). Emitting both means the scan-column half always pushes down
+    * to parquet row-group pruning — at 100 TB this is pruning on the time
+    * axis — while the derived half is a cheap residual on surviving rows.
     */
   private def nsRange(startIso: String, endIso: String): Column = {
     def ns(iso: String) =
       java.time.Instant.parse(iso.replace(' ', 'T') + "Z").toEpochMilli * 1000000L
-    col("ts_ns") >= ns(startIso) && col("ts_ns") < ns(endIso)
+    (col("ts_ns") >= ns(startIso) && col("ts_ns") < ns(endIso)) &&
+      (col("ts") >= tsLit(startIso) && col("ts") < tsLit(endIso))
   }
 
   // ---- [REF] core read path (M1) --------------------------------------------
@@ -3769,8 +3775,12 @@ object SparkEntry {
           "ts_ns", out, nFiles = 16)
         out
       })
+      // ts_ns-only predicate (NOT nsRange): in THIS layout the written
+      // files physically carry ts_ns, so the nanos comparison is the one
+      // that parquet footer stats serve — and there is no ts column here
       s.read.parquet(dir)
-        .where(nsRange("2024-01-05 00:00:00", "2024-01-08 00:00:00"))
+        .where(col("ts_ns") >= 1704412800000000000L &&
+          col("ts_ns") < 1704672000000000000L) // [2024-01-05, 2024-01-08) UTC
         // the raw-nanos column drives the pruning predicate; the declared
         // output carries the µs timestamp (nanos exceed DuckDB's precision)
         .select(col("event_id"), timestamp_micros(expr("ts_ns div 1000")).as("ts"),
