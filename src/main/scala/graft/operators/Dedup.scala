@@ -88,7 +88,8 @@ object Dedup {
       n: Int = 3,
       perms: Int = 32,
       bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None): DataFrame = {
     val rows = perms / bands
     val sigs = docs
       .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"))
@@ -107,13 +108,29 @@ object Dedup {
       banded.groupBy(col("band"), col("band_hash")).agg(collect_list(col("doc_id")).as("ids")))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    pairs
+    val cands = pairs
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .withColumn("est_jaccard",
         TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms)
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    // optional EXACT verification (candidate-then-verify, the production
+    // contract): the estimator's ±1/√perms noise means a corpus-tuned
+    // est-threshold stand-in for "J ≥ t" is only as good as the corpus's
+    // separation gap — at small scale a single unrelated pair estimating
+    // high breaks it. Verifying the (candidate-bounded, tiny) pair set
+    // against real shingle sets makes the output exact at ANY scale, for
+    // one extra join that never touches non-candidate rows' pair space.
+    verifyJaccard.fold(cands) { t =>
+      val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh")).persist()
+      cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= t)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    }
   }
 
   /** INCREMENTAL fuzzy dedup — the production shape for a growing lake:
@@ -133,7 +150,8 @@ object Dedup {
       n: Int = 3,
       perms: Int = 32,
       bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None): DataFrame = {
     val rows = perms / bands
     def sigsOf(df: DataFrame, isInc: Boolean) = df
       .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"),
@@ -162,9 +180,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     val sa = allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val est = cand.join(sa, "doc_a").join(sb, "doc_b")
       .where(TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms >= minEstJaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_a"), col("doc_b"))
+    // same optional exact-verify as minhashCandidates: candidate pairs are
+    // already increment-bounded, so the shingle join re-reads text only for
+    // docs that banded together — the corpus at large never re-pairs
+    val verified = verifyJaccard.fold(est) { t =>
+      val sh = corpus.select(col("doc_id"), col("text"))
+        .unionByName(increment.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TF.shingles(col("text"), n).as("sh")).persist()
+      est
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= t)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    verified.select(col("doc_b").as("doc_id")).distinct()
   }
 
   /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing
@@ -336,8 +369,10 @@ object Dedup {
   def minhashDeduped(
       docs: DataFrame,
       n: Int = 3,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val drop = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None): DataFrame = {
+    val drop = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard,
+        verifyJaccard = verifyJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
@@ -408,8 +443,10 @@ object Dedup {
   def minhashDedupedTransitive(
       docs: DataFrame,
       n: Int = 3,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val cl = clusters(minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None): DataFrame = {
+    val cl = clusters(minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard,
+        verifyJaccard = verifyJaccard)
       .select("doc_a", "doc_b"))
     val drop = cl.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     docs.join(drop, Seq("doc_id"), "left_anti")
