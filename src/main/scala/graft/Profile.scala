@@ -20,13 +20,19 @@ object Profile {
     // warmup: JVM/codegen/footer costs land here, not on the first query
     SparkEntry.queries.get("q_scan_project")
       .foreach(fn => fn(spark, dir).write.mode("overwrite").format("noop").save())
+    // SPARK_GRAFT_REPEAT=N → best of N back-to-back runs (the bench
+    // protocol's warm measurement) instead of the default single cold run
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
-        val t0 = System.nanoTime()
-        val df = fn(spark, dir)
-        df.write.mode("overwrite").format("noop").save() // full materialization
-        println(f"[profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-        spark.catalog.clearCache()
+        val best = (0 until repeat).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.mode("overwrite").format("noop").save() // full materialization
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        }.min
+        println(f"[profile] $name%-24s $best%6.2f s")
       }
     }
     spark.stop()
