@@ -2519,6 +2519,27 @@ object SparkEntry {
       graft.operators.Stats.columnStats(Tables.orders(s, d),
         Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))),
 
+    // -- [NS] the 100 TB form of the profile: approx_count_distinct (HLL)
+    // ndv in ONE map-side-combinable pass, no per-distinct shuffle
+    // expansion. HLL estimates are engine-specific, so the oracle gates
+    // the INVARIANT: every other stat is exact, and the HLL ndv must land
+    // within 10% of the exact ndv (Spark's default rsd is 5% = one sigma,
+    // so a 1-sigma bound is NOT deterministic-safe — o_orderkey at
+    // sf0.001 misses it; 2 sigma holds across the corpus — same bound
+    // StatsSpec gates). The DuckDB twin recomputes the exact stats and
+    // emits the same boolean. --
+    "q_table_stats_approx" -> ((s, d) =>
+      graft.operators.Stats.columnStatsApprox(Tables.orders(s, d),
+          Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+        .join(graft.operators.Stats.columnStats(Tables.orders(s, d),
+            Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+          .select(col("column"), col("ndv").as("ndv_exact")), Seq("column"))
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          col("min_value"), col("max_value"),
+          (abs(col("ndv") - col("ndv_exact")).cast("double") /
+            greatest(col("ndv_exact"), lit(1L)) <= 0.10).as("ndv_ok"))
+        .orderBy("column")),
+
     // -- [NS] grouped z-score anomaly detection: per-type mean/std from
     // decimal-exact moments (n, Σx, Σx²) so the thresholds are
     // bit-identical cross-engine; the 5-row stats table broadcasts back
@@ -5160,6 +5181,26 @@ object SparkEntry {
         |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM s
         |  UNION ALL
         |  SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus), count(*) - count(o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM s)
+        |ORDER BY "column"""".stripMargin,
+
+    // the HLL twin: exact stats recomputed, ndv_ok literally true (the
+    // 10% = 2-sigma bound is the invariant the Spark side must prove)
+    "q_table_stats_approx" ->
+      """WITH s AS (SELECT * FROM orders)
+        |SELECT "column", n_rows, n_nulls, min_value, max_value, true AS ndv_ok FROM (
+        |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_custkey) AS n_nulls,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |    CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
         |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM s)
         |ORDER BY "column"""".stripMargin,
 
