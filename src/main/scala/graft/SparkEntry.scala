@@ -1482,6 +1482,43 @@ object SparkEntry {
       Multimodal.decodeVideo(s, media).orderBy("media_id")
     }),
 
+    // -- [NS] MIXED-media ingest with format DISPATCH: a directory of
+    // genuine PNG + WAV + MP4 files (by doc_id parity) scanned through the
+    // binary-file connector, each payload routed to its parser off the
+    // leading magic bytes — the real shape of a media lake, where the
+    // scanner cannot assume one modality per directory. The oracle
+    // recomputes every modality's parameter arithmetic from doc_id. --
+    "q_mm_av_ingest" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"avbin:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_avbin")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/media"
+        new java.io.File(out).mkdirs()
+        val w = (lit(32) + col("doc_id") % 96).cast("int")
+        val h = (lit(24) + col("doc_id") % 72).cast("int")
+        val sr = (lit(8000) + (col("doc_id") % 5) * 1000).cast("int")
+        val ch = (lit(1) + col("doc_id") % 2).cast("int")
+        val bits = (lit(8) + (col("doc_id") % 2) * 8).cast("int")
+        val dur = ((lit(1) + col("doc_id") % 120) * 600).cast("int")
+        documents(s, d).where(col("doc_id") < 96)
+          .select(col("doc_id").as("media_id"),
+            when(col("doc_id") % 3 === 0, Multimodal.encodePng(w, h, col("text")))
+              .when(col("doc_id") % 3 === 1, Multimodal.encodeWav(sr, ch, bits, col("text")))
+              .otherwise(Multimodal.encodeMp4(lit(600), dur, col("text"))).as("payload"))
+          .collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"media_${r.getLong(0)}%05d.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        out
+      })
+      val scanned = graft.sources.Sources.readBinaryFiles(s, dir, Some("*.bin"))
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.decodeMedia(s, scanned).orderBy("media_id")
+    }),
+
     // -- [NS] END-TO-END multimodal ingest: media payloads written as raw
     // FILES (the shape assets actually arrive in), scanned back through the
     // binary-file connector into rows, then header-sniffed by extractMeta —
@@ -4312,6 +4349,22 @@ object SparkEntry {
         |  CAST((1 + doc_id % 120) * 1000 AS BIGINT) AS duration_ms,
         |  CAST(octet_length(encode(text)) AS INT) AS mdat_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the mixed-lake twin: per-modality parameters recomputed from doc_id,
+    // zeros where the modality does not carry the field
+    "q_mm_av_ingest" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |  true AS valid,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(32 + doc_id % 96 AS INT) ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(24 + doc_id % 72 AS INT) ELSE 0 END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 5) * 1000 AS INT) ELSE 0 END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INT) ELSE 0 END AS channels,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(octet_length(encode(text)) * 1000
+        |      // ((8000 + (doc_id % 5) * 1000) * (1 + doc_id % 2) * (8 + (doc_id % 2) * 8) // 8) AS BIGINT)
+        |    WHEN doc_id % 3 = 2 THEN CAST((1 + doc_id % 120) * 1000 AS BIGINT)
+        |    ELSE 0 END AS duration_ms
+        |FROM documents WHERE doc_id < 96 ORDER BY media_id""".stripMargin,
 
     // file-scanned headers must decode to the same metadata the in-row
     // payloads carry (same arithmetic as q_mm_meta, ingest-subset)

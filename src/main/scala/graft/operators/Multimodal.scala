@@ -447,6 +447,43 @@ object Multimodal {
       .toDF()
   }
 
+  /** Unified media-header row for MIXED lakes: one schema across image /
+    * audio / video, modality-specific fields zeroed where not applicable.
+    */
+  case class AnyMeta(
+      media_id: Long, format: String, valid: Boolean, width: Int, height: Int,
+      sample_rate: Int, channels: Int, duration_ms: Long)
+
+  /** Format DISPATCH on the leading magic bytes — the real shape of a
+    * mixed-media ingest directory, where the scanner cannot assume a
+    * modality per file. RIFF/WAVE → WAV parser, `ftyp` at offset 4 → MP4
+    * parser, everything else → the image parser (which itself
+    * discriminates PNG/JPEG/GRFT/unknown).
+    */
+  def parseAny(mediaId: Long, b: Array[Byte]): AnyMeta = {
+    def cc(off: Int): String =
+      if (b != null && b.length >= off + 4) new String(b, off, 4, "US-ASCII") else ""
+    if (cc(0) == "RIFF" && cc(8) == "WAVE") {
+      val a = parseAudio(mediaId, b)
+      AnyMeta(mediaId, a.format, a.valid, 0, 0, a.sample_rate, a.channels, a.duration_ms)
+    } else if (cc(4) == "ftyp") {
+      val v = parseVideo(mediaId, b)
+      AnyMeta(mediaId, v.format, v.valid, 0, 0, 0, 0, v.duration_ms)
+    } else {
+      val i = parseImage(mediaId, b)
+      AnyMeta(mediaId, i.format, i.valid, i.width, i.height, 0, 0, 0L)
+    }
+  }
+
+  /** Batch-shaped dispatched decode over a mixed media column. */
+  def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, p) => parseAny(id, p) })
+      .toDF()
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size slice
     * of the body becomes a frame row `(media_id, frame_idx, frame_bytes)`.
     * Explode keeps frames as independent rows — the unit of parallelism for

@@ -205,6 +205,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.parseVideo(0L, ftypOnly).valid)
   }
 
+  test("parseAny dispatches mixed payloads to the right parser by magic") {
+    val rows = Seq(
+      (0L, Multimodal.encodePng(lit(40), lit(30), lit("img"))),
+      (1L, Multimodal.encodeWav(lit(16000), lit(2), lit(16), lit("pcm"))),
+      (2L, Multimodal.encodeMp4(lit(600), lit(1200), lit("vid"))),
+      (3L, Multimodal.encodeJpeg(lit(9), lit(7), lit("j"))))
+      .map { case (id, c) =>
+        Seq(id).toDF("media_id").select(col("media_id"), c.as("payload")) }
+      .reduce(_ unionByName _)
+    val out = Multimodal.decodeMedia(spark, rows).orderBy("media_id").collect()
+    assert(out.map(_.getAs[String]("format")).toSeq == Seq("png", "wav", "mp4", "jpeg"))
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    assert(out(0).getAs[Int]("width") == 40 && out(0).getAs[Int]("height") == 30)
+    assert(out(1).getAs[Int]("sample_rate") == 16000 && out(1).getAs[Int]("channels") == 2)
+    assert(out(2).getAs[Long]("duration_ms") == 2000L)
+    // garbage stays unknown/invalid through the dispatcher too
+    assert(!Multimodal.parseAny(9L, Array[Byte](9, 9, 9, 9, 9, 9, 9, 9)).valid)
+  }
+
   test("byteHistogram: normalized 16-bin histogram sums to ~1") {
     val h = media.select(Multimodal.byteHistogram(col("payload")).as("h"))
       .as[Seq[Double]].collect()
