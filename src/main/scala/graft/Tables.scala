@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.functions.{abs, col, expr, timestamp_micros, unix_micros}
 
 /** Loaders for the driver-generated Parquet tables (TESTDATA.md).
   *
@@ -45,10 +45,28 @@ object Tables {
       // column is kept as ts_ns because predicates on the CONVERTED ts
       // can't push down (they're a function of the scan column) —
       // time-critical queries add an equivalent ts_ns range, which reaches
-      // the parquet row groups.
+      // the parquet row groups. The epoch UNIT is sniffed from one value's
+      // magnitude (2024-era: ns ≈ 1.7e18, µs ≈ 1.7e15, ms ≈ 1.7e12,
+      // s ≈ 1.7e9) rather than assumed — the testdata's physical form has
+      // already changed three times across regenerations; a silent
+      // nanos assumption over millis data would misdate every event by
+      // 6 orders of magnitude. One 1-row job per (session, dir).
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sample = raw.select(abs(col("ts"))).where(col("ts").isNotNull)
+          .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+        val toNs =
+          if (sample > 100000000000000000L) 1L                // already nanos
+          else if (sample > 100000000000000L) 1000L           // micros
+          else if (sample > 100000000000L) 1000000L           // millis
+          else 1000000000L                                    // seconds
+        // toNs == 1 keeps ts_ns a BARE reference to the scan column (not
+        // `ts * 1`, which Catalyst won't fold) so its predicates push down;
+        // `div` (integer) everywhere — `/` on longs is double division and
+        // loses µs precision past the 53-bit mantissa at ns magnitudes
+        val tsNs = if (toNs == 1L) col("ts") else col("ts") * toNs
+        val tsUs = if (toNs == 1L) expr("ts div 1000")
+                   else expr(s"(ts * $toNs) div 1000")
+        raw.withColumn("ts_ns", tsNs).withColumn("ts", timestamp_micros(tsUs))
       // defensive: a relation cached before the NTZ conf was set (or a
       // future conf rename) — localize in the session TZ explicitly.
       case org.apache.spark.sql.types.TimestampNTZType =>

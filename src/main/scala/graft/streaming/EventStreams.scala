@@ -40,15 +40,26 @@ object EventStreams {
     // as basePath itself and rejected ("must be a directory")
     val cut = path.lastIndexOf('/')
     val glob = path.substring(0, cut + 1) + "{" + path.substring(cut + 1) + "}"
-    // sniff the on-disk layout once (one footer read): driver testdata is
-    // TIMESTAMP(NANOS) → raw long under the legacy conf; derived copies
-    // (e.g. the scale-probe corpus) are already µs timestamps
-    val tsIsRawNanos =
-      spark.read.parquet(path).schema("ts").dataType == org.apache.spark.sql.types.LongType
-    if (tsIsRawNanos)
+    // sniff the on-disk layout once (one footer read): raw-long ts under
+    // the legacy conf vs a real timestamp column; for the long form, sniff
+    // the epoch UNIT from one value's magnitude (same guard as
+    // Tables.events — the testdata's physical form has changed across
+    // regenerations, and a silent nanos assumption over millis data would
+    // misdate every event)
+    val batch = spark.read.parquet(path)
+    if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      val sample = batch.select(abs(col("ts"))).where(col("ts").isNotNull)
+        .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      val toNs =
+        if (sample > 100000000000000000L) 1L
+        else if (sample > 100000000000000L) 1000L
+        else if (sample > 100000000000L) 1000000L
+        else 1000000000L
+      val tsUs = if (toNs == 1L) expr("ts div 1000")
+                 else expr(s"(ts * $toNs) div 1000")
       spark.readStream.schema(nanosSchema).parquet(glob)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
+        .withColumn("ts", timestamp_micros(tsUs))
+    } else
       spark.readStream.schema(eventsSchema).parquet(glob)
   }
 
