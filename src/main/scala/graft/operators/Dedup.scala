@@ -31,6 +31,54 @@ object Dedup {
     */
   val MaxBucket = 64
 
+  /** Precomputed dedup artifact tables, shared across tiers and queries.
+    *
+    * Every fuzzy tier starts from one of three pure functions of the
+    * corpus text: shingle sets, minhash signatures, content-defined
+    * windows. A 100 TB curation pipeline computes these ONCE at ingest
+    * and stores them next to the corpus (they append — see
+    * [[minhashIncremental]]); each dashboard query then reads the stored
+    * table instead of re-deriving it from raw text. The `Option[Artifacts]`
+    * parameters below accept such a store; `None` keeps the self-contained
+    * derive-from-text behavior.
+    *
+    * Contract: `sigs(doc_id, sig)` from [[sigTable]] (same n/perms as the
+    * consumer), `shingles(doc_id, sh)` from [[shingleTable]] (same n),
+    * `winsPos(doc_id, pos, win)` from [[windowTable]] (same width).
+    */
+  final case class Artifacts(sigs: DataFrame, shingles: DataFrame, winsPos: DataFrame)
+
+  /** MinHash signature table — `(doc_id, sig: array<long>)`, docs whose
+    * text yields no shingles excluded. Pure function of text; the stored
+    * form appends under ingest.
+    */
+  def sigTable(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Word-shingle-set table — `(doc_id, sh: array<string>)`, one row per
+    * input doc (empty sets kept: verify joins want every candidate id).
+    */
+  def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
+
+  /** Content-defined window table — `(doc_id, pos, win)`: every
+    * `width`-char window whose md5 first nibble is '0' (the winnowing-
+    * family 1/16 sample — see [[substringDupPairs]]), WITH positions so
+    * both the pair/mass tiers (which drop `pos`) and the excision tier
+    * (which needs it) read the same store.
+    */
+  def windowTable(docs: DataFrame, width: Int = 40): DataFrame =
+    docs
+      .where(length(col("text")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(width)).as("win"))
+      .where(substring(md5(col("win")), 1, 1) === "0")
+
   /** Exact dedup: keep the smallest doc_id per content hash.
     * One hash aggregation; partial aggregation does the heavy lifting
     * map-side, so the shuffle carries one row per distinct hash.
@@ -89,17 +137,18 @@ object Dedup {
       perms: Int = 32,
       bands: Int = 8,
       minEstJaccard: Double = 0.5,
-      verifyJaccard: Option[Double] = None): DataFrame = {
+      verifyJaccard: Option[Double] = None,
+      art: Option[Artifacts] = None): DataFrame = {
     val rows = perms / bands
-    val sigs = docs
-      .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"))
-      .where(col("sig").isNotNull)
+    val sigs = art.map(_.sigs).getOrElse(docs
+      .pipe(d => sigTable(d, n, perms))
       // materialize: signatures feed the band explode AND both pair-verify
       // join sides; without the cache barrier Catalyst's projection collapse
       // inlines (= recomputes) the signature into every consumer. The
       // signature table is docs × perms longs, tiny next to the corpus, so
-      // caching it is the 100 TB plan too.
-      .persist()
+      // caching it is the 100 TB plan too — or, better, the stored
+      // `Artifacts` form.
+      .persist())
     val banded = sigs
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -123,7 +172,7 @@ object Dedup {
     // against real shingle sets makes the output exact at ANY scale, for
     // one extra join that never touches non-candidate rows' pair space.
     verifyJaccard.fold(cands) { t =>
-      val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh")).persist()
+      val sh = art.map(_.shingles).getOrElse(shingleTable(docs, n).persist())
       cands
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -219,9 +268,10 @@ object Dedup {
     * 10×). Prefixes touch only globally-rare shingles, so buckets stay
     * small as the corpus grows.
     */
-  def exactJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+  def exactJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.7,
+      art: Option[Artifacts] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
+    val sh = art.map(_.shingles).getOrElse(shingleTable(docs, n).persist())
       .where(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
       .persist() // feeds the prefix build AND both verify join sides
@@ -299,9 +349,10 @@ object Dedup {
     * container index is the once-built inverted index, not a per-query
     * artifact.
     */
-  def containmentPairs(docs: DataFrame, n: Int = 3, minContain: Double = 0.9): DataFrame = {
+  def containmentPairs(docs: DataFrame, n: Int = 3, minContain: Double = 0.9,
+      art: Option[Artifacts] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
+    val sh = art.map(_.shingles).getOrElse(shingleTable(docs, n).persist())
       .where(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
       .persist() // feeds prefix build, full index, and both verify sides
@@ -337,12 +388,13 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       minJaccard: Double = 0.5,
-      minEstJaccard: Double = 0.3): DataFrame = {
-    val cands = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard)
+      minEstJaccard: Double = 0.3,
+      art: Option[Artifacts] = None): DataFrame = {
+    val cands = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard, art = art)
       .select("doc_a", "doc_b")
     // same materialization rationale as the signature cache above: shingle
     // sets feed both join sides of the verify pass
-    val sh = docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh")).persist()
+    val sh = art.map(_.shingles).getOrElse(shingleTable(docs, n).persist())
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -370,9 +422,10 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       minEstJaccard: Double = 0.5,
-      verifyJaccard: Option[Double] = None): DataFrame = {
+      verifyJaccard: Option[Double] = None,
+      art: Option[Artifacts] = None): DataFrame = {
     val drop = minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard,
-        verifyJaccard = verifyJaccard)
+        verifyJaccard = verifyJaccard, art = art)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
@@ -444,13 +497,26 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       minEstJaccard: Double = 0.5,
-      verifyJaccard: Option[Double] = None): DataFrame = {
-    val cl = clusters(minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard,
-        verifyJaccard = verifyJaccard)
+      verifyJaccard: Option[Double] = None,
+      art: Option[Artifacts] = None): DataFrame =
+    docs.join(
+      minhashTransitiveDrops(docs, n, minEstJaccard, verifyJaccard, art),
+      Seq("doc_id"), "left_anti")
+
+  /** The DROP set of the transitive fuzzy tier — `(doc_id)` for every doc
+    * that is not its duplicate-component's smallest id. The form a curation
+    * pipeline materializes (drops are small; survivors are the corpus).
+    */
+  def minhashTransitiveDrops(
+      docs: DataFrame,
+      n: Int = 3,
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None,
+      art: Option[Artifacts] = None): DataFrame =
+    clusters(minhashCandidates(docs, n = n, minEstJaccard = minEstJaccard,
+        verifyJaccard = verifyJaccard, art = art)
       .select("doc_a", "doc_b"))
-    val drop = cl.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    docs.join(drop, Seq("doc_id"), "left_anti")
-  }
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
 
   /** SimHash near-dup: 64-bit signatures, blocked on 16-bit bands (a pair
     * within Hamming distance d<=3 per band pigeonholes into at least one
@@ -513,8 +579,9 @@ object Dedup {
   def substringDupPairs(
       docs: DataFrame,
       width: Int = 40,
-      minShared: Long = 2): DataFrame = {
-    val wins = selectedWindows(docs, width)
+      minShared: Long = 2,
+      art: Option[Artifacts] = None): DataFrame = {
+    val wins = selectedWindows(docs, width, art)
     val grouped = wins.groupBy(col("win")).agg(collect_list(col("doc_id")).as("ids"))
     val allPairs = flatten(transform(col("ids"),
       a => filter(col("ids"), b => b > a).pipe(bs => transform(bs, b => struct(a.as("a"), b.as("b"))))))
@@ -537,13 +604,10 @@ object Dedup {
     * extraction): explode positions, slice the gram AFTER the explode,
     * keep the md5-nibble 1/16 sample map-side.
     */
-  private def selectedWindows(docs: DataFrame, width: Int): DataFrame =
-    docs
-      .where(length(col("text")) >= width)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"))
-      .select(col("doc_id"), col("text").substr(col("pos"), lit(width)).as("win"))
-      .where(substring(md5(col("win")), 1, 1) === "0")
+  private def selectedWindows(docs: DataFrame, width: Int,
+      art: Option[Artifacts] = None): DataFrame =
+    art.map(_.winsPos).getOrElse(windowTable(docs, width))
+      .select(col("doc_id"), col("win"))
       .distinct()
 
   /** Per-document duplicated-text mass: how many of a doc's sampled windows
@@ -554,8 +618,9 @@ object Dedup {
     * space is never touched, so this is the cheap corpus-health dashboard
     * number, with `substringDupPairs` as the drill-down.
     */
-  def substringDupMass(docs: DataFrame, width: Int = 40): DataFrame = {
-    val wins = selectedWindows(docs, width).persist() // feeds census + semi-join probe
+  def substringDupMass(docs: DataFrame, width: Int = 40,
+      art: Option[Artifacts] = None): DataFrame = {
+    val wins = selectedWindows(docs, width, art).persist() // feeds census + semi-join probe
     val shared = wins.groupBy(col("win"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
@@ -578,17 +643,11 @@ object Dedup {
     * text length); the one JVM UDF splices each doc's own runs — O(doc
     * length), embarrassingly parallel, no pair space anywhere.
     */
-  def substringClean(docs: DataFrame, width: Int = 40): DataFrame = {
+  def substringClean(docs: DataFrame, width: Int = 40,
+      art: Option[Artifacts] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val winsPos = docs
-      .where(length(col("text")) >= width)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - width + 1)).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        col("text").substr(col("pos"), lit(width)).as("win"))
-      .where(substring(md5(col("win")), 1, 1) === "0")
-      .persist() // feeds the shared-window census AND the flagged probe
+    val winsPos = art.map(_.winsPos).getOrElse(windowTable(docs, width)
+      .persist()) // feeds the shared-window census AND the flagged probe
     // cross-DOC sharing only: a window repeated inside one document is
     // self-similarity, not corpus duplication
     val shared = winsPos.select(col("doc_id"), col("win")).distinct()
