@@ -35,6 +35,12 @@ def table_hash(cols, rows):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    err_marker = f"{out_dir}/{name}/_error.txt"
+    if os.path.exists(err_marker):
+        first = open(err_marker).readline().strip()
+        print(f"ERR      {name}: {first}")
+        fails += 1
+        continue
     spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not spark_glob:
         print(f"MISSING  {name}: no spark output")

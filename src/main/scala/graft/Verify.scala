@@ -30,6 +30,24 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // explicit failure MARKER in the query's output slot: a throw must
+        // surface as an `err` row in the driver's correctness record, not
+        // as key-absence — round 7 proved absence can masquerade as health
+        // when the whole sweep breaks. The slot holds _error.txt and no
+        // parquet part files (any partial write is removed), so a reader
+        // of the slot fails loudly instead of parsing a half-result.
+        try {
+          val slot = Paths.get(outDir, name)
+          if (Files.exists(slot))
+            Files.walk(slot).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          Files.createDirectories(slot)
+          val head = (s"$e" +: e.getStackTrace.take(8).map("  at " + _))
+            .mkString("", "\n", "\n")
+          Files.writeString(slot.resolve("_error.txt"), head)
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: could not write error marker: $m")
+        }
       }
       spark.catalog.clearCache() // drop per-operator persisted intermediates
     }
