@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.functions.{abs, col, expr, max, min, timestamp_micros, unix_micros}
 
 /** Loaders for the driver-generated Parquet tables (TESTDATA.md).
   *
@@ -45,20 +45,33 @@ object Tables {
       // column is kept as ts_ns because predicates on the CONVERTED ts
       // can't push down (they're a function of the scan column) —
       // time-critical queries add an equivalent ts_ns range, which reaches
-      // the parquet row groups. The epoch UNIT is sniffed from one value's
-      // magnitude (2024-era: ns ≈ 1.7e18, µs ≈ 1.7e15, ms ≈ 1.7e12,
+      // the parquet row groups. The epoch UNIT is sniffed from the value
+      // magnitudes (2024-era: ns ≈ 1.7e18, µs ≈ 1.7e15, ms ≈ 1.7e12,
       // s ≈ 1.7e9) rather than assumed — the testdata's physical form has
       // already changed three times across regenerations; a silent
       // nanos assumption over millis data would misdate every event by
-      // 6 orders of magnitude. One 1-row job per (session, dir).
+      // 6 orders of magnitude. One min/max aggregate per (session, dir).
       case org.apache.spark.sql.types.LongType =>
-        val sample = raw.select(abs(col("ts"))).where(col("ts").isNotNull)
-          .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
-        val toNs =
-          if (sample > 100000000000000000L) 1L                // already nanos
-          else if (sample > 100000000000000L) 1000L           // micros
-          else if (sample > 100000000000L) 1000000L           // millis
+        // min AND max must land in the same unit band: a single arbitrary
+        // row would silently misdate a table with mixed or out-of-era
+        // values (pre-1973 millis overlap post-1970 micros magnitudes) —
+        // disagreement between the extremes errors loudly instead
+        val mm = raw.where(col("ts").isNotNull)
+          .agg(min(abs(col("ts"))), max(abs(col("ts")))).collect().headOption
+        val (lo, hi) = mm match {
+          case Some(r) if !r.isNullAt(0) => (r.getLong(0), r.getLong(1))
+          case _ => (0L, 0L)
+        }
+        def band(v: Long): Long =
+          if (v > 100000000000000000L) 1L                     // already nanos
+          else if (v > 100000000000000L) 1000L                // micros
+          else if (v > 100000000000L) 1000000L                // millis
           else 1000000000L                                    // seconds
+        require(band(lo) == band(hi),
+          s"events.ts epoch-unit sniff disagreement: |min|=$lo and |max|=$hi " +
+            "land in different unit bands — mixed-unit or out-of-era data; " +
+            "refusing to guess")
+        val toNs = band(hi)
         // toNs == 1 keeps ts_ns a BARE reference to the scan column (not
         // `ts * 1`, which Catalyst won't fold) so its predicates push down;
         // `div` (integer) everywhere — `/` on longs is double division and

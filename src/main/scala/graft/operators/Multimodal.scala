@@ -349,11 +349,15 @@ object Multimodal {
       while (i + 8 <= b.length && !(haveFmt && dataLen >= 0)) {
         val id = cc(i)
         val sz = le32(i + 4)
-        if (sz < 0) { i = b.length } // corrupt size: stop the walk
+        // corrupt size: negative, OR large enough that the Int cursor would
+        // overflow past the payload (a crafted sz near Int.MaxValue passes
+        // the sign check but wraps `i` negative and crashes the walk) —
+        // either way the chunk cannot fit in the payload, so stop
+        if (sz < 0 || sz > b.length - i - 8) { i = b.length }
         else {
           if (id == "fmt " && i + 24 <= b.length) {
             ch = le16(i + 10); sr = le32(i + 12); bits = le16(i + 22); haveFmt = true
-          } else if (id == "data") dataLen = math.min(sz.toLong, (b.length - i - 8).toLong).toInt
+          } else if (id == "data") dataLen = sz
           i += 8 + sz + (sz & 1) // RIFF pads odd-length chunks
         }
       }
@@ -421,7 +425,11 @@ object Multimodal {
           i += sz.toInt
         }
       }
-      if (!ok || brand.isEmpty || tscale <= 0 || dur < 0) bad
+      // tscale is uint32 in ISO-BMFF: a value above Int.MaxValue is legal
+      // on the wire but would wrap negative in VideoMeta.timescale — treat
+      // it as out of this catalog's range rather than emit a valid=true
+      // row with a negative timescale
+      if (!ok || brand.isEmpty || tscale <= 0 || tscale > Int.MaxValue || dur < 0) bad
       else VideoMeta(mediaId, "mp4", valid = true, brand, tscale.toInt, dur,
         dur * 1000L / tscale, math.max(mdat, 0))
     }
