@@ -101,8 +101,23 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + r(v, if (v >= 9.95) 0 else 1) }
         .mkString("{", ",", "}")
       val dropped = entries.drop(keep)
+      // per-family subtotals over the folded tail (family = first name
+      // token): a regression hiding inside the omitted aggregate is then
+      // localizable from the archived line alone. Top 10 families by time,
+      // remainder folded into "other", so the field's length stays bounded
+      // as `keep` shrinks.
       val om = if (dropped.isEmpty) ""
-        else s""","omitted":{"n":${dropped.size},"sec":${r(dropped.map(_._2).sum, 1)}}"""
+        else {
+          val bySum = dropped.groupBy(_._1.takeWhile(_ != '_'))
+            .map { case (f, qs) => f -> qs.map(_._2).sum }
+            .toSeq.sortBy { case (f, v) => (-v, f) }
+          val (top, rest) = bySum.splitAt(10)
+          val famEntries = top ++
+            (if (rest.isEmpty) Nil else Seq("other" -> rest.map(_._2).sum))
+          val fam = famEntries.map { case (f, v) => "\"" + f + "\":" + r(v, 1) }
+            .mkString("{", ",", "}")
+          s""","omitted":{"n":${dropped.size},"sec":${r(dropped.map(_._2).sum, 1)},"fam":$fam}"""
+        }
       s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","queries":$qs$om$failedField,"load":[${r(loadPre, 1)},${r(loadPost, 1)}],"sf":$sf}"""
     }
     var keep = entries.length
@@ -113,7 +128,10 @@ object Bench {
     // archived record. Logs off first so stop itself is silent.
     val out = line(keep)
     spark.sparkContext.setLogLevel("OFF")
-    try spark.stop() catch { case _: Throwable => }
+    // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
+    // would mask a dying JVM (and clear the interrupt flag) right before
+    // the metric line prints
+    try spark.stop() catch { case scala.util.control.NonFatal(_) => }
     println(out)
     Console.out.flush()
   }
