@@ -291,10 +291,45 @@ object Layout {
     */
   private[graft] val ManifestDir = "_manifest"
 
+  // ---- version-store filesystem layer --------------------------------------
+  // All version/manifest/pointer/vacuum file ops go through the Hadoop
+  // FileSystem API, so the commit protocol actually runs against HDFS/S3-
+  // class stores (the 100 TB deployment path), not just java.io.File.
+  // Local paths resolve to the RAW local filesystem: the checksummed
+  // LocalFileSystem wrapper would strew .crc sidecars through version and
+  // manifest directories that listing-based recovery (and any external
+  // reader) would then have to know to skip.
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(hadoopConf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
+  private def listNames(dir: org.apache.hadoop.fs.Path,
+      dirsOnly: Boolean = false): Array[String] = {
+    val f = fsFor(dir)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir)
+      .filter(st => !dirsOnly || st.isDirectory)
+      .map(_.getPath.getName)
+  }
+
+  private def writeSmallFile(p: org.apache.hadoop.fs.Path, content: String,
+      overwrite: Boolean): Unit = {
+    val out = fsFor(p).create(p, overwrite)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def manifestEntries(root: String): Array[Long] =
-    Option(new java.io.File(root, ManifestDir).listFiles())
-      .getOrElse(Array.empty)
-      .map(_.getName)
+    listNames(new org.apache.hadoop.fs.Path(root, ManifestDir))
       .filter(n => n.endsWith(".commit") && n.length == 27 &&
         n.dropRight(7).forall(_.isDigit))
       .map(_.dropRight(7).toLong)
@@ -307,11 +342,16 @@ object Layout {
     val fromManifest = manifestEntries(root)
     if (fromManifest.nonEmpty) Some(fromManifest.max)
     else {
-      val p = new java.io.File(root, PointerFile)
-      if (!p.isFile) None
-      else scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(p.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+      val p = new org.apache.hadoop.fs.Path(root, PointerFile)
+      val f = fsFor(p)
+      if (!f.exists(p) || f.getFileStatus(p).isDirectory) None
+      else scala.util.Try {
+        val len = f.getFileStatus(p).getLen.toInt
+        val in = f.open(p)
+        val bytes = new Array[Byte](len)
+        try in.readFully(bytes) finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }.toOption
     }
   }
 
@@ -322,52 +362,66 @@ object Layout {
     * Crash between the two renames leaves a dangling uncommitted `v<N>`
     * that the pointer never names and the replay overwrites.
     */
-  def commitVersion(root: String, version: Long, stagedDir: java.io.File): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val dst = new java.io.File(root, s"v$version")
-    if (dst.exists()) deleteRecursively(dst)
-    Files.move(stagedDir.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+  def commitVersion(root: String, version: Long, stagedDir: java.io.File): Unit =
+    commitVersion(root, version, stagedDir.getAbsolutePath)
+
+  def commitVersion(root: String, version: Long, stagedDir: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = fsFor(rootP)
+    val dst = new org.apache.hadoop.fs.Path(rootP, s"v$version")
+    if (f.exists(dst)) f.delete(dst, true)
+    // single-namespace-op rename on HDFS-class stores; on an object store
+    // the staged "directory" is a key prefix and this is the one copying
+    // step — which is why the COMMIT signal below never depends on it
+    // being atomic
+    if (!f.rename(new org.apache.hadoop.fs.Path(stagedDir), dst))
+      sys.error(s"commitVersion: rename $stagedDir -> $dst failed")
     // commit marker #1: append-only manifest entry — the object-store-safe
-    // signal (one CREATE_NEW of an immutable object; no rename anywhere on
+    // signal (one create-new of an immutable object; no rename anywhere on
     // the commit path). A replayed batch finds its entry already present:
     // that's the idempotent re-commit of the same version, not an error.
-    val mdir = new java.io.File(root, ManifestDir)
-    mdir.mkdirs()
-    val entry = new java.io.File(mdir, f"$version%020d.commit")
-    try Files.write(entry.toPath, version.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val mdir = new org.apache.hadoop.fs.Path(rootP, ManifestDir)
+    f.mkdirs(mdir)
+    val entry = new org.apache.hadoop.fs.Path(mdir, f"$version%020d.commit")
+    if (!f.exists(entry))
+      try writeSmallFile(entry, version.toString, overwrite = false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
     // commit marker #2: the legacy `_LATEST` pointer (write-temp + atomic
-    // rename), kept for pre-manifest readers; on POSIX/HDFS it is exactly
-    // as safe, on object stores the manifest above is the one that holds.
-    val tmp = new java.io.File(root, PointerFile + ".tmp")
-    Files.write(tmp.toPath, version.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new java.io.File(root, PointerFile).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // overwrite-rename via FileContext), kept for pre-manifest readers; on
+    // POSIX/HDFS it is exactly as safe, on object stores the manifest above
+    // is the one that holds — so a store with no AbstractFileSystem binding
+    // (FileContext unsupported) degrades to delete+rename without weakening
+    // the commit.
+    val tmp = new org.apache.hadoop.fs.Path(rootP, PointerFile + ".tmp")
+    val dstPtr = new org.apache.hadoop.fs.Path(rootP, PointerFile)
+    writeSmallFile(tmp, version.toString, overwrite = true)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hadoopConf)
+      fc.rename(tmp, dstPtr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(dstPtr)) f.delete(dstPtr, false)
+        if (!f.rename(tmp, dstPtr))
+          sys.error(s"commitVersion: pointer swap $tmp -> $dstPtr failed")
+    }
   }
 
   /** Version numbers present under `root`, newest first. */
-  private def listVersions(root: String): Array[Long] =
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        f.getName.drop(1).forall(_.isDigit) && f.getName.length > 1)
-      .map(_.getName.drop(1).toLong)
+  private[graft] def listVersions(root: String): Array[Long] =
+    listNames(new org.apache.hadoop.fs.Path(root), dirsOnly = true)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.length > 1)
+      .map(_.drop(1).toLong)
       .sorted(Ordering[Long].reverse)
 
   /** The MERGE-sink stream's last checkpoint-committed batch, if a
     * checkpoint exists under the target (`<root>/_chk/commits/<id>`).
     */
-  private def lastCheckpointedBatch(root: String): Option[Long] = {
-    val dir = new java.io.File(s"$root/_chk", "commits")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
+  private def lastCheckpointedBatch(root: String): Option[Long] =
+    listNames(new org.apache.hadoop.fs.Path(s"$root/_chk", "commits"))
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toLong)
       .sorted(Ordering[Long].reverse)
       .headOption
-  }
 
   /** Version-retention vacuum for the immutable-version sink layout:
     * delete every committed version older than the newest `keep`,
@@ -399,12 +453,15 @@ object Layout {
     val protectForReplay = lastCheckpointedBatch(root)
       .flatMap(c => committed.find(_ <= c))
     val stale = committed.drop(keep).filterNot(v => protectForReplay.contains(v))
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = fsFor(rootP)
     stale.foreach { v =>
-      deleteRecursively(new java.io.File(root, s"v$v"))
+      f.delete(new org.apache.hadoop.fs.Path(rootP, s"v$v"), true)
       // retire the version's manifest entry with it: the log stays
       // O(retained versions), and a time-travel read of a vacuumed version
       // fails at the manifest (clean) instead of at a missing directory
-      new java.io.File(new java.io.File(root, ManifestDir), f"$v%020d.commit").delete()
+      f.delete(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(rootP, ManifestDir), f"$v%020d.commit"), false)
     }
     stale.length
   }

@@ -247,7 +247,20 @@ object LogStore {
     * (the reference leaks it; SURVEY.md §2.1).
     */
   def writeDocumentToFile(bytes: Array[Byte], path: String): Unit = {
-    val out = new java.io.FileOutputStream(path)
+    // Hadoop FileSystem, not FileOutputStream: the sink must write wherever
+    // the deployment's store lives (HDFS/S3-class), with local paths going
+    // through the RAW local fs so no .crc sidecar appears next to the
+    // document the caller asked for
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+    val out = fs.create(p, true)
     try out.write(bytes)
     finally out.close()
   }

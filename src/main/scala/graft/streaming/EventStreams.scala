@@ -536,8 +536,8 @@ object EventStreams {
               .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
           case None => agg
         }
-        val staged = new java.io.File(targetRoot, s"_staged_v$batchId")
-        merged.write.mode("overwrite").parquet(staged.getAbsolutePath)
+        val staged = s"$targetRoot/_staged_v$batchId"
+        merged.write.mode("overwrite").parquet(staged)
         graft.operators.Layout.commitVersion(targetRoot, batchId, staged)
         ()
       }
@@ -563,13 +563,9 @@ object EventStreams {
     */
   private def latestVersion(root: String, below: Long): Option[String] = {
     val ceiling = graft.operators.Layout.committedVersion(root)
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-    dirs.filter(_.isDirectory).map(_.getName)
-      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
-        s.drop(1).toLong }
+    graft.operators.Layout.listVersions(root)
       .filter(v => v < below && ceiling.forall(v <= _))
-      .sorted(Ordering[Long].reverse)
-      .headOption
+      .headOption // listVersions is newest-first
       .map(v => s"$root/v$v")
   }
 
