@@ -185,12 +185,23 @@ object Similarity {
       embeddings: DataFrame, nlist: Int, sampleRows: Int): Array[Array[Double]] = {
     val key = (embeddings.queryExecution.analyzed.semanticHash(), nlist, sampleRows)
     centroidCache.getOrElseUpdate(key, {
+      // hash-ordered sample: as deterministic as vec_id order (same input →
+      // same sample), but UNBIASED — at corpus scale the first `sampleRows`
+      // vec_ids are one shard/tenant/day, not the corpus; hash order is a
+      // uniform draw. TakeOrdered keeps it one O(n)-heap pass, no full sort.
+      // The collected rows are then re-sorted by vec_id DRIVER-side (n·id
+      // longs, trivial) so the k-means INIT depends only on WHICH rows were
+      // selected, not on the hash order they arrived in — when the sample
+      // covers the whole corpus (small scale), centroids are identical to
+      // the id-ordered build, so the recall gates measure the sampling
+      // change and nothing else.
       val sample = embeddings
-        .orderBy(col("vec_id"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(sampleRows)
-        .select(col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect()
-        .map(_.getSeq[Double](0).toArray)
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
       kmeans(sample, nlist)
     })
   }
@@ -529,12 +540,14 @@ object Similarity {
       sampleRows: Int = 2048): Array[Array[Array[Double]]] = {
     val key = (embeddings.queryExecution.analyzed.semanticHash(), m, k)
     pqCache.getOrElseUpdate(key, {
+      // hash-ordered unbiased selection, id-ordered init — see buildCentroids
       val sample = embeddings
-        .orderBy(col("vec_id"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(sampleRows)
-        .select(col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect()
-        .map(_.getSeq[Double](0).toArray)
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
       val dim = sample.head.length
       require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
       val sub = dim / m
