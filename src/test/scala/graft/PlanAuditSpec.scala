@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: invariants the formatted explain must show, asserted
+  * so a regression fails the suite instead of surfacing only as a 100 TB
+  * slowdown.
+  *
+  * The load-bearing one: the events TIME filter must reach the parquet
+  * scan — `PushedFilters` carrying a range predicate on the `ts` scan
+  * column — for BOTH physical forms `events.parquet` has shipped in
+  * (native timestamp, and raw int64 epoch handled by `Tables.events`'
+  * unit sniff, which keeps `ts_ns` a BARE scan-column reference precisely
+  * so this pushdown survives). At 100 TB the time axis is the row-group
+  * pruning axis; the last two testdata regenerations nearly broke this.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def pushedFilters(df: DataFrame): String =
+    "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(df.queryExecution.explainString(FormattedMode))
+      .map(_.group(1)).mkString(";")
+
+  /** Range (not just IsNotNull) predicates on the raw `ts` scan column must
+    * be in the parquet scan's pushed filters.
+    */
+  private def assertTsRangePushed(df: DataFrame, what: String): Unit = {
+    val pushed = pushedFilters(df)
+    assert("GreaterThan(OrEqual)?\\(ts[,)]".r.findFirstIn(pushed).isDefined &&
+      "LessThan(OrEqual)?\\(ts[,)]".r.findFirstIn(pushed).isDefined,
+      s"$what: time range NOT pushed to the parquet scan; pushed=[$pushed]")
+  }
+
+  private val timeQueries = Seq("q_filter_timerange", "q_log_composite")
+
+  test("time filter pushes to the parquet scan on the shipped testdata form") {
+    for (q <- timeQueries)
+      assertTsRangePushed(SparkEntry.queries(q)(spark, Sf0001), s"$q@shipped")
+  }
+
+  /** Re-write events in each historical physical form and re-assert: the
+    * invariant must hold however the next regeneration ships `ts`.
+    */
+  test("time filter pushes down for BOTH physical ts forms (raw epoch long, native timestamp)") {
+    val base = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .cache()
+    val shippedRows = SparkEntry.queries("q_filter_timerange")(spark, Sf0001).count()
+
+    def writeForm(sub: String, tsCol: org.apache.spark.sql.Column): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_planaudit_$sub")
+      SparkEntry.deleteRecursivelyOnExit(dir)
+      val d = dir.toFile.getAbsolutePath
+      base.select(col("event_id"), tsCol.as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    // gen-1 shape: int64 epoch (nanos); Tables.events sniffs the unit and
+    // keeps ts_ns a bare reference to the scan column
+    val rawDir = writeForm("raw", col("ts_ns"))
+    // current shape: native timestamp (micros)
+    val tsDir = writeForm("native", col("ts"))
+
+    for (d <- Seq(rawDir, tsDir); q <- timeQueries)
+      assertTsRangePushed(SparkEntry.queries(q)(spark, d), s"$q@$d")
+    // and the sniffed form returns the same rows as the shipped table
+    assert(SparkEntry.queries("q_filter_timerange")(spark, rawDir).count() == shippedRows)
+    assert(SparkEntry.queries("q_filter_timerange")(spark, tsDir).count() == shippedRows)
+    base.unpersist()
+  }
+}
