@@ -78,6 +78,9 @@ object ScaleProbe {
     probes.foreach { q =>
       time(base, q) // warm plans/codegen
       val t1 = time(base, q)
+      time(out, q)  // warm the replica side too: one-time per-dir costs
+                    // (artifact-store build, footer reads) must not load
+                    // the exponent measurement
       val tn = time(out, q)
       val exp = math.log(tn / t1) / math.log(factor.toDouble)
       println(f"[scale] $q%-22s $t1%8.2f $tn%8.2f  $exp%.2f")
