@@ -103,15 +103,15 @@ object Bench {
       val dropped = entries.drop(keep)
       // per-family subtotals over the folded tail (family = first name
       // token): a regression hiding inside the omitted aggregate is then
-      // localizable from the archived line alone. Top 10 families by time,
+      // localizable from the archived line alone. Top 16 families by time,
       // remainder folded into "other", so the field's length stays bounded
-      // as `keep` shrinks.
+      // as `keep` shrinks (the line-budget loop still governs overall).
       val om = if (dropped.isEmpty) ""
         else {
           val bySum = dropped.groupBy(_._1.takeWhile(_ != '_'))
             .map { case (f, qs) => f -> qs.map(_._2).sum }
             .toSeq.sortBy { case (f, v) => (-v, f) }
-          val (top, rest) = bySum.splitAt(10)
+          val (top, rest) = bySum.splitAt(16)
           val famEntries = top ++
             (if (rest.isEmpty) Nil else Seq("other" -> rest.map(_._2).sum))
           val fam = famEntries.map { case (f, v) => "\"" + f + "\":" + r(v, 1) }

@@ -1663,7 +1663,7 @@ object SparkEntry {
 
     "q_dedup_keep" -> ((s, d) =>
       Dedup.minhashDeduped(documents(s, d), minEstJaccard = 0.4,
-          verifyJaccard = Some(0.9))
+          verifyJaccard = Some(0.9), art = Some(dedupArtifacts(s, d)))
         .select("doc_id", "lang").orderBy("doc_id")),
 
     // live closure run (the dashboards read its materialized result from
