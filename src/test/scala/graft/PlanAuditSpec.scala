@@ -72,4 +72,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.queries("q_filter_timerange")(spark, tsDir).count() == shippedRows)
     base.unpersist()
   }
+
+  /** Queries ALLOWED to plan a BroadcastNestedLoopJoin: each one broadcasts
+    * a scalar/tiny relation (a probe vector, a corpus total, a threshold
+    * row, an nlist-sized index) against the data — the intended "ship the
+    * scalar to the data" plan — or is the declared cartesian demo
+    * (`q_cross_join`). Pinned as a closed set: a NEW query landing here
+    * means a join lost its equi-keys, which at 100 TB is a scan × scan.
+    */
+  private val bnljDeclared = Set(
+    "q_bm25_search", "q_cms_freq", "q_cross_join", "q_funnel", "q_gapfill",
+    "q_hard_negatives", "q_lm_score", "q_mix_temperature", "q_pmi_bigrams",
+    "q_quantile_sliding", "q_sim_hamming", "q_sim_hamming_batch", "q_sim_ivf",
+    "q_sim_ivf_append", "q_sim_ivf_persisted", "q_sim_ivf_quantized",
+    "q_sim_ivf_recall", "q_sim_pq", "q_sim_pq_persisted", "q_sim_probeset",
+    "q_sim_quantized", "q_sim_topk", "q_tfidf_topterms", "q_tpch_q11",
+    "q_tpch_q22")
+
+  test("no declared query plans a CartesianProduct; BNLJ only in the declared scalar-broadcast set") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljDeclared(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: undeclared BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
