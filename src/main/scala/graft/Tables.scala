@@ -19,6 +19,10 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // sniffed epoch unit of raw-long events.ts, per (session, path)
+  private val unitCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
@@ -55,23 +59,28 @@ object Tables {
         // min AND max must land in the same unit band: a single arbitrary
         // row would silently misdate a table with mixed or out-of-era
         // values (pre-1973 millis overlap post-1970 micros magnitudes) —
-        // disagreement between the extremes errors loudly instead
-        val mm = raw.where(col("ts").isNotNull)
-          .agg(min(abs(col("ts"))), max(abs(col("ts")))).collect().headOption
-        val (lo, hi) = mm match {
-          case Some(r) if !r.isNullAt(0) => (r.getLong(0), r.getLong(1))
-          case _ => (0L, 0L)
-        }
-        def band(v: Long): Long =
-          if (v > 100000000000000000L) 1L                     // already nanos
-          else if (v > 100000000000000L) 1000L                // micros
-          else if (v > 100000000000L) 1000000L                // millis
-          else 1000000000L                                    // seconds
-        require(band(lo) == band(hi),
-          s"events.ts epoch-unit sniff disagreement: |min|=$lo and |max|=$hi " +
-            "land in different unit bands — mixed-unit or out-of-era data; " +
-            "refusing to guess")
-        val toNs = band(hi)
+        // disagreement between the extremes errors loudly instead.
+        // Memoized per (session, path): the loader runs at every query
+        // CONSTRUCTION, and the min/max job — cheap as it is with parquet
+        // footer stats — must not be a per-plan tax.
+        val toNs = unitCache.getOrElseUpdate((spark, s"$dir/events.parquet"), {
+          val mm = raw.where(col("ts").isNotNull)
+            .agg(min(abs(col("ts"))), max(abs(col("ts")))).collect().headOption
+          val (lo, hi) = mm match {
+            case Some(r) if !r.isNullAt(0) => (r.getLong(0), r.getLong(1))
+            case _ => (0L, 0L)
+          }
+          def band(v: Long): Long =
+            if (v > 100000000000000000L) 1L                   // already nanos
+            else if (v > 100000000000000L) 1000L              // micros
+            else if (v > 100000000000L) 1000000L              // millis
+            else 1000000000L                                  // seconds
+          require(band(lo) == band(hi),
+            s"events.ts epoch-unit sniff disagreement: |min|=$lo and |max|=$hi " +
+              "land in different unit bands — mixed-unit or out-of-era data; " +
+              "refusing to guess")
+          band(hi)
+        })
         // toNs == 1 keeps ts_ns a BARE reference to the scan column (not
         // `ts * 1`, which Catalyst won't fold) so its predicates push down;
         // `div` (integer) everywhere — `/` on longs is double division and
