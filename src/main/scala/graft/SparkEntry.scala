@@ -1666,6 +1666,38 @@ object SparkEntry {
           verifyJaccard = Some(0.9), art = Some(dedupArtifacts(s, d)))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // -- [NS] REAL streaming fuzzy dedup: documents arrive as four
+    // id-ordered file slices; each micro-batch band-probes the APPEND-ONLY
+    // signature index of all earlier arrivals (LSH est >= 0.4, exact
+    // shingle verify at J >= 0.9) and appends survivors + its own
+    // signatures. Arrival order = id order (the ULID-ingest property), so
+    // the accepted set equals batch greedy keep-first dedup and shares
+    // q_dedup_keep's first-principles oracle. Fresh work dir per run: the
+    // stream + index build is what this query benches.
+    "q_stream_fuzzy_dedup" -> ((s, d) => {
+      val in = scratchDirs.getOrElseUpdate(s"fuzzyslices:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzyslices")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/slices"
+        val docs0 = documents(s, d)
+        val mx = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+        // sequential single-file appends: FileStreamSource processes
+        // oldest-mtime-first, so write order = arrival order = id order
+        (0 until 4).foreach { i =>
+          docs0.where(col("doc_id") >= i * mx / 4 && col("doc_id") < (i + 1) * mx / 4)
+            .coalesce(1).write.mode("append").parquet(out)
+          Thread.sleep(50) // distinct mtimes even on coarse filesystem clocks
+        }
+        out
+      })
+      val work = java.nio.file.Files.createTempDirectory("graft_fuzzystream")
+      deleteRecursivelyOnExit(work)
+      Dedup.minhashStreamKeep(s, in, work.toFile.getAbsolutePath,
+          keepCols = Seq("doc_id", "lang"),
+          minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+        .orderBy("doc_id")
+    }),
+
     // live closure run (the dashboards read its materialized result from
     // the dedup store instead of re-running it per view)
     "q_dedup_transitive" -> ((s, d) =>
@@ -5789,6 +5821,19 @@ object SparkEntry {
     // argument above), the kept set is exactly documents minus the larger
     // endpoint of every true pair
     "q_dedup_keep" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |tp AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |       WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT db FROM tp) ORDER BY doc_id""".stripMargin,
+
+    // the streamed greedy keep-first equals the batch one (arrival order =
+    // id order, append-only index): same first-principles truth set
+    "q_stream_fuzzy_dedup" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
         |       FROM tok WHERE len(t) >= 3),

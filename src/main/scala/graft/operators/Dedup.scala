@@ -201,13 +201,33 @@ object Dedup {
       bands: Int = 8,
       minEstJaccard: Double = 0.5,
       verifyJaccard: Option[Double] = None): DataFrame = {
-    val rows = perms / bands
-    def sigsOf(df: DataFrame, isInc: Boolean) = df
-      .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"),
-        lit(isInc).as("is_inc"))
-      .where(col("sig").isNotNull)
+    def sigsOf(df: DataFrame, isInc: Boolean) =
+      sigTable(df, n, perms).withColumn("is_inc", lit(isInc))
     val allSigs = sigsOf(corpus, isInc = false)
       .unionByName(sigsOf(increment, isInc = true))
+    lazy val allSh = shingleTable(
+      corpus.select(col("doc_id"), col("text"))
+        .unionByName(increment.select(col("doc_id"), col("text"))), n)
+    probeDrops(allSigs, allSh, perms, bands, minEstJaccard, verifyJaccard)
+  }
+
+  /** The probe core shared by [[minhashIncremental]] (batch) and
+    * [[minhashStreamKeep]] (streaming): increment rows (`is_inc`) band-probe
+    * the full signature set, candidates estimate by signature agreement and
+    * optionally exact-verify against shingle sets; returns the DISTINCT
+    * increment doc_ids to DROP (matched the standing side, or an
+    * earlier-id increment doc). `allShingles` is by-name — only evaluated
+    * when verification is requested.
+    */
+  private def probeDrops(
+      allSigsIn: DataFrame,        // (doc_id, sig, is_inc)
+      allShingles: => DataFrame,   // (doc_id, sh)
+      perms: Int,
+      bands: Int,
+      minEstJaccard: Double,
+      verifyJaccard: Option[Double]): DataFrame = {
+    val rows = perms / bands
+    val allSigs = allSigsIn
       .persist() // the signature index: feeds band explode + both verify sides
     def banded(df: DataFrame) = df.select(col("doc_id"), col("is_inc"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -223,7 +243,11 @@ object Dedup {
     // keep-first filter and spuriously drop the increment doc at J=1.0;
     // excluding self-pairs makes an id collision degrade loudly (doc kept,
     // visible in reconciliation) instead of silently losing data
-    val cand = probe.join(index, Seq("band", "band_hash"))
+    // broadcast the PROBE side: increment bands are O(batch × bands) —
+    // bounded by ingest batch sizing — while the index side is the corpus;
+    // shipping the batch to the index is the only direction that scales,
+    // and it keeps the corpus bands from ever shuffling
+    val cand = broadcast(probe).join(index, Seq("band", "band_hash"))
       .where(col("doc_a") =!= col("doc_b") &&
         (!col("a_inc") || col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -236,9 +260,12 @@ object Dedup {
     // already increment-bounded, so the shingle join re-reads text only for
     // docs that banded together — the corpus at large never re-pairs
     val verified = verifyJaccard.fold(est) { t =>
-      val sh = corpus.select(col("doc_id"), col("text"))
-        .unionByName(increment.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), TF.shingles(col("text"), n).as("sh")).persist()
+      // when the caller's index already carries shingle sets (the combined
+      // streaming index), verify off the same persisted frame; otherwise
+      // evaluate and cache the separate shingle source
+      val sh =
+        if (allSigs.columns.contains("sh")) allSigs.select(col("doc_id"), col("sh"))
+        else allShingles.persist()
       est
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -247,6 +274,100 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
     }
     verified.select(col("doc_b").as("doc_id")).distinct()
+  }
+
+  /** STREAMING fuzzy dedup — the ingest-time shape of the whole family:
+    * documents arrive as a file stream in id order (the arrival-ordered-id
+    * property ULID ingest provides); each micro-batch computes its minhash
+    * signatures, band-probes the APPEND-ONLY signature index of every
+    * earlier arrival, exact-verifies candidates against the shingle index,
+    * appends its survivors to the accepted table — and appends ALL its
+    * docs' signatures/shingles to the index (the drop rule is "similar to
+    * ANY earlier arrival", which makes the result invariant to how the
+    * stream is split into batches).
+    *
+    * With arrival order = id order, the accepted set provably equals the
+    * batch greedy keep-first dedup ([[minhashDeduped]]): candidate
+    * generation is the identical band computation whether two docs meet
+    * within one batch (`doc_a < doc_b`) or across batches (index probe),
+    * so the streamed union of per-batch drops is exactly the batch drop
+    * set. That equality is what the oracle checks.
+    *
+    * Scale shape: per-batch cost is O(batch bands + bucket collisions) —
+    * independent of corpus size beyond the index lookups; the index is
+    * parquet, appended per batch, never rewritten. In production the
+    * appends would commit through the manifest-log protocol
+    * ([[Layout.commitVersion]]) for replay idempotence; here each run uses
+    * a fresh work dir, so a replayed batch cannot double-append.
+    */
+  def minhashStreamKeep(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      workDir: String,
+      keepCols: Seq[String],
+      n: Int = 3,
+      perms: Int = 32,
+      bands: Int = 8,
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None): DataFrame = {
+    val idxDir = s"$workDir/index" // ONE combined (doc_id, sig, sh) table:
+                                   // per batch, one append and one read —
+                                   // micro-batch cost is job-count-bound
+    val accDir = s"$workDir/accepted"
+    // per-batch joins move <= corpus-index rows; at 32 shuffle partitions
+    // each micro-batch pays dozens of near-empty tasks. Size to the batch,
+    // not the session (the upsertUserTotals discipline).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try minhashStreamKeepRun(spark, inputDir, idxDir, accDir,
+      keepCols, n, perms, bands, minEstJaccard, verifyJaccard)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(accDir)
+  }
+
+  /** Combined per-doc index row for the streaming path: signature AND
+    * shingle set in one table (docs with no shingles — null sig — are
+    * excluded; they cannot pair).
+    */
+  private def indexTable(docs: DataFrame, n: Int, perms: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TF.minhashSig(col("text"), n, perms).as("sig"),
+        TF.shingles(col("text"), n).as("sh"))
+      .where(col("sig").isNotNull)
+
+  private def minhashStreamKeepRun(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, idxDir: String, accDir: String,
+      keepCols: Seq[String], n: Int, perms: Int, bands: Int,
+      minEstJaccard: Double, verifyJaccard: Option[Double]): Unit = {
+    val static = spark.read.parquet(inputDir)
+    // seed both stores schema-only so the first batch's reads resolve
+    indexTable(static, n, perms).limit(0).write.mode("overwrite").parquet(idxDir)
+    static.select(keepCols.map(col): _*).limit(0).write.mode("overwrite").parquet(accDir)
+    val q = spark.readStream
+      .schema(static.schema)
+      .option("maxFilesPerTrigger", 2) // two arrival slices per micro-batch
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", s"$accDir/../_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        val bIdx = indexTable(batch, n, perms)
+          .persist() // probe side + index append read it twice
+        val allIdx = s2.read.parquet(idxDir).withColumn("is_inc", lit(false))
+          .unionByName(bIdx.withColumn("is_inc", lit(true)))
+        // allIdx carries `sh`, so probeDrops verifies off the same frame
+        val drops = probeDrops(allIdx, allIdx.select(col("doc_id"), col("sh")),
+          perms, bands, minEstJaccard, verifyJaccard)
+        batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
+          .select(keepCols.map(col): _*)
+          .write.mode("append").parquet(accDir)
+        bIdx.write.mode("append").parquet(idxDir)
+        bIdx.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
   }
 
   /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing

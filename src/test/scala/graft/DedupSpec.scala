@@ -226,6 +226,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("streaming fuzzy dedup equals batch greedy keep-first") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("streamkeep")
+    val in = s"$tmp/slices"
+    val mx = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) + 1
+    (0 until 3).foreach { i =>
+      docs.where(col("doc_id") >= i * mx / 3 && col("doc_id") < (i + 1) * mx / 3)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    val streamed = Dedup.minhashStreamKeep(spark, in, s"$tmp/work",
+        keepCols = Seq("doc_id"), minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    val batch = Dedup.minhashDeduped(docs, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
