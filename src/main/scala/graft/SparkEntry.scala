@@ -1097,6 +1097,41 @@ object SparkEntry {
     // IVF is approximate, so its top-k itself is rows-only — but its recall
     // against the exact brute-force top-k is a deterministic invariant of
     // (data, centroids, nprobe) and hash-checks against a constant oracle
+    // -- [NS] REAL streaming ANN ingest: embedding drops arrive as
+    // id-ordered file slices; the IVF index bootstraps on the FIRST drop
+    // (the pipeline's one k-means) and every batch assigns to the
+    // persisted centroids and appends (…, cell) rows — the FAISS
+    // add-vs-train split, streamed. The probe then searches the STORED
+    // cells (no re-assignment on the read path) and must recall >= 8/10
+    // of the float brute-force truth. --
+    "q_stream_ann_ingest" -> ((s, d) => {
+      val in = scratchDirs.getOrElseUpdate(s"embslices:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_embslices")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/slices"
+        val e = embeddings(s, d)
+        val mx = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        (0 until 4).foreach { i =>
+          e.where(col("vec_id") >= i * mx / 4 && col("vec_id") < (i + 1) * mx / 4)
+            .coalesce(1).write.mode("append").parquet(out)
+          Thread.sleep(50) // distinct mtimes: arrival order = id order
+        }
+        out
+      })
+      val work = java.nio.file.Files.createTempDirectory("graft_annstream")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val streamed = Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10)
+        .select("vec_id")
+      val ivf = Similarity.ivfTopKStored(streamed, s"$w/ivf_index", probeId = 0L,
+          k = 10, nprobe = 8)
+        .select("vec_id")
+      bf.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -5702,6 +5737,11 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sim_ivf_recall" ->
+      "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // streamed first-drop-trained index at nprobe=8: the recall gate is
+    // the declared invariant, like every approximate tier
+    "q_stream_ann_ingest" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
 
     // int8 quantization keeps the exact top-10 on this data (cosine

@@ -317,9 +317,20 @@ object Similarity {
     * probe's `nprobe` nearest cells, exact-cosine within them.
     */
   private def ivfProbe(all: DataFrame, centroids: Array[Array[Double]],
-                       probeId: Long, k: Int, nprobe: Int): DataFrame = {
-    val assigned = all.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
-    val probe = all.where(col("vec_id") === probeId)
+                       probeId: Long, k: Int, nprobe: Int): DataFrame =
+    ivfProbeAssigned(
+      all.withColumn("cell", nearestCellUdf(centroids)(col("embedding"))),
+      centroids, probeId, k, nprobe)
+
+  /** Probe tail over a table that ALREADY carries its cell assignment —
+    * the serving path of a stored cell-partitioned layout (the streamed
+    * ingest below): no per-query re-assignment map, the cell filter prunes
+    * directly on the stored column (partition pruning, when the store is
+    * `partitionBy("cell")`).
+    */
+  private def ivfProbeAssigned(assigned: DataFrame, centroids: Array[Array[Double]],
+                               probeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val probe = assigned.where(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
 
     val probeRows = probe.collect()
@@ -398,6 +409,64 @@ object Similarity {
   def ivfTopKPersisted(embeddings: DataFrame, indexPath: String, probeId: Long,
                        k: Int = 10, nprobe: Int = 4): DataFrame =
     ivfProbe(embeddings, loadIvfIndex(embeddings.sparkSession, indexPath), probeId, k, nprobe)
+
+  /** STREAMING ANN ingest — the embeddings-side sibling of
+    * `Dedup.minhashStreamKeep`: vector drops arrive as a file stream; the
+    * IVF index BOOTSTRAPS on the first drop (`saveIvfIndex`, the one
+    * k-means training of the pipeline's life) and every batch — including
+    * the first — assigns its vectors to the persisted centroids in one map
+    * pass and appends `(…, cell)` rows to the cell-carrying store. No
+    * retraining ever happens on the ingest path (the FAISS add-vs-train
+    * split, streamed); recall drift against the grown corpus is the
+    * offline re-train trigger, gated by the caller.
+    *
+    * Scale shape: per batch, one tiny index read (nlist × dim doubles, and
+    * only on bootstrap a bounded-sample train), one codegen-friendly map,
+    * one append. At 100 TB the store would be `partitionBy("cell")` so
+    * probes prune to nprobe directories; at testdata scale the cell column
+    * serves the same probe via [[ivfTopKStored]].
+    */
+  def streamIngestIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      workDir: String,
+      nlist: Int = 16,
+      sampleRows: Int = 2048): DataFrame = {
+    val idxPath = s"$workDir/ivf_index"
+    val dataDir = s"$workDir/cells"
+    val static = spark.read.parquet(inputDir)
+    static.withColumn("cell", lit(0)).limit(0)
+      .write.mode("overwrite").parquet(dataDir) // schema-only seed
+    val q = spark.readStream
+      .schema(static.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) saveIvfIndex(batch, idxPath, nlist, sampleRows)
+        val centroids = loadIvfIndex(s2, idxPath)
+        batch.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+          .write.mode("append").parquet(dataDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(dataDir)
+  }
+
+  /** IVF top-k over a STORED cell-assigned table (the streamed ingest's
+    * output) with a persisted index: the probe ranks its nprobe nearest
+    * cells from the loaded centroids and scans only matching `cell` rows —
+    * no re-assignment map anywhere on the read path.
+    */
+  def ivfTopKStored(assigned: DataFrame, indexPath: String, probeId: Long,
+                    k: Int = 10, nprobe: Int = 4): DataFrame =
+    ivfProbeAssigned(assigned, loadIvfIndex(assigned.sparkSession, indexPath),
+      probeId, k, nprobe)
 
   /** Persist the PQ index (per-subspace codebooks) as parquet
     * `(subspace int, code int, centroid array<double>)` — m × k × (dim/m)

@@ -149,6 +149,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("streaming IVF ingest: one bootstrap training, complete store, valid cells, recall holds") {
+    val tmp = java.nio.file.Files.createTempDirectory("annstream").toString
+    val in = s"$tmp/slices"
+    (0 until 2).foreach { i =>
+      emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    Similarity.clearIndexCaches()
+    val before = Similarity.kmeansTrainings
+    val streamed = Similarity.streamIngestIvf(spark, in, s"$tmp/work",
+      nlist = 4, sampleRows = 40)
+    assert(Similarity.kmeansTrainings == before + 1,
+      "ingest must train exactly once (first-drop bootstrap), never on later batches")
+    assert(streamed.count() == 40, "every streamed vector lands in the store")
+    val cells = streamed.select("cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 4))
+    // serving path: stored-cell probe at full nprobe equals brute force
+    val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val stored = Similarity.ivfTopKStored(streamed, s"$tmp/work/ivf_index",
+        probeId = 0L, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(stored == bf, s"nprobe=nlist stored-cell search must equal brute force: $stored vs $bf")
+  }
+
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/pq"
     Similarity.savePqIndex(emb, dir, m = 4, codebookK = 8, sampleRows = 40)
