@@ -295,10 +295,11 @@ object Dedup {
     *
     * Scale shape: per-batch cost is O(batch bands + bucket collisions) —
     * independent of corpus size beyond the index lookups; the index is
-    * parquet, appended per batch, never rewritten. In production the
-    * appends would commit through the manifest-log protocol
-    * ([[Layout.commitVersion]]) for replay idempotence; here each run uses
-    * a fresh work dir, so a replayed batch cannot double-append.
+    * parquet, one new `batch=<id>` partition per batch, never rewritten.
+    * REPLAY-IDEMPOTENT by construction: a replayed batch overwrites its
+    * OWN partition and probes only earlier ones (see
+    * [[minhashStreamBatch]]) — the exactly-once-effect contract of the
+    * MERGE sink, without needing a fresh work dir.
     */
   def minhashStreamKeep(
       spark: org.apache.spark.sql.SparkSession,
@@ -322,7 +323,7 @@ object Dedup {
     try minhashStreamKeepRun(spark, inputDir, idxDir, accDir,
       keepCols, n, perms, bands, minEstJaccard, verifyJaccard)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.read.parquet(accDir)
+    spark.read.parquet(accDir).drop("batch")
   }
 
   /** Combined per-doc index row for the streaming path: signature AND
@@ -341,33 +342,63 @@ object Dedup {
       keepCols: Seq[String], n: Int, perms: Int, bands: Int,
       minEstJaccard: Double, verifyJaccard: Option[Double]): Unit = {
     val static = spark.read.parquet(inputDir)
-    // seed both stores schema-only so the first batch's reads resolve
-    indexTable(static, n, perms).limit(0).write.mode("overwrite").parquet(idxDir)
-    static.select(keepCols.map(col): _*).limit(0).write.mode("overwrite").parquet(accDir)
+    seedStreamStores(static, idxDir, accDir, keepCols, n, perms)
     val q = spark.readStream
       .schema(static.schema)
       .option("maxFilesPerTrigger", 2) // two arrival slices per micro-batch
       .parquet(inputDir)
       .writeStream
       .option("checkpointLocation", s"$accDir/../_chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s2 = batch.sparkSession
-        val bIdx = indexTable(batch, n, perms)
-          .persist() // probe side + index append read it twice
-        val allIdx = s2.read.parquet(idxDir).withColumn("is_inc", lit(false))
-          .unionByName(bIdx.withColumn("is_inc", lit(true)))
-        // allIdx carries `sh`, so probeDrops verifies off the same frame
-        val drops = probeDrops(allIdx, allIdx.select(col("doc_id"), col("sh")),
-          perms, bands, minEstJaccard, verifyJaccard)
-        batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
-          .select(keepCols.map(col): _*)
-          .write.mode("append").parquet(accDir)
-        bIdx.write.mode("append").parquet(idxDir)
-        bIdx.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashStreamBatch(batch, batchId, idxDir, accDir,
+          keepCols, n, perms, bands, minEstJaccard, verifyJaccard)
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Seed both stream stores with an empty `batch=-1` partition so
+    * partition discovery (and the first batch's index read) resolves.
+    */
+  private[graft] def seedStreamStores(static: DataFrame, idxDir: String,
+      accDir: String, keepCols: Seq[String], n: Int, perms: Int): Unit = {
+    indexTable(static, n, perms).limit(0)
+      .write.mode("overwrite").parquet(s"$idxDir/batch=-1")
+    static.select(keepCols.map(col): _*).limit(0)
+      .write.mode("overwrite").parquet(s"$accDir/batch=-1")
+  }
+
+  /** One micro-batch of the streaming dedup — REPLAY-IDEMPOTENT: the
+    * batch's accepted and index rows land in its OWN `batch=<id>`
+    * partition with overwrite, so a checkpoint replay (crash after the
+    * appends, before the checkpoint commit) replaces its previous partial
+    * output instead of double-appending — the same own-version-overwrite
+    * contract as the MERGE sink (`EventStreams.upsertUserTotals`). The
+    * probe reads only `batch < id` partitions (partition-pruned), so a
+    * replayed batch never sees its own stale index rows — without the
+    * filter, a stale copy of a LATER batch doc on the corpus side would
+    * spuriously drop an earlier-id doc of the replayed batch.
+    */
+  private[graft] def minhashStreamBatch(
+      batch: DataFrame, batchId: Long, idxDir: String, accDir: String,
+      keepCols: Seq[String], n: Int, perms: Int, bands: Int,
+      minEstJaccard: Double, verifyJaccard: Option[Double]): Unit = {
+    val s2 = batch.sparkSession
+    val bIdx = indexTable(batch, n, perms)
+      .persist() // probe side + index append read it twice
+    val allIdx = s2.read.parquet(idxDir)
+      .where(col("batch") < batchId).drop("batch")
+      .withColumn("is_inc", lit(false))
+      .unionByName(bIdx.withColumn("is_inc", lit(true)))
+    // allIdx carries `sh`, so probeDrops verifies off the same frame
+    val drops = probeDrops(allIdx, allIdx.select(col("doc_id"), col("sh")),
+      perms, bands, minEstJaccard, verifyJaccard)
+    batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
+      .select(keepCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$accDir/batch=$batchId")
+    bIdx.write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+    bIdx.unpersist()
   }
 
   /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing

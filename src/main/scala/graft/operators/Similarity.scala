@@ -435,27 +435,42 @@ object Similarity {
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
     val static = spark.read.parquet(inputDir)
+    // empty batch=-1 partition: partition discovery resolves before any
+    // real batch lands
     static.withColumn("cell", lit(0)).limit(0)
-      .write.mode("overwrite").parquet(dataDir) // schema-only seed
+      .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
     val q = spark.readStream
       .schema(static.schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(inputDir)
       .writeStream
       .option("checkpointLocation", s"$workDir/_chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s2 = batch.sparkSession
-        val p = new org.apache.hadoop.fs.Path(idxPath)
-        val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) saveIvfIndex(batch, idxPath, nlist, sampleRows)
-        val centroids = loadIvfIndex(s2, idxPath)
-        batch.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
-          .write.mode("append").parquet(dataDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamIngestIvfBatch(batch, batchId, idxPath, dataDir, nlist, sampleRows)
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(dataDir)
+    spark.read.parquet(dataDir).drop("batch")
+  }
+
+  /** One ingest micro-batch — REPLAY-IDEMPOTENT like the dedup stream's:
+    * the batch overwrites its OWN `batch=<id>` partition, so a checkpoint
+    * replay replaces rather than double-appends. The index bootstrap is
+    * naturally idempotent: train-if-absent, and a replayed first batch
+    * retrains on the same data to the same centroids (deterministic
+    * sample + seed-free k-means).
+    */
+  private[graft] def streamIngestIvfBatch(
+      batch: DataFrame, batchId: Long, idxPath: String, dataDir: String,
+      nlist: Int, sampleRows: Int): Unit = {
+    val s2 = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) saveIvfIndex(batch, idxPath, nlist, sampleRows)
+    val centroids = loadIvfIndex(s2, idxPath)
+    batch.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's

@@ -246,6 +246,27 @@ class DedupSpec extends SparkSpec {
         s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
   }
 
+  test("streaming dedup micro-batch is replay-idempotent") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("streamreplay")
+    val idx = s"$tmp/index"; val acc = s"$tmp/accepted"
+    Dedup.seedStreamStores(docs, idx, acc, Seq("doc_id"), n = 3, perms = 32)
+    val mx = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) + 1
+    def slice(i: Int) =
+      docs.where(col("doc_id") >= i * mx / 2 && col("doc_id") < (i + 1) * mx / 2)
+    def run(i: Int): Unit = Dedup.minhashStreamBatch(slice(i), i, idx, acc,
+      Seq("doc_id"), 3, 32, 8, 0.4, Some(0.9))
+    run(0); run(1)
+    val once = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSeq.sorted
+    run(1) // checkpoint replay of the last batch: crash after write, before commit
+    val replayed = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSeq.sorted
+    assert(replayed == once, "a replayed batch must replace, not double-append")
+    assert(once.distinct == once, "no duplicate accepted ids")
+    val batchKeep = Dedup.minhashDeduped(docs, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(once == batchKeep, "replayed stream still equals batch greedy keep-first")
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)

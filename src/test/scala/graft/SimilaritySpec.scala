@@ -175,6 +175,21 @@ class SimilaritySpec extends SparkSpec {
     assert(stored == bf, s"nprobe=nlist stored-cell search must equal brute force: $stored vs $bf")
   }
 
+  test("streaming IVF ingest micro-batch is replay-idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("annreplay").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    emb.withColumn("cell", lit(0)).limit(0)
+      .write.mode("overwrite").parquet(s"$data/batch=-1")
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    val once = spark.read.parquet(data).drop("batch").count()
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    assert(spark.read.parquet(data).drop("batch").count() == once,
+      "a replayed ingest batch must replace its partition, not double-append")
+    assert(once == 40)
+  }
+
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/pq"
     Similarity.savePqIndex(emb, dir, m = 4, codebookK = 8, sampleRows = 40)
