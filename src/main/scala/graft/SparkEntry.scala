@@ -921,6 +921,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- [NS] INCREMENTAL substring dup-mass: the new batch's windows
+    // (doc_id >= 400) probe the standing corpus's STORED window table —
+    // corpus text is never re-scanned; result == full-corpus dup mass
+    // restricted to the increment, which the oracle recomputes --
+    "q_dedup_substring_incremental" -> ((s, d) => {
+      val corpusWins = dedupArtifacts(s, d).winsPos.where(col("doc_id") < 400)
+      Dedup.substringMassIncremental(corpusWins,
+          documents(s, d).where(col("doc_id") >= 400), width = 40)
+        .orderBy("doc_id")
+    }),
+
     // -- [NS] the dedup FUNNEL: every tier composed into one curation
     // dashboard — raw → byte-exact → normalized-exact → fuzzy-transitive
     // survivors → substring-clean docs. Each count exercises its tier's
@@ -6163,6 +6174,19 @@ object SparkEntry {
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
         |SELECT w.doc_id, count(*) AS n_dup_windows
         |FROM w JOIN shared USING (win)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // incremental == full-corpus dup mass restricted to the increment
+    "q_dedup_substring_incremental" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |  WHERE length(text) >= 40
+        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
+        |SELECT w.doc_id, count(*) AS n_dup_windows
+        |FROM w JOIN shared USING (win)
+        |WHERE w.doc_id >= 400
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact twin of Dedup.substringDupPairs: every 40-char window, kept iff

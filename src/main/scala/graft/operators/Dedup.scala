@@ -781,6 +781,38 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
   }
 
+  /** INCREMENTAL substring dup-mass — the substring tier's sibling of
+    * [[minhashIncremental]]: per-doc count of the increment's sampled
+    * windows shared with ANY other doc (the standing corpus, or another
+    * increment doc), computed WITHOUT touching corpus text. The corpus
+    * contributes only its stored window table (`corpusWins`, the
+    * [[windowTable]] artifact a pipeline appends at ingest); per-batch
+    * cost is the increment's window extraction plus one census join.
+    *
+    * Equivalence: an increment doc's window is "shared" iff the total
+    * distinct holders across corpus ∪ increment is ≥ 2 — i.e. the corpus
+    * holds it at all (nc ≥ 1), or a second increment doc does (ni ≥ 2) —
+    * so the result equals the full-corpus [[substringDupMass]] restricted
+    * to increment docs, which is what the oracle recomputes.
+    */
+  def substringMassIncremental(
+      corpusWins: DataFrame,
+      increment: DataFrame,
+      width: Int = 40): DataFrame = {
+    val winsInc = windowTable(increment, width)
+      .select(col("doc_id"), col("win")).distinct()
+      .persist() // census side + per-doc count side
+    val nc = corpusWins.select(col("doc_id"), col("win")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("nc"))
+    val shared = winsInc
+      .groupBy(col("win")).agg(count(lit(1)).as("ni"))
+      .join(nc, Seq("win"), "left")
+      .where(col("ni") >= 2 || coalesce(col("nc"), lit(0L)) >= 1)
+      .select(col("win"))
+    winsInc.join(shared, Seq("win"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+  }
+
   /** Materialized substring-clean corpus (the excision step of Lee et al.
     * 2021's "Deduplicating Training Data Makes Language Models Better"):
     * every sampled window shared with ANOTHER document marks its char span;

@@ -267,6 +267,17 @@ class DedupSpec extends SparkSpec {
     assert(once == batchKeep, "replayed stream still equals batch greedy keep-first")
   }
 
+  test("incremental substring mass equals full-corpus mass restricted to the increment") {
+    val docs = Tables.documents(spark, Sf0001)
+    val full = Dedup.substringDupMass(docs).where(col("doc_id") >= 250L)
+      .as[(Long, Long)].collect().toMap
+    val inc = Dedup.substringMassIncremental(
+        Dedup.windowTable(docs.where(col("doc_id") < 250L)),
+        docs.where(col("doc_id") >= 250L))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"diff keys: ${(inc.keySet diff full.keySet) ++ (full.keySet diff inc.keySet)}")
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
