@@ -60,7 +60,7 @@ object SparkEntry {
     * (`q_dedup_transitive`, `q_dedup_substring_mass`).
     */
   private final case class DedupStore(art: Dedup.Artifacts,
-      fuzzyDrops: DataFrame, mass: DataFrame)
+      fuzzyDrops: DataFrame, mass: DataFrame, edges07: DataFrame)
 
   private def dedupStoreRoot(s: SparkSession, d: String): String =
     scratchDirs.getOrElseUpdate(s"dedupart:$d", {
@@ -80,6 +80,12 @@ object SparkEntry {
         verifyJaccard = Some(0.9), art = Some(art)).write.parquet(s"$r/fuzzy_drop")
       Dedup.substringDupMass(docs0, width = 40, art = Some(art))
         .write.parquet(s"$r/mass")
+      // the J >= 0.7 similarity GRAPH: edges are as much a corpus artifact
+      // as the drop set — graph analytics (PageRank, triangles) read the
+      // stored edge list; the AllPairs join that builds it stays
+      // live-benched in q_dedup_recall
+      Dedup.exactJaccardPairs(docs0, n = 3, minJaccard = 0.7, art = Some(art))
+        .write.parquet(s"$r/edges07")
       Seq(art.sigs, art.shingles, art.winsPos).foreach(_.unpersist())
       r
     })
@@ -99,7 +105,8 @@ object SparkEntry {
     val root = dedupStoreRoot(s, d)
     DedupStore(dedupArtifacts(s, d),
       fuzzyDrops = s.read.parquet(s"$root/fuzzy_drop"),
-      mass       = s.read.parquet(s"$root/mass"))
+      mass       = s.read.parquet(s"$root/mass"),
+      edges07    = s.read.parquet(s"$root/edges07"))
   }
 
   /** Shared scratch for the stateful-catch-up pair: two arrivals, two
@@ -2761,13 +2768,15 @@ object SparkEntry {
     // the prefix-filtered AllPairs join; per-iteration 12-dp + decimal-sum
     // convention makes all 5 iterations bit-identical cross-engine. --
     "q_pagerank_sim" -> ((s, d) =>
-      graft.operators.Graph.pageRankSim(documents(s, d))),
+      graft.operators.Graph.pageRankSim(documents(s, d),
+        pairsOpt = Some(dedupStore(s, d).edges07))),
 
     // -- [NS] degree-oriented triangle counting over the same similarity
     // graph — local clustering / duplicate-clique signal; O(m^1.5) wedge
     // bound from the orientation, three hash joins, no iteration --
     "q_triangles" -> ((s, d) =>
-      graft.operators.Graph.triangleCounts(documents(s, d))),
+      graft.operators.Graph.triangleCounts(documents(s, d),
+        pairsOpt = Some(dedupStore(s, d).edges07))),
 
     // -- [NS] C4-style boilerplate strip: segments repeated across >= 3
     // documents removed corpus-wide, survivors reassembled in order

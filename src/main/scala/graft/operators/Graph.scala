@@ -51,10 +51,13 @@ object Graph {
     * star-shaped duplicate family would otherwise make quadratic. Three
     * hash joins, no iteration.
     */
-  def triangleCounts(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
-    // canonical undirected pair list (doc_a < doc_b); persisted because it
-    // feeds degree, orientation, and the closing join
-    val pairs = Dedup.exactJaccardPairs(docs, n = 3, minJaccard = minJaccard)
+  def triangleCounts(docs: DataFrame, minJaccard: Double = 0.7,
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
+    // canonical undirected pair list (doc_a < doc_b) — from the caller's
+    // stored edge artifact when provided, else the AllPairs join; persisted
+    // because it feeds degree, orientation, and the closing join
+    val pairs = pairsOpt
+      .getOrElse(Dedup.exactJaccardPairs(docs, n = 3, minJaccard = minJaccard))
       .select("doc_a", "doc_b").persist()
     val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -79,12 +82,14 @@ object Graph {
 
   def pageRankSim(
       docs: DataFrame, minJaccard: Double = 0.7, iters: Int = 5,
-      damping: Double = 0.85, reset: Double = 0.15): DataFrame = {
+      damping: Double = 0.85, reset: Double = 0.15,
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
     // persist the pair list FIRST: the union (both orientations), the
     // degree aggregate, and the degree join each re-evaluate their input,
     // so an unpersisted AllPairs join would run ~6× (measured 26 s -> 4 s
     // at sf0.1 from this one barrier)
-    val pairs = Dedup.exactJaccardPairs(docs, n = 3, minJaccard = minJaccard)
+    val pairs = pairsOpt
+      .getOrElse(Dedup.exactJaccardPairs(docs, n = 3, minJaccard = minJaccard))
       .select("doc_a", "doc_b").persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
