@@ -929,13 +929,18 @@ object SparkEntry {
     }),
 
     // -- [NS] INCREMENTAL substring dup-mass: the new batch's windows
-    // (doc_id >= 400) probe the standing corpus's STORED window table —
-    // corpus text is never re-scanned; result == full-corpus dup mass
-    // restricted to the increment, which the oracle recomputes --
+    // (the top 20% of doc ids — a batch-sized increment at EVERY scale,
+    // where a fixed id split would make the "batch" most of a larger
+    // corpus) probe the standing corpus's STORED window table — corpus
+    // text is never re-scanned; result == full-corpus dup mass restricted
+    // to the increment, which the oracle recomputes with the same
+    // floor-div threshold --
     "q_dedup_substring_incremental" -> ((s, d) => {
-      val corpusWins = dedupArtifacts(s, d).winsPos.where(col("doc_id") < 400)
+      val docs0 = documents(s, d)
+      val thr = docs0.agg(max(col("doc_id"))).head().getLong(0) * 4L / 5L
+      val corpusWins = dedupArtifacts(s, d).winsPos.where(col("doc_id") < thr)
       Dedup.substringMassIncremental(corpusWins,
-          documents(s, d).where(col("doc_id") >= 400), width = 40)
+          docs0.where(col("doc_id") >= thr), width = 40)
         .orderBy("doc_id")
     }),
 
@@ -6185,7 +6190,9 @@ object SparkEntry {
         |FROM w JOIN shared USING (win)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // incremental == full-corpus dup mass restricted to the increment
+    // incremental == full-corpus dup mass restricted to the increment;
+    // the split threshold is the same floor-div both engines compute
+    // exactly on integers
     "q_dedup_substring_incremental" ->
       """WITH w AS (
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
@@ -6195,7 +6202,7 @@ object SparkEntry {
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
         |SELECT w.doc_id, count(*) AS n_dup_windows
         |FROM w JOIN shared USING (win)
-        |WHERE w.doc_id >= 400
+        |WHERE w.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact twin of Dedup.substringDupPairs: every 40-char window, kept iff
