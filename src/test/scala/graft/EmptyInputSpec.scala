@@ -36,6 +36,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Similarity.hammingProbeSetTopK(e, e).count() == 0)
   }
 
+  test("round-9 incremental/streaming tiers degrade on empty input") {
+    // empty increment against a real corpus window table
+    val docs = Tables.documents(spark, Sf0001)
+    assert(Dedup.substringMassIncremental(Dedup.windowTable(docs), emptyDocs).count() == 0)
+    // empty corpus window table: increment's dup mass is purely internal
+    val emptyWins = Seq.empty[(Long, Long, String)].toDF("doc_id", "pos", "win")
+    val selfOnly = Dedup.substringMassIncremental(emptyWins, docs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.substringDupMass(docs).as[(Long, Long)].collect().toMap
+    assert(selfOnly == full, "with no standing corpus, incremental == full self mass")
+    // an EMPTY streaming micro-batch must write its (empty) partition and
+    // drop nothing, not throw
+    val tmp = java.nio.file.Files.createTempDirectory("emptybatch")
+    val idx = s"$tmp/index"; val acc = s"$tmp/accepted"
+    Dedup.seedStreamStores(docs, idx, acc, Seq("doc_id"), n = 3, perms = 32)
+    Dedup.minhashStreamBatch(emptyDocs, 0L, idx, acc, Seq("doc_id"),
+      3, 32, 8, 0.4, Some(0.9))
+    assert(spark.read.parquet(acc).count() == 0)
+  }
+
   test("retrieval/chunking/semantic tiers return empty on empty input") {
     import graft.operators.{Corpus, Similarity}
     assert(Corpus.bm25TopK(emptyDocs, Seq("a", "b")).count() == 0)
