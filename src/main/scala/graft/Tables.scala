@@ -23,6 +23,35 @@ object Tables {
   private val unitCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
+  /** Sniff the epoch unit of a raw-long `ts` column as the ns multiplier
+    * (1 / 1e3 / 1e6 / 1e9). Shared by the batch loader and the streaming
+    * reader so both apply the same guard: min AND max magnitudes must land
+    * in the same unit band — a single sampled value would silently misdate
+    * mixed or out-of-era data, while disagreement here errors loudly.
+    * Memoized per (session, path): one footer-stat aggregate, not a
+    * per-plan tax.
+    */
+  private[graft] def sniffEpochToNs(spark: SparkSession, raw: DataFrame,
+      path: String): Long =
+    unitCache.getOrElseUpdate((spark, path), {
+      val mm = raw.where(col("ts").isNotNull)
+        .agg(min(abs(col("ts"))), max(abs(col("ts")))).collect().headOption
+      val (lo, hi) = mm match {
+        case Some(r) if !r.isNullAt(0) => (r.getLong(0), r.getLong(1))
+        case _ => (0L, 0L)
+      }
+      def band(v: Long): Long =
+        if (v > 100000000000000000L) 1L                   // already nanos
+        else if (v > 100000000000000L) 1000L              // micros
+        else if (v > 100000000000L) 1000000L              // millis
+        else 1000000000L                                  // seconds
+      require(band(lo) == band(hi),
+        s"events.ts epoch-unit sniff disagreement: |min|=$lo and |max|=$hi " +
+          "land in different unit bands — mixed-unit or out-of-era data; " +
+          "refusing to guess")
+      band(hi)
+    })
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
@@ -63,24 +92,7 @@ object Tables {
         // Memoized per (session, path): the loader runs at every query
         // CONSTRUCTION, and the min/max job — cheap as it is with parquet
         // footer stats — must not be a per-plan tax.
-        val toNs = unitCache.getOrElseUpdate((spark, s"$dir/events.parquet"), {
-          val mm = raw.where(col("ts").isNotNull)
-            .agg(min(abs(col("ts"))), max(abs(col("ts")))).collect().headOption
-          val (lo, hi) = mm match {
-            case Some(r) if !r.isNullAt(0) => (r.getLong(0), r.getLong(1))
-            case _ => (0L, 0L)
-          }
-          def band(v: Long): Long =
-            if (v > 100000000000000000L) 1L                   // already nanos
-            else if (v > 100000000000000L) 1000L              // micros
-            else if (v > 100000000000L) 1000000L              // millis
-            else 1000000000L                                  // seconds
-          require(band(lo) == band(hi),
-            s"events.ts epoch-unit sniff disagreement: |min|=$lo and |max|=$hi " +
-              "land in different unit bands — mixed-unit or out-of-era data; " +
-              "refusing to guess")
-          band(hi)
-        })
+        val toNs = sniffEpochToNs(spark, raw, s"$dir/events.parquet")
         // toNs == 1 keeps ts_ns a BARE reference to the scan column (not
         // `ts * 1`, which Catalyst won't fold) so its predicates push down;
         // `div` (integer) everywhere — `/` on longs is double division and

@@ -40,21 +40,16 @@ object EventStreams {
     // as basePath itself and rejected ("must be a directory")
     val cut = path.lastIndexOf('/')
     val glob = path.substring(0, cut + 1) + "{" + path.substring(cut + 1) + "}"
-    // sniff the on-disk layout once (one footer read): raw-long ts under
-    // the legacy conf vs a real timestamp column; for the long form, sniff
-    // the epoch UNIT from one value's magnitude (same guard as
-    // Tables.events — the testdata's physical form has changed across
-    // regenerations, and a silent nanos assumption over millis data would
-    // misdate every event)
+    // sniff the on-disk layout once: raw-long ts under the legacy conf vs
+    // a real timestamp column; for the long form, the epoch UNIT comes
+    // from the SHARED min/max band sniff (graft.Tables.sniffEpochToNs —
+    // the same same-band guard the batch loader applies, memoized per
+    // path; the testdata's physical form has changed across regenerations,
+    // and a silent nanos assumption over millis data would misdate every
+    // event)
     val batch = spark.read.parquet(path)
     if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      val sample = batch.select(abs(col("ts"))).where(col("ts").isNotNull)
-        .limit(1).collect().headOption.map(_.getLong(0)).getOrElse(0L)
-      val toNs =
-        if (sample > 100000000000000000L) 1L
-        else if (sample > 100000000000000L) 1000L
-        else if (sample > 100000000000L) 1000000L
-        else 1000000000L
+      val toNs = graft.Tables.sniffEpochToNs(spark, batch, path)
       val tsUs = if (toNs == 1L) expr("ts div 1000")
                  else expr(s"(ts * $toNs) div 1000")
       spark.readStream.schema(nanosSchema).parquet(glob)
