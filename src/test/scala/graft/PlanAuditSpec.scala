@@ -89,6 +89,21 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")
 
+  test("point lookup and type filter push equality predicates to the scan") {
+    val pl = pushedFilters(SparkEntry.queries("q_point_lookup")(spark, Sf0001))
+    assert("EqualTo\\(event_id[,)]".r.findFirstIn(pl).isDefined,
+      s"point lookup id predicate not pushed; pushed=[$pl]")
+    val ft = pushedFilters(SparkEntry.queries("q_filter_type")(spark, Sf0001))
+    assert("EqualTo\\(event_type[,)]".r.findFirstIn(ft).isDefined,
+      s"type filter not pushed; pushed=[$ft]")
+  }
+
+  test("TPC-H star join uses broadcast joins for its dimensions") {
+    val plan = SparkEntry.queries("q_star_join")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("no declared query plans a CartesianProduct; BNLJ only in the declared scalar-broadcast set") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
