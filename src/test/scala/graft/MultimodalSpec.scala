@@ -203,6 +203,13 @@ class MultimodalSpec extends SparkSpec {
     // ftyp but no moov: recognized shape, still invalid (no timing)
     val ftypOnly = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ Array[Byte](0, 0, 0, 0)
     assert(!Multimodal.parseVideo(0L, ftypOnly).valid)
+    // crafted RIFF chunk size near Int.MaxValue: positive (passes the sign
+    // check) but overflowed the Int cursor before the guard — must return
+    // invalid, not throw from a negative string index
+    val evil = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F) ++
+      new Array[Byte](64)
+    assert(!Multimodal.parseAudio(0L, evil).valid)
   }
 
   test("parseAny dispatches mixed payloads to the right parser by magic") {
