@@ -243,11 +243,27 @@ object Dedup {
     // keep-first filter and spuriously drop the increment doc at J=1.0;
     // excluding self-pairs makes an id collision degrade loudly (doc kept,
     // visible in reconciliation) instead of silently losing data
+    // skew cap, parity with bucketPairs' MaxBucket star degradation: an
+    // uncapped band join would pair every probe doc in a hot (boilerplate)
+    // bucket with EVERY index doc in it — b×N pairs from one degenerate
+    // band key. The index side aggregates per bucket with the member list
+    // capped at the MaxBucket smallest ids BEFORE any pairing (partial
+    // aggregation keeps the shuffle bounded per bucket); a probe doc
+    // similar to a capped-out member is still caught by the retained
+    // smallest members in the overwhelming case (the family shares bands),
+    // the same documented trade as the batch tier's star degradation. In
+    // production the stored band index is bucketed and capped at APPEND
+    // time, making this a free read.
+    val idxBuckets = index
+      .groupBy(col("band"), col("band_hash"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_a"), col("a_inc")))),
+        1, MaxBucket).as("members"))
     // broadcast the PROBE side: increment bands are O(batch × bands) —
     // bounded by ingest batch sizing — while the index side is the corpus;
-    // shipping the batch to the index is the only direction that scales,
-    // and it keeps the corpus bands from ever shuffling
-    val cand = broadcast(probe).join(index, Seq("band", "band_hash"))
+    // shipping the batch to the index is the only direction that scales
+    val cand = broadcast(probe).join(idxBuckets, Seq("band", "band_hash"))
+      .select(col("doc_b"), explode(col("members")).as("m"))
+      .select(col("m.doc_a").as("doc_a"), col("doc_b"), col("m.a_inc").as("a_inc"))
       .where(col("doc_a") =!= col("doc_b") &&
         (!col("a_inc") || col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
