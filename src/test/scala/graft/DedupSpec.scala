@@ -278,6 +278,18 @@ class DedupSpec extends SparkSpec {
     assert(inc == full, s"diff keys: ${(inc.keySet diff full.keySet) ++ (full.keySet diff inc.keySet)}")
   }
 
+  test("incremental probe skew guard: a degenerate bucket still drops every duplicate") {
+    // 200 identical docs, split corpus/increment: one band bucket holds all
+    // of them; the MaxBucket cap must bound the pair space while every
+    // increment doc still matches a retained (smallest-id) corpus member
+    val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
+    val corpus = many.take(100).toDF("doc_id", "text")
+    val inc = many.drop(100).toDF("doc_id", "text")
+    val dropped = Dedup.minhashIncremental(corpus, inc, minEstJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(dropped == (101L to 200L).toSet)
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
