@@ -62,12 +62,29 @@ object SparkEntry {
   private final case class DedupStore(art: Dedup.Artifacts,
       fuzzyDrops: DataFrame, mass: DataFrame, edges07: DataFrame)
 
+  /** The canonical store parameters every dashboard consumer declares:
+    * n=3 word shingles, 32 perms, width-40 Karp-Rabin windows, and the
+    * bottom-80%-of-ids standing-corpus split for the census artifact.
+    * `dedupStoreParams` renders them for a given input dir; every read
+    * path asserts them against the store's pinned manifest, so a drift
+    * between store build and consumer fails loudly
+    * ([[graft.operators.Dedup.StoreManifest]]).
+    */
+  private val storeParamsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Dedup.StoreParams]
+  private def dedupStoreParams(s: SparkSession, d: String): Dedup.StoreParams =
+    storeParamsCache.getOrElseUpdate(d,
+      Dedup.StoreParams(version = 1, n = 3, perms = 32, width = 40,
+        selection = "kr257-2p31m1-mod16",
+        censusThr = documents(s, d).agg(max(col("doc_id"))).head().getLong(0) * 4L / 5L))
+
   private def dedupStoreRoot(s: SparkSession, d: String): String =
     scratchDirs.getOrElseUpdate(s"dedupart:$d", {
       val tmp = java.nio.file.Files.createTempDirectory("graft_dedupart")
       deleteRecursivelyOnExit(tmp)
       val r = tmp.toFile.getAbsolutePath
       val docs0 = documents(s, d)
+      val params = dedupStoreParams(s, d)
       Dedup.sigTable(docs0).write.parquet(s"$r/sigs")
       Dedup.shingleTable(docs0).write.parquet(s"$r/shingles")
       Dedup.windowTable(docs0).write.parquet(s"$r/wins")
@@ -86,12 +103,22 @@ object SparkEntry {
       // live-benched in q_dedup_recall
       Dedup.exactJaccardPairs(docs0, n = 3, minJaccard = 0.7, art = Some(art))
         .write.parquet(s"$r/edges07")
+      // the PRE-AGGREGATED window census of the standing corpus (bottom
+      // 80% of ids): (win, n_docs), mergeable under append — the artifact
+      // the incremental substring tier semi-joins into instead of
+      // group-counting every stored corpus window per batch
+      Dedup.windowCensus(art.winsPos.where(col("doc_id") < params.censusThr))
+        .write.parquet(s"$r/census80")
       Seq(art.sigs, art.shingles, art.winsPos).foreach(_.unpersist())
+      // pin the build parameters LAST: a manifest only exists once every
+      // artifact it describes is fully written
+      Dedup.StoreManifest.write(r, params)
       r
     })
 
   private def dedupArtifacts(s: SparkSession, d: String): Dedup.Artifacts = {
     val root = dedupStoreRoot(s, d)
+    Dedup.StoreManifest.check(root, dedupStoreParams(s, d))
     // persist the handles: within one query each table feeds 2-3 consumers
     // (band explode + both verify join sides), and the cached form spares
     // the repeat parquet scans; across queries the DISK store is the share
@@ -103,10 +130,21 @@ object SparkEntry {
 
   private def dedupStore(s: SparkSession, d: String): DedupStore = {
     val root = dedupStoreRoot(s, d)
+    Dedup.StoreManifest.check(root, dedupStoreParams(s, d))
     DedupStore(dedupArtifacts(s, d),
       fuzzyDrops = s.read.parquet(s"$root/fuzzy_drop"),
       mass       = s.read.parquet(s"$root/mass"),
       edges07    = s.read.parquet(s"$root/edges07"))
+  }
+
+  /** Checked read of the standing-corpus window census — the consumer
+    * declares the id threshold it expects the census to cover and the
+    * manifest assert fails on drift.
+    */
+  private def dedupCensus(s: SparkSession, d: String): DataFrame = {
+    val root = dedupStoreRoot(s, d)
+    Dedup.StoreManifest.check(root, dedupStoreParams(s, d))
+    s.read.parquet(s"$root/census80")
   }
 
   /** Shared scratch for the stateful-catch-up pair: two arrivals, two
@@ -130,6 +168,25 @@ object SparkEntry {
       graft.streaming.EventStreams.catchUpRunningTotals(s, s"$r/in", s"$r/tgt")
       r
     })
+
+  /** Stamp the just-written data files of arrival slice `i` (any file in
+    * `dir` whose mtime is within a minute of `base`) onto an explicit
+    * strictly-increasing mtime ladder an hour in the past. FileStreamSource
+    * orders files by timestamp; relying on the filesystem clock between
+    * sequential writes ties slices on 1-second-granularity filesystems and
+    * silently breaks the arrival-order-=-id-order premise the streaming
+    * oracles depend on. Earlier slices already sit on (older) ladder rungs,
+    * so only the new slice's files match the near-now window.
+    */
+  private def stampSliceMtime(dir: String, i: Int, base: Long): Unit = {
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+    }
+  }
 
   private[graft] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -931,15 +988,15 @@ object SparkEntry {
     // -- [NS] INCREMENTAL substring dup-mass: the new batch's windows
     // (the top 20% of doc ids — a batch-sized increment at EVERY scale,
     // where a fixed id split would make the "batch" most of a larger
-    // corpus) probe the standing corpus's STORED window table — corpus
-    // text is never re-scanned; result == full-corpus dup mass restricted
-    // to the increment, which the oracle recomputes with the same
-    // floor-div threshold --
+    // corpus) semi-join the standing corpus's STORED pre-aggregated
+    // window CENSUS (win, n_docs) — corpus text and corpus windows are
+    // never re-scanned or re-counted per batch; result == full-corpus dup
+    // mass restricted to the increment, which the oracle recomputes with
+    // the same floor-div threshold --
     "q_dedup_substring_incremental" -> ((s, d) => {
       val docs0 = documents(s, d)
-      val thr = docs0.agg(max(col("doc_id"))).head().getLong(0) * 4L / 5L
-      val corpusWins = dedupArtifacts(s, d).winsPos.where(col("doc_id") < thr)
-      Dedup.substringMassIncremental(corpusWins,
+      val thr = dedupStoreParams(s, d).censusThr
+      Dedup.substringMassIncremental(dedupCensus(s, d),
           docs0.where(col("doc_id") >= thr), width = 40)
         .orderBy("doc_id")
     }),
@@ -1007,8 +1064,9 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // -- [NS] exact substring-window dedup (Lee et al. 2021 family):
-    // content-defined 1/16 window sample (winnowing-style md5-nibble
-    // anchor, alignment-independent), bucket join, shared-window counts --
+    // content-defined 1/16 window sample (winnowing-style Karp-Rabin
+    // anchor, alignment-independent, one rolling pass per doc), bucket
+    // join, shared-window counts --
     "q_dedup_substring" -> ((s, d) =>
       Dedup.substringDupPairs(documents(s, d), width = 40, minShared = 2,
           art = Some(dedupArtifacts(s, d)))
@@ -1134,10 +1192,15 @@ object SparkEntry {
         val out = tmp.toFile.getAbsolutePath + "/slices"
         val e = embeddings(s, d)
         val mx = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val base = System.currentTimeMillis()
         (0 until 4).foreach { i =>
           e.where(col("vec_id") >= i * mx / 4 && col("vec_id") < (i + 1) * mx / 4)
             .coalesce(1).write.mode("append").parquet(out)
-          Thread.sleep(50) // distinct mtimes: arrival order = id order
+          // explicit mtime ladder: arrival order = id order even on coarse
+          // filesystem clocks (production arrival order comes from the
+          // SOURCE — a queue offset or ingest sequence — not from mtimes;
+          // the ladder only makes this test fixture deterministic)
+          stampSliceMtime(out, i, base)
         }
         out
       })
@@ -1740,11 +1803,16 @@ object SparkEntry {
         val docs0 = documents(s, d)
         val mx = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
         // sequential single-file appends: FileStreamSource processes
-        // oldest-mtime-first, so write order = arrival order = id order
+        // oldest-mtime-first, so write order = arrival order = id order.
+        // mtimes are stamped EXPLICITLY strictly increasing after each
+        // write — sleeping between writes relied on the filesystem clock,
+        // and on 1-second-granularity filesystems the slices tied and the
+        // timestamp sort no longer preserved write order (flaky oracle)
+        val base = System.currentTimeMillis()
         (0 until 4).foreach { i =>
           docs0.where(col("doc_id") >= i * mx / 4 && col("doc_id") < (i + 1) * mx / 4)
             .coalesce(1).write.mode("append").parquet(out)
-          Thread.sleep(50) // distinct mtimes even on coarse filesystem clocks
+          stampSliceMtime(out, i, base)
         }
         out
       })
@@ -6083,7 +6151,7 @@ object SparkEntry {
         |          WHERE l.doc_id IS NULL OR l.mn > d.doc_id),
         |w AS (SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |      FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
-        |      WHERE length(text) >= 40 AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |      WHERE length(text) >= 40 AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
         |dup_docs AS (SELECT DISTINCT doc_id FROM w JOIN shared USING (win))
         |SELECT * FROM (
@@ -6108,7 +6176,7 @@ object SparkEntry {
         |lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach WHERE b <> a GROUP BY a),
         |w AS (SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |      FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
-        |      WHERE length(text) >= 40 AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |      WHERE length(text) >= 40 AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
         |u AS (
         |  SELECT doc_id, 'exact' AS tier FROM documents d
@@ -6133,7 +6201,7 @@ object SparkEntry {
         |  SELECT doc_id, i AS s, i + 39 AS e, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (
         |  SELECT win FROM (SELECT DISTINCT doc_id, win FROM wp)
         |  GROUP BY win HAVING count(*) >= 2),
@@ -6184,7 +6252,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
         |SELECT w.doc_id, count(*) AS n_dup_windows
         |FROM w JOIN shared USING (win)
@@ -6198,7 +6266,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0'),
+        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
         |SELECT w.doc_id, count(*) AS n_dup_windows
         |FROM w JOIN shared USING (win)
@@ -6206,14 +6274,17 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact twin of Dedup.substringDupPairs: every 40-char window, kept iff
-    // md5's first hex nibble is '0' (same md5, same lowercase hex in both
-    // engines), distinct (doc, win), self-join, shared-window counts >= 2
+    // its Karp-Rabin hash ≡ 0 mod 16 — DuckDB re-derives the SAME fold
+    // ((h*257 + codepoint) mod 2^31-1 over the window's characters) that
+    // the engine's rolling KrWindowPositions expression computes, so the
+    // selection is engine-independent — then distinct (doc, win),
+    // self-join, shared-window counts >= 2
     "q_dedup_substring" ->
       """WITH w AS (
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND substring(md5(substring(text, i::INT, 40)), 1, 1) = '0')
+        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,

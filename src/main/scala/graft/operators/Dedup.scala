@@ -31,6 +31,27 @@ object Dedup {
     */
   val MaxBucket = 64
 
+  /** Hash-mod partition fanout of the STORED band/doc indexes (the
+    * [[minhashStreamKeep]] layout): band rows land under
+    * `bands/batch=<id>/bh_mod=<band_hash % NMods>` and doc artifact rows
+    * under `docs/batch=<id>/did_mod=<doc_id % NMods>`, so a probe prunes
+    * the store to the partitions its own band hashes / candidate ids can
+    * touch. 16 keeps per-batch file counts sane at test scale; a 100 TB
+    * index sizes this to its bucketing fanout (hundreds to thousands).
+    */
+  val NMods = 16
+
+  /** `(doc_id, band, band_hash)` rows of a signature table — the banded
+    * form every LSH tier buckets on: `bands` slices of `perms/bands`
+    * signature positions, each hashed to one 64-bit band key.
+    */
+  private def bandRows(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val rows = perms / bands
+    sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+  }
+
   /** Precomputed dedup artifact tables, shared across tiers and queries.
     *
     * Every fuzzy tier starts from one of three pure functions of the
@@ -48,6 +69,48 @@ object Dedup {
     */
   final case class Artifacts(sigs: DataFrame, shingles: DataFrame, winsPos: DataFrame)
 
+  /** Parameters a dedup artifact store was built with. Signatures, shingle
+    * sets, windows and the census are pure functions of (text, params) —
+    * a consumer reading a store built with DIFFERENT params gets silently
+    * wrong candidates, so the params are pinned next to the store and
+    * asserted on every read (see [[StoreManifest]]).
+    *
+    * `censusThr`: the standing-corpus id threshold the `census80` artifact
+    * was aggregated under (Long.MinValue when no census was built).
+    */
+  final case class StoreParams(
+      version: Int, n: Int, perms: Int, width: Int,
+      selection: String, censusThr: Long)
+
+  /** Manifest file pinned next to a dedup artifact store. `write` records
+    * the build params; `check` re-renders the consumer's declared params
+    * and THROWS on any drift — a store/consumer parameter mismatch fails
+    * loudly instead of returning silently wrong candidate sets.
+    */
+  object StoreManifest {
+    private def path(root: String) = java.nio.file.Paths.get(root, "manifest.json")
+    private def render(p: StoreParams): String =
+      s"""{"version":${p.version},"n":${p.n},"perms":${p.perms},""" +
+        s""""width":${p.width},"selection":"${p.selection}","censusThr":${p.censusThr}}"""
+    def write(root: String, p: StoreParams): Unit = {
+      java.nio.file.Files.write(path(root),
+        render(p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    def check(root: String, expected: StoreParams): Unit = {
+      val f = path(root)
+      if (!java.nio.file.Files.exists(f))
+        throw new IllegalStateException(
+          s"dedup store at $root has no manifest — refusing to read unverifiable artifacts")
+      val found = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val want = render(expected)
+      if (found != want)
+        throw new IllegalStateException(
+          s"dedup store parameter drift at $root:\n  store:    $found\n  consumer: $want")
+    }
+  }
+
   /** MinHash signature table — `(doc_id, sig: array<long>)`, docs whose
     * text yields no shingles excluded. Pure function of text; the stored
     * form appends under ingest.
@@ -64,12 +127,33 @@ object Dedup {
     docs.select(col("doc_id"), TF.shingles(col("text"), n).as("sh"))
 
   /** Content-defined window table — `(doc_id, pos, win)`: every
-    * `width`-char window whose md5 first nibble is '0' (the winnowing-
-    * family 1/16 sample — see [[substringDupPairs]]), WITH positions so
-    * both the pair/mass tiers (which drop `pos`) and the excision tier
-    * (which needs it) read the same store.
+    * `width`-char window whose Karp-Rabin hash ≡ 0 (mod 16) — the
+    * winnowing-family 1/16 sample (see [[substringDupPairs]]) — WITH
+    * positions so both the pair/mass tiers (which drop `pos`) and the
+    * excision tier (which needs it) read the same store.
+    *
+    * Selection runs in the [[graft.functions.KrWindowPositions]] native
+    * expression: ONE rolling O(n) pass per document emitting only the
+    * selected positions, replacing the original md5-per-position form
+    * (O(n·width) digest bytes — the substring family's dominant CPU at
+    * lake scale). Only the selected 1/16 of positions ever explode or
+    * slice a window string.
     */
   def windowTable(docs: DataFrame, width: Int = 40): DataFrame =
+    docs
+      .where(length(col("text")) >= width)
+      .select(col("doc_id"),
+        explode(graft.functions.Expressions.krWindowPositions(col("text"), width)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(width)).as("win"))
+
+  /** The original md5-nibble selection — kept as the SPEC TWIN: tests
+    * assert the rolling-hash form has the same selection rate and the
+    * same content-defined (alignment-independent) property as this
+    * reference form. Not used by any query path.
+    */
+  private[graft] def windowTableMd5(docs: DataFrame, width: Int = 40): DataFrame =
     docs
       .where(length(col("text")) >= width)
       .select(col("doc_id"),
@@ -139,7 +223,6 @@ object Dedup {
       minEstJaccard: Double = 0.5,
       verifyJaccard: Option[Double] = None,
       art: Option[Artifacts] = None): DataFrame = {
-    val rows = perms / bands
     val sigs = art.map(_.sigs).getOrElse(docs
       .pipe(d => sigTable(d, n, perms))
       // materialize: signatures feed the band explode AND both pair-verify
@@ -149,10 +232,7 @@ object Dedup {
       // caching it is the 100 TB plan too — or, better, the stored
       // `Artifacts` form.
       .persist())
-    val banded = sigs
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+    val banded = bandRows(sigs, perms, bands)
     val pairs = bucketPairs(
       banded.groupBy(col("band"), col("band_hash")).agg(collect_list(col("doc_id")).as("ids")))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -211,13 +291,19 @@ object Dedup {
     probeDrops(allSigs, allSh, perms, bands, minEstJaccard, verifyJaccard)
   }
 
-  /** The probe core shared by [[minhashIncremental]] (batch) and
-    * [[minhashStreamKeep]] (streaming): increment rows (`is_inc`) band-probe
-    * the full signature set, candidates estimate by signature agreement and
-    * optionally exact-verify against shingle sets; returns the DISTINCT
-    * increment doc_ids to DROP (matched the standing side, or an
-    * earlier-id increment doc). `allShingles` is by-name — only evaluated
-    * when verification is requested.
+  /** The in-memory probe core of [[minhashIncremental]]: increment rows
+    * (`is_inc`) band-probe the combined signature set, candidates estimate
+    * by signature agreement and optionally exact-verify against shingle
+    * sets; returns the DISTINCT increment doc_ids to DROP (matched the
+    * standing side, or an earlier-id increment doc). `allShingles` is
+    * by-name — only evaluated when verification is requested. The result
+    * is MATERIALIZED (drops are bounded by the increment) so every cached
+    * intermediate can be released before returning — a long-lived caller
+    * leaks nothing.
+    *
+    * The STORED twin is [[minhashStreamBatch]]/[[minhashIncrementalStored]]:
+    * there the band index is persisted pre-banded with buckets capped at
+    * append time, so no per-probe ranking happens at all.
     */
   private def probeDrops(
       allSigsIn: DataFrame,        // (doc_id, sig, is_inc)
@@ -226,15 +312,35 @@ object Dedup {
       bands: Int,
       minEstJaccard: Double,
       verifyJaccard: Option[Double]): DataFrame = {
-    val rows = perms / bands
+    import org.apache.spark.sql.expressions.Window
     val allSigs = allSigsIn
       .persist() // the signature index: feeds band explode + both verify sides
-    def banded(df: DataFrame) = df.select(col("doc_id"), col("is_inc"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
-    val probe = banded(allSigs.where(col("is_inc")))
+    val banded = allSigs.select(col("doc_id"), col("is_inc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * (perms / bands) + 1, lit(perms / bands)))))
+        .as(Seq("band", "band_hash")))
+    val probe = banded.where(col("is_inc"))
       .select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-    val index = banded(allSigs)
+    // skew cap, parity with bucketPairs' MaxBucket star degradation: an
+    // uncapped band join would pair every probe doc in a hot (boilerplate)
+    // bucket with EVERY index doc in it — b×N pairs from one degenerate
+    // band key. Retained members per bucket: STANDING-CORPUS rows first
+    // (a_inc=false), then id order, capped at MaxBucket — the corpus-
+    // preferential order guarantees a probe doc is always checked against
+    // the standing corpus members of its bucket, never crowded out by
+    // other increment arrivals. A probe doc whose only true match was
+    // capped out can still be spuriously kept — the same documented
+    // probabilistic trade as the batch tier's star degradation (families
+    // share MANY bands, so one capped bucket rarely severs them).
+    // Cost honesty: row_number ranks the full band set — ONE shuffle of
+    // O(n·bands) narrow rows per incremental call, paid because this form
+    // receives the corpus as raw text. The stored form pre-caps buckets at
+    // append time and never re-ranks ([[minhashStreamBatch]]).
+    val byPriority = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("is_inc"), col("doc_id"))
+    val members = banded
+      .withColumn("rk", row_number().over(byPriority))
+      .where(col("rk") <= MaxBucket)
       .select(col("doc_id").as("doc_a"), col("is_inc").as("a_inc"),
         col("band"), col("band_hash"))
     // doc_a =!= doc_b: ids are assumed disjoint between corpus and
@@ -242,28 +348,11 @@ object Dedup {
     // corpus-side self-pair (a_inc=false, doc_a == doc_b) would pass the
     // keep-first filter and spuriously drop the increment doc at J=1.0;
     // excluding self-pairs makes an id collision degrade loudly (doc kept,
-    // visible in reconciliation) instead of silently losing data
-    // skew cap, parity with bucketPairs' MaxBucket star degradation: an
-    // uncapped band join would pair every probe doc in a hot (boilerplate)
-    // bucket with EVERY index doc in it — b×N pairs from one degenerate
-    // band key. The index side aggregates per bucket with the member list
-    // capped at the MaxBucket smallest ids BEFORE any pairing (partial
-    // aggregation keeps the shuffle bounded per bucket); a probe doc
-    // similar to a capped-out member is still caught by the retained
-    // smallest members in the overwhelming case (the family shares bands),
-    // the same documented trade as the batch tier's star degradation. In
-    // production the stored band index is bucketed and capped at APPEND
-    // time, making this a free read.
-    val idxBuckets = index
-      .groupBy(col("band"), col("band_hash"))
-      .agg(slice(sort_array(collect_list(struct(col("doc_a"), col("a_inc")))),
-        1, MaxBucket).as("members"))
+    // visible in reconciliation) instead of silently losing data.
     // broadcast the PROBE side: increment bands are O(batch × bands) —
-    // bounded by ingest batch sizing — while the index side is the corpus;
+    // bounded by ingest batch sizing — while the member side is the corpus;
     // shipping the batch to the index is the only direction that scales
-    val cand = broadcast(probe).join(idxBuckets, Seq("band", "band_hash"))
-      .select(col("doc_b"), explode(col("members")).as("m"))
-      .select(col("m.doc_a").as("doc_a"), col("doc_b"), col("m.a_inc").as("a_inc"))
+    val cand = broadcast(probe).join(members, Seq("band", "band_hash"))
       .where(col("doc_a") =!= col("doc_b") &&
         (!col("a_inc") || col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -275,21 +364,25 @@ object Dedup {
     // same optional exact-verify as minhashCandidates: candidate pairs are
     // already increment-bounded, so the shingle join re-reads text only for
     // docs that banded together — the corpus at large never re-pairs
-    val verified = verifyJaccard.fold(est) { t =>
-      // when the caller's index already carries shingle sets (the combined
-      // streaming index), verify off the same persisted frame; otherwise
-      // evaluate and cache the separate shingle source
-      val sh =
-        if (allSigs.columns.contains("sh")) allSigs.select(col("doc_id"), col("sh"))
-        else allShingles.persist()
-      est
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))) >= t)
-        .select(col("doc_a"), col("doc_b"))
+    val shCache = verifyJaccard.map(_ => allShingles.persist())
+    val verified = (verifyJaccard, shCache) match {
+      case (Some(t), Some(sh)) =>
+        est
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))) >= t)
+          .select(col("doc_a"), col("doc_b"))
+      case _ => est
     }
-    verified.select(col("doc_b").as("doc_id")).distinct()
+    // eager local checkpoint: materializes the (small) drop set NOW so the
+    // caches below can be released — without it, every invocation leaked
+    // one cached union frame for the caller's lifetime
+    val drops = verified.select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    allSigs.unpersist()
+    shCache.foreach(_.unpersist())
+    drops
   }
 
   /** STREAMING fuzzy dedup — the ingest-time shape of the whole family:
@@ -309,11 +402,21 @@ object Dedup {
     * so the streamed union of per-batch drops is exactly the batch drop
     * set. That equality is what the oracle checks.
     *
-    * Scale shape: per-batch cost is O(batch bands + bucket collisions) —
-    * independent of corpus size beyond the index lookups; the index is
-    * parquet, one new `batch=<id>` partition per batch, never rewritten.
+    * Scale shape — the index is stored PRE-BANDED: two parquet tables,
+    * `bands/batch=<id>/bh_mod=<m>` holding `(band, band_hash, doc_id)`
+    * rows with every bucket CAPPED at [[MaxBucket]] members at APPEND
+    * time, and `docs/batch=<id>/did_mod=<m>` holding `(doc_id, sig, sh)`.
+    * A micro-batch therefore never re-derives band keys or re-aggregates
+    * buckets over history: its probe is a partition-pruned, column-pruned
+    * scan of the band store streamed past a BROADCAST of the batch's band
+    * keys (no shuffle of the index, ever), and candidate signatures/
+    * shingles are fetched from the doc store pruned to the candidates'
+    * `did_mod` partitions. Per-batch shuffle work is O(batch bands +
+    * bucket collisions) — independent of index size; the residual
+    * per-batch term is the pruned columnar scan, which a production
+    * deployment bounds by sizing [[NMods]] to the index.
     * REPLAY-IDEMPOTENT by construction: a replayed batch overwrites its
-    * OWN partition and probes only earlier ones (see
+    * OWN partitions and probes only earlier ones (see
     * [[minhashStreamBatch]]) — the exactly-once-effect contract of the
     * MERGE sink, without needing a fresh work dir.
     */
@@ -374,47 +477,188 @@ object Dedup {
     try q.processAllAvailable() finally q.stop()
   }
 
+  private def bandsDir(idxDir: String) = s"$idxDir/bands"
+  private def docsDir(idxDir: String)  = s"$idxDir/docs"
+
   /** Seed both stream stores with an empty `batch=-1` partition so
     * partition discovery (and the first batch's index read) resolves.
+    * The seed writes into explicit `bh_mod=0` / `did_mod=0` leaf dirs so
+    * the two-level partition layout is discoverable before any real batch.
     */
   private[graft] def seedStreamStores(static: DataFrame, idxDir: String,
       accDir: String, keepCols: Seq[String], n: Int, perms: Int): Unit = {
-    indexTable(static, n, perms).limit(0)
-      .write.mode("overwrite").parquet(s"$idxDir/batch=-1")
+    val empty = indexTable(static, n, perms).limit(0)
+    bandRows(empty, perms, 8).select(col("band"), col("band_hash"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"${bandsDir(idxDir)}/batch=-1/bh_mod=0")
+    empty.write.mode("overwrite").parquet(s"${docsDir(idxDir)}/batch=-1/did_mod=0")
     static.select(keepCols.map(col): _*).limit(0)
       .write.mode("overwrite").parquet(s"$accDir/batch=-1")
   }
 
+  /** Probe the STORED pre-banded index with one batch; returns the
+    * materialized drop set and the batch's capped band-append set.
+    *
+    * The four structural properties the 100 TB steady state needs, in
+    * order of appearance:
+    *   1. PARTITION-PRUNED read — only `bh_mod` partitions the batch's own
+    *      band hashes can touch are listed (the bounded driver collect is
+    *      ≤ [[NMods]] ints), then a broadcast SEMI-join narrows to exactly
+    *      the colliding buckets. The index is never shuffled.
+    *   2. APPEND-TIME CAP — stored buckets already hold ≤ [[MaxBucket]]
+    *      rows, so counting existing members touches ≤ MaxBucket ×
+    *      |batch band keys| rows; batch rows ranked by arrival (id) order
+    *      fill each bucket only up to the cap. With arrival = id order the
+    *      retained members are exactly the bucket's MaxBucket smallest
+    *      ids — the batch tier's cap rule, enforced once, at write time.
+    *   3. CANDIDATES — every batch doc (capped or not — capping bounds who
+    *      can be MATCHED AGAINST, never who gets checked) probes the
+    *      retained members: all stored arrivals plus this batch's own
+    *      append set; batch-internal pairs keep-first by id.
+    *   4. ARTIFACT FETCH — candidate signatures/shingles come from the doc
+    *      store pruned to the candidates' `did_mod` partitions and
+    *      semi-joined to the candidate ids; non-candidate history is never
+    *      deserialized.
+    */
+  private[graft] def storedProbe(
+      s2: org.apache.spark.sql.SparkSession, idxDir: String, batchId: Long,
+      bIdx: DataFrame,    // (doc_id, sig, sh) of the batch, persisted by caller
+      bBands: DataFrame,  // (doc_id, band, band_hash) of the batch, persisted
+      perms: Int, minEstJaccard: Double,
+      verifyJaccard: Option[Double]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val mods = bBands.select(pmod(col("band_hash"), lit(NMods)).cast("int").as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= NMods values
+    val keys = bBands.select(col("band"), col("band_hash")).distinct()
+    val stored = (if (mods.isEmpty) bBands.limit(0)
+      else s2.read.parquet(bandsDir(idxDir))
+        .where(col("batch") < batchId && col("bh_mod").isin(mods: _*))
+        .join(broadcast(keys), Seq("band", "band_hash"), "left_semi")
+        .select(col("doc_id"), col("band"), col("band_hash")))
+      .persist() // colliding-bucket members: feed the cap count AND the pairing
+    val n0 = stored.groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n0"))
+    val byArrival = Window.partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
+    val appendBands = bBands
+      .withColumn("rk", row_number().over(byArrival))
+      .join(broadcast(n0), Seq("band", "band_hash"), "left")
+      .where(coalesce(col("n0"), lit(0L)) + col("rk") <= MaxBucket)
+      .select(col("doc_id"), col("band"), col("band_hash"))
+      // materialized (O(batch × bands) rows): consumed by the candidate
+      // join AND the band-store write, and must survive `stored`'s unpersist
+      .localCheckpoint(true)
+    val members = stored
+      .select(col("doc_id").as("doc_a"), lit(false).as("a_inc"), col("band"), col("band_hash"))
+      .unionByName(appendBands
+        .select(col("doc_id").as("doc_a"), lit(true).as("a_inc"), col("band"), col("band_hash")))
+    val probe = bBands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val cand = broadcast(probe).join(members, Seq("band", "band_hash"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        (!col("a_inc") || col("doc_a") < col("doc_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .persist() // feeds the did_mod collect + est join
+    val aMods = cand.select(pmod(col("doc_a"), lit(NMods)).cast("int").as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= NMods values
+    val storedDocs = if (aMods.isEmpty) bIdx.limit(0)
+      else s2.read.parquet(docsDir(idxDir))
+        .where(col("batch") < batchId && col("did_mod").isin(aMods: _*))
+        .select(col("doc_id"), col("sig"), col("sh"))
+    val aArt = storedDocs
+      .unionByName(bIdx.select(col("doc_id"), col("sig"), col("sh")))
+      .join(broadcast(cand.select(col("doc_a").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .persist() // est AND verify read the fetched candidate artifacts
+    val est = cand
+      .join(aArt.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(bIdx.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .where(TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val verified = verifyJaccard.fold(est) { t =>
+      est
+        .join(aArt.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(bIdx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= t)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    // eager: the drop set (<= batch size) must outlive the unpersists below
+    val drops = verified.select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    Seq(stored, cand, aArt).foreach(_.unpersist())
+    (drops, appendBands)
+  }
+
   /** One micro-batch of the streaming dedup — REPLAY-IDEMPOTENT: the
-    * batch's accepted and index rows land in its OWN `batch=<id>`
-    * partition with overwrite, so a checkpoint replay (crash after the
-    * appends, before the checkpoint commit) replaces its previous partial
-    * output instead of double-appending — the same own-version-overwrite
-    * contract as the MERGE sink (`EventStreams.upsertUserTotals`). The
-    * probe reads only `batch < id` partitions (partition-pruned), so a
-    * replayed batch never sees its own stale index rows — without the
-    * filter, a stale copy of a LATER batch doc on the corpus side would
-    * spuriously drop an earlier-id doc of the replayed batch.
+    * batch's accepted, band-index and doc-index rows land in its OWN
+    * `batch=<id>` partitions with overwrite, so a checkpoint replay
+    * (crash after the appends, before the checkpoint commit) replaces its
+    * previous partial output instead of double-appending — the same
+    * own-version-overwrite contract as the MERGE sink
+    * (`EventStreams.upsertUserTotals`). The probe reads only `batch < id`
+    * partitions (partition-pruned), so a replayed batch never sees its own
+    * stale index rows — without the filter, a stale copy of a LATER batch
+    * doc on the corpus side would spuriously drop an earlier-id doc of the
+    * replayed batch. The append-time cap recomputes deterministically on
+    * replay (same earlier partitions, same batch, same ranks).
     */
   private[graft] def minhashStreamBatch(
       batch: DataFrame, batchId: Long, idxDir: String, accDir: String,
       keepCols: Seq[String], n: Int, perms: Int, bands: Int,
       minEstJaccard: Double, verifyJaccard: Option[Double]): Unit = {
-    val s2 = batch.sparkSession
     val bIdx = indexTable(batch, n, perms)
-      .persist() // probe side + index append read it twice
-    val allIdx = s2.read.parquet(idxDir)
-      .where(col("batch") < batchId).drop("batch")
-      .withColumn("is_inc", lit(false))
-      .unionByName(bIdx.withColumn("is_inc", lit(true)))
-    // allIdx carries `sh`, so probeDrops verifies off the same frame
-    val drops = probeDrops(allIdx, allIdx.select(col("doc_id"), col("sh")),
-      perms, bands, minEstJaccard, verifyJaccard)
+      .persist() // probe side, artifact fetch union, doc-store append
+    val bBands = bandRows(bIdx, perms, bands)
+      .persist() // mods collect, cap ranking, probe, band-store append
+    val (drops, appendBands) = storedProbe(batch.sparkSession, idxDir, batchId,
+      bIdx, bBands, perms, minEstJaccard, verifyJaccard)
     batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
       .select(keepCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$accDir/batch=$batchId")
-    bIdx.write.mode("overwrite").parquet(s"$idxDir/batch=$batchId")
+    appendBands
+      .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
+      .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
+      .write.mode("overwrite").partitionBy("bh_mod")
+      .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
+    bIdx
+      .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
+      .write.mode("overwrite").partitionBy("did_mod")
+      .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+    bBands.unpersist()
     bIdx.unpersist()
+  }
+
+  /** Batch-incremental dedup against a STORED pre-banded index — the
+    * production form of [[minhashIncremental]] once the index artifact
+    * exists: probes the [[minhashStreamKeep]] store layout (pruned bucket
+    * lookup, no re-banding, no index shuffle), appends the increment as
+    * batch `batchId`, and returns the increment doc_ids to DROP. Per-call
+    * cost is bounded by the increment and its bucket collisions, not by
+    * the index.
+    */
+  def minhashIncrementalStored(
+      spark: org.apache.spark.sql.SparkSession,
+      idxDir: String,
+      increment: DataFrame,
+      batchId: Long,
+      n: Int = 3,
+      perms: Int = 32,
+      bands: Int = 8,
+      minEstJaccard: Double = 0.5,
+      verifyJaccard: Option[Double] = None): DataFrame = {
+    val bIdx = indexTable(increment, n, perms).persist()
+    val bBands = bandRows(bIdx, perms, bands).persist()
+    val (drops, appendBands) = storedProbe(spark, idxDir, batchId,
+      bIdx, bBands, perms, minEstJaccard, verifyJaccard)
+    appendBands
+      .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
+      .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
+      .write.mode("overwrite").partitionBy("bh_mod")
+      .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
+    bIdx
+      .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
+      .write.mode("overwrite").partitionBy("did_mod")
+      .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+    bBands.unpersist()
+    bIdx.unpersist()
+    drops
   }
 
   /** Ground-truth near-dup pairs by EXACT n-gram Jaccard with NO hashing
@@ -797,36 +1041,64 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
   }
 
+  /** Pre-aggregated window census — `(win, n_docs)`: distinct-holder count
+    * per content-defined window. THIS is the substring tier's stored
+    * artifact for a growing lake: counts MERGE under append (sum per
+    * `win`), and the incremental probe below asks only EXISTENCE of it,
+    * so appended census deltas can even be consumed without re-summing.
+    * Built once at ingest (or store-build) time; [[substringMassIncremental]]
+    * then semi-joins into it instead of group-counting every stored corpus
+    * window per batch.
+    */
+  def windowCensus(wins: DataFrame): DataFrame =
+    wins.select(col("doc_id"), col("win")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("n_docs"))
+
   /** INCREMENTAL substring dup-mass — the substring tier's sibling of
     * [[minhashIncremental]]: per-doc count of the increment's sampled
     * windows shared with ANY other doc (the standing corpus, or another
-    * increment doc), computed WITHOUT touching corpus text. The corpus
-    * contributes only its stored window table (`corpusWins`, the
-    * [[windowTable]] artifact a pipeline appends at ingest); per-batch
-    * cost is the increment's window extraction plus one census join.
+    * increment doc), computed WITHOUT touching corpus text OR corpus
+    * windows at large. The corpus contributes only its PRE-AGGREGATED
+    * census (`corpusCensus`, the [[windowCensus]] artifact — mergeable
+    * under append); per-batch cost is the increment's window extraction
+    * plus one broadcast semi-join, so a fixed-size batch pays a bounded
+    * shuffle no matter how big the standing corpus is. The census scan
+    * itself streams map-side past a broadcast of the increment's windows —
+    * never shuffled, never re-aggregated.
     *
     * Equivalence: an increment doc's window is "shared" iff the total
     * distinct holders across corpus ∪ increment is ≥ 2 — i.e. the corpus
-    * holds it at all (nc ≥ 1), or a second increment doc does (ni ≥ 2) —
-    * so the result equals the full-corpus [[substringDupMass]] restricted
-    * to increment docs, which is what the oracle recomputes.
+    * holds it at all (present in the census), or a second increment doc
+    * does (ni ≥ 2) — so the result equals the full-corpus
+    * [[substringDupMass]] restricted to increment docs, which is what the
+    * oracle recomputes.
     */
   def substringMassIncremental(
-      corpusWins: DataFrame,
+      corpusCensus: DataFrame,   // (win [, n_docs]) from [[windowCensus]]
       increment: DataFrame,
       width: Int = 40): DataFrame = {
     val winsInc = windowTable(increment, width)
       .select(col("doc_id"), col("win")).distinct()
-      .persist() // census side + per-doc count side
-    val nc = corpusWins.select(col("doc_id"), col("win")).distinct()
-      .groupBy(col("win")).agg(count(lit(1)).as("nc"))
-    val shared = winsInc
+      .persist() // intra-increment census + corpus probe + per-doc count
+    val sharedIntra = winsInc
       .groupBy(col("win")).agg(count(lit(1)).as("ni"))
-      .join(nc, Seq("win"), "left")
-      .where(col("ni") >= 2 || coalesce(col("nc"), lit(0L)) >= 1)
-      .select(col("win"))
-    winsInc.join(shared, Seq("win"), "left_semi")
+      .where(col("ni") >= 2).select(col("win"))
+    // EXISTENCE probe into the pre-aggregated census: census rows that
+    // match an increment window. Join direction matters at scale — the
+    // (big, stored, column-pruned to `win`) census is the streamed side,
+    // the increment's windows the broadcast build side, so the probe is
+    // one map-side pass with no shuffle and no aggregation of the store.
+    val sharedCorpus = corpusCensus.select(col("win"))
+      .join(broadcast(winsInc.select(col("win")).distinct()), Seq("win"), "left_semi")
+    val shared = sharedIntra.unionByName(sharedCorpus).distinct()
+    // eager: the per-doc result (<= increment docs) is materialized so the
+    // cached increment windows release immediately — a long-running caller
+    // (per-batch invocation) leaks no cache entries
+    val out = winsInc.join(shared, Seq("win"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+      .localCheckpoint(true)
+    winsInc.unpersist()
+    out
   }
 
   /** Materialized substring-clean corpus (the excision step of Lee et al.

@@ -352,8 +352,15 @@ object Multimodal {
         // corrupt size: negative, OR large enough that the Int cursor would
         // overflow past the payload (a crafted sz near Int.MaxValue passes
         // the sign check but wraps `i` negative and crashes the walk) —
-        // either way the chunk cannot fit in the payload, so stop
-        if (sz < 0 || sz > b.length - i - 8) { i = b.length }
+        // the chunk cannot fit, so the walk stops either way. For the
+        // `data` chunk specifically, an oversize declaration is the COMMON
+        // truncated-capture shape (optimistic header, cut-short payload):
+        // clamp the data length to the bytes actually present and keep the
+        // file valid instead of discarding real audio
+        if (sz < 0 || sz > b.length - i - 8) {
+          if (sz > 0 && id == "data") dataLen = b.length - i - 8
+          i = b.length
+        }
         else {
           if (id == "fmt " && i + 24 <= b.length) {
             ch = le16(i + 10); sr = le32(i + 12); bits = le16(i + 22); haveFmt = true

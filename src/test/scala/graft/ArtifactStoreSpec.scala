@@ -51,6 +51,27 @@ class ArtifactStoreSpec extends SparkSpec {
       Dedup.containmentPairs(docs, minContain = 0.9, art = art), "containment")
   }
 
+  test("store manifest: parameter drift between build and consumer throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest").toFile.getAbsolutePath
+    val built = Dedup.StoreParams(version = 1, n = 3, perms = 32, width = 40,
+      selection = "md5-nibble0", censusThr = 400L)
+    Dedup.StoreManifest.write(root, built)
+    Dedup.StoreManifest.check(root, built) // exact match passes
+    // every single-parameter drift must fail LOUDLY, not return wrong rows
+    val drifted = Seq(
+      built.copy(n = 5), built.copy(perms = 64), built.copy(width = 50),
+      built.copy(selection = "kr-mod16"), built.copy(censusThr = 500L),
+      built.copy(version = 2))
+    drifted.foreach { p =>
+      val e = intercept[IllegalStateException](Dedup.StoreManifest.check(root, p))
+      assert(e.getMessage.contains("parameter drift"), e.getMessage)
+    }
+    // a store with no manifest is unverifiable — also a loud failure
+    val bare = java.nio.file.Files.createTempDirectory("graft_nomanifest").toFile.getAbsolutePath
+    val e2 = intercept[IllegalStateException](Dedup.StoreManifest.check(bare, built))
+    assert(e2.getMessage.contains("no manifest"))
+  }
+
   test("substring family: store-backed == derived") {
     same(Dedup.substringDupPairs(docs, width = 40, minShared = 2),
       Dedup.substringDupPairs(docs, width = 40, minShared = 2, art = art), "substring pairs")

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side materialization audit. `.collect()`/`.head()` in main
+  * sources is the classic "not actually distributed" smell, so the allowed
+  * call sites are pinned here as a CLOSED set (per-file counts) — the same
+  * closed-set discipline as PlanAuditSpec's BNLJ whitelist. A new
+  * driver-side collect cannot land unnoticed: it fails this spec until the
+  * author consciously audits it for boundedness and extends the list.
+  *
+  * Why each current site is bounded:
+  *  - Tables: 1-row min/max sniff deciding the physical `ts` encoding.
+  *  - Similarity: k-means/IVF index builds — a fixed 2048-row training
+  *    sample and nlist×dim centroid arrays (the FAISS driver-state shape);
+  *    probe-set reads bounded by the declared probe count.
+  *  - Dedup: two ≤ NMods-int partition-pruning collects (stored-index
+  *    probe) and the 1-value label-sum convergence check per clusters()
+  *    iteration.
+  *  - Layout: two 2-value min/max bounds for Z-order bit interleaving.
+  *  - LogStore: O(total_splits) split-count read for one document's
+  *    reassembly (reference semantics: per-doc, bounded by chunking).
+  *  - Corpus: 1-value approx distinct-gram count sizing a Bloom filter.
+  *  - SparkEntry: bounded FIXTURE writes (≤ 96 rows of media/slices) and
+  *    1-value max-id sniffs that size scratch layouts and census splits.
+  */
+class CollectAuditSpec extends AnyFunSuite {
+
+  test("driver-side collect()/head() sites form a closed audited set") {
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"expected to run from the repo root; cwd=${System.getProperty("user.dir")}")
+    val pat = java.util.regex.Pattern.compile("\\.collect\\(\\)|\\.head\\(\\)")
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    val it = java.nio.file.Files.walk(root).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.toString.endsWith(".scala")) {
+        val src = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val m = pat.matcher(src)
+        var n = 0
+        while (m.find()) n += 1
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    val allowed = Map(
+      "graft/Tables.scala"                -> 1,
+      "graft/SparkEntry.scala"            -> 8,
+      "graft/operators/Similarity.scala"  -> 6,
+      "graft/operators/Dedup.scala"       -> 3,
+      "graft/operators/Layout.scala"      -> 2,
+      "graft/operators/LogStore.scala"    -> 1,
+      "graft/operators/Corpus.scala"      -> 1)
+    assert(found.toMap == allowed,
+      s"driver-side collect()/head() drift — audit the new site for " +
+        s"boundedness before extending the closed set.\n  found:   " +
+        s"${found.toMap.toSeq.sorted}\n  allowed: ${allowed.toSeq.sorted}")
+  }
+}

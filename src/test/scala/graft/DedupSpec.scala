@@ -231,10 +231,19 @@ class DedupSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("streamkeep")
     val in = s"$tmp/slices"
     val mx = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) + 1
+    // explicit strictly-increasing mtimes: write order = arrival order
+    // even on 1-second-granularity filesystem clocks
+    val base = System.currentTimeMillis()
     (0 until 3).foreach { i =>
       docs.where(col("doc_id") >= i * mx / 3 && col("doc_id") < (i + 1) * mx / 3)
         .coalesce(1).write.mode("append").parquet(in)
-      Thread.sleep(50)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+      }
     }
     val streamed = Dedup.minhashStreamKeep(spark, in, s"$tmp/work",
         keepCols = Seq("doc_id"), minEstJaccard = 0.4, verifyJaccard = Some(0.9))
@@ -272,7 +281,7 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.substringDupMass(docs).where(col("doc_id") >= 250L)
       .as[(Long, Long)].collect().toMap
     val inc = Dedup.substringMassIncremental(
-        Dedup.windowTable(docs.where(col("doc_id") < 250L)),
+        Dedup.windowCensus(Dedup.windowTable(docs.where(col("doc_id") < 250L))),
         docs.where(col("doc_id") >= 250L))
       .as[(Long, Long)].collect().toMap
     assert(inc == full, s"diff keys: ${(inc.keySet diff full.keySet) ++ (full.keySet diff inc.keySet)}")

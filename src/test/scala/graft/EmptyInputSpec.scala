@@ -39,10 +39,11 @@ class EmptyInputSpec extends SparkSpec {
   test("round-9 incremental/streaming tiers degrade on empty input") {
     // empty increment against a real corpus window table
     val docs = Tables.documents(spark, Sf0001)
-    assert(Dedup.substringMassIncremental(Dedup.windowTable(docs), emptyDocs).count() == 0)
-    // empty corpus window table: increment's dup mass is purely internal
-    val emptyWins = Seq.empty[(Long, Long, String)].toDF("doc_id", "pos", "win")
-    val selfOnly = Dedup.substringMassIncremental(emptyWins, docs)
+    assert(Dedup.substringMassIncremental(
+      Dedup.windowCensus(Dedup.windowTable(docs)), emptyDocs).count() == 0)
+    // empty corpus census: increment's dup mass is purely internal
+    val emptyCensus = Seq.empty[(String, Long)].toDF("win", "n_docs")
+    val selfOnly = Dedup.substringMassIncremental(emptyCensus, docs)
       .as[(Long, Long)].collect().toMap
     val full = Dedup.substringDupMass(docs).as[(Long, Long)].collect().toMap
     assert(selfOnly == full, "with no standing corpus, incremental == full self mass")

@@ -65,4 +65,53 @@ class ExpressionsSpec extends SparkSpec {
     assert(ids.forall(id => id.length == 26 &&
       id.forall("0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_))))
   }
+
+  test("krWindowPositions: rolling positions == direct per-window fold (incl. unicode)") {
+    import graft.functions.KrHash
+    val rnd = new scala.util.Random(42)
+    val texts = Seq(
+      "",                                   // shorter than width
+      "abcdefgh",                           // exactly one window (w=8)
+      (1 to 300).map(i => s"w$i").mkString(" "),
+      "héllo wörld " * 30,                  // non-ASCII BMP
+      "ab😀cd " * 40,             // surrogate pairs (non-BMP)
+      rnd.alphanumeric.take(500).mkString)
+    for (t <- texts; w <- Seq(8, 40)) {
+      // driver-side spec form: direct fold over every codepoint window
+      val cps = t.codePoints.toArray
+      val expect = (0 to cps.length - w).filter { j =>
+        KrHash.windowHash(new String(cps, j, w)) % KrHash.SelectMod == 0L
+      }.map(_ + 1)
+      val got = Seq(t).toDF("text")
+        .select(Expressions.krWindowPositions(col("text"), w).as("p"))
+        .as[Seq[Int]].head()
+      assert(got == expect, s"w=$w text=${t.take(30)}…")
+    }
+  }
+
+  test("kr window selection: ~1/16 rate, same ballpark as the md5 spec twin") {
+    val docs = Tables.documents(spark, Sf0001)
+    val total = docs.where(length(col("text")) >= 40)
+      .select(sum(length(col("text")) - 40 + 1)).as[Long].head()
+    val kr = graft.operators.Dedup.windowTable(docs).count()
+    val md5n = graft.operators.Dedup.windowTableMd5(docs).count()
+    val (rKr, rMd5) = (kr.toDouble / total, md5n.toDouble / total)
+    assert(rKr > 1.0 / 32 && rKr < 1.0 / 8, s"kr rate $rKr far from 1/16")
+    assert(math.abs(rKr - rMd5) < 1.0 / 32,
+      s"kr rate $rKr vs md5 twin $rMd5 diverge beyond sampling noise")
+  }
+
+  test("kr windows are content-defined: shared span selects identical windows at any offset") {
+    val span = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val d = Seq(1L -> ("prefix one two three " + span),
+      2L -> ("a different and much longer lead-in before the copy " + span))
+      .toDF("doc_id", "text")
+    val w = graft.operators.Dedup.windowTable(d, 40)
+      .select("doc_id", "win").as[(Long, String)].collect()
+    val w1 = w.filter(_._1 == 1L).map(_._2).toSet
+    val w2 = w.filter(_._1 == 2L).map(_._2).toSet
+    // every span-interior window is selected on both sides or neither
+    val interior = (w1 ++ w2).filter(span.contains)
+    assert(interior.nonEmpty && interior.forall(x => w1(x) == w2(x)))
+  }
 }

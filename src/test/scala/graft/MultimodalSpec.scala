@@ -212,6 +212,24 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.parseAudio(0L, evil).valid)
   }
 
+  test("parseAudio clamps a truncated data chunk instead of discarding it") {
+    // real WAV from the JDK encoder, then cut short mid-data: the header's
+    // optimistic data size overruns the remaining bytes — the parse must
+    // clamp to what is present and stay valid (common capture truncation)
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600) // 100 ms
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 800L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val whole = bos.toByteArray
+    val cut = whole.take(whole.length - 800) // drop the last half of the data
+    val a = Multimodal.parseAudio(3L, cut)
+    assert(a.valid && a.format == "wav")
+    assert(a.data_bytes == 800, s"clamped to present bytes, got ${a.data_bytes}")
+    assert(a.duration_ms == 50L)
+  }
+
   test("parseAny dispatches mixed payloads to the right parser by magic") {
     val rows = Seq(
       (0L, Multimodal.encodePng(lit(40), lit(30), lit("img"))),

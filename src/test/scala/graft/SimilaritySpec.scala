@@ -152,10 +152,19 @@ class SimilaritySpec extends SparkSpec {
   test("streaming IVF ingest: one bootstrap training, complete store, valid cells, recall holds") {
     val tmp = java.nio.file.Files.createTempDirectory("annstream").toString
     val in = s"$tmp/slices"
+    // explicit strictly-increasing mtimes: arrival order = id order even
+    // on 1-second-granularity filesystem clocks
+    val base = System.currentTimeMillis()
     (0 until 2).foreach { i =>
       emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
         .coalesce(1).write.mode("append").parquet(in)
-      Thread.sleep(50)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+      }
     }
     Similarity.clearIndexCaches()
     val before = Similarity.kmeansTrainings
