@@ -406,15 +406,19 @@ object Dedup {
     * `bands/batch=<id>/bh_mod=<m>` holding `(band, band_hash, doc_id)`
     * rows with every bucket CAPPED at [[MaxBucket]] members at APPEND
     * time, and `docs/batch=<id>/did_mod=<m>` holding `(doc_id, sig, sh)`.
-    * A micro-batch therefore never re-derives band keys or re-aggregates
-    * buckets over history: its probe is a partition-pruned, column-pruned
-    * scan of the band store streamed past a BROADCAST of the batch's band
-    * keys (no shuffle of the index, ever), and candidate signatures/
-    * shingles are fetched from the doc store pruned to the candidates'
-    * `did_mod` partitions. Per-batch shuffle work is O(batch bands +
-    * bucket collisions) — independent of index size; the residual
-    * per-batch term is the pruned columnar scan, which a production
-    * deployment bounds by sizing [[NMods]] to the index.
+    * Once the index outgrows the batch ([[StoredProbeRatio]]), a
+    * micro-batch never re-derives band keys or re-aggregates buckets over
+    * history: its probe is a partition-pruned, column-pruned scan of the
+    * band store streamed past a BROADCAST of the batch's band keys (no
+    * shuffle of the index, ever), and candidate signatures/shingles are
+    * fetched from the doc store pruned to the candidates' `did_mod`
+    * partitions. Per-batch shuffle work is O(batch bands + bucket
+    * collisions) — independent of index size; the residual per-batch term
+    * is the pruned columnar scan, which a production deployment bounds by
+    * sizing [[NMods]] to the index. In the small-index regime (bootstrap /
+    * proportional re-ingest) the same cap-and-probe semantics run as one
+    * scan-and-aggregate job instead ([[scanProbe]]) — the selectivity
+    * trade a database makes between an index lookup and a hash scan.
     * REPLAY-IDEMPOTENT by construction: a replayed batch overwrites its
     * OWN partitions and probes only earlier ones (see
     * [[minhashStreamBatch]]) — the exactly-once-effect contract of the
@@ -480,6 +484,30 @@ object Dedup {
   private def bandsDir(idxDir: String) = s"$idxDir/bands"
   private def docsDir(idxDir: String)  = s"$idxDir/docs"
 
+  /** Index-vs-batch size ratio above which a batch probes the stored
+    * pre-banded index (pruned bucket lookups) instead of scanning it.
+    * The same selectivity call a database makes between an index
+    * nested-loop and a hash scan: re-ingesting a corpus in a few
+    * proportional mega-batches touches most buckets anyway — one
+    * scan-and-aggregate job is strictly cheaper — while a fixed-size
+    * batch against a grown index touches almost none of it, and the
+    * pruned probe's per-batch cost stays flat as the index grows
+    * (measured in DedupSteadyProbe).
+    */
+  val StoredProbeRatio = 4L
+
+  /** Serial driver-side listing for store reads: the two-level batch/mod
+    * layout exceeds the default parallel-discovery threshold after a few
+    * dozen partitions and Spark would spawn a LISTING JOB per micro-batch
+    * read — pure overhead at per-batch dir counts.
+    */
+  private def readStore(s2: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = s2.conf.get(key)
+    s2.conf.set(key, "8192")
+    try s2.read.parquet(path) finally s2.conf.set(key, prev)
+  }
+
   /** Seed both stream stores with an empty `batch=-1` partition so
     * partition discovery (and the first batch's index read) resolves.
     * The seed writes into explicit `bh_mod=0` / `did_mod=0` leaf dirs so
@@ -524,13 +552,13 @@ object Dedup {
       bIdx: DataFrame,    // (doc_id, sig, sh) of the batch, persisted by caller
       bBands: DataFrame,  // (doc_id, band, band_hash) of the batch, persisted
       perms: Int, minEstJaccard: Double,
-      verifyJaccard: Option[Double]): (DataFrame, DataFrame) = {
+      verifyJaccard: Option[Double]): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val mods = bBands.select(pmod(col("band_hash"), lit(NMods)).cast("int").as("m"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= NMods values
     val keys = bBands.select(col("band"), col("band_hash")).distinct()
     val stored = (if (mods.isEmpty) bBands.limit(0)
-      else s2.read.parquet(bandsDir(idxDir))
+      else readStore(s2, bandsDir(idxDir))
         .where(col("batch") < batchId && col("bh_mod").isin(mods: _*))
         .join(broadcast(keys), Seq("band", "band_hash"), "left_semi")
         .select(col("doc_id"), col("band"), col("band_hash")))
@@ -542,9 +570,7 @@ object Dedup {
       .join(broadcast(n0), Seq("band", "band_hash"), "left")
       .where(coalesce(col("n0"), lit(0L)) + col("rk") <= MaxBucket)
       .select(col("doc_id"), col("band"), col("band_hash"))
-      // materialized (O(batch × bands) rows): consumed by the candidate
-      // join AND the band-store write, and must survive `stored`'s unpersist
-      .localCheckpoint(true)
+      .persist() // candidate join + band-store write; freed by cleanup()
     val members = stored
       .select(col("doc_id").as("doc_a"), lit(false).as("a_inc"), col("band"), col("band_hash"))
       .unionByName(appendBands
@@ -558,7 +584,7 @@ object Dedup {
     val aMods = cand.select(pmod(col("doc_a"), lit(NMods)).cast("int").as("m"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= NMods values
     val storedDocs = if (aMods.isEmpty) bIdx.limit(0)
-      else s2.read.parquet(docsDir(idxDir))
+      else readStore(s2, docsDir(idxDir))
         .where(col("batch") < batchId && col("did_mod").isin(aMods: _*))
         .select(col("doc_id"), col("sig"), col("sh"))
     val aArt = storedDocs
@@ -579,11 +605,93 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))) >= t)
         .select(col("doc_a"), col("doc_b"))
     }
-    // eager: the drop set (<= batch size) must outlive the unpersists below
+    // eager: ONE job materializes the drop set (and, through it, every
+    // persisted intermediate above) — the caller's writes then reuse the
+    // caches and call cleanup() when done, so nothing leaks per batch
     val drops = verified.select(col("doc_b").as("doc_id")).distinct()
       .localCheckpoint(true)
-    Seq(stored, cand, aArt).foreach(_.unpersist())
-    (drops, appendBands)
+    val cleanup = () => Seq(stored, cand, aArt, appendBands).foreach { df =>
+      df.unpersist(); ()
+    }
+    (drops, appendBands, cleanup)
+  }
+
+  /** Scan-shaped probe for the SMALL-index regime (index ≲
+    * [[StoredProbeRatio]] × batch — bootstrap, bulk build, proportional
+    * re-ingest): reads the whole stored doc index once and runs ONE
+    * aggregation over (stored ∪ batch) band rows that yields BOTH the
+    * retained bucket members and the batch's capped append set — the
+    * member rule (stored arrivals first, then batch by id, sliced at
+    * [[MaxBucket]]) is identical to [[storedProbe]]'s, so the two regimes
+    * produce the same drops and the same stored buckets, and the switch
+    * between them is purely a cost decision.
+    */
+  private def scanProbe(
+      s2: org.apache.spark.sql.SparkSession, idxDir: String, batchId: Long,
+      bIdx: DataFrame, bBands: DataFrame,
+      perms: Int, bands: Int, minEstJaccard: Double,
+      verifyJaccard: Option[Double]): (DataFrame, DataFrame, () => Unit) = {
+    val storedIdx = readStore(s2, docsDir(idxDir))
+      .where(col("batch") < batchId)
+      .select(col("doc_id"), col("sig"), col("sh"))
+      .persist() // band derivation + est/verify sides
+    val allBands = bandRows(storedIdx, perms, bands).withColumn("a_inc", lit(false))
+      .unionByName(bBands.withColumn("a_inc", lit(true)))
+    val grouped = allBands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(slice(sort_array(collect_list(struct(col("a_inc"), col("doc_id")))),
+        1, MaxBucket).as("members"))
+      .persist() // candidate explode + append-set derivation
+    val appendBands = grouped
+      .select(col("band"), col("band_hash"), explode(col("members")).as("m"))
+      .where(col("m.a_inc"))
+      .select(col("m.doc_id").as("doc_id"), col("band"), col("band_hash"))
+    val probe = bBands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val cand = broadcast(probe).join(grouped, Seq("band", "band_hash"))
+      .select(col("doc_b"), explode(col("members")).as("m"))
+      .select(col("m.doc_id").as("doc_a"), col("m.a_inc").as("a_inc"), col("doc_b"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        (!col("a_inc") || col("doc_a") < col("doc_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val allIdx = storedIdx.unionByName(bIdx.select(col("doc_id"), col("sig"), col("sh")))
+      .persist() // est + verify join sides
+    val est = cand
+      .join(allIdx.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(bIdx.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .where(TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val verified = verifyJaccard.fold(est) { t =>
+      est
+        .join(allIdx.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(bIdx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= t)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val drops = verified.select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val cleanup = () => Seq(storedIdx, grouped, allIdx).foreach { df =>
+      df.unpersist(); ()
+    }
+    (drops, appendBands, cleanup)
+  }
+
+  /** Pick the probe regime by measured sizes (both counts are
+    * metadata/cache-cheap): the stored pruned probe only pays off once
+    * the index meaningfully outgrows the batch.
+    */
+  private def adaptiveProbe(
+      s2: org.apache.spark.sql.SparkSession, idxDir: String, batchId: Long,
+      bIdx: DataFrame, bBands: DataFrame,
+      perms: Int, bands: Int, minEstJaccard: Double,
+      verifyJaccard: Option[Double]): (DataFrame, DataFrame, () => Unit) = {
+    val nBatch = math.max(1L, bIdx.count()) // also materializes the persists
+    val nStored = readStore(s2, docsDir(idxDir))
+      .where(col("batch") < batchId).count() // parquet footer row counts
+    if (nStored > StoredProbeRatio * nBatch)
+      storedProbe(s2, idxDir, batchId, bIdx, bBands, perms, minEstJaccard, verifyJaccard)
+    else
+      scanProbe(s2, idxDir, batchId, bIdx, bBands, perms, bands, minEstJaccard, verifyJaccard)
   }
 
   /** One micro-batch of the streaming dedup — REPLAY-IDEMPOTENT: the
@@ -603,24 +711,54 @@ object Dedup {
       batch: DataFrame, batchId: Long, idxDir: String, accDir: String,
       keepCols: Seq[String], n: Int, perms: Int, bands: Int,
       minEstJaccard: Double, verifyJaccard: Option[Double]): Unit = {
+    val dbg = sys.env.contains("GRAFT_DEDUP_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      println(f"[sdbg] batch=$batchId $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val bIdx = indexTable(batch, n, perms)
       .persist() // probe side, artifact fetch union, doc-store append
     val bBands = bandRows(bIdx, perms, bands)
-      .persist() // mods collect, cap ranking, probe, band-store append
-    val (drops, appendBands) = storedProbe(batch.sparkSession, idxDir, batchId,
-      bIdx, bBands, perms, minEstJaccard, verifyJaccard)
-    batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
-      .select(keepCols.map(col): _*)
-      .write.mode("overwrite").parquet(s"$accDir/batch=$batchId")
-    appendBands
-      .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
-      .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
-      .write.mode("overwrite").partitionBy("bh_mod")
-      .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
-    bIdx
-      .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
-      .write.mode("overwrite").partitionBy("did_mod")
-      .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+      .persist() // size check, cap ranking, probe, band-store append
+    val (drops, appendBands, cleanup) = adaptiveProbe(batch.sparkSession, idxDir,
+      batchId, bIdx, bBands, perms, bands, minEstJaccard, verifyJaccard)
+    lap("probe")
+    // the three per-batch outputs (accepted rows, band-index append,
+    // doc-index append) are independent files — submit them as CONCURRENT
+    // jobs so the micro-batch pays the slowest write, not the sum (the
+    // partitioned index writes each commit NMods small files; serially
+    // they dominated the batch)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wAcc = Future {
+      batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
+        .select(keepCols.map(col): _*)
+        .write.mode("overwrite").parquet(s"$accDir/batch=$batchId")
+    }
+    // coalesce(1): a micro-batch's index rows are one small file per mod
+    // partition — without it every shuffle partition emits a file per mod
+    // and the store drowns in footers. At production batch sizes, size
+    // output partitions to batch bytes instead.
+    val wBands = Future {
+      appendBands
+        .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
+        .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("bh_mod")
+        .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
+    }
+    val wDocs = Future {
+      bIdx
+        .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("did_mod")
+        .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+    }
+    Seq(wAcc, wBands, wDocs)
+      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    lap("writes")
+    cleanup()
     bBands.unpersist()
     bIdx.unpersist()
   }
@@ -645,17 +783,28 @@ object Dedup {
       verifyJaccard: Option[Double] = None): DataFrame = {
     val bIdx = indexTable(increment, n, perms).persist()
     val bBands = bandRows(bIdx, perms, bands).persist()
-    val (drops, appendBands) = storedProbe(spark, idxDir, batchId,
-      bIdx, bBands, perms, minEstJaccard, verifyJaccard)
-    appendBands
-      .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
-      .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
-      .write.mode("overwrite").partitionBy("bh_mod")
-      .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
-    bIdx
-      .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
-      .write.mode("overwrite").partitionBy("did_mod")
-      .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+    val (drops, appendBands, cleanup) = adaptiveProbe(spark, idxDir, batchId,
+      bIdx, bBands, perms, bands, minEstJaccard, verifyJaccard)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wBands = Future {
+      appendBands
+        .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
+        .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("bh_mod")
+        .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
+    }
+    val wDocs = Future {
+      bIdx
+        .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("did_mod")
+        .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+    }
+    Seq(wBands, wDocs)
+      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    cleanup()
     bBands.unpersist()
     bIdx.unpersist()
     drops

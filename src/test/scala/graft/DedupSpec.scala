@@ -299,6 +299,28 @@ class DedupSpec extends SparkSpec {
     assert(dropped == (101L to 200L).toSet)
   }
 
+  test("stored pre-banded probe equals the in-memory incremental (big-index regime)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val corpus = docs.where(col("doc_id") < 400).select("doc_id", "text")
+    val inc = docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("storedinc")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    // bulk build (scan regime: empty index), then probe (stored regime:
+    // 400 indexed docs vs a 50-doc batch clears StoredProbeRatio)
+    assert(Dedup.minhashIncrementalStored(spark, idx, corpus, batchId = 0L,
+      minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count() >= 0)
+    val stored = Dedup.minhashIncrementalStored(spark, idx, inc, batchId = 1L,
+        minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    val inmem = Dedup.minhashIncremental(corpus, inc,
+        minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    assert(stored == inmem,
+      s"stored-probe drops diverge from in-memory: ${(stored diff inmem) ++ (inmem diff stored)}")
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
