@@ -985,6 +985,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- [NS] the STORED-index form of the increment probe: the corpus is
+    // indexed ONCE into the pre-banded, append-capped band/doc store
+    // (scratch-cached across invocations — the artifact a pipeline owns),
+    // and the increment reads only its colliding buckets (adaptive
+    // regime: stored — 450 indexed docs vs a 50-doc batch). Same drop
+    // semantics as q_dedup_incremental; regime parity is additionally
+    // spec-pinned in DedupSpec --
+    "q_dedup_incremental_stored" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val idx = scratchDirs.getOrElseUpdate(s"dedupidxstore:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dedupidx")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath + "/index"
+        Dedup.seedStreamStores(docs0, r,
+          tmp.toFile.getAbsolutePath + "/acc", Seq("doc_id"), n = 3, perms = 32)
+        Dedup.minhashIncrementalStored(s, r,
+          docs0.where(col("doc_id") < 450).select("doc_id", "text"),
+          batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+        r
+      })
+      Dedup.minhashIncrementalStored(s, idx,
+          docs0.where(col("doc_id") >= 450).select("doc_id", "text"),
+          batchId = 1L, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+        .orderBy("doc_id")
+    }),
+
+    // -- [NS] index MAINTENANCE: three appended micro-batches of the
+    // band/doc store COMPACTED into one consolidated partition (stage →
+    // delete → swap, one file per mod — the small-file control an
+    // append-only index needs at lake scale), then probed. Compaction is
+    // pure layout: the probe's drops still equal the first-principles
+    // truth (and a spec asserts row-identity + file-count shrink) --
+    "q_dedup_index_compact" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val idx = scratchDirs.getOrElseUpdate(s"dedupidxcompact:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dedupcpt")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath + "/index"
+        Dedup.seedStreamStores(docs0, r,
+          tmp.toFile.getAbsolutePath + "/acc", Seq("doc_id"), n = 3, perms = 32)
+        (0 until 3).foreach { b =>
+          Dedup.minhashIncrementalStored(s, r,
+            docs0.where(col("doc_id") >= b * 150 && col("doc_id") < (b + 1) * 150)
+              .select("doc_id", "text"),
+            batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+        }
+        Dedup.compactIndex(s, r, upTo = 5L)
+        r
+      })
+      Dedup.minhashIncrementalStored(s, idx,
+          docs0.where(col("doc_id") >= 450).select("doc_id", "text"),
+          batchId = 9L, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+        .orderBy("doc_id")
+    }),
+
     // -- [NS] INCREMENTAL substring dup-mass: the new batch's windows
     // (the top 20% of doc ids — a batch-sized increment at EVERY scale,
     // where a fixed id split would make the "batch" most of a larger
@@ -6130,6 +6185,33 @@ object SparkEntry {
         |       FROM tok WHERE len(t) >= 3)
         |SELECT DISTINCT b.doc_id
         |FROM sh b JOIN sh a ON b.doc_id >= 400 AND (a.doc_id < 400 OR a.doc_id < b.doc_id)
+        |  AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY 1""".stripMargin,
+
+    // identical first-principles truth as q_dedup_incremental at the
+    // stored-index query's 450-id split: drop iff ANY corpus doc (< 450)
+    // or earlier increment doc matches at J >= 0.9
+    "q_dedup_incremental_stored" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3)
+        |SELECT DISTINCT b.doc_id
+        |FROM sh b JOIN sh a ON b.doc_id >= 450 AND (a.doc_id < 450 OR a.doc_id < b.doc_id)
+        |  AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY 1""".stripMargin,
+
+    // compaction is pure layout — the probe over the compacted store
+    // answers the SAME first-principles truth as the stored-index probe
+    "q_dedup_index_compact" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+        |       FROM tok WHERE len(t) >= 3)
+        |SELECT DISTINCT b.doc_id
+        |FROM sh b JOIN sh a ON b.doc_id >= 450 AND (a.doc_id < 450 OR a.doc_id < b.doc_id)
         |  AND a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9

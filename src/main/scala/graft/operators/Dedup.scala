@@ -763,6 +763,60 @@ object Dedup {
     bIdx.unpersist()
   }
 
+  /** Compact a pre-banded dedup index: rewrite every `batch <= upTo`
+    * partition of BOTH store tables into one consolidated `batch=upTo`
+    * partition (one file per mod). The append-only layout trades write
+    * cheapness for file count — at one small file per (batch × mod), a
+    * year of micro-batches is millions of parquet footers, and every
+    * probe's pruned listing grows with batch count. Compaction is pure
+    * LAYOUT: the per-bucket [[MaxBucket]] cap is a GLOBAL invariant of
+    * the append rule (each batch filled buckets only up to the cap given
+    * prior counts), so the compacted store holds byte-identical logical
+    * rows and probes with `batchId > upTo` see exactly the same index —
+    * spec-asserted.
+    *
+    * Write protocol: stage → delete old partitions → rename into place
+    * (Hadoop `FileSystem`, no data rewrite on the commit path). A crash
+    * between delete and rename loses no DATA a production deployment
+    * can't replay, but the window exists; at lake scale this swap rides a
+    * manifest commit (the `Layout.commitVersion` protocol) instead of a
+    * directory rename.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idxDir: String,
+      upTo: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapIn(storeDir: String, modCol: String): Unit = {
+      val staged = s"$storeDir.compact_stage"
+      val rows = readStore(spark, storeDir)
+        .where(col("batch") <= upTo)
+        .drop("batch")
+        .coalesce(1)
+      // an all-empty store compacts to a schema-only file in mod 0 (the
+      // seed layout) — a partitionBy write of zero rows emits no files at
+      // all and would leave the store unreadable
+      if (rows.isEmpty)
+        rows.drop(modCol).write.mode("overwrite").parquet(s"$staged/$modCol=0")
+      else
+        rows.write.mode("overwrite").partitionBy(modCol).parquet(staged)
+      val fs = new Path(storeDir).getFileSystem(conf)
+      val it = fs.listStatus(new Path(storeDir)).iterator
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLong <= upTo)
+          fs.delete(st.getPath, true)
+      }
+      fs.rename(new Path(staged), new Path(s"$storeDir/batch=$upTo"))
+      ()
+    }
+    swapIn(bandsDir(idxDir), "bh_mod")
+    swapIn(docsDir(idxDir), "did_mod")
+  }
+
   /** Batch-incremental dedup against a STORED pre-banded index — the
     * production form of [[minhashIncremental]] once the index artifact
     * exists: probes the [[minhashStreamKeep]] store layout (pruned bucket

@@ -321,6 +321,46 @@ class DedupSpec extends SparkSpec {
       s"stored-probe drops diverge from in-memory: ${(stored diff inmem) ++ (inmem diff stored)}")
   }
 
+  test("index compaction: same rows, same probe drops, fewer files") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("compact")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    // three appended batches, then a probe batch
+    (0 until 3).foreach { b =>
+      Dedup.minhashIncrementalStored(spark, idx,
+        docs.where(col("doc_id") >= b * 150 && col("doc_id") < (b + 1) * 150)
+          .select("doc_id", "text"),
+        batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    }
+    def bandRowSet = spark.read.parquet(s"$idx/bands")
+      .select("band", "band_hash", "doc_id")
+      .as[(Int, Long, Long)].collect().toSet
+    def fileCount = {
+      var n = 0
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/bands")).iterator()
+      while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val (rowsBefore, filesBefore) = (bandRowSet, fileCount)
+    Dedup.compactIndex(spark, idx, upTo = 5L)
+    assert(bandRowSet == rowsBefore, "compaction must not change logical index rows")
+    assert(fileCount < filesBefore,
+      s"compaction must shrink file count (before=$filesBefore after=$fileCount)")
+    // a probe against the compacted store behaves as if nothing happened:
+    // identical drops to the in-memory incremental over the same corpus
+    val inc = docs.where(col("doc_id") >= 450).select("doc_id", "text")
+    val dropsAfter = Dedup.minhashIncrementalStored(spark, idx, inc,
+        batchId = 9L, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    val expect = Dedup.minhashIncremental(
+        docs.where(col("doc_id") < 450).select("doc_id", "text"), inc,
+        minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    assert(dropsAfter == expect,
+      s"probe drops diverge after compaction: ${(dropsAfter diff expect) ++ (expect diff dropsAfter)}")
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
