@@ -31,15 +31,33 @@ object Dedup {
     */
   val MaxBucket = 64
 
-  /** Hash-mod partition fanout of the STORED band/doc indexes (the
-    * [[minhashStreamKeep]] layout): band rows land under
-    * `bands/batch=<id>/bh_mod=<band_hash % NMods>` and doc artifact rows
-    * under `docs/batch=<id>/did_mod=<doc_id % NMods>`, so a probe prunes
+  /** DEFAULT hash-mod partition fanout of the STORED band/doc indexes
+    * (the [[minhashStreamKeep]] layout): band rows land under
+    * `bands/batch=<id>/bh_mod=<band_hash % nMods>` and doc artifact rows
+    * under `docs/batch=<id>/did_mod=<doc_id % nMods>`, so a probe prunes
     * the store to the partitions its own band hashes / candidate ids can
-    * touch. 16 keeps per-batch file counts sane at test scale; a 100 TB
-    * index sizes this to its bucketing fanout (hundreds to thousands).
+    * touch. A fixed-size batch touches at most `batch × bands` DISTINCT
+    * band hashes, so its pruned scan reads ≈ `min(batch·bands, nMods)/
+    * nMods` of the index — sizing nMods ∝ index keeps the probe flat at
+    * any scale (measured across three decades in DedupSteadyProbe). 16
+    * keeps per-batch file counts sane at test scale; a 100 TB index uses
+    * hundreds to thousands. The fanout is a STORE parameter: pinned in
+    * `<idxDir>/nmods` at seed time and read back by every probe/append,
+    * so a consumer can never partition with a different modulus than the
+    * store was built with.
     */
   val NMods = 16
+
+  /** Read the store's pinned fanout (written by [[seedStreamStores]]);
+    * stores created before the parameter existed default to [[NMods]].
+    */
+  private def storeNMods(idxDir: String): Int = {
+    val p = java.nio.file.Paths.get(idxDir, "nmods")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else NMods
+  }
 
   /** `(doc_id, band, band_hash)` rows of a signature table — the banded
     * form every LSH tier buckets on: `bands` slices of `perms/bands`
@@ -402,10 +420,13 @@ object Dedup {
     * so the streamed union of per-batch drops is exactly the batch drop
     * set. That equality is what the oracle checks.
     *
-    * Scale shape — the index is stored PRE-BANDED: two parquet tables,
+    * Scale shape — the index is stored PRE-BANDED: three parquet tables,
     * `bands/batch=<id>/bh_mod=<m>` holding `(band, band_hash, doc_id)`
     * rows with every bucket CAPPED at [[MaxBucket]] members at APPEND
-    * time, and `docs/batch=<id>/did_mod=<m>` holding `(doc_id, sig, sh)`.
+    * time, plus the per-doc artifacts split by column weight —
+    * `sigs/batch=<id>/did_mod=<m>` `(doc_id, sig)` for the est filter and
+    * `shingles/batch=<id>/did_mod=<m>` `(doc_id, sh)` read only for
+    * est-passing pairs.
     * Once the index outgrows the batch ([[StoredProbeRatio]]), a
     * micro-batch never re-derives band keys or re-aggregates buckets over
     * history: its probe is a partition-pruned, column-pruned scan of the
@@ -482,7 +503,8 @@ object Dedup {
   }
 
   private def bandsDir(idxDir: String) = s"$idxDir/bands"
-  private def docsDir(idxDir: String)  = s"$idxDir/docs"
+  private def sigsDir(idxDir: String)  = s"$idxDir/sigs"
+  private def shsDir(idxDir: String)   = s"$idxDir/shingles"
 
   /** Index-vs-batch size ratio above which a batch probes the stored
     * pre-banded index (pruned bucket lookups) instead of scanning it.
@@ -508,19 +530,36 @@ object Dedup {
     try s2.read.parquet(path) finally s2.conf.set(key, prev)
   }
 
-  /** Seed both stream stores with an empty `batch=-1` partition so
+  /** Seed the stream stores with an empty `batch=-1` partition so
     * partition discovery (and the first batch's index read) resolves.
     * The seed writes into explicit `bh_mod=0` / `did_mod=0` leaf dirs so
     * the two-level partition layout is discoverable before any real batch.
+    *
+    * The per-doc artifact is stored as TWO tables — `sigs` (doc_id, sig:
+    * 32 longs) and `shingles` (doc_id, sh: the full shingle set, roughly
+    * text-sized) — because the probe's est-filter needs only signatures
+    * while exact verification needs shingles only for the (tiny)
+    * est-passing pair set: a combined table forced every candidate fetch
+    * to drag the fat shingle column through the scan, and at a 500k-doc
+    * index that column WAS the probe's cost.
     */
   private[graft] def seedStreamStores(static: DataFrame, idxDir: String,
-      accDir: String, keepCols: Seq[String], n: Int, perms: Int): Unit = {
+      accDir: String, keepCols: Seq[String], n: Int, perms: Int,
+      nMods: Int = NMods): Unit = {
     val empty = indexTable(static, n, perms).limit(0)
     bandRows(empty, perms, 8).select(col("band"), col("band_hash"), col("doc_id"))
       .write.mode("overwrite").parquet(s"${bandsDir(idxDir)}/batch=-1/bh_mod=0")
-    empty.write.mode("overwrite").parquet(s"${docsDir(idxDir)}/batch=-1/did_mod=0")
+    empty.select(col("doc_id"), col("sig"))
+      .write.mode("overwrite").parquet(s"${sigsDir(idxDir)}/batch=-1/did_mod=0")
+    empty.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"${shsDir(idxDir)}/batch=-1/did_mod=0")
     static.select(keepCols.map(col): _*).limit(0)
       .write.mode("overwrite").parquet(s"$accDir/batch=-1")
+    // pin the store's fanout so every later probe/append partitions with
+    // the modulus the store was built with
+    java.nio.file.Files.write(java.nio.file.Paths.get(idxDir, "nmods"),
+      nMods.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   /** Probe the STORED pre-banded index with one batch; returns the
@@ -554,8 +593,16 @@ object Dedup {
       perms: Int, minEstJaccard: Double,
       verifyJaccard: Option[Double]): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
-    val mods = bBands.select(pmod(col("band_hash"), lit(NMods)).cast("int").as("m"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= NMods values
+    val dbgP = sys.env.contains("GRAFT_DEDUP_DEBUG")
+    var tP = System.nanoTime()
+    def lapP(tag: String): Unit = if (dbgP) {
+      println(f"[spdbg] $tag ${(System.nanoTime() - tP) / 1e9}%.2f s")
+      tP = System.nanoTime()
+    }
+    val nm = storeNMods(idxDir)
+    val mods = bBands.select(pmod(col("band_hash"), lit(nm)).cast("int").as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
+    lapP("mods")
     val keys = bBands.select(col("band"), col("band_hash")).distinct()
     val stored = (if (mods.isEmpty) bBands.limit(0)
       else readStore(s2, bandsDir(idxDir))
@@ -581,36 +628,56 @@ object Dedup {
         (!col("a_inc") || col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
       .persist() // feeds the did_mod collect + est join
-    val aMods = cand.select(pmod(col("doc_a"), lit(NMods)).cast("int").as("m"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= NMods values
-    val storedDocs = if (aMods.isEmpty) bIdx.limit(0)
-      else readStore(s2, docsDir(idxDir))
+    val aMods = cand.select(pmod(col("doc_a"), lit(nm)).cast("int").as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
+    lapP("cand")
+    // est fetch is SIGNATURES ONLY — the narrow store. The fat shingle
+    // column is deferred to the verify step below, which touches it for
+    // the est-PASSING pairs alone (the true-duplicate set, batch-bounded
+    // in any healthy corpus), not for every band collision.
+    val storedSigs = if (aMods.isEmpty) bIdx.select(col("doc_id"), col("sig")).limit(0)
+      else readStore(s2, sigsDir(idxDir))
         .where(col("batch") < batchId && col("did_mod").isin(aMods: _*))
-        .select(col("doc_id"), col("sig"), col("sh"))
-    val aArt = storedDocs
-      .unionByName(bIdx.select(col("doc_id"), col("sig"), col("sh")))
+        .select(col("doc_id"), col("sig"))
+    val aSig = storedSigs
+      .unionByName(bIdx.select(col("doc_id"), col("sig")))
       .join(broadcast(cand.select(col("doc_a").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
-      .persist() // est AND verify read the fetched candidate artifacts
+      .persist()
     val est = cand
-      .join(aArt.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(aSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(bIdx.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .where(TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"))
     val verified = verifyJaccard.fold(est) { t =>
-      est
-        .join(aArt.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      // materialize the (tiny) est-passing set so the shingle store can
+      // be pruned to exactly its partitions before the exact-Jaccard join
+      val estC = est.localCheckpoint(true)
+      lapP("est")
+      val vMods = estC.select(pmod(col("doc_a"), lit(nm)).cast("int").as("m"))
+        .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
+      val storedShs = if (vMods.isEmpty) bIdx.select(col("doc_id"), col("sh")).limit(0)
+        else readStore(s2, shsDir(idxDir))
+          .where(col("batch") < batchId && col("did_mod").isin(vMods: _*))
+          .select(col("doc_id"), col("sh"))
+      val aSh = storedShs
+        .unionByName(bIdx.select(col("doc_id"), col("sh")))
+        .join(broadcast(estC.select(col("doc_a").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+      estC
+        .join(aSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(bIdx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))) >= t)
         .select(col("doc_a"), col("doc_b"))
     }
-    // eager: ONE job materializes the drop set (and, through it, every
-    // persisted intermediate above) — the caller's writes then reuse the
-    // caches and call cleanup() when done, so nothing leaks per batch
+    // eager: materializes the drop set (and, through it, every persisted
+    // intermediate above) — the caller's writes then reuse the caches and
+    // call cleanup() when done, so nothing leaks per batch
     val drops = verified.select(col("doc_b").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val cleanup = () => Seq(stored, cand, aArt, appendBands).foreach { df =>
+    lapP("drops")
+    val cleanup = () => Seq(stored, cand, aSig, appendBands).foreach { df =>
       df.unpersist(); ()
     }
     (drops, appendBands, cleanup)
@@ -631,11 +698,11 @@ object Dedup {
       bIdx: DataFrame, bBands: DataFrame,
       perms: Int, bands: Int, minEstJaccard: Double,
       verifyJaccard: Option[Double]): (DataFrame, DataFrame, () => Unit) = {
-    val storedIdx = readStore(s2, docsDir(idxDir))
+    val storedSigs = readStore(s2, sigsDir(idxDir))
       .where(col("batch") < batchId)
-      .select(col("doc_id"), col("sig"), col("sh"))
-      .persist() // band derivation + est/verify sides
-    val allBands = bandRows(storedIdx, perms, bands).withColumn("a_inc", lit(false))
+      .select(col("doc_id"), col("sig"))
+      .persist() // band derivation + est side
+    val allBands = bandRows(storedSigs, perms, bands).withColumn("a_inc", lit(false))
       .unionByName(bBands.withColumn("a_inc", lit(true)))
     val grouped = allBands
       .groupBy(col("band"), col("band_hash"))
@@ -653,16 +720,21 @@ object Dedup {
       .where(col("doc_a") =!= col("doc_b") &&
         (!col("a_inc") || col("doc_a") < col("doc_b")))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val allIdx = storedIdx.unionByName(bIdx.select(col("doc_id"), col("sig"), col("sh")))
-      .persist() // est + verify join sides
+    val allSigs = storedSigs.unionByName(bIdx.select(col("doc_id"), col("sig")))
     val est = cand
-      .join(allIdx.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(bIdx.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .where(TF.sigEqCount(col("sig_a"), col("sig_b")).cast("double") / perms >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"))
     val verified = verifyJaccard.fold(est) { t =>
+      // the shingle store is read only here — and in this (small-index)
+      // regime a full read of it is by definition batch-proportional
+      val allShs = readStore(s2, shsDir(idxDir))
+        .where(col("batch") < batchId)
+        .select(col("doc_id"), col("sh"))
+        .unionByName(bIdx.select(col("doc_id"), col("sh")))
       est
-        .join(allIdx.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(allShs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(bIdx.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))) >= t)
@@ -670,7 +742,7 @@ object Dedup {
     }
     val drops = verified.select(col("doc_b").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val cleanup = () => Seq(storedIdx, grouped, allIdx).foreach { df =>
+    val cleanup = () => Seq(storedSigs, grouped).foreach { df =>
       df.unpersist(); ()
     }
     (drops, appendBands, cleanup)
@@ -686,7 +758,7 @@ object Dedup {
       perms: Int, bands: Int, minEstJaccard: Double,
       verifyJaccard: Option[Double]): (DataFrame, DataFrame, () => Unit) = {
     val nBatch = math.max(1L, bIdx.count()) // also materializes the persists
-    val nStored = readStore(s2, docsDir(idxDir))
+    val nStored = readStore(s2, sigsDir(idxDir))
       .where(col("batch") < batchId).count() // parquet footer row counts
     if (nStored > StoredProbeRatio * nBatch)
       storedProbe(s2, idxDir, batchId, bIdx, bBands, perms, minEstJaccard, verifyJaccard)
@@ -742,20 +814,27 @@ object Dedup {
     // output partitions to batch bytes instead.
     val wBands = Future {
       appendBands
-        .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
+        .withColumn("bh_mod", pmod(col("band_hash"), lit(storeNMods(idxDir))).cast("int"))
         .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
         .coalesce(1)
         .write.mode("overwrite").partitionBy("bh_mod")
         .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
     }
-    val wDocs = Future {
-      bIdx
-        .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
+    val wSigs = Future {
+      bIdx.select(col("doc_id"), col("sig"))
+        .withColumn("did_mod", pmod(col("doc_id"), lit(storeNMods(idxDir))).cast("int"))
         .coalesce(1)
         .write.mode("overwrite").partitionBy("did_mod")
-        .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+        .parquet(s"${sigsDir(idxDir)}/batch=$batchId")
     }
-    Seq(wAcc, wBands, wDocs)
+    val wShs = Future {
+      bIdx.select(col("doc_id"), col("sh"))
+        .withColumn("did_mod", pmod(col("doc_id"), lit(storeNMods(idxDir))).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("did_mod")
+        .parquet(s"${shsDir(idxDir)}/batch=$batchId")
+    }
+    Seq(wAcc, wBands, wSigs, wShs)
       .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     lap("writes")
     cleanup()
@@ -814,7 +893,8 @@ object Dedup {
       ()
     }
     swapIn(bandsDir(idxDir), "bh_mod")
-    swapIn(docsDir(idxDir), "did_mod")
+    swapIn(sigsDir(idxDir), "did_mod")
+    swapIn(shsDir(idxDir), "did_mod")
   }
 
   /** Batch-incremental dedup against a STORED pre-banded index — the
@@ -843,20 +923,27 @@ object Dedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     val wBands = Future {
       appendBands
-        .withColumn("bh_mod", pmod(col("band_hash"), lit(NMods)).cast("int"))
+        .withColumn("bh_mod", pmod(col("band_hash"), lit(storeNMods(idxDir))).cast("int"))
         .select(col("band"), col("band_hash"), col("doc_id"), col("bh_mod"))
         .coalesce(1)
         .write.mode("overwrite").partitionBy("bh_mod")
         .parquet(s"${bandsDir(idxDir)}/batch=$batchId")
     }
-    val wDocs = Future {
-      bIdx
-        .withColumn("did_mod", pmod(col("doc_id"), lit(NMods)).cast("int"))
+    val wSigs = Future {
+      bIdx.select(col("doc_id"), col("sig"))
+        .withColumn("did_mod", pmod(col("doc_id"), lit(storeNMods(idxDir))).cast("int"))
         .coalesce(1)
         .write.mode("overwrite").partitionBy("did_mod")
-        .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+        .parquet(s"${sigsDir(idxDir)}/batch=$batchId")
     }
-    Seq(wBands, wDocs)
+    val wShs = Future {
+      bIdx.select(col("doc_id"), col("sh"))
+        .withColumn("did_mod", pmod(col("doc_id"), lit(storeNMods(idxDir))).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("did_mod")
+        .parquet(s"${shsDir(idxDir)}/batch=$batchId")
+    }
+    Seq(wBands, wSigs, wShs)
       .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     cleanup()
     bBands.unpersist()

@@ -14,8 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - Similarity: k-means/IVF index builds — a fixed 2048-row training
   *    sample and nlist×dim centroid arrays (the FAISS driver-state shape);
   *    probe-set reads bounded by the declared probe count.
-  *  - Dedup: two ≤ NMods-int partition-pruning collects (stored-index
-  *    probe) and the 1-value label-sum convergence check per clusters()
+  *  - Dedup: three ≤ nMods-int partition-pruning collects (stored-index
+  *    probe: batch band mods, candidate doc mods, est-passing doc mods)
+  *    and the 1-value label-sum convergence check per clusters()
   *    iteration.
   *  - Layout: two 2-value min/max bounds for Z-order bit interleaving.
   *  - LogStore: O(total_splits) split-count read for one document's
@@ -48,7 +49,7 @@ class CollectAuditSpec extends AnyFunSuite {
       "graft/Tables.scala"                -> 1,
       "graft/SparkEntry.scala"            -> 8,
       "graft/operators/Similarity.scala"  -> 6,
-      "graft/operators/Dedup.scala"       -> 3,
+      "graft/operators/Dedup.scala"       -> 4,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
       "graft/operators/Corpus.scala"      -> 1)

@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
   *     pre-aggregated window census. Expected: flat modulo the map-side
   *     census scan.
   *
-  * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [factors...]"`.
+  * The store fanout (`nMods`) is the flatness knob: a fixed batch touches
+  * at most batch×bands distinct band hashes, so the pruned scan reads
+  * ≈ min(batch·bands, nMods)/nMods of the index — at the decade where
+  * the batch's hashes saturate the default 16 mods the scan term
+  * reappears, and raising nMods with the index restores flatness.
+  *
+  * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [nMods] [factors...]"`.
   */
 object DedupSteadyProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 100)
+    val nMods = args.lift(1).map(_.toInt).getOrElse(Dedup.NMods)
+    val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10, 100)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
@@ -58,12 +65,16 @@ object DedupSteadyProbe {
       val corpus = corpusAt(factor).persist()
       val nCorpus = corpus.count()
 
-      // --- stored pre-banded index: build once (untimed), probe per-batch
-      val tmp = java.nio.file.Files.createTempDirectory(s"steady$factor")
-      val idx = s"$tmp/index"
-      Dedup.seedStreamStores(corpus, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
-      Dedup.minhashIncrementalStored(spark, idx, corpus, batchId = 0L,
-        minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count() // bulk index build
+      // --- stored pre-banded index: build once (untimed, disk-cached
+      // across probe runs), probe per-batch
+      val root = s"/tmp/graft_steady_f${factor}_m$nMods"
+      val idx = s"$root/index"
+      if (!new java.io.File(idx).exists()) {
+        Dedup.seedStreamStores(corpus, idx, s"$root/acc", Seq("doc_id"),
+          n = 3, perms = 32, nMods = nMods)
+        Dedup.minhashIncrementalStored(spark, idx, corpus, batchId = 0L,
+          minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count() // bulk build
+      }
       // warm + 2 measured fixed batches against the grown index
       val tStored = (1 to 3).map { b =>
         timed(Dedup.minhashIncrementalStored(spark, idx,
@@ -78,14 +89,15 @@ object DedupSteadyProbe {
       }.min
 
       // --- substring census: build stored census once (untimed), probe
-      val censusPath = s"$tmp/census"
-      Dedup.windowCensus(Dedup.windowTable(corpus)).write.parquet(censusPath)
+      val censusPath = s"$root/census"
+      if (!new java.io.File(censusPath).exists())
+        Dedup.windowCensus(Dedup.windowTable(corpus)).write.parquet(censusPath)
       val tCensus = (1 to 2).map { _ =>
         timed(Dedup.substringMassIncremental(
           spark.read.parquet(censusPath), fixedInc).count())
       }.min
 
-      println(f"[steady] factor $factor%4d  corpus $nCorpus%7d  " +
+      println(f"[steady] factor $factor%4d  nmods $nMods%4d  corpus $nCorpus%7d  " +
         f"stored $tStored%6.2f s  inmem $tInmem%6.2f s  census $tCensus%6.2f s")
       corpus.unpersist()
       spark.catalog.clearCache()

@@ -66,6 +66,14 @@ class ExpressionsSpec extends SparkSpec {
       id.forall("0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_))))
   }
 
+  test("krWindowPositions stays inside whole-stage codegen") {
+    val df = spark.range(10)
+      .select(concat(lit("abcdefghij"), col("id").cast("string")).as("text"))
+      .select(Expressions.krWindowPositions(col("text"), 4).as("p"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(df.count() == 10) // and the generated code actually compiles/runs
+  }
+
   test("krWindowPositions: rolling positions == direct per-window fold (incl. unicode)") {
     import graft.functions.KrHash
     val rnd = new scala.util.Random(42)
