@@ -169,6 +169,28 @@ object SparkEntry {
       r
     })
 
+  /** Four id-ordered arrival slices of the documents table as single
+    * parquet files (per-JVM cached): the shared fixture of the streaming
+    * ingest queries. FileStreamSource processes oldest-mtime-first, so
+    * write order = arrival order = id order; mtimes come from the
+    * explicit ladder in [[stampSliceMtime]].
+    */
+  private def docSlices(s: SparkSession, d: String): String =
+    scratchDirs.getOrElseUpdate(s"fuzzyslices:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzyslices")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath + "/slices"
+      val docs0 = documents(s, d)
+      val mx = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val base = System.currentTimeMillis()
+      (0 until 4).foreach { i =>
+        docs0.where(col("doc_id") >= i * mx / 4 && col("doc_id") < (i + 1) * mx / 4)
+          .coalesce(1).write.mode("append").parquet(out)
+        stampSliceMtime(out, i, base)
+      }
+      out
+    })
+
   /** Stamp the just-written data files of arrival slice `i` (any file in
     * `dir` whose mtime is within a minute of `base`) onto an explicit
     * strictly-increasing mtime ladder an hour in the past. FileStreamSource
@@ -1851,31 +1873,27 @@ object SparkEntry {
     // q_dedup_keep's first-principles oracle. Fresh work dir per run: the
     // stream + index build is what this query benches.
     "q_stream_fuzzy_dedup" -> ((s, d) => {
-      val in = scratchDirs.getOrElseUpdate(s"fuzzyslices:$d", {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzyslices")
-        deleteRecursivelyOnExit(tmp)
-        val out = tmp.toFile.getAbsolutePath + "/slices"
-        val docs0 = documents(s, d)
-        val mx = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
-        // sequential single-file appends: FileStreamSource processes
-        // oldest-mtime-first, so write order = arrival order = id order.
-        // mtimes are stamped EXPLICITLY strictly increasing after each
-        // write — sleeping between writes relied on the filesystem clock,
-        // and on 1-second-granularity filesystems the slices tied and the
-        // timestamp sort no longer preserved write order (flaky oracle)
-        val base = System.currentTimeMillis()
-        (0 until 4).foreach { i =>
-          docs0.where(col("doc_id") >= i * mx / 4 && col("doc_id") < (i + 1) * mx / 4)
-            .coalesce(1).write.mode("append").parquet(out)
-          stampSliceMtime(out, i, base)
-        }
-        out
-      })
       val work = java.nio.file.Files.createTempDirectory("graft_fuzzystream")
       deleteRecursivelyOnExit(work)
-      Dedup.minhashStreamKeep(s, in, work.toFile.getAbsolutePath,
+      Dedup.minhashStreamKeep(s, docSlices(s, d), work.toFile.getAbsolutePath,
           keepCols = Seq("doc_id", "lang"),
           minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+        .orderBy("doc_id")
+    }),
+
+    // -- [NS] STREAMING substring-census ingest: the substring tier's
+    // streaming form (fuzzy has q_stream_fuzzy_dedup, ANN has
+    // q_stream_ann_ingest). Same id-ordered slices; each micro-batch
+    // scores its docs' dup mass against the census-so-far (existence
+    // semi-join into the appended (win, n_docs) deltas — never
+    // re-aggregated) and appends its own delta. Arrival-time semantics:
+    // a window is dup iff another holder arrived in an earlier-or-same
+    // batch; the oracle replays that rule from the slice boundaries --
+    "q_stream_substring_ingest" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_subststream")
+      deleteRecursivelyOnExit(work)
+      Dedup.substringStreamMass(s, docSlices(s, d), work.toFile.getAbsolutePath,
+          width = 40)
         .orderBy("doc_id")
     }),
 
@@ -6031,6 +6049,28 @@ object SparkEntry {
         |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT db FROM tp) ORDER BY doc_id""".stripMargin,
+
+    // arrival-time dup mass: a window of doc b is dup iff another holder
+    // arrived in an earlier-or-same slice (slice = the same integer-div
+    // quarters the fixture writes); windows re-derived with the same
+    // Karp-Rabin fold the engine uses
+    "q_stream_substring_ingest" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
+        |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
+        |  WHERE length(text) >= 40
+        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |s AS (SELECT w.doc_id, w.win,
+        |        CASE WHEN w.doc_id >= 3 * m // 4 THEN 3
+        |             WHEN w.doc_id >= 2 * m // 4 THEN 2
+        |             WHEN w.doc_id >= m // 4 THEN 1 ELSE 0 END AS slc
+        |      FROM w, mx)
+        |SELECT b.doc_id, count(DISTINCT b.win) AS n_dup_windows
+        |FROM s b
+        |WHERE EXISTS (SELECT 1 FROM s a
+        |              WHERE a.win = b.win AND a.doc_id <> b.doc_id AND a.slc <= b.slc)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // transitive dedup: connected components of the truth-pair graph via a
     // recursive CTE; kept = every doc that is its component's minimum (or

@@ -1458,6 +1458,80 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** STREAMING substring-census ingest — the substring tier's
+    * [[minhashStreamKeep]]: documents arrive as an id-ordered file
+    * stream; each micro-batch extracts its content-defined windows,
+    * scores its own docs' duplicated-text mass against the census so far
+    * (EXISTENCE in any earlier batch's delta, or a second holder within
+    * the batch), appends its own census delta `(win, n_docs)` as its own
+    * partition, and writes its per-doc mass rows.
+    *
+    * Arrival-time semantics: a window is DUP iff some OTHER doc holding
+    * it arrived in an earlier-or-same batch — an arrival is judged
+    * against the corpus as of its arrival and never retro-updated (the
+    * ingest-monitoring shape; the full-corpus retrospective number is
+    * [[substringDupMass]]). Census deltas MERGE under append (sum per
+    * win), but the probe asks only existence, so a batch streams the
+    * stored deltas COLUMN-PRUNED to `win` past a broadcast of its own
+    * windows — the census is never re-aggregated. Replay-idempotent:
+    * own-partition overwrite, probe reads `batch < id` only.
+    */
+  def substringStreamMass(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      workDir: String,
+      width: Int = 40): DataFrame = {
+    val censusDir = s"$workDir/census"
+    val outDir = s"$workDir/mass"
+    val static = spark.read.parquet(inputDir)
+    // seed both stores so partition discovery resolves before batch 0
+    windowCensus(windowTable(static.limit(0), width))
+      .write.mode("overwrite").parquet(s"$censusDir/batch=-1")
+    static.limit(0).select(col("doc_id"))
+      .withColumn("n_dup_windows", lit(0L))
+      .write.mode("overwrite").parquet(s"$outDir/batch=-1")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream
+        .schema(static.schema)
+        .option("maxFilesPerTrigger", 1) // one arrival slice per micro-batch
+        .parquet(inputDir)
+        .writeStream
+        .option("checkpointLocation", s"$workDir/_chk")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          substringStreamBatch(batch, batchId, censusDir, outDir, width)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(outDir).drop("batch")
+  }
+
+  private[graft] def substringStreamBatch(batch: DataFrame, batchId: Long,
+      censusDir: String, outDir: String, width: Int): Unit = {
+    val s2 = batch.sparkSession
+    val winsInc = windowTable(batch, width)
+      .select(col("doc_id"), col("win")).distinct()
+      .persist() // intra census + prior probe + per-doc count + delta
+    val sharedIntra = winsInc
+      .groupBy(col("win")).agg(count(lit(1)).as("ni"))
+      .where(col("ni") >= 2).select(col("win"))
+    val prior = s2.read.parquet(censusDir)
+      .where(col("batch") < batchId)
+      .select(col("win")) // column-pruned: existence only
+      .join(broadcast(winsInc.select(col("win")).distinct()), Seq("win"), "left_semi")
+    val shared = sharedIntra.unionByName(prior).distinct()
+    winsInc.join(shared, Seq("win"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    windowCensus(winsInc)
+      .write.mode("overwrite").parquet(s"$censusDir/batch=$batchId")
+    winsInc.unpersist()
+    ()
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embedding space coarsely, then search for near-duplicate pairs ONLY
     * within each cluster — pairs above `minCosine` drop the later vec_id,

@@ -276,6 +276,41 @@ class DedupSpec extends SparkSpec {
     assert(once == batchKeep, "replayed stream still equals batch greedy keep-first")
   }
 
+  test("streaming substring ingest equals arrival-time dup-mass truth") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("subststream")
+    val in = s"$tmp/slices"
+    val mx = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) + 1
+    val base = System.currentTimeMillis()
+    (0 until 3).foreach { i =>
+      docs.where(col("doc_id") >= i * mx / 3 && col("doc_id") < (i + 1) * mx / 3)
+        .coalesce(1).write.mode("append").parquet(in)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+      }
+    }
+    val streamed = Dedup.substringStreamMass(spark, in, s"$tmp/work")
+      .as[(Long, Long)].collect().toMap
+    // arrival-time truth: window of b is dup iff another holder arrived
+    // in an earlier-or-same slice
+    val slc = when(col("doc_id") >= 2 * mx / 3, 2)
+      .when(col("doc_id") >= mx / 3, 1).otherwise(0)
+    val w = Dedup.windowTable(docs).select(col("doc_id"), col("win")).distinct()
+      .withColumn("slc", slc).persist()
+    val a = w.select(col("doc_id").as("ad"), col("win").as("aw"), col("slc").as("as_"))
+    val expected = w
+      .join(a, col("win") === col("aw") && col("doc_id") =!= col("ad") &&
+        col("as_") <= col("slc"), "left_semi")
+      .groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == expected,
+      s"diff: ${(streamed.toSet diff expected.toSet) ++ (expected.toSet diff streamed.toSet)}")
+  }
+
   test("incremental substring mass equals full-corpus mass restricted to the increment") {
     val docs = Tables.documents(spark, Sf0001)
     val full = Dedup.substringDupMass(docs).where(col("doc_id") >= 250L)
