@@ -1168,6 +1168,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- [NS] INCREMENTAL semantic dedup (FAISS add-vs-train): quantizer
+    // trained on the standing corpus only; the increment assigns to the
+    // existing cells in one map pass and compares within-cell against
+    // corpus members and earlier increment arrivals. Planted increment:
+    // three byte-identical clones of corpus vectors (cosine 1.0, same
+    // cell under ANY quantizer) and two identical NEGATED vectors (fresh
+    // direction — cosine -1 to the original, |cos| <= 0.51 organically —
+    // whose later arrival is an intra-increment drop). The drop set is
+    // therefore deterministic: the 3 clones + the later negated copy. --
+    "q_semdedup_incremental" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val clones = e.where(col("vec_id") < 3)
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      val negBase = e.where(col("vec_id") === 5)
+        .select(transform(col("embedding"), x => -x).as("embedding"))
+      val inc = clones
+        .unionByName(negBase.select(lit(9000010L).as("vec_id"), col("embedding")))
+        .unionByName(negBase.select(lit(9000011L).as("vec_id"), col("embedding")))
+      graft.operators.Dedup.semDedupIncremental(e, inc, minCosine = 0.95)
+        .orderBy("vec_id")
+    }),
+
     "q_neardup_embedding" -> ((s, d) => {
       val e = embeddings(s, d)
       val probe = e.where(col("vec_id") === 0).withColumn("vec_id", lit(-1L))
@@ -6102,6 +6124,17 @@ object SparkEntry {
     // exactly the original corpus
     "q_semdedup" ->
       """SELECT vec_id, label FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // deterministic drop set: the three planted corpus clones (identical
+    // vectors share a cell under any quantizer, cosine 1.0) plus the
+    // LATER of the two identical negated arrivals (9000011); the earlier
+    // negated copy survives (cosine -1 to its source, organic |cos| <=
+    // 0.51 << 0.95)
+    "q_semdedup_incremental" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id + 9000000 AS vec_id FROM embeddings WHERE vec_id < 3
+        |  UNION ALL SELECT 9000011
+        |) ORDER BY vec_id""".stripMargin,
 
     // the planted clone (vec -1 = vec 0) is the only pair at cosine >= 0.9;
     // DuckDB recomputes its cosine from the stored vector

@@ -1571,6 +1571,48 @@ object Dedup {
     embeddings.join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /** INCREMENTAL semantic dedup — the embedding tier's sibling of
+    * [[minhashIncremental]], riding the FAISS add-vs-train split: the
+    * coarse quantizer trains on the STANDING corpus only (the cached
+    * bounded-sample k-means — in production the persisted centroids);
+    * the increment is assigned to the existing cells in one map pass and
+    * compared WITHIN ITS CELL against the corpus members and earlier
+    * increment arrivals. Cosine ≥ `minCosine` drops the increment vector
+    * (keep-first by vec_id within the increment). The corpus×corpus pair
+    * space is never touched and the k-means never re-runs — per-batch
+    * cost is the increment's assignment plus its cells' membership.
+    * Returns the increment vec_ids to DROP.
+    */
+  def semDedupIncremental(
+      corpus: DataFrame,
+      increment: DataFrame,
+      minCosine: Double = 0.95,
+      nlist: Int = 16,
+      sampleRows: Int = 2048): DataFrame = {
+    if (increment.isEmpty)
+      return increment.select(col("vec_id"))
+    val corpusA = Similarity
+      .assignCellsTrainedOn(corpus, corpus, nlist, sampleRows)
+      .select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), lit(false).as("a_inc"))
+    val incA = Similarity
+      .assignCellsTrainedOn(corpus, increment, nlist, sampleRows)
+      .persist() // standing-member union + probe side
+    val members = corpusA.unionByName(incA
+      .select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), lit(true).as("a_inc")))
+    val probe = incA.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val drops = members.join(probe, "cell")
+      .where(col("vec_a") =!= col("vec_b") &&
+        (!col("a_inc") || col("vec_a") < col("vec_b")) &&
+        VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .localCheckpoint(true) // release the cached assignment before returning
+    incA.unpersist()
+    drops
+  }
+
   def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id").as("doc_id"), col("embedding"),

@@ -266,9 +266,18 @@ object Similarity {
     * loop per row.
     */
   private[operators] def assignCells(
-      embeddings: DataFrame, nlist: Int, sampleRows: Int): DataFrame = {
-    val centroids = buildCentroids(embeddings, nlist, sampleRows)
-    embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+      embeddings: DataFrame, nlist: Int, sampleRows: Int): DataFrame =
+    assignCellsTrainedOn(embeddings, embeddings, nlist, sampleRows)
+
+  /** Cell assignment with the quantizer trained on a DIFFERENT (standing)
+    * corpus — the add-vs-train split the incremental forms ride: `data`
+    * is mapped onto `train`'s cached centroids in one map pass, no
+    * re-training, no shuffle.
+    */
+  private[operators] def assignCellsTrainedOn(
+      train: DataFrame, data: DataFrame, nlist: Int, sampleRows: Int): DataFrame = {
+    val centroids = buildCentroids(train, nlist, sampleRows)
+    data.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
   }
 
   /** IVF (inverted-file) approximate top-k: partition vectors by nearest

@@ -216,6 +216,21 @@ class DedupSpec extends SparkSpec {
     assert(survivors == original)
   }
 
+  test("incremental semDedup: corpus clones and later intra-increment dups drop, fresh kept") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val clone = e.where(col("vec_id") === 0)
+      .select(lit(7000000L).as("vec_id"), col("embedding"))
+    val negBase = e.where(col("vec_id") === 5)
+      .select(transform(col("embedding"), x => -x).as("embedding"))
+    val inc = clone
+      .unionByName(negBase.select(lit(7000010L).as("vec_id"), col("embedding")))
+      .unionByName(negBase.select(lit(7000011L).as("vec_id"), col("embedding")))
+    val drops = Dedup.semDedupIncremental(e, inc, minCosine = 0.95)
+      .as[Long].collect().toSet
+    assert(drops == Set(7000000L, 7000011L),
+      s"expected clone + later negated copy to drop, got $drops")
+  }
+
   test("embedding near-dup: planted duplicate vector found, orthogonal not") {
     val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // same direction
