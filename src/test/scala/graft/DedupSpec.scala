@@ -411,6 +411,33 @@ class DedupSpec extends SparkSpec {
       s"probe drops diverge after compaction: ${(dropsAfter diff expect) ++ (expect diff dropsAfter)}")
   }
 
+  test("stored band buckets never exceed MaxBucket across appends (degenerate corpus)") {
+    // 200 identical docs arriving in 4 batches: every band bucket attracts
+    // all of them, but the append-time cap must hold the GLOBAL bucket
+    // size at MaxBucket (first arrivals = smallest ids survive), and the
+    // keep-first dedup must still collapse the family to its minimum
+    val many = (1L to 200L)
+      .map(_ -> "same text for every single doc repeated words words")
+    val tmp = java.nio.file.Files.createTempDirectory("capinv")
+    val idx = s"$tmp/index"
+    val all = many.toDF("doc_id", "text")
+    Dedup.seedStreamStores(all, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    val kept = scala.collection.mutable.Set.empty[Long]
+    (0 until 4).foreach { b =>
+      val batch = many.slice(b * 50, (b + 1) * 50).toDF("doc_id", "text")
+      val drops = Dedup.minhashIncrementalStored(spark, idx, batch,
+          batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+        .as[Long].collect().toSet
+      kept ++= many.slice(b * 50, (b + 1) * 50).map(_._1).filterNot(drops)
+      val bucketMax = spark.read.parquet(s"$idx/bands")
+        .groupBy("band", "band_hash").count()
+        .agg(org.apache.spark.sql.functions.max(col("count"))).head().getLong(0)
+      assert(bucketMax <= Dedup.MaxBucket,
+        s"after batch $b a bucket holds $bucketMax > ${Dedup.MaxBucket} members")
+    }
+    assert(kept.toSet == Set(1L), s"keep-first must survive the cap, kept=$kept")
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
