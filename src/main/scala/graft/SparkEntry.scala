@@ -106,9 +106,12 @@ object SparkEntry {
       // the PRE-AGGREGATED window census of the standing corpus (bottom
       // 80% of ids): (win, n_docs), mergeable under append — the artifact
       // the incremental substring tier semi-joins into instead of
-      // group-counting every stored corpus window per batch
-      Dedup.windowCensus(art.winsPos.where(col("doc_id") < params.censusThr))
-        .write.parquet(s"$r/census80")
+      // group-counting every stored corpus window per batch. Stored
+      // HASH-FANNED-OUT by window (win_mod partitions + its own pinned
+      // manifest) so the probe prunes to the increment's windows' mods
+      Dedup.writeCensusStore(
+        Dedup.windowCensus(art.winsPos.where(col("doc_id") < params.censusThr)),
+        s"$r/census80", width = 40)
       Seq(art.sigs, art.shingles, art.winsPos).foreach(_.unpersist())
       // pin the build parameters LAST: a manifest only exists once every
       // artifact it describes is fully written
@@ -137,14 +140,15 @@ object SparkEntry {
       edges07    = s.read.parquet(s"$root/edges07"))
   }
 
-  /** Checked read of the standing-corpus window census — the consumer
-    * declares the id threshold it expects the census to cover and the
-    * manifest assert fails on drift.
+  /** Checked path of the standing-corpus window census store — the
+    * consumer declares the id threshold it expects the census to cover
+    * and the manifest assert fails on drift (the census store's own
+    * width/fanout manifest is checked by the pruned probe itself).
     */
-  private def dedupCensus(s: SparkSession, d: String): DataFrame = {
+  private def dedupCensusPath(s: SparkSession, d: String): String = {
     val root = dedupStoreRoot(s, d)
     Dedup.StoreManifest.check(root, dedupStoreParams(s, d))
-    s.read.parquet(s"$root/census80")
+    s"$root/census80"
   }
 
   /** Shared scratch for the stateful-catch-up pair: two arrivals, two
@@ -1034,11 +1038,12 @@ object SparkEntry {
     }),
 
     // -- [NS] index MAINTENANCE: three appended micro-batches of the
-    // band/doc store COMPACTED into one consolidated partition (stage →
-    // delete → swap, one file per mod — the small-file control an
-    // append-only index needs at lake scale), then probed. Compaction is
-    // pure layout: the probe's drops still equal the first-principles
-    // truth (and a spec asserts row-identity + file-count shrink) --
+    // band/doc store COMPACTED into one consolidated partition (parallel
+    // size-targeted rewrite; stage → rename-aside → promote with every
+    // FileSystem boolean checked — the small-file control an append-only
+    // index needs at lake scale), then probed. Compaction is pure layout:
+    // the probe's drops still equal the first-principles truth (and a
+    // spec asserts row-identity + file-count shrink + recoverable swap) --
     "q_dedup_index_compact" -> ((s, d) => {
       val docs0 = documents(s, d)
       val idx = scratchDirs.getOrElseUpdate(s"dedupidxcompact:$d", {
@@ -1067,13 +1072,15 @@ object SparkEntry {
     // where a fixed id split would make the "batch" most of a larger
     // corpus) semi-join the standing corpus's STORED pre-aggregated
     // window CENSUS (win, n_docs) — corpus text and corpus windows are
-    // never re-scanned or re-counted per batch; result == full-corpus dup
-    // mass restricted to the increment, which the oracle recomputes with
-    // the same floor-div threshold --
+    // never re-scanned or re-counted per batch, and the census read is
+    // PARTITION-PRUNED to the increment's windows' win_mod hash dirs
+    // before the broadcast semi-join; result == full-corpus dup mass
+    // restricted to the increment, which the oracle recomputes with the
+    // same floor-div threshold --
     "q_dedup_substring_incremental" -> ((s, d) => {
       val docs0 = documents(s, d)
       val thr = dedupStoreParams(s, d).censusThr
-      Dedup.substringMassIncremental(dedupCensus(s, d),
+      Dedup.substringMassIncrementalStored(s, dedupCensusPath(s, d),
           docs0.where(col("doc_id") >= thr), width = 40)
         .orderBy("doc_id")
     }),
@@ -1187,6 +1194,34 @@ object SparkEntry {
         .unionByName(negBase.select(lit(9000010L).as("vec_id"), col("embedding")))
         .unionByName(negBase.select(lit(9000011L).as("vec_id"), col("embedding")))
       graft.operators.Dedup.semDedupIncremental(e, inc, minCosine = 0.95)
+        .orderBy("vec_id")
+    }),
+
+    // -- [NS] the STORED-index form of incremental semantic dedup: the
+    // corpus's cell assignments are persisted ONCE next to the persisted
+    // centroids (scratch-cached — the artifact a pipeline owns), and a
+    // batch reads only its own cells' cell_mod partitions: the corpus is
+    // never re-assigned, never re-shuffled (round-10 verdict's #1). Same
+    // planted fixture/drop semantics as q_semdedup_incremental at shifted
+    // ids; stored==in-memory parity is additionally spec-pinned --
+    "q_semdedup_incremental_stored" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val store = scratchDirs.getOrElseUpdate(s"semstore:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_semstore")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        graft.operators.Dedup.seedSemStore(e, r)
+        r
+      })
+      val clones = e.where(col("vec_id") < 3)
+        .select((col("vec_id") + 8000000L).as("vec_id"), col("embedding"))
+      val negBase = e.where(col("vec_id") === 5)
+        .select(transform(col("embedding"), x => -x).as("embedding"))
+      val inc = clones
+        .unionByName(negBase.select(lit(8000010L).as("vec_id"), col("embedding")))
+        .unionByName(negBase.select(lit(8000011L).as("vec_id"), col("embedding")))
+      graft.operators.Dedup.semDedupIncrementalStored(s, store, inc,
+          batchId = 1L, minCosine = 0.95)
         .orderBy("vec_id")
     }),
 
@@ -6081,7 +6116,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |    AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
         |s AS (SELECT w.doc_id, w.win,
         |        CASE WHEN w.doc_id >= 3 * m // 4 THEN 3
@@ -6134,6 +6169,16 @@ object SparkEntry {
       """SELECT vec_id FROM (
         |  SELECT vec_id + 9000000 AS vec_id FROM embeddings WHERE vec_id < 3
         |  UNION ALL SELECT 9000011
+        |) ORDER BY vec_id""".stripMargin,
+
+    // same deterministic planted-drop argument as q_semdedup_incremental
+    // (clones at cosine 1.0 share a cell under any quantizer; the later of
+    // the two identical negated arrivals is the only intra-increment drop),
+    // at the stored-index fixture's shifted ids
+    "q_semdedup_incremental_stored" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id + 8000000 AS vec_id FROM embeddings WHERE vec_id < 3
+        |  UNION ALL SELECT 8000011
         |) ORDER BY vec_id""".stripMargin,
 
     // the planted clone (vec -1 = vec 0) is the only pair at cosine >= 0.9;
@@ -6306,7 +6351,7 @@ object SparkEntry {
         |          WHERE l.doc_id IS NULL OR l.mn > d.doc_id),
         |w AS (SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |      FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
-        |      WHERE length(text) >= 40 AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |      WHERE length(text) >= 40 AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
         |dup_docs AS (SELECT DISTINCT doc_id FROM w JOIN shared USING (win))
         |SELECT * FROM (
@@ -6331,7 +6376,7 @@ object SparkEntry {
         |lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach WHERE b <> a GROUP BY a),
         |w AS (SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |      FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
-        |      WHERE length(text) >= 40 AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |      WHERE length(text) >= 40 AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
         |u AS (
         |  SELECT doc_id, 'exact' AS tier FROM documents d
@@ -6356,7 +6401,7 @@ object SparkEntry {
         |  SELECT doc_id, i AS s, i + 39 AS e, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |    AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (
         |  SELECT win FROM (SELECT DISTINCT doc_id, win FROM wp)
         |  GROUP BY win HAVING count(*) >= 2),
@@ -6407,7 +6452,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |    AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
         |SELECT w.doc_id, count(*) AS n_dup_windows
         |FROM w JOIN shared USING (win)
@@ -6421,7 +6466,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
+        |    AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0),
         |shared AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2)
         |SELECT w.doc_id, count(*) AS n_dup_windows
         |FROM w JOIN shared USING (win)
@@ -6439,7 +6484,7 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, substring(text, i::INT, 40) AS win
         |  FROM documents, UNNEST(range(1, length(text) - 40 + 2)) AS t(i)
         |  WHERE length(text) >= 40
-        |    AND list_reduce(list_transform(str_split(substring(text, i::INT, 40), ''), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0)
+        |    AND list_reduce(list_transform(regexp_extract_all(substring(text, i::INT, 40), '(?s).'), c -> unicode(c)), (a,b) -> (a::BIGINT*257+b)%2147483647) % 16 = 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,

@@ -59,6 +59,61 @@ object Dedup {
     else NMods
   }
 
+  /** Manifest pinned next to a pre-banded STREAM INDEX store
+    * ([[minhashStreamKeep]]'s layout). Band rows are a pure function of
+    * (text, n, perms, bands): a consumer probing or appending with
+    * different shingle/permutation/banding parameters than the store was
+    * seeded with gets silently wrong candidate sets, so all three are
+    * pinned at seed time together with the partition fanout, and every
+    * probe/append asserts them — the same loud-drift contract
+    * [[StoreManifest]] gives the artifact store. `nMods` is a property OF
+    * the store (consumers read it, they don't declare it), so `check`
+    * renders the consumer's params against the store's own pinned fanout.
+    */
+  object IndexManifest {
+    private def path(root: String) = java.nio.file.Paths.get(root, "index_manifest.json")
+    private def render(n: Int, perms: Int, bands: Int, nMods: Int): String =
+      s"""{"n":$n,"perms":$perms,"bands":$bands,"nmods":$nMods}"""
+    def write(root: String, n: Int, perms: Int, bands: Int, nMods: Int): Unit = {
+      java.nio.file.Files.write(path(root),
+        render(n, perms, bands, nMods).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    def check(root: String, n: Int, perms: Int, bands: Int): Unit = {
+      val f = path(root)
+      if (!java.nio.file.Files.exists(f))
+        throw new IllegalStateException(
+          s"stream index store at $root has no manifest — refusing to probe an unverifiable index")
+      val found = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val want = render(n, perms, bands, storeNMods(root))
+      if (found != want)
+        throw new IllegalStateException(
+          s"stream index parameter drift at $root:\n  store:    $found\n  consumer: $want")
+    }
+  }
+
+  /** Bounded, named writer pool for the per-batch concurrent store writes:
+    * a micro-batch's independent outputs (accepted rows, band append, doc
+    * appends) are submitted as concurrent Spark jobs so the batch pays the
+    * slowest write, not the sum. A dedicated fixed pool makes that
+    * parallelism a deliberate constant instead of borrowing the JVM-global
+    * fork-join pool, whose width follows the machine and whose threads are
+    * shared with whatever else the process runs. Daemon threads (never
+    * block JVM exit), named for thread dumps.
+    */
+  private lazy val writerPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-store-writer-${seq.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
   /** `(doc_id, band, band_hash)` rows of a signature table — the banded
     * form every LSH tier buckets on: `bands` slices of `perms/bands`
     * signature positions, each hashed to one 64-bit band key.
@@ -486,7 +541,7 @@ object Dedup {
       keepCols: Seq[String], n: Int, perms: Int, bands: Int,
       minEstJaccard: Double, verifyJaccard: Option[Double]): Unit = {
     val static = spark.read.parquet(inputDir)
-    seedStreamStores(static, idxDir, accDir, keepCols, n, perms)
+    seedStreamStores(static, idxDir, accDir, keepCols, n, perms, bands = bands)
     val q = spark.readStream
       .schema(static.schema)
       .option("maxFilesPerTrigger", 2) // two arrival slices per micro-batch
@@ -522,13 +577,23 @@ object Dedup {
     * layout exceeds the default parallel-discovery threshold after a few
     * dozen partitions and Spark would spawn a LISTING JOB per micro-batch
     * read — pure overhead at per-batch dir counts.
+    *
+    * The set/restore of the session-global threshold is guarded by a lock:
+    * concurrent callers sharing the session (the writer-pool futures, or
+    * two queries probing different stores) could otherwise interleave
+    * set/restore and leave the override active session-wide, or clobber a
+    * caller's own setting. The listing happens eagerly inside
+    * `read.parquet`, so the critical section covers exactly the work the
+    * override exists for.
     */
-  private def readStore(s2: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val prev = s2.conf.get(key)
-    s2.conf.set(key, "8192")
-    try s2.read.parquet(path) finally s2.conf.set(key, prev)
-  }
+  private val readStoreLock = new Object
+  private def readStore(s2: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readStoreLock.synchronized {
+      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val prev = s2.conf.get(key)
+      s2.conf.set(key, "8192")
+      try s2.read.parquet(path) finally s2.conf.set(key, prev)
+    }
 
   /** Seed the stream stores with an empty `batch=-1` partition so
     * partition discovery (and the first batch's index read) resolves.
@@ -545,9 +610,9 @@ object Dedup {
     */
   private[graft] def seedStreamStores(static: DataFrame, idxDir: String,
       accDir: String, keepCols: Seq[String], n: Int, perms: Int,
-      nMods: Int = NMods): Unit = {
+      nMods: Int = NMods, bands: Int = 8): Unit = {
     val empty = indexTable(static, n, perms).limit(0)
-    bandRows(empty, perms, 8).select(col("band"), col("band_hash"), col("doc_id"))
+    bandRows(empty, perms, bands).select(col("band"), col("band_hash"), col("doc_id"))
       .write.mode("overwrite").parquet(s"${bandsDir(idxDir)}/batch=-1/bh_mod=0")
     empty.select(col("doc_id"), col("sig"))
       .write.mode("overwrite").parquet(s"${sigsDir(idxDir)}/batch=-1/did_mod=0")
@@ -559,6 +624,8 @@ object Dedup {
     // the modulus the store was built with
     java.nio.file.Files.write(java.nio.file.Paths.get(idxDir, "nmods"),
       nMods.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ... and the full parameter set, asserted by every probe/append
+    IndexManifest.write(idxDir, n, perms, bands, nMods)
     ()
   }
 
@@ -789,6 +856,9 @@ object Dedup {
       println(f"[sdbg] batch=$batchId $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
+    // loud drift guard: a batch computing signatures/bands with different
+    // params than the store was seeded with would probe wrong buckets
+    IndexManifest.check(idxDir, n, perms, bands)
     val bIdx = indexTable(batch, n, perms)
       .persist() // probe side, artifact fetch union, doc-store append
     val bBands = bandRows(bIdx, perms, bands)
@@ -802,7 +872,7 @@ object Dedup {
     // partitioned index writes each commit NMods small files; serially
     // they dominated the batch)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = writerPool
     val wAcc = Future {
       batch.join(broadcast(drops), Seq("doc_id"), "left_anti") // drops <= batch
         .select(keepCols.map(col): _*)
@@ -843,8 +913,8 @@ object Dedup {
   }
 
   /** Compact a pre-banded dedup index: rewrite every `batch <= upTo`
-    * partition of BOTH store tables into one consolidated `batch=upTo`
-    * partition (one file per mod). The append-only layout trades write
+    * partition of all three store tables into one consolidated `batch=upTo`
+    * partition (size-targeted files per mod). The append-only layout trades write
     * cheapness for file count — at one small file per (batch × mod), a
     * year of micro-batches is millions of parquet footers, and every
     * probe's pruned listing grows with batch count. Compaction is pure
@@ -854,43 +924,87 @@ object Dedup {
     * rows and probes with `batchId > upTo` see exactly the same index —
     * spec-asserted.
     *
-    * Write protocol: stage → delete old partitions → rename into place
-    * (Hadoop `FileSystem`, no data rewrite on the commit path). A crash
-    * between delete and rename loses no DATA a production deployment
-    * can't replay, but the window exists; at lake scale this swap rides a
-    * manifest commit (the `Layout.commitVersion` protocol) instead of a
-    * directory rename.
+    * Rewrite shape: PARALLEL and SIZE-TARGETED. Rows hash-repartition by
+    * (mod, slice) — `slice` splits each mod's rows into
+    * ⌈store_bytes / (nMods × targetFileBytes)⌉ pieces — so the rewrite
+    * runs one task per output file (a 100 TB index compacts across the
+    * cluster, not through one executor) and output files track
+    * `targetFileBytes` regardless of store size.
+    *
+    * Swap protocol — RECOVERABLE, every `FileSystem` boolean checked:
+    * stage → verify the stage exists → rename old partitions ASIDE into a
+    * hidden `.compact_old` dir (dot-prefixed: invisible to partition
+    * discovery, restorable) → promote the stage to `batch=upTo` → delete
+    * the set-aside rows. A failed move-aside or promote renames the moved
+    * partitions back and throws with the store in its pre-compaction
+    * state; a failed final cleanup throws naming the leftover dir while
+    * the store stays CONSISTENT (the hidden dir is never read). No step
+    * deletes data before its replacement is in place. At object-store
+    * scale the promote step becomes a manifest commit
+    * (`Layout.commitVersion`'s protocol) rather than a directory rename.
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
       idxDir: String,
-      upTo: Long): Unit = {
+      upTo: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
+    val nm = storeNMods(idxDir)
     def swapIn(storeDir: String, modCol: String): Unit = {
+      val fs = new Path(storeDir).getFileSystem(conf)
+      val olds = fs.listStatus(new Path(storeDir)).filter { st =>
+        val name = st.getPath.getName
+        name.startsWith("batch=") && name.stripPrefix("batch=").toLong <= upTo
+      }
+      val totalBytes = olds.map(st => fs.getContentSummary(st.getPath).getLength).sum
+      val slices = math.max(1L,
+        (totalBytes + nm.toLong * targetFileBytes - 1) / (nm.toLong * targetFileBytes)).toInt
       val staged = s"$storeDir.compact_stage"
       val rows = readStore(spark, storeDir)
         .where(col("batch") <= upTo)
         .drop("batch")
-        .coalesce(1)
       // an all-empty store compacts to a schema-only file in mod 0 (the
       // seed layout) — a partitionBy write of zero rows emits no files at
       // all and would leave the store unreadable
       if (rows.isEmpty)
-        rows.drop(modCol).write.mode("overwrite").parquet(s"$staged/$modCol=0")
+        rows.drop(modCol).coalesce(1)
+          .write.mode("overwrite").parquet(s"$staged/$modCol=0")
       else
-        rows.write.mode("overwrite").partitionBy(modCol).parquet(staged)
-      val fs = new Path(storeDir).getFileSystem(conf)
-      val it = fs.listStatus(new Path(storeDir)).iterator
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (name.startsWith("batch=") &&
-            name.stripPrefix("batch=").toLong <= upTo)
-          fs.delete(st.getPath, true)
+        rows
+          .repartition(nm * slices, col(modCol),
+            pmod(xxhash64(col("doc_id")), lit(slices)))
+          .write.mode("overwrite").partitionBy(modCol).parquet(staged)
+      val stagedP = new Path(staged)
+      if (!fs.exists(stagedP))
+        throw new IllegalStateException(
+          s"compactIndex: staged rewrite missing at $staged — store left unchanged")
+      val trash = new Path(storeDir, ".compact_old")
+      if (!fs.mkdirs(trash))
+        throw new IllegalStateException(
+          s"compactIndex: cannot create $trash — store left unchanged")
+      val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      def restoreMoved(): Unit = moved.reverse.foreach { case (orig, aside) =>
+        fs.rename(aside, orig); ()
       }
-      fs.rename(new Path(staged), new Path(s"$storeDir/batch=$upTo"))
-      ()
+      olds.foreach { st =>
+        val aside = new Path(trash, st.getPath.getName)
+        if (!fs.rename(st.getPath, aside)) {
+          restoreMoved()
+          throw new IllegalStateException(
+            s"compactIndex: failed to move ${st.getPath} aside — original partitions restored")
+        }
+        moved += ((st.getPath, aside))
+      }
+      if (!fs.rename(stagedP, new Path(s"$storeDir/batch=$upTo"))) {
+        restoreMoved()
+        throw new IllegalStateException(
+          s"compactIndex: failed to promote $staged — original partitions restored")
+      }
+      if (!fs.delete(trash, true))
+        throw new IllegalStateException(
+          s"compactIndex: compacted store at $storeDir is CONSISTENT, but the " +
+            s"replaced partitions could not be deleted — remove $trash manually")
     }
     swapIn(bandsDir(idxDir), "bh_mod")
     swapIn(sigsDir(idxDir), "did_mod")
@@ -915,12 +1029,13 @@ object Dedup {
       bands: Int = 8,
       minEstJaccard: Double = 0.5,
       verifyJaccard: Option[Double] = None): DataFrame = {
+    IndexManifest.check(idxDir, n, perms, bands)
     val bIdx = indexTable(increment, n, perms).persist()
     val bBands = bandRows(bIdx, perms, bands).persist()
     val (drops, appendBands, cleanup) = adaptiveProbe(spark, idxDir, batchId,
       bIdx, bBands, perms, bands, minEstJaccard, verifyJaccard)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = writerPool
     val wBands = Future {
       appendBands
         .withColumn("bh_mod", pmod(col("band_hash"), lit(storeNMods(idxDir))).cast("int"))
@@ -1344,6 +1459,69 @@ object Dedup {
     wins.select(col("doc_id"), col("win")).distinct()
       .groupBy(col("win")).agg(count(lit(1)).as("n_docs"))
 
+  /** The census store's partition key: windows fan out by hash so an
+    * incremental probe prunes the stored census to the partitions its own
+    * windows can live in — the `bh_mod` treatment applied to the substring
+    * tier. A fixed-size batch holds a bounded set of distinct windows, so
+    * its pruned scan reads ≈ min(batch·wins, nMods)/nMods of the census;
+    * sizing nMods to the census keeps the probe's scan term flat as the
+    * lake grows.
+    */
+  private def winMod(nMods: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("win")), lit(nMods)).cast("int")
+
+  /** Manifest pinned next to a hash-fanned-out census store: the window
+    * width (census rows are a pure function of (text, width)) and the
+    * partition fanout a probe must prune with. Same loud-drift contract as
+    * [[IndexManifest]].
+    */
+  object CensusManifest {
+    // underscore-prefixed: the manifest lives INSIDE the census parquet
+    // root, and Spark's file index skips `_`/`.`-prefixed names (the
+    // _SUCCESS convention) — any other name would be read as a data file
+    private def path(root: String) = java.nio.file.Paths.get(root, "_census_manifest.json")
+    private def render(width: Int, nMods: Int): String =
+      s"""{"width":$width,"nmods":$nMods}"""
+    def write(root: String, width: Int, nMods: Int): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(path(root),
+        render(width, nMods).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    /** Assert the consumer's width against the pinned build params and
+      * return the store's fanout (a property of the store, like
+      * [[storeNMods]]).
+      */
+    def checkAndNMods(root: String, width: Int): Int = {
+      val f = path(root)
+      if (!java.nio.file.Files.exists(f))
+        throw new IllegalStateException(
+          s"census store at $root has no manifest — refusing to probe an unverifiable census")
+      val found = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val nm = "\"nmods\":(\\d+)".r.findFirstMatchIn(found).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"malformed census manifest at $root: $found"))
+      val want = render(width, nm)
+      if (found != want)
+        throw new IllegalStateException(
+          s"census store parameter drift at $root:\n  store:    $found\n  consumer: $want")
+      nm
+    }
+  }
+
+  /** Write a [[windowCensus]] table as a hash-fanned-out census store:
+    * rows land under `win_mod = hash(win) % nMods` with the build params
+    * pinned in the manifest. The artifact [[substringMassIncrementalStored]]
+    * prunes into.
+    */
+  def writeCensusStore(census: DataFrame, path: String, width: Int,
+      nMods: Int = NMods): Unit = {
+    census.withColumn("win_mod", winMod(nMods))
+      .write.mode("overwrite").partitionBy("win_mod").parquet(path)
+    CensusManifest.write(path, width, nMods)
+  }
+
   /** INCREMENTAL substring dup-mass — the substring tier's sibling of
     * [[minhashIncremental]]: per-doc count of the increment's sampled
     * windows shared with ANY other doc (the standing corpus, or another
@@ -1370,6 +1548,40 @@ object Dedup {
     val winsInc = windowTable(increment, width)
       .select(col("doc_id"), col("win")).distinct()
       .persist() // intra-increment census + corpus probe + per-doc count
+    massAgainstCensus(winsInc, corpusCensus)
+  }
+
+  /** [[substringMassIncremental]] against a STORED hash-fanned-out census
+    * (the [[writeCensusStore]] layout): the increment's window hashes are
+    * collected (bounded: ≤ nMods ints) and the census read prunes to
+    * exactly the `win_mod` partitions those windows can live in BEFORE the
+    * broadcast semi-join — the stored scan term is
+    * min(batch·wins, nMods)/nMods of the census instead of all of it.
+    * Width drift against the store's manifest throws.
+    */
+  def substringMassIncrementalStored(
+      spark: org.apache.spark.sql.SparkSession,
+      censusPath: String,
+      increment: DataFrame,
+      width: Int = 40): DataFrame = {
+    val nm = CensusManifest.checkAndNMods(censusPath, width)
+    val winsInc = windowTable(increment, width)
+      .select(col("doc_id"), col("win")).distinct()
+      .persist() // mods collect + intra census + corpus probe + count
+    val mods = winsInc.select(winMod(nm).as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
+    val census = if (mods.isEmpty) winsInc.select(col("win")).limit(0)
+      else readStore(spark, censusPath).where(col("win_mod").isin(mods: _*))
+    massAgainstCensus(winsInc, census)
+  }
+
+  /** Shared probe core of the incremental substring tiers: `winsInc` is
+    * the increment's distinct (doc_id, win) set, ALREADY persisted by the
+    * caller (released here via the eager checkpoint); `corpusCensus` is
+    * whatever slice of the standing census the caller scoped (full table,
+    * mod-pruned store read, or earlier stream deltas).
+    */
+  private def massAgainstCensus(winsInc: DataFrame, corpusCensus: DataFrame): DataFrame = {
     val sharedIntra = winsInc
       .groupBy(col("win")).agg(count(lit(1)).as("ni"))
       .where(col("ni") >= 2).select(col("win"))
@@ -1471,22 +1683,29 @@ object Dedup {
     * against the corpus as of its arrival and never retro-updated (the
     * ingest-monitoring shape; the full-corpus retrospective number is
     * [[substringDupMass]]). Census deltas MERGE under append (sum per
-    * win), but the probe asks only existence, so a batch streams the
-    * stored deltas COLUMN-PRUNED to `win` past a broadcast of its own
-    * windows — the census is never re-aggregated. Replay-idempotent:
-    * own-partition overwrite, probe reads `batch < id` only.
+    * win), but the probe asks only existence, so a batch reads the stored
+    * deltas PARTITION-PRUNED to its own windows' `win_mod` hash
+    * partitions, COLUMN-PRUNED to `win`, and streamed past a broadcast of
+    * its own windows — the census is never re-aggregated, and a fixed
+    * batch scans min(batch·wins, nMods)/nMods of it rather than all of
+    * it. Replay-idempotent: own-partition overwrite, probe reads
+    * `batch < id` only.
     */
   def substringStreamMass(
       spark: org.apache.spark.sql.SparkSession,
       inputDir: String,
       workDir: String,
-      width: Int = 40): DataFrame = {
+      width: Int = 40,
+      nMods: Int = NMods): DataFrame = {
     val censusDir = s"$workDir/census"
     val outDir = s"$workDir/mass"
     val static = spark.read.parquet(inputDir)
-    // seed both stores so partition discovery resolves before batch 0
+    // seed both stores so partition discovery resolves before batch 0; the
+    // census deltas are hash-fanned-out by window ([[winMod]]) so each
+    // batch's existence probe prunes to its own windows' partitions
     windowCensus(windowTable(static.limit(0), width))
-      .write.mode("overwrite").parquet(s"$censusDir/batch=-1")
+      .write.mode("overwrite").parquet(s"$censusDir/batch=-1/win_mod=0")
+    CensusManifest.write(censusDir, width, nMods)
     static.limit(0).select(col("doc_id"))
       .withColumn("n_dup_windows", lit(0L))
       .write.mode("overwrite").parquet(s"$outDir/batch=-1")
@@ -1512,22 +1731,36 @@ object Dedup {
   private[graft] def substringStreamBatch(batch: DataFrame, batchId: Long,
       censusDir: String, outDir: String, width: Int): Unit = {
     val s2 = batch.sparkSession
+    val nm = CensusManifest.checkAndNMods(censusDir, width)
     val winsInc = windowTable(batch, width)
       .select(col("doc_id"), col("win")).distinct()
-      .persist() // intra census + prior probe + per-doc count + delta
+      .persist() // mods collect + intra census + prior probe + count + delta
     val sharedIntra = winsInc
       .groupBy(col("win")).agg(count(lit(1)).as("ni"))
       .where(col("ni") >= 2).select(col("win"))
-    val prior = s2.read.parquet(censusDir)
-      .where(col("batch") < batchId)
-      .select(col("win")) // column-pruned: existence only
+    // PARTITION-PRUNED existence probe: the batch's windows can only live
+    // in their own hash partitions of the stored deltas, so only those
+    // `win_mod` dirs are listed/scanned (bounded driver collect, ≤ nMods
+    // ints) — then column-pruned to `win` and streamed past the broadcast
+    val mods = winsInc.select(winMod(nm).as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
+    val prior = (if (mods.isEmpty) winsInc.select(col("win")).limit(0)
+      else readStore(s2, censusDir)
+        .where(col("batch") < batchId && col("win_mod").isin(mods: _*))
+        .select(col("win")))
       .join(broadcast(winsInc.select(col("win")).distinct()), Seq("win"), "left_semi")
     val shared = sharedIntra.unionByName(prior).distinct()
     winsInc.join(shared, Seq("win"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // delta append under the store's fanout, own-partition overwrite
+    // (replay-idempotent); coalesce(1) for the same small-file reason as
+    // the band-store appends
     windowCensus(winsInc)
-      .write.mode("overwrite").parquet(s"$censusDir/batch=$batchId")
+      .withColumn("win_mod", winMod(nm))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("win_mod")
+      .parquet(s"$censusDir/batch=$batchId")
     winsInc.unpersist()
     ()
   }
@@ -1582,6 +1815,12 @@ object Dedup {
     * space is never touched and the k-means never re-runs — per-batch
     * cost is the increment's assignment plus its cells' membership.
     * Returns the increment vec_ids to DROP.
+    *
+    * This form receives the corpus as RAW embeddings and re-assigns it
+    * per call — the declared one-shot shape, kept as the contrast line.
+    * The production twin is [[semDedupIncrementalStored]]: corpus cell
+    * assignments persisted once, probes pruned to the increment's cells,
+    * the corpus never re-assigned or shuffled.
     */
   def semDedupIncremental(
       corpus: DataFrame,
@@ -1609,6 +1848,122 @@ object Dedup {
         VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("vec_b").as("vec_id")).distinct()
       .localCheckpoint(true) // release the cached assignment before returning
+    incA.unpersist()
+    drops
+  }
+
+  /** Manifest pinned next to a stored semantic-dedup index: the quantizer
+    * build params (cells are a pure function of (corpus sample, nlist,
+    * sampleRows)) and the store's cell-hash fanout. Same loud-drift
+    * contract as [[IndexManifest]].
+    */
+  object SemManifest {
+    private def path(root: String) = java.nio.file.Paths.get(root, "sem_manifest.json")
+    private def render(nlist: Int, sampleRows: Int, nMods: Int): String =
+      s"""{"nlist":$nlist,"sampleRows":$sampleRows,"nmods":$nMods}"""
+    def write(root: String, nlist: Int, sampleRows: Int, nMods: Int): Unit = {
+      java.nio.file.Files.write(path(root),
+        render(nlist, sampleRows, nMods).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    def checkAndNMods(root: String, nlist: Int, sampleRows: Int): Int = {
+      val f = path(root)
+      if (!java.nio.file.Files.exists(f))
+        throw new IllegalStateException(
+          s"semantic dedup store at $root has no manifest — refusing to probe an unverifiable index")
+      val found = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val nm = "\"nmods\":(\\d+)".r.findFirstMatchIn(found).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"malformed semantic store manifest at $root: $found"))
+      val want = render(nlist, sampleRows, nm)
+      if (found != want)
+        throw new IllegalStateException(
+          s"semantic dedup store parameter drift at $root:\n  store:    $found\n  consumer: $want")
+      nm
+    }
+  }
+
+  /** Seed the STORED semantic-dedup index — the minhash band-store
+    * treatment applied to embeddings: the coarse quantizer trains ONCE on
+    * the standing corpus and persists as the centroid artifact
+    * (`Similarity.saveIvfIndex` — the only collect is the bounded training
+    * sample); the corpus's cell assignments `(cell, vec_id, embedding)`
+    * persist under `cells/batch=0/cell_mod=<cell % nMods>`. From then on
+    * the corpus is NEVER re-assigned or re-shuffled: increments append
+    * their own assignments as their own batch partitions and probes prune
+    * to the increment's cells ([[semDedupIncrementalStored]]).
+    */
+  def seedSemStore(corpus: DataFrame, storeDir: String, nlist: Int = 16,
+      sampleRows: Int = 2048, nMods: Int = NMods): Unit = {
+    Similarity.saveIvfIndex(corpus, s"$storeDir/centroids", nlist, sampleRows)
+    val assigned = Similarity.assignStored(corpus, s"$storeDir/centroids")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    // empty batch=-1 partition: discovery resolves before any real append
+    assigned.limit(0)
+      .write.mode("overwrite").parquet(s"$storeDir/cells/batch=-1/cell_mod=0")
+    assigned
+      .withColumn("cell_mod", pmod(col("cell"), lit(nMods)).cast("int"))
+      .write.mode("overwrite").partitionBy("cell_mod")
+      .parquet(s"$storeDir/cells/batch=0")
+    SemManifest.write(storeDir, nlist, sampleRows, nMods)
+  }
+
+  /** INCREMENTAL semantic dedup against a STORED cell-assignment index —
+    * the production form of [[semDedupIncremental]]: the standing corpus
+    * contributes only its persisted `(cell, vec_id, embedding)` rows,
+    * PARTITION-PRUNED to the increment's cells' `cell_mod` dirs and
+    * semi-joined to exactly the increment's cells — the corpus is never
+    * re-read in full, never re-assigned, and never shuffled (the pruned
+    * store streams past a broadcast of the batch). The increment assigns
+    * to the persisted centroids in one map pass (no k-means anywhere),
+    * compares within-cell against the pruned members plus earlier
+    * increment arrivals, appends its own assignments as batch `batchId`
+    * (own-partition overwrite: replay-idempotent), and returns the
+    * increment vec_ids to DROP. Per-call cost is the increment's
+    * assignment plus its cells' membership — with nlist grown ∝ corpus
+    * (cell size constant, the SemDeDup/FAISS sizing rule) that is
+    * O(batch), independent of corpus size.
+    */
+  def semDedupIncrementalStored(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      increment: DataFrame,
+      batchId: Long,
+      minCosine: Double = 0.95,
+      nlist: Int = 16,
+      sampleRows: Int = 2048): DataFrame = {
+    val nm = SemManifest.checkAndNMods(storeDir, nlist, sampleRows)
+    if (increment.isEmpty)
+      return increment.select(col("vec_id"))
+    val incA = Similarity.assignStored(increment, s"$storeDir/centroids")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .persist() // mods collect + member union + probe + append
+    val mods = incA.select(pmod(col("cell"), lit(nm)).cast("int").as("m"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
+    val stored = if (mods.isEmpty) incA.limit(0)
+      else readStore(spark, s"$storeDir/cells")
+        .where(col("batch") < batchId && col("cell_mod").isin(mods: _*))
+        .join(broadcast(incA.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+        .select(col("cell"), col("vec_id"), col("embedding"))
+    val members = stored
+      .select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), lit(false).as("a_inc"))
+      .unionByName(incA.select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), lit(true).as("a_inc")))
+    val probe = incA.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    // broadcast the PROBE side (the batch), stream the pruned store past it
+    val drops = broadcast(probe).join(members, Seq("cell"))
+      .where(col("vec_a") =!= col("vec_b") &&
+        (!col("a_inc") || col("vec_a") < col("vec_b")) &&
+        VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    incA.withColumn("cell_mod", pmod(col("cell"), lit(nm)).cast("int"))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("cell_mod")
+      .parquet(s"$storeDir/cells/batch=$batchId")
     incA.unpersist()
     drops
   }

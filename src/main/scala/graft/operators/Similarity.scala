@@ -419,6 +419,16 @@ object Similarity {
                        k: Int = 10, nprobe: Int = 4): DataFrame =
     ivfProbe(embeddings, loadIvfIndex(embeddings.sparkSession, indexPath), probeId, k, nprobe)
 
+  /** Cell assignment against a PERSISTED index: load the centroids (tiny
+    * parquet, JVM-cached, no retrain) and map each row to its nearest cell
+    * — the add-vs-train split over a durable quantizer. The assignment
+    * path of the stored semantic-dedup index (`Dedup.seedSemStore` /
+    * `Dedup.semDedupIncrementalStored`).
+    */
+  private[operators] def assignStored(data: DataFrame, indexPath: String): DataFrame =
+    data.withColumn("cell",
+      nearestCellUdf(loadIvfIndex(data.sparkSession, indexPath))(col("embedding")))
+
   /** STREAMING ANN ingest — the embeddings-side sibling of
     * `Dedup.minhashStreamKeep`: vector drops arrive as a file stream; the
     * IVF index BOOTSTRAPS on the first drop (`saveIvfIndex`, the one

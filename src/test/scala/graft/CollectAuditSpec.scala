@@ -14,10 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - Similarity: k-means/IVF index builds — a fixed 2048-row training
   *    sample and nlist×dim centroid arrays (the FAISS driver-state shape);
   *    probe-set reads bounded by the declared probe count.
-  *  - Dedup: three ≤ nMods-int partition-pruning collects (stored-index
-  *    probe: batch band mods, candidate doc mods, est-passing doc mods)
-  *    and the 1-value label-sum convergence check per clusters()
-  *    iteration.
+  *  - Dedup: six ≤ nMods-int partition-pruning collects (stored-index
+  *    probe: batch band mods, candidate doc mods, est-passing doc mods;
+  *    census probes: increment win mods ×2 — stored + streaming; semantic
+  *    store probe: increment cell mods) and the 1-value label-sum
+  *    convergence check per clusters() iteration.
   *  - Layout: two 2-value min/max bounds for Z-order bit interleaving.
   *  - LogStore: O(total_splits) split-count read for one document's
   *    reassembly (reference semantics: per-doc, bounded by chunking).
@@ -49,7 +50,7 @@ class CollectAuditSpec extends AnyFunSuite {
       "graft/Tables.scala"                -> 1,
       "graft/SparkEntry.scala"            -> 8,
       "graft/operators/Similarity.scala"  -> 6,
-      "graft/operators/Dedup.scala"       -> 4,
+      "graft/operators/Dedup.scala"       -> 7,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
       "graft/operators/Corpus.scala"      -> 1)

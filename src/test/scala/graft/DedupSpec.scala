@@ -438,6 +438,120 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSet == Set(1L), s"keep-first must survive the cap, kept=$kept")
   }
 
+  test("stream index manifest: probing with drifted n/perms/bands throws") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("idxdrift")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    val inc = docs.where(col("doc_id") < 10)
+    // matching params pass (and bulk-build the store)
+    Dedup.minhashIncrementalStored(spark, idx, inc, batchId = 0L).count()
+    // every single-parameter drift fails LOUDLY before any probe work
+    for ((n, p, b) <- Seq((5, 32, 8), (3, 64, 8), (3, 32, 4))) {
+      val e = intercept[IllegalStateException](
+        Dedup.minhashIncrementalStored(spark, idx, inc, batchId = 1L,
+          n = n, perms = p, bands = b))
+      assert(e.getMessage.contains("parameter drift"), e.getMessage)
+    }
+    // a store with no manifest (pre-round-11 layout) is unverifiable
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "index_manifest.json"))
+    val e2 = intercept[IllegalStateException](
+      Dedup.minhashIncrementalStored(spark, idx, inc, batchId = 1L))
+    assert(e2.getMessage.contains("no manifest"))
+  }
+
+  test("compaction is parallel + size-targeted: multiple bounded files, same rows") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("compactsz")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    (0 until 3).foreach { b =>
+      Dedup.minhashIncrementalStored(spark, idx,
+        docs.where(col("doc_id") >= b * 150 && col("doc_id") < (b + 1) * 150)
+          .select("doc_id", "text"),
+        batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    }
+    def shRowSet = spark.read.parquet(s"$idx/shingles")
+      .select(col("doc_id"), col("sh").cast("string"))
+      .as[(Long, String)].collect().toSet
+    val rowsBefore = shRowSet
+    // a tiny file-size budget forces slices > 1: the rewrite must fan out
+    // into multiple size-tracked files per store, not coalesce(1)'s single
+    // task/single file
+    Dedup.compactIndex(spark, idx, upTo = 5L, targetFileBytes = 8192L)
+    val files = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idx/shingles/batch=5")).iterator()
+    var nFiles = 0
+    var maxBytes = 0L
+    while (files.hasNext) {
+      val p = files.next()
+      if (p.toString.endsWith(".parquet")) {
+        nFiles += 1
+        maxBytes = math.max(maxBytes, java.nio.file.Files.size(p))
+      }
+    }
+    assert(nFiles > Dedup.NMods,
+      s"size-targeted compaction should emit > ${Dedup.NMods} files at an " +
+        s"8 KiB budget, got $nFiles")
+    // loose bound: a slice file stays within a small multiple of the budget
+    // (parquet footer + row-group minimums dominate at this scale)
+    assert(maxBytes < 8192L * 16, s"a compacted file is $maxBytes bytes")
+    assert(shRowSet == rowsBefore, "size-targeted compaction must not change rows")
+    // the swap left no hidden set-aside dir behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/shingles/.compact_old")))
+  }
+
+  test("stored semantic dedup equals the in-memory incremental; drift throws") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val clone = e.where(col("vec_id") === 0)
+      .select(lit(7100000L).as("vec_id"), col("embedding"))
+    val negBase = e.where(col("vec_id") === 5)
+      .select(transform(col("embedding"), x => -x).as("embedding"))
+    val inc = clone
+      .unionByName(negBase.select(lit(7100010L).as("vec_id"), col("embedding")))
+      .unionByName(negBase.select(lit(7100011L).as("vec_id"), col("embedding")))
+    val tmp = java.nio.file.Files.createTempDirectory("semstore")
+    Dedup.seedSemStore(e, tmp.toString)
+    val stored = Dedup.semDedupIncrementalStored(spark, tmp.toString, inc,
+        batchId = 1L, minCosine = 0.95)
+      .as[Long].collect().toSet
+    val inmem = Dedup.semDedupIncremental(e, inc, minCosine = 0.95)
+      .as[Long].collect().toSet
+    assert(stored == inmem,
+      s"stored drops diverge from in-memory: ${(stored diff inmem) ++ (inmem diff stored)}")
+    assert(stored == Set(7100000L, 7100011L))
+    // quantizer-parameter drift against the store manifest fails loudly
+    val eDrift = intercept[IllegalStateException](
+      Dedup.semDedupIncrementalStored(spark, tmp.toString, inc,
+        batchId = 2L, nlist = 8))
+    assert(eDrift.getMessage.contains("parameter drift"), eDrift.getMessage)
+    // a replayed batch overwrites its own partition: same drops, no growth
+    val replay = Dedup.semDedupIncrementalStored(spark, tmp.toString, inc,
+        batchId = 1L, minCosine = 0.95)
+      .as[Long].collect().toSet
+    assert(replay == stored)
+  }
+
+  test("stored pruned census probe equals the unpruned incremental; width drift throws") {
+    val docs = Tables.documents(spark, Sf0001)
+    val corpus = docs.where(col("doc_id") < 250L)
+    val inc = docs.where(col("doc_id") >= 250L)
+    val tmp = java.nio.file.Files.createTempDirectory("censusstore")
+    val path = s"$tmp/census"
+    Dedup.writeCensusStore(Dedup.windowCensus(Dedup.windowTable(corpus)), path, width = 40)
+    val stored = Dedup.substringMassIncrementalStored(spark, path, inc, width = 40)
+      .as[(Long, Long)].collect().toMap
+    val unpruned = Dedup.substringMassIncremental(
+        Dedup.windowCensus(Dedup.windowTable(corpus)), inc)
+      .as[(Long, Long)].collect().toMap
+    assert(stored == unpruned,
+      s"diff: ${(stored.toSet diff unpruned.toSet) ++ (unpruned.toSet diff stored.toSet)}")
+    val e = intercept[IllegalStateException](
+      Dedup.substringMassIncrementalStored(spark, path, inc, width = 50))
+    assert(e.getMessage.contains("parameter drift"), e.getMessage)
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)

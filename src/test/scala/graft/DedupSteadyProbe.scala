@@ -19,23 +19,34 @@ import org.apache.spark.sql.functions._
   *   - `inmem`   — [[Dedup.minhashIncremental]]: corpus given as raw text,
   *     re-signed and re-ranked per call. Expected: grows with the corpus —
   *     the declared one-shot form, kept as the contrast line.
-  *   - `census`  — [[Dedup.substringMassIncremental]] against a STORED
-  *     pre-aggregated window census. Expected: flat modulo the map-side
-  *     census scan.
+  *   - `census`  — [[Dedup.substringMassIncrementalStored]] against a
+  *     STORED hash-fanned-out `(win, n_docs)` census: partition-pruned to
+  *     the batch's windows' `win_mod` dirs. Expected: flat, scan fraction
+  *     ∝ min(batch·wins, nMods)/nMods.
+  *   - `sem`     — [[Dedup.semDedupIncrementalStored]] vs
+  *     [[Dedup.semDedupIncremental]]: the embedding tier. The stored form
+  *     reads only the batch's cells' partitions of the persisted
+  *     `(cell, vec_id, embedding)` index; the in-memory form re-assigns
+  *     the whole corpus per call. nlist grows with the corpus (the FAISS
+  *     √N-family sizing that keeps cell size constant), so the stored
+  *     probe's membership is O(batch·cellsize).
   *
   * The store fanout (`nMods`) is the flatness knob: a fixed batch touches
   * at most batch×bands distinct band hashes, so the pruned scan reads
   * ≈ min(batch·bands, nMods)/nMods of the index — at the decade where
   * the batch's hashes saturate the default 16 mods the scan term
-  * reappears, and raising nMods with the index restores flatness.
+  * reappears, and raising nMods with the index restores flatness (run the
+  * same factor at two nMods values to measure the knob).
   *
-  * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [nMods] [factors...]"`.
+  * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [nMods] [tiers] [factors...]"`
+  * where `tiers` is a csv subset of `minhash,census,sem` (default: all).
   */
 object DedupSteadyProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.001")
     val nMods = args.lift(1).map(_.toInt).getOrElse(Dedup.NMods)
-    val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10, 100)
+    val tiers = args.lift(2).getOrElse("minhash,census,sem").split(",").toSet
+    val factors = if (args.length > 3) args.drop(3).map(_.toInt).toSeq else Seq(1, 10, 100)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
@@ -56,51 +67,102 @@ object DedupSteadyProbe {
         .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
           concat(col("text"), lit(" copysalt"), col("rep")).as("text"))
 
+    // embeddings, deterministically PERTURBED per replica so replicated
+    // points are distinct in embedding space (identical replicas would all
+    // collapse into the same cells and fake constant cell sizes)
+    val embs = Tables.embeddings(spark, base).select("vec_id", "embedding").persist()
+    val fixedVecs = embs.where(col("vec_id") < 32)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      .persist()
+    fixedVecs.count()
+    def embCorpusAt(factor: Int): DataFrame =
+      embs.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + (sin(col("vec_id") * (i + lit(1)) + col("rep")) * lit(0.05))
+              .cast("float"))
+            .as("embedding"))
+
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    println(f"[steady] fixed batch = 32 docs; corpus = ${docs.count()} x factor")
+    println(f"[steady] fixed batch = 32 docs/vecs; corpus = ${docs.count()} x factor; tiers=$tiers")
     for (factor <- factors) {
-      val corpus = corpusAt(factor).persist()
-      val nCorpus = corpus.count()
-
-      // --- stored pre-banded index: build once (untimed, disk-cached
-      // across probe runs), probe per-batch
       val root = s"/tmp/graft_steady_f${factor}_m$nMods"
-      val idx = s"$root/index"
-      if (!new java.io.File(idx).exists()) {
-        Dedup.seedStreamStores(corpus, idx, s"$root/acc", Seq("doc_id"),
-          n = 3, perms = 32, nMods = nMods)
-        Dedup.minhashIncrementalStored(spark, idx, corpus, batchId = 0L,
-          minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count() // bulk build
+      var line = f"[steady] factor $factor%4d  nmods $nMods%4d"
+
+      if (tiers("minhash")) {
+        val corpus = corpusAt(factor).persist()
+        val nCorpus = corpus.count()
+        // --- stored pre-banded index: build once (untimed, disk-cached
+        // across probe runs), probe per-batch
+        val idx = s"$root/index"
+        if (!new java.io.File(idx).exists()) {
+          Dedup.seedStreamStores(corpus, idx, s"$root/acc", Seq("doc_id"),
+            n = 3, perms = 32, nMods = nMods)
+          Dedup.minhashIncrementalStored(spark, idx, corpus, batchId = 0L,
+            minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count() // bulk build
+        }
+        // warm + 2 measured fixed batches against the grown index
+        val tStored = (1 to 3).map { b =>
+          timed(Dedup.minhashIncrementalStored(spark, idx,
+            fixedInc.select((col("doc_id") + b * 100L).as("doc_id"), col("text")),
+            batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count())
+        }.drop(1).min
+        // --- in-memory contrast: corpus re-signed + re-ranked per call
+        val tInmem = (1 to 2).map { _ =>
+          timed(Dedup.minhashIncremental(corpus, fixedInc,
+            minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count())
+        }.min
+        line += f"  corpus $nCorpus%7d  stored $tStored%6.2f s  inmem $tInmem%6.2f s"
+        corpus.unpersist()
       }
-      // warm + 2 measured fixed batches against the grown index
-      val tStored = (1 to 3).map { b =>
-        timed(Dedup.minhashIncrementalStored(spark, idx,
-          fixedInc.select((col("doc_id") + b * 100L).as("doc_id"), col("text")),
-          batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count())
-      }.drop(1).min
 
-      // --- in-memory contrast: corpus re-signed + re-ranked per call
-      val tInmem = (1 to 2).map { _ =>
-        timed(Dedup.minhashIncremental(corpus, fixedInc,
-          minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count())
-      }.min
+      if (tiers("census")) {
+        val corpus = corpusAt(factor).persist()
+        // --- substring census: build stored fanned-out census once
+        // (untimed), probe with the partition-pruned existence semi-join
+        val censusPath = s"$root/census_v2"
+        if (!new java.io.File(censusPath).exists())
+          Dedup.writeCensusStore(
+            Dedup.windowCensus(Dedup.windowTable(corpus)), censusPath,
+            width = 40, nMods = nMods)
+        val tCensus = (1 to 2).map { _ =>
+          timed(Dedup.substringMassIncrementalStored(
+            spark, censusPath, fixedInc).count())
+        }.min
+        line += f"  census $tCensus%6.2f s"
+        corpus.unpersist()
+      }
 
-      // --- substring census: build stored census once (untimed), probe
-      val censusPath = s"$root/census"
-      if (!new java.io.File(censusPath).exists())
-        Dedup.windowCensus(Dedup.windowTable(corpus)).write.parquet(censusPath)
-      val tCensus = (1 to 2).map { _ =>
-        timed(Dedup.substringMassIncremental(
-          spark.read.parquet(censusPath), fixedInc).count())
-      }.min
+      if (tiers("sem")) {
+        // nlist ∝ corpus (cell size constant), fanout sized to nlist
+        val nlist = math.min(512, 16 * factor)
+        val sampleRows = math.max(2048, 2 * nlist)
+        val semMods = math.min(64, nlist)
+        val ec = embCorpusAt(factor).persist()
+        val nVecs = ec.count()
+        val semDir = s"$root/sem_n$nlist"
+        if (!new java.io.File(semDir).exists())
+          Dedup.seedSemStore(ec, semDir, nlist = nlist,
+            sampleRows = sampleRows, nMods = semMods) // untimed build
+        val tSemStored = (1 to 3).map { b =>
+          timed(Dedup.semDedupIncrementalStored(spark, semDir,
+            fixedVecs.select((col("vec_id") + b * 100L).as("vec_id"), col("embedding")),
+            batchId = b.toLong, nlist = nlist, sampleRows = sampleRows).count())
+        }.drop(1).min
+        val tSemInmem = (1 to 2).map { _ =>
+          timed(Dedup.semDedupIncremental(ec, fixedVecs,
+            nlist = nlist, sampleRows = sampleRows).count())
+        }.min
+        line += f"  vecs $nVecs%7d  sem_stored $tSemStored%6.2f s  sem_inmem $tSemInmem%6.2f s"
+        ec.unpersist()
+      }
 
-      println(f"[steady] factor $factor%4d  nmods $nMods%4d  corpus $nCorpus%7d  " +
-        f"stored $tStored%6.2f s  inmem $tInmem%6.2f s  census $tCensus%6.2f s")
-      corpus.unpersist()
+      println(line)
       spark.catalog.clearCache()
+      docs.persist(); fixedInc.persist(); embs.persist(); fixedVecs.persist()
     }
     spark.stop()
   }
