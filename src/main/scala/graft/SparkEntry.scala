@@ -1225,6 +1225,47 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- [NS] STREAMING semantic dedup: the embedding tier's streaming
+    // form, completing tier symmetry (exact/fuzzy/substring/ANN already
+    // stream). Three id-ordered organic slices bootstrap the quantizer on
+    // the first arrival; a fourth slice carries the planted duplicates —
+    // three byte-identical clones of corpus vectors (cosine 1.0 to an
+    // earlier arrival, same cell under ANY quantizer → drop) and two
+    // identical negated copies of vec 5 (fresh direction: the earlier one
+    // is accepted, the later one drops intra-batch by keep-first).
+    // Accepted = every organic vector + the first negated copy. --
+    "q_stream_semdedup" -> ((s, d) => {
+      val in = scratchDirs.getOrElseUpdate(s"semslices:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_semslices")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/slices"
+        val e = embeddings(s, d).select("vec_id", "embedding")
+        val mx = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val base = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          e.where(col("vec_id") >= i * mx / 3 && col("vec_id") < (i + 1) * mx / 3)
+            .coalesce(1).write.mode("append").parquet(out)
+          stampSliceMtime(out, i, base)
+        }
+        val clones = e.where(col("vec_id") < 3)
+          .select((col("vec_id") + 8500000L).as("vec_id"), col("embedding"))
+        val negBase = e.where(col("vec_id") === 5)
+          .select(transform(col("embedding"), x => -x).as("embedding"))
+        clones
+          .unionByName(negBase.select(lit(8500010L).as("vec_id"), col("embedding")))
+          .unionByName(negBase.select(lit(8500011L).as("vec_id"), col("embedding")))
+          .coalesce(1).write.mode("append").parquet(out)
+        stampSliceMtime(out, 3, base)
+        out
+      })
+      val work = java.nio.file.Files.createTempDirectory("graft_semstream")
+      deleteRecursivelyOnExit(work)
+      graft.operators.Dedup.semDedupStreamKeep(s, in,
+          work.toFile.getAbsolutePath, keepCols = Seq("vec_id"),
+          minCosine = 0.95)
+        .orderBy("vec_id")
+    }),
+
     "q_neardup_embedding" -> ((s, d) => {
       val e = embeddings(s, d)
       val probe = e.where(col("vec_id") === 0).withColumn("vec_id", lit(-1L))
@@ -6179,6 +6220,18 @@ object SparkEntry {
       """SELECT vec_id FROM (
         |  SELECT vec_id + 8000000 AS vec_id FROM embeddings WHERE vec_id < 3
         |  UNION ALL SELECT 8000011
+        |) ORDER BY vec_id""".stripMargin,
+
+    // arrival-ordered greedy keep-first over the planted stream: every
+    // organic vector is accepted (organic max pairwise cosine ≈0.51 «
+    // 0.95 — no organic drop regardless of cells), the three clones drop
+    // against their earlier-arrived originals, and of the two identical
+    // negated copies the EARLIER id is accepted (fresh direction) while
+    // the later drops intra-batch
+    "q_stream_semdedup" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL SELECT 8500010
         |) ORDER BY vec_id""".stripMargin,
 
     // the planted clone (vec -1 = vec 0) is the only pair at cosine >= 0.9;

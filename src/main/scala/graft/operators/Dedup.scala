@@ -948,67 +948,86 @@ object Dedup {
       idxDir: String,
       upTo: Long,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val nm = storeNMods(idxDir)
+    compactStore(spark, bandsDir(idxDir), "bh_mod", "doc_id", nm, upTo, targetFileBytes)
+    compactStore(spark, sigsDir(idxDir), "did_mod", "doc_id", nm, upTo, targetFileBytes)
+    compactStore(spark, shsDir(idxDir), "did_mod", "doc_id", nm, upTo, targetFileBytes)
+  }
+
+  /** Compact ONE batch-partitioned, hash-fanned-out store table — the
+    * maintenance op shared by every store this file owns (band/doc index
+    * via [[compactIndex]]; census deltas; semantic cell assignments):
+    * rewrite every `batch <= upTo` partition into one consolidated
+    * `batch=upTo` partition under the same `modCol` fanout, with the
+    * parallel size-targeted rewrite + recoverable checked swap documented
+    * on [[compactIndex]]. `saltCol` is any well-distributed column of the
+    * table (doc_id / vec_id / win) used to split oversized mods into
+    * size-budgeted slices.
+    */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      modCol: String,
+      saltCol: String,
+      nMods: Int,
+      upTo: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val nm = storeNMods(idxDir)
-    def swapIn(storeDir: String, modCol: String): Unit = {
-      val fs = new Path(storeDir).getFileSystem(conf)
-      val olds = fs.listStatus(new Path(storeDir)).filter { st =>
-        val name = st.getPath.getName
-        name.startsWith("batch=") && name.stripPrefix("batch=").toLong <= upTo
-      }
-      val totalBytes = olds.map(st => fs.getContentSummary(st.getPath).getLength).sum
-      val slices = math.max(1L,
-        (totalBytes + nm.toLong * targetFileBytes - 1) / (nm.toLong * targetFileBytes)).toInt
-      val staged = s"$storeDir.compact_stage"
-      val rows = readStore(spark, storeDir)
-        .where(col("batch") <= upTo)
-        .drop("batch")
-      // an all-empty store compacts to a schema-only file in mod 0 (the
-      // seed layout) — a partitionBy write of zero rows emits no files at
-      // all and would leave the store unreadable
-      if (rows.isEmpty)
-        rows.drop(modCol).coalesce(1)
-          .write.mode("overwrite").parquet(s"$staged/$modCol=0")
-      else
-        rows
-          .repartition(nm * slices, col(modCol),
-            pmod(xxhash64(col("doc_id")), lit(slices)))
-          .write.mode("overwrite").partitionBy(modCol).parquet(staged)
-      val stagedP = new Path(staged)
-      if (!fs.exists(stagedP))
-        throw new IllegalStateException(
-          s"compactIndex: staged rewrite missing at $staged — store left unchanged")
-      val trash = new Path(storeDir, ".compact_old")
-      if (!fs.mkdirs(trash))
-        throw new IllegalStateException(
-          s"compactIndex: cannot create $trash — store left unchanged")
-      val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-      def restoreMoved(): Unit = moved.reverse.foreach { case (orig, aside) =>
-        fs.rename(aside, orig); ()
-      }
-      olds.foreach { st =>
-        val aside = new Path(trash, st.getPath.getName)
-        if (!fs.rename(st.getPath, aside)) {
-          restoreMoved()
-          throw new IllegalStateException(
-            s"compactIndex: failed to move ${st.getPath} aside — original partitions restored")
-        }
-        moved += ((st.getPath, aside))
-      }
-      if (!fs.rename(stagedP, new Path(s"$storeDir/batch=$upTo"))) {
+    val nm = nMods
+    val fs = new Path(storeDir).getFileSystem(conf)
+    val olds = fs.listStatus(new Path(storeDir)).filter { st =>
+      val name = st.getPath.getName
+      name.startsWith("batch=") && name.stripPrefix("batch=").toLong <= upTo
+    }
+    val totalBytes = olds.map(st => fs.getContentSummary(st.getPath).getLength).sum
+    val slices = math.max(1L,
+      (totalBytes + nm.toLong * targetFileBytes - 1) / (nm.toLong * targetFileBytes)).toInt
+    val staged = s"$storeDir.compact_stage"
+    val rows = readStore(spark, storeDir)
+      .where(col("batch") <= upTo)
+      .drop("batch")
+    // an all-empty store compacts to a schema-only file in mod 0 (the
+    // seed layout) — a partitionBy write of zero rows emits no files at
+    // all and would leave the store unreadable
+    if (rows.isEmpty)
+      rows.drop(modCol).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staged/$modCol=0")
+    else
+      rows
+        .repartition(nm * slices, col(modCol),
+          pmod(xxhash64(col(saltCol)), lit(slices)))
+        .write.mode("overwrite").partitionBy(modCol).parquet(staged)
+    val stagedP = new Path(staged)
+    if (!fs.exists(stagedP))
+      throw new IllegalStateException(
+        s"compactStore: staged rewrite missing at $staged — store left unchanged")
+    val trash = new Path(storeDir, ".compact_old")
+    if (!fs.mkdirs(trash))
+      throw new IllegalStateException(
+        s"compactStore: cannot create $trash — store left unchanged")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def restoreMoved(): Unit = moved.reverse.foreach { case (orig, aside) =>
+      fs.rename(aside, orig); ()
+    }
+    olds.foreach { st =>
+      val aside = new Path(trash, st.getPath.getName)
+      if (!fs.rename(st.getPath, aside)) {
         restoreMoved()
         throw new IllegalStateException(
-          s"compactIndex: failed to promote $staged — original partitions restored")
+          s"compactStore: failed to move ${st.getPath} aside — original partitions restored")
       }
-      if (!fs.delete(trash, true))
-        throw new IllegalStateException(
-          s"compactIndex: compacted store at $storeDir is CONSISTENT, but the " +
-            s"replaced partitions could not be deleted — remove $trash manually")
+      moved += ((st.getPath, aside))
     }
-    swapIn(bandsDir(idxDir), "bh_mod")
-    swapIn(sigsDir(idxDir), "did_mod")
-    swapIn(shsDir(idxDir), "did_mod")
+    if (!fs.rename(stagedP, new Path(s"$storeDir/batch=$upTo"))) {
+      restoreMoved()
+      throw new IllegalStateException(
+        s"compactStore: failed to promote $staged — original partitions restored")
+    }
+    if (!fs.delete(trash, true))
+      throw new IllegalStateException(
+        s"compactStore: compacted store at $storeDir is CONSISTENT, but the " +
+          s"replaced partitions could not be deleted — remove $trash manually")
   }
 
   /** Batch-incremental dedup against a STORED pre-banded index — the
@@ -1966,6 +1985,80 @@ object Dedup {
       .parquet(s"$storeDir/cells/batch=$batchId")
     incA.unpersist()
     drops
+  }
+
+  /** STREAMING semantic dedup — the embedding tier's [[minhashStreamKeep]],
+    * completing tier symmetry (exact/fuzzy/substring/ANN already stream):
+    * vector drops arrive as an id-ordered file stream; the quantizer
+    * BOOTSTRAPS on the first batch (train-if-absent — the one k-means of
+    * the pipeline's life, `Similarity.streamIngestIvf`'s contract) over an
+    * EMPTY cell store; every micro-batch then runs the stored incremental
+    * probe ([[semDedupIncrementalStored]]): assign to the persisted
+    * centroids in one map pass, compare within-cell against every earlier
+    * arrival (partition-pruned to its own cells), append its own
+    * assignments, and write its accepted (non-dropped) rows as its own
+    * partition. A vector drops iff cosine ≥ `minCosine` to an
+    * earlier-or-same-batch-smaller-id arrival — arrival-ordered greedy
+    * keep-first, the rule every streaming tier shares. Replay-idempotent
+    * throughout: own-partition overwrites, probe reads `batch < id`, and
+    * the bootstrap re-trains to identical centroids (deterministic sample,
+    * seed-free k-means).
+    */
+  def semDedupStreamKeep(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      workDir: String,
+      keepCols: Seq[String],
+      minCosine: Double = 0.95,
+      nlist: Int = 16,
+      sampleRows: Int = 2048,
+      nMods: Int = NMods): DataFrame = {
+    val accDir = s"$workDir/accepted"
+    val static = spark.read.parquet(inputDir)
+    static.select(keepCols.map(col): _*).limit(0)
+      .write.mode("overwrite").parquet(s"$accDir/batch=-1")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream
+        .schema(static.schema)
+        .option("maxFilesPerTrigger", 1) // one arrival slice per micro-batch
+        .parquet(inputDir)
+        .writeStream
+        .option("checkpointLocation", s"$workDir/_chk")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          semDedupStreamBatch(batch, batchId, s"$workDir/semstore", accDir,
+            keepCols, minCosine, nlist, sampleRows, nMods)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(accDir).drop("batch")
+  }
+
+  private[graft] def semDedupStreamBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, accDir: String, keepCols: Seq[String],
+      minCosine: Double, nlist: Int, sampleRows: Int, nMods: Int): Unit = {
+    val s2 = batch.sparkSession
+    // bootstrap, train-if-absent: centroids from the FIRST arrivals, an
+    // EMPTY batch=-1 cell seed (batch 0 probes nothing earlier). Idempotent
+    // on replay: if the manifest exists the store stands; if the crash hit
+    // between index write and manifest, the retrain is deterministic.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir, "sem_manifest.json"))) {
+      Similarity.saveIvfIndex(batch, s"$storeDir/centroids", nlist, sampleRows)
+      Similarity.assignStored(batch, s"$storeDir/centroids")
+        .select(col("cell"), col("vec_id"), col("embedding")).limit(0)
+        .write.mode("overwrite").parquet(s"$storeDir/cells/batch=-1/cell_mod=0")
+      SemManifest.write(storeDir, nlist, sampleRows, nMods)
+    }
+    val drops = semDedupIncrementalStored(s2, storeDir,
+      batch.select(col("vec_id"), col("embedding")), batchId,
+      minCosine, nlist, sampleRows)
+    batch.join(broadcast(drops), Seq("vec_id"), "left_anti") // drops <= batch
+      .select(keepCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$accDir/batch=$batchId")
+    ()
   }
 
   def embeddingNearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {

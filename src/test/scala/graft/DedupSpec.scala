@@ -552,6 +552,72 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("parameter drift"), e.getMessage)
   }
 
+  test("streaming semantic dedup: arrival-ordered keep-first over planted slices") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("semstream")
+    val in = s"$tmp/slices"
+    val mx = e.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) + 1
+    val base = System.currentTimeMillis()
+    def stamp(i: Int): Unit = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+      }
+    }
+    (0 until 2).foreach { i =>
+      e.where(col("vec_id") >= i * mx / 2 && col("vec_id") < (i + 1) * mx / 2)
+        .coalesce(1).write.mode("append").parquet(in)
+      stamp(i)
+    }
+    // third slice: a clone of vec 0 (drops vs its earlier original) and
+    // two identical negated copies of vec 3 (earlier accepted, later drops)
+    val negBase = e.where(col("vec_id") === 3)
+      .select(transform(col("embedding"), x => -x).as("embedding"))
+    e.where(col("vec_id") === 0)
+      .select(lit(7200000L).as("vec_id"), col("embedding"))
+      .unionByName(negBase.select(lit(7200010L).as("vec_id"), col("embedding")))
+      .unionByName(negBase.select(lit(7200011L).as("vec_id"), col("embedding")))
+      .coalesce(1).write.mode("append").parquet(in)
+    stamp(2)
+    val accepted = Dedup.semDedupStreamKeep(spark, in, s"$tmp/work",
+        keepCols = Seq("vec_id"), minCosine = 0.95)
+      .as[Long].collect().toSet
+    val organic = e.select("vec_id").as[Long].collect().toSet
+    assert(accepted == organic + 7200010L,
+      s"diff: ${(accepted diff (organic + 7200010L)) ++ ((organic + 7200010L) diff accepted)}")
+  }
+
+  test("compactStore consolidates a census store: same rows, probe unchanged") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("censuscompact")
+    val path = s"$tmp/census"
+    // three delta batches of the census, then consolidate
+    (0 until 3).foreach { b =>
+      val slice = docs.where(col("doc_id") >= b * 150 && col("doc_id") < (b + 1) * 150)
+      val delta = Dedup.windowCensus(Dedup.windowTable(slice))
+        .withColumn("win_mod", pmod(xxhash64(col("win")), lit(Dedup.NMods)).cast("int"))
+      delta.write.mode("overwrite").partitionBy("win_mod").parquet(s"$path/batch=$b")
+    }
+    Dedup.CensusManifest.write(path, 40, Dedup.NMods)
+    def rowSet = spark.read.parquet(path)
+      .select("win", "n_docs").as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val before = rowSet
+    Dedup.compactStore(spark, path, "win_mod", "win", Dedup.NMods, upTo = 2L)
+    assert(rowSet == before, "census compaction must keep the multiset of rows")
+    // a batch=3 pruned probe against the compacted store still works
+    val inc = docs.where(col("doc_id") >= 450)
+    val stored = Dedup.substringMassIncrementalStored(spark, path, inc, width = 40)
+      .as[(Long, Long)].collect().toMap
+    val unpruned = Dedup.substringMassIncremental(
+        Dedup.windowCensus(Dedup.windowTable(docs.where(col("doc_id") < 450))), inc)
+      .as[(Long, Long)].collect().toMap
+    assert(stored == unpruned)
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)
