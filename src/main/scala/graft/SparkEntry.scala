@@ -1225,6 +1225,39 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- [NS] in-place RE-QUANTIZATION maintenance of the stored semantic
+    // index (the knob that grows nlist with the corpus WITHOUT a full
+    // re-seed): the store seeds at nlist=16, requantizeSemStore trains 64
+    // centroids from the stored rows' sample, re-assigns the stored cells
+    // in one parallel job, swaps via the recoverable sentinel protocol and
+    // bumps the manifest; the probe then runs against the evolved store.
+    // Drop semantics are quantizer-invariant for the planted fixture
+    // (clones at cosine 1.0 share a cell under ANY quantizer; organic max
+    // pairwise cosine ≈0.51 « 0.95), so the oracle is the same
+    // deterministic set at shifted ids; requantized==untouched parity is
+    // additionally spec-pinned. --
+    "q_semdedup_requantized" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val store = scratchDirs.getOrElseUpdate(s"semrqstore:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_semrq")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        graft.operators.Dedup.seedSemStore(e, r)
+        graft.operators.Dedup.requantizeSemStore(s, r, newNlist = 64)
+        r
+      })
+      val clones = e.where(col("vec_id") < 3)
+        .select((col("vec_id") + 8600000L).as("vec_id"), col("embedding"))
+      val negBase = e.where(col("vec_id") === 5)
+        .select(transform(col("embedding"), x => -x).as("embedding"))
+      val inc = clones
+        .unionByName(negBase.select(lit(8600010L).as("vec_id"), col("embedding")))
+        .unionByName(negBase.select(lit(8600011L).as("vec_id"), col("embedding")))
+      graft.operators.Dedup.semDedupIncrementalStored(s, store, inc,
+          batchId = 1L, minCosine = 0.95, nlist = 64)
+        .orderBy("vec_id")
+    }),
+
     // -- [NS] STREAMING semantic dedup: the embedding tier's streaming
     // form, completing tier symmetry (exact/fuzzy/substring/ANN already
     // stream). Three id-ordered organic slices bootstrap the quantizer on
@@ -6220,6 +6253,15 @@ object SparkEntry {
       """SELECT vec_id FROM (
         |  SELECT vec_id + 8000000 AS vec_id FROM embeddings WHERE vec_id < 3
         |  UNION ALL SELECT 8000011
+        |) ORDER BY vec_id""".stripMargin,
+
+    // same quantizer-invariant planted-drop argument across the 16→64
+    // in-place requantize (clones at cosine 1.0 share a cell under any
+    // quantizer, before AND after the re-assign), at this fixture's ids
+    "q_semdedup_requantized" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id + 8600000 AS vec_id FROM embeddings WHERE vec_id < 3
+        |  UNION ALL SELECT 8600011
         |) ORDER BY vec_id""".stripMargin,
 
     // arrival-ordered greedy keep-first over the planted stream: every

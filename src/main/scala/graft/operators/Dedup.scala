@@ -48,16 +48,70 @@ object Dedup {
     */
   val NMods = 16
 
-  /** Read the store's pinned fanout (written by [[seedStreamStores]]);
+  /** Shared render/IO/drift core of the four store manifests below
+    * (artifact [[StoreManifest]], band-index [[IndexManifest]], census
+    * [[CensusManifest]], semantic [[SemManifest]]) — one contract, four
+    * one-screen instantiations: build params render to a canonical ordered
+    * JSON line pinned next to the store; every consumer re-renders its own
+    * params and THROWS on any byte difference, so a store/consumer
+    * parameter mismatch fails loudly instead of returning silently wrong
+    * candidate sets. I/O goes through the store path's Hadoop
+    * `FileSystem` — the same resolution the store's parquet writers use —
+    * so a store rooted on HDFS/S3 carries its manifest WITH the data
+    * rather than stranding it on the driver's local disk.
+    */
+  private[graft] final class ManifestIo(kind: String, fileName: String) {
+    private def hconf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    private def path(root: String) = new org.apache.hadoop.fs.Path(root, fileName)
+    def render(fields: (String, Any)*): String =
+      fields.map {
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v)         => s""""$k":$v"""
+      }.mkString("{", ",", "}")
+    def exists(root: String): Boolean = {
+      val p = path(root); p.getFileSystem(hconf).exists(p)
+    }
+    def write(root: String, json: String): Unit = {
+      val p = path(root)
+      val out = p.getFileSystem(hconf).create(p, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def read(root: String): String = {
+      val p = path(root)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"$kind at $root has no manifest — refusing to read an unverifiable store")
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+    }
+    /** Assert the consumer's rendered params against the pinned manifest. */
+    def check(root: String, want: String): Unit = {
+      val found = read(root)
+      if (found != want)
+        throw new IllegalStateException(
+          s"$kind parameter drift at $root:\n  store:    $found\n  consumer: $want")
+    }
+    /** Parse one integer field out of the pinned manifest — for store
+      * properties a consumer READS rather than declares (`nmods`,
+      * the evolving `nlist`).
+      */
+    def intField(root: String, key: String): Int =
+      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(read(root)).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"malformed $kind manifest at $root: ${read(root)}"))
+  }
+
+  /** The store's pinned fanout file (written by [[seedStreamStores]]);
     * stores created before the parameter existed default to [[NMods]].
     */
-  private def storeNMods(idxDir: String): Int = {
-    val p = java.nio.file.Paths.get(idxDir, "nmods")
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    else NMods
-  }
+  private val nModsIo = new ManifestIo("store fanout", "nmods")
+  private def storeNMods(idxDir: String): Int =
+    if (nModsIo.exists(idxDir)) nModsIo.read(idxDir).toInt else NMods
 
   /** Manifest pinned next to a pre-banded STREAM INDEX store
     * ([[minhashStreamKeep]]'s layout). Band rows are a pure function of
@@ -71,25 +125,25 @@ object Dedup {
     * renders the consumer's params against the store's own pinned fanout.
     */
   object IndexManifest {
-    private def path(root: String) = java.nio.file.Paths.get(root, "index_manifest.json")
+    private val io = new ManifestIo("stream index store", "index_manifest.json")
     private def render(n: Int, perms: Int, bands: Int, nMods: Int): String =
-      s"""{"n":$n,"perms":$perms,"bands":$bands,"nmods":$nMods}"""
-    def write(root: String, n: Int, perms: Int, bands: Int, nMods: Int): Unit = {
-      java.nio.file.Files.write(path(root),
-        render(n, perms, bands, nMods).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
-    def check(root: String, n: Int, perms: Int, bands: Int): Unit = {
-      val f = path(root)
-      if (!java.nio.file.Files.exists(f))
+      io.render("n" -> n, "perms" -> perms, "bands" -> bands, "nmods" -> nMods)
+    def write(root: String, n: Int, perms: Int, bands: Int, nMods: Int): Unit =
+      io.write(root, render(n, perms, bands, nMods))
+    def check(root: String, n: Int, perms: Int, bands: Int): Unit =
+      io.check(root, render(n, perms, bands, storeNMods(root)))
+    /** One-shot migration for a pre-manifest (pre-round-11) store whose
+      * build params the operator KNOWS: pin them together with the store's
+      * own `nmods` file (which legacy stores do carry) so probes stop
+      * refusing. Refuses to touch a store that already has a manifest —
+      * migration exists for stores with none, not as a drift-check bypass.
+      */
+    def migrateLegacy(root: String, n: Int, perms: Int, bands: Int): Unit = {
+      if (io.exists(root))
         throw new IllegalStateException(
-          s"stream index store at $root has no manifest — refusing to probe an unverifiable index")
-      val found = new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val want = render(n, perms, bands, storeNMods(root))
-      if (found != want)
-        throw new IllegalStateException(
-          s"stream index parameter drift at $root:\n  store:    $found\n  consumer: $want")
+          s"stream index store at $root already has a manifest — " +
+            "migrateLegacy is only for pre-manifest stores")
+      write(root, n, perms, bands, storeNMods(root))
     }
   }
 
@@ -161,27 +215,12 @@ object Dedup {
     * loudly instead of returning silently wrong candidate sets.
     */
   object StoreManifest {
-    private def path(root: String) = java.nio.file.Paths.get(root, "manifest.json")
+    private val io = new ManifestIo("dedup store", "manifest.json")
     private def render(p: StoreParams): String =
-      s"""{"version":${p.version},"n":${p.n},"perms":${p.perms},""" +
-        s""""width":${p.width},"selection":"${p.selection}","censusThr":${p.censusThr}}"""
-    def write(root: String, p: StoreParams): Unit = {
-      java.nio.file.Files.write(path(root),
-        render(p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
-    def check(root: String, expected: StoreParams): Unit = {
-      val f = path(root)
-      if (!java.nio.file.Files.exists(f))
-        throw new IllegalStateException(
-          s"dedup store at $root has no manifest — refusing to read unverifiable artifacts")
-      val found = new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val want = render(expected)
-      if (found != want)
-        throw new IllegalStateException(
-          s"dedup store parameter drift at $root:\n  store:    $found\n  consumer: $want")
-    }
+      io.render("version" -> p.version, "n" -> p.n, "perms" -> p.perms,
+        "width" -> p.width, "selection" -> p.selection, "censusThr" -> p.censusThr)
+    def write(root: String, p: StoreParams): Unit = io.write(root, render(p))
+    def check(root: String, expected: StoreParams): Unit = io.check(root, render(expected))
   }
 
   /** MinHash signature table — `(doc_id, sig: array<long>)`, docs whose
@@ -515,13 +554,12 @@ object Dedup {
                                    // micro-batch cost is job-count-bound
     val accDir = s"$workDir/accepted"
     // per-batch joins move <= corpus-index rows; at 32 shuffle partitions
-    // each micro-batch pays dozens of near-empty tasks. Size to the batch,
-    // not the session (the upsertUserTotals discipline).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try minhashStreamKeepRun(spark, inputDir, idxDir, accDir,
-      keepCols, n, perms, bands, minEstJaccard, verifyJaccard)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // each micro-batch pays dozens of near-empty tasks — size to the
+    // batch, not the session (lock-guarded: [[withShufflePartitions]])
+    withShufflePartitions(spark, 8) {
+      minhashStreamKeepRun(spark, inputDir, idxDir, accDir,
+        keepCols, n, perms, bands, minEstJaccard, verifyJaccard)
+    }
     spark.read.parquet(accDir).drop("batch")
   }
 
@@ -587,12 +625,54 @@ object Dedup {
     * override exists for.
     */
   private val readStoreLock = new Object
-  private def readStore(s2: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  private[graft] def readStore(s2: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readStoreLock.synchronized {
+      // a maintenance swap ([[compactStore]] / [[requantizeSemStore]])
+      // raises this sentinel for the window in which source partitions are
+      // moved aside but the replacement is not yet promoted — a read in
+      // that window would silently see a truncated store (missed
+      // duplicates), so refuse loudly instead
+      val sent = new org.apache.hadoop.fs.Path(path, MaintenanceSentinel)
+      if (sent.getFileSystem(s2.sparkContext.hadoopConfiguration).exists(sent))
+        throw new IllegalStateException(
+          s"store at $path has a maintenance swap in progress ($MaintenanceSentinel " +
+            "present) — refusing to read a possibly half-swapped store; if no " +
+            "maintenance job is live, a crashed swap left it: restore the " +
+            "set-aside partitions and remove the sentinel")
       val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
       val prev = s2.conf.get(key)
       s2.conf.set(key, "8192")
       try s2.read.parquet(path) finally s2.conf.set(key, prev)
+    }
+
+  /** Name of the swap-window sentinel raised inside a store dir by the
+    * maintenance ops while source partitions are aside but the replacement
+    * is not yet promoted. [[readStore]] (every probe's read path) refuses
+    * while it exists.
+    */
+  private[graft] val MaintenanceSentinel = ".compact_inprogress"
+
+  /** Set/restore of the SESSION-GLOBAL shuffle-partitions knob, held for
+    * the duration of `body` under one lock: per-batch joins in the
+    * streaming tiers move ≤ corpus-index rows, and at the session's width
+    * each micro-batch pays dozens of near-empty tasks — so each streaming
+    * run sizes the knob to the batch (the upsertUserTotals discipline).
+    * Two concurrent runs in one session could otherwise interleave
+    * set/restore and clobber each other's setting or leak the override
+    * session-wide ([[readStoreLock]]'s hazard class). Because the knob is
+    * session-global it must stay set for the run's whole planning life, so
+    * the lock is held for the full run: concurrent streaming dedup runs on
+    * ONE session serialize — production gives each pipeline its own
+    * session (cheap; they share the SparkContext).
+    */
+  private val shufflePartsLock = new Object
+  private def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T =
+    shufflePartsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
     }
 
   /** Seed the stream stores with an empty `batch=-1` partition so
@@ -622,8 +702,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$accDir/batch=-1")
     // pin the store's fanout so every later probe/append partitions with
     // the modulus the store was built with
-    java.nio.file.Files.write(java.nio.file.Paths.get(idxDir, "nmods"),
-      nMods.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    nModsIo.write(idxDir, nMods.toString)
     // ... and the full parameter set, asserted by every probe/append
     IndexManifest.write(idxDir, n, perms, bands, nMods)
     ()
@@ -932,16 +1011,27 @@ object Dedup {
     * `targetFileBytes` regardless of store size.
     *
     * Swap protocol — RECOVERABLE, every `FileSystem` boolean checked:
-    * stage → verify the stage exists → rename old partitions ASIDE into a
-    * hidden `.compact_old` dir (dot-prefixed: invisible to partition
-    * discovery, restorable) → promote the stage to `batch=upTo` → delete
-    * the set-aside rows. A failed move-aside or promote renames the moved
-    * partitions back and throws with the store in its pre-compaction
-    * state; a failed final cleanup throws naming the leftover dir while
-    * the store stays CONSISTENT (the hidden dir is never read). No step
-    * deletes data before its replacement is in place. At object-store
-    * scale the promote step becomes a manifest commit
-    * (`Layout.commitVersion`'s protocol) rather than a directory rename.
+    * stage → verify the stage exists → raise the [[MaintenanceSentinel]]
+    * (exclusive create: a racing maintenance op fails here, and
+    * [[readStore]] — every probe's read path — refuses for the whole swap
+    * window, closing the silent-truncated-read window a crash between
+    * move-aside and promote would otherwise open) → rename old partitions
+    * ASIDE into a hidden `.compact_old` dir (dot-prefixed: invisible to
+    * partition discovery, restorable) → promote the stage to
+    * `batch=upTo` → drop the sentinel → delete the set-aside rows. A
+    * failed move-aside or promote renames the moved partitions back,
+    * clears sentinel and set-aside dir, and throws with the store in its
+    * pre-compaction state; a failed final cleanup throws naming the
+    * leftover dir while the store stays CONSISTENT (the hidden dir is
+    * never read). No step deletes data before its replacement is in
+    * place. Leftovers of a CRASHED swap (`.compact_old` or the sentinel
+    * already present) fail the next attempt FAST before any move-aside —
+    * `fs.mkdirs` returns true on an existing dir and an HDFS rename into
+    * an existing dir NESTS the source, so retrying over stale state would
+    * record wrong (orig, aside) pairs and restore/delete the wrong
+    * partitions. At object-store scale the promote step becomes a
+    * manifest commit (`Layout.commitVersion`'s protocol) rather than a
+    * directory rename.
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -976,6 +1066,15 @@ object Dedup {
     val conf = spark.sparkContext.hadoopConfiguration
     val nm = nMods
     val fs = new Path(storeDir).getFileSystem(conf)
+    val sentinel = new Path(storeDir, MaintenanceSentinel)
+    val trash = new Path(storeDir, ".compact_old")
+    // fail FAST on leftovers of a crashed swap — retrying over stale state
+    // would record wrong (orig, aside) pairs (see the swap-protocol doc)
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"compactStore: leftover $left from an unfinished swap at $storeDir — " +
+          "recover (restore any set-aside partitions from .compact_old, remove " +
+          "the sentinel) before retrying")
     val olds = fs.listStatus(new Path(storeDir)).filter { st =>
       val name = st.getPath.getName
       name.startsWith("batch=") && name.stripPrefix("batch=").toLong <= upTo
@@ -1002,13 +1101,22 @@ object Dedup {
     if (!fs.exists(stagedP))
       throw new IllegalStateException(
         s"compactStore: staged rewrite missing at $staged — store left unchanged")
-    val trash = new Path(storeDir, ".compact_old")
-    if (!fs.mkdirs(trash))
+    // swap window opens: exclusive sentinel create (races fail here), and
+    // every probe's readStore refuses until it drops
+    fs.create(sentinel, false).close()
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def restoreMoved(): Unit = {
+      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
+      // the aside dir is empty after a full restore and the sentinel's job
+      // is done — clear both so a RETRY does not fail the stale-state check
+      fs.delete(trash, true)
+      fs.delete(sentinel, false)
+      ()
+    }
+    if (!fs.mkdirs(trash)) {
+      fs.delete(sentinel, false)
       throw new IllegalStateException(
         s"compactStore: cannot create $trash — store left unchanged")
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-    def restoreMoved(): Unit = moved.reverse.foreach { case (orig, aside) =>
-      fs.rename(aside, orig); ()
     }
     olds.foreach { st =>
       val aside = new Path(trash, st.getPath.getName)
@@ -1024,6 +1132,12 @@ object Dedup {
       throw new IllegalStateException(
         s"compactStore: failed to promote $staged — original partitions restored")
     }
+    // promote landed: the store is consistent — drop the sentinel before
+    // the cleanup delete so a cleanup failure leaves a READABLE store
+    if (!fs.delete(sentinel, false))
+      throw new IllegalStateException(
+        s"compactStore: compacted store at $storeDir is CONSISTENT, but the " +
+          s"swap sentinel could not be removed — remove $sentinel manually")
     if (!fs.delete(trash, true))
       throw new IllegalStateException(
         s"compactStore: compacted store at $storeDir is CONSISTENT, but the " +
@@ -1498,33 +1612,16 @@ object Dedup {
     // underscore-prefixed: the manifest lives INSIDE the census parquet
     // root, and Spark's file index skips `_`/`.`-prefixed names (the
     // _SUCCESS convention) — any other name would be read as a data file
-    private def path(root: String) = java.nio.file.Paths.get(root, "_census_manifest.json")
-    private def render(width: Int, nMods: Int): String =
-      s"""{"width":$width,"nmods":$nMods}"""
-    def write(root: String, width: Int, nMods: Int): Unit = {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-      java.nio.file.Files.write(path(root),
-        render(width, nMods).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
+    private val io = new ManifestIo("census store", "_census_manifest.json")
+    def write(root: String, width: Int, nMods: Int): Unit =
+      io.write(root, io.render("width" -> width, "nmods" -> nMods))
     /** Assert the consumer's width against the pinned build params and
       * return the store's fanout (a property of the store, like
       * [[storeNMods]]).
       */
     def checkAndNMods(root: String, width: Int): Int = {
-      val f = path(root)
-      if (!java.nio.file.Files.exists(f))
-        throw new IllegalStateException(
-          s"census store at $root has no manifest — refusing to probe an unverifiable census")
-      val found = new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val nm = "\"nmods\":(\\d+)".r.findFirstMatchIn(found).map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(
-          s"malformed census manifest at $root: $found"))
-      val want = render(width, nm)
-      if (found != want)
-        throw new IllegalStateException(
-          s"census store parameter drift at $root:\n  store:    $found\n  consumer: $want")
+      val nm = io.intField(root, "nmods")
+      io.check(root, io.render("width" -> width, "nmods" -> nm))
       nm
     }
   }
@@ -1728,9 +1825,7 @@ object Dedup {
     static.limit(0).select(col("doc_id"))
       .withColumn("n_dup_windows", lit(0L))
       .write.mode("overwrite").parquet(s"$outDir/batch=-1")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withShufflePartitions(spark, 8) {
       val q = spark.readStream
         .schema(static.schema)
         .option("maxFilesPerTrigger", 1) // one arrival slice per micro-batch
@@ -1743,7 +1838,7 @@ object Dedup {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(outDir).drop("batch")
   }
 
@@ -1877,28 +1972,22 @@ object Dedup {
     * contract as [[IndexManifest]].
     */
   object SemManifest {
-    private def path(root: String) = java.nio.file.Paths.get(root, "sem_manifest.json")
+    private val io = new ManifestIo("semantic dedup store", "sem_manifest.json")
     private def render(nlist: Int, sampleRows: Int, nMods: Int): String =
-      s"""{"nlist":$nlist,"sampleRows":$sampleRows,"nmods":$nMods}"""
-    def write(root: String, nlist: Int, sampleRows: Int, nMods: Int): Unit = {
-      java.nio.file.Files.write(path(root),
-        render(nlist, sampleRows, nMods).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
+      io.render("nlist" -> nlist, "sampleRows" -> sampleRows, "nmods" -> nMods)
+    def write(root: String, nlist: Int, sampleRows: Int, nMods: Int): Unit =
+      io.write(root, render(nlist, sampleRows, nMods))
+    def exists(root: String): Boolean = io.exists(root)
+    /** The store's pinned `(nlist, sampleRows, nmods)` — for consumers
+      * that FOLLOW the quantizer as maintenance evolves it (the streaming
+      * tier across [[requantizeSemStore]] runs) rather than declaring it.
+      */
+    def read(root: String): (Int, Int, Int) =
+      (io.intField(root, "nlist"), io.intField(root, "sampleRows"),
+        io.intField(root, "nmods"))
     def checkAndNMods(root: String, nlist: Int, sampleRows: Int): Int = {
-      val f = path(root)
-      if (!java.nio.file.Files.exists(f))
-        throw new IllegalStateException(
-          s"semantic dedup store at $root has no manifest — refusing to probe an unverifiable index")
-      val found = new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val nm = "\"nmods\":(\\d+)".r.findFirstMatchIn(found).map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(
-          s"malformed semantic store manifest at $root: $found"))
-      val want = render(nlist, sampleRows, nm)
-      if (found != want)
-        throw new IllegalStateException(
-          s"semantic dedup store parameter drift at $root:\n  store:    $found\n  consumer: $want")
+      val nm = io.intField(root, "nmods")
+      io.check(root, render(nlist, sampleRows, nm))
       nm
     }
   }
@@ -1987,6 +2076,146 @@ object Dedup {
     drops
   }
 
+  /** RE-QUANTIZATION maintenance for the stored semantic-dedup index —
+    * the op that lets `nlist` grow with the corpus WITHOUT the full
+    * re-seed the stored probe exists to avoid. At a pinned nlist every
+    * cell's membership grows linearly with the corpus, and with it every
+    * batch's within-cell compare; the SemDeDup/FAISS sizing rule keeps
+    * cell size constant by growing nlist ∝ corpus. This turns that knob
+    * in place:
+    *
+    *   1. TRAIN `newNlist` centroids from the stored rows' deterministic
+    *      bounded sample (`Similarity.saveIvfIndex` over the store itself;
+    *      the only collect is the sample) into a staged artifact;
+    *   2. RE-ASSIGN every stored `(cell, vec_id, embedding)` row to the
+    *      staged centroids in ONE parallel job — a map pass plus a
+    *      size-targeted (batch, cell_mod, slice) shuffle write, never a
+    *      pair space — PRESERVING each row's `batch` provenance, so
+    *      probe/replay semantics (`batch < batchId`, own-partition
+    *      overwrite) are untouched. Requantize re-LABELS cells;
+    *      [[compactStore]] collapses batches — orthogonal maintenance ops
+    *      that compose;
+    *   3. SWAP cells + centroids via the recoverable checked protocol
+    *      ([[compactStore]]'s): verify stage → raise the
+    *      [[MaintenanceSentinel]] in the cells dir (readStore — every
+    *      probe — refuses for the window) → move batch partitions and the
+    *      centroid artifact aside → promote the stage → bump the manifest
+    *      to `newNlist` → invalidate the JVM's centroid cache for the
+    *      live path → drop the sentinel → delete the set-aside rows.
+    *      A failed move/promote restores the original store; stale
+    *      leftovers fail the next attempt fast.
+    *
+    * Single-writer contract (the same one compaction carries): no
+    * concurrent probes from OTHER JVMs during the swap window — in-JVM
+    * the sentinel plus cache invalidation covers the ordering.
+    */
+  def requantizeSemStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      newNlist: Int,
+      sampleRows: Int = 2048,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (_, _, nm) = SemManifest.read(storeDir) // asserts the store is verifiable
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cellsDir = s"$storeDir/cells"
+    val centDir = s"$storeDir/centroids"
+    val fs = new Path(storeDir).getFileSystem(conf)
+    val sentinel = new Path(cellsDir, MaintenanceSentinel)
+    val trash = new Path(storeDir, ".requant_old")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"requantizeSemStore: leftover $left from an unfinished swap at $storeDir — " +
+          "recover (restore set-aside partitions/centroids from .requant_old, " +
+          "remove the sentinel) before retrying")
+    val stageRoot = s"$storeDir/.requant_stage"
+    fs.delete(new Path(stageRoot), true) // stale stage from a failed run: data-free, safe to clear
+    val rows = readStore(spark, cellsDir)
+      .select(col("batch"), col("vec_id"), col("embedding"))
+      .persist() // train sample + emptiness check + rewrite
+    if (rows.isEmpty) {
+      rows.unpersist()
+      throw new IllegalArgumentException(
+        s"requantizeSemStore: store at $storeDir holds no vectors — nothing to train on")
+    }
+    // stage the new quantizer + relabeled cells (old store fully readable
+    // throughout). The staged-centroids cache entry is dropped first: the
+    // stage path is REUSED across requantizes of one store, and the JVM
+    // cache would otherwise serve a previous run's centroids.
+    Similarity.invalidateIvfIndex(s"$stageRoot/centroids")
+    Similarity.saveIvfIndex(rows.select(col("vec_id"), col("embedding")),
+      s"$stageRoot/centroids", nlist = newNlist, sampleRows = sampleRows)
+    val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
+    val slices = math.max(1L,
+      (totalBytes + nm.toLong * targetFileBytes - 1) / (nm.toLong * targetFileBytes)).toInt
+    Similarity.assignStored(rows, s"$stageRoot/centroids")
+      .select(col("batch"), col("cell"), col("vec_id"), col("embedding"),
+        pmod(col("cell"), lit(nm)).cast("int").as("cell_mod"))
+      .repartition(nm * slices, col("batch"), col("cell_mod"),
+        pmod(xxhash64(col("vec_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("batch", "cell_mod")
+      .parquet(s"$stageRoot/cells")
+    rows.unpersist()
+    val stagedCells = new Path(s"$stageRoot/cells")
+    val stagedCent = new Path(s"$stageRoot/centroids")
+    if (!fs.exists(stagedCells) || !fs.exists(stagedCent))
+      throw new IllegalStateException(
+        s"requantizeSemStore: staged rewrite missing under $stageRoot — store left unchanged")
+    // swap window opens
+    fs.create(sentinel, false).close()
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def restoreMoved(): Unit = {
+      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
+      fs.delete(trash, true)
+      fs.delete(sentinel, false)
+      ()
+    }
+    if (!fs.mkdirs(trash)) {
+      fs.delete(sentinel, false)
+      throw new IllegalStateException(
+        s"requantizeSemStore: cannot create $trash — store left unchanged")
+    }
+    def moveAside(orig: Path, asideName: String): Unit = {
+      val aside = new Path(trash, asideName)
+      if (!fs.rename(orig, aside)) {
+        restoreMoved()
+        throw new IllegalStateException(
+          s"requantizeSemStore: failed to move $orig aside — original store restored")
+      }
+      moved += ((orig, aside))
+    }
+    // the cells dir itself stays put (it holds the sentinel readers watch);
+    // its batch partitions move aside individually, like compactStore's
+    val oldParts = fs.listStatus(new Path(cellsDir))
+      .filter(_.getPath.getName.startsWith("batch="))
+    oldParts.foreach(st => moveAside(st.getPath, st.getPath.getName))
+    moveAside(new Path(centDir), "centroids")
+    // promoted staged dirs are deleted (staged data is recomputable)
+    // before the originals rename back, so restore never renames into an
+    // existing dir (the HDFS nesting hazard)
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def promote(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst)) {
+        promoted.foreach(p => fs.delete(p, true))
+        restoreMoved()
+        throw new IllegalStateException(
+          s"requantizeSemStore: failed to promote $src — original store restored")
+      } else promoted += dst
+    fs.listStatus(stagedCells).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(st => promote(st.getPath, new Path(cellsDir, st.getPath.getName)))
+    promote(stagedCent, new Path(centDir))
+    SemManifest.write(storeDir, newNlist, sampleRows, nm)
+    Similarity.invalidateIvfIndex(centDir)
+    if (!fs.delete(sentinel, false))
+      throw new IllegalStateException(
+        s"requantizeSemStore: store at $storeDir is CONSISTENT, but the swap " +
+          s"sentinel could not be removed — remove $sentinel manually")
+    if (!fs.delete(trash, true) || !fs.delete(new Path(stageRoot), true))
+      throw new IllegalStateException(
+        s"requantizeSemStore: store at $storeDir is CONSISTENT, but set-aside " +
+          s"leftovers could not be deleted — remove $trash / $stageRoot manually")
+  }
+
   /** STREAMING semantic dedup — the embedding tier's [[minhashStreamKeep]],
     * completing tier symmetry (exact/fuzzy/substring/ANN already stream):
     * vector drops arrive as an id-ordered file stream; the quantizer
@@ -2003,6 +2232,16 @@ object Dedup {
     * throughout: own-partition overwrites, probe reads `batch < id`, and
     * the bootstrap re-trains to identical centroids (deterministic sample,
     * seed-free k-means).
+    *
+    * QUANTIZER AGING is handled by in-place maintenance, not by freezing
+    * the bootstrap's nlist for the stream's life: when `targetCellRows`
+    * is set, a batch whose append leaves mean cell membership above it
+    * triggers [[requantizeSemStore]] to `nlist × growFactor` BETWEEN
+    * batches — every later batch then reads the evolved quantizer from
+    * the manifest (`nlist`/`sampleRows` params here are the BOOTSTRAP
+    * values only). The trigger is threshold-based and therefore
+    * replay-safe: a replayed batch re-checks the threshold against the
+    * already-grown nlist and re-fires only if membership still exceeds it.
     */
   def semDedupStreamKeep(
       spark: org.apache.spark.sql.SparkSession,
@@ -2012,14 +2251,14 @@ object Dedup {
       minCosine: Double = 0.95,
       nlist: Int = 16,
       sampleRows: Int = 2048,
-      nMods: Int = NMods): DataFrame = {
+      nMods: Int = NMods,
+      targetCellRows: Int = Int.MaxValue,
+      growFactor: Int = 4): DataFrame = {
     val accDir = s"$workDir/accepted"
     val static = spark.read.parquet(inputDir)
     static.select(keepCols.map(col): _*).limit(0)
       .write.mode("overwrite").parquet(s"$accDir/batch=-1")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withShufflePartitions(spark, 8) {
       val q = spark.readStream
         .schema(static.schema)
         .option("maxFilesPerTrigger", 1) // one arrival slice per micro-batch
@@ -2028,36 +2267,53 @@ object Dedup {
         .option("checkpointLocation", s"$workDir/_chk")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           semDedupStreamBatch(batch, batchId, s"$workDir/semstore", accDir,
-            keepCols, minCosine, nlist, sampleRows, nMods)
+            keepCols, minCosine, nlist, sampleRows, nMods,
+            targetCellRows, growFactor)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(accDir).drop("batch")
   }
 
   private[graft] def semDedupStreamBatch(batch: DataFrame, batchId: Long,
       storeDir: String, accDir: String, keepCols: Seq[String],
-      minCosine: Double, nlist: Int, sampleRows: Int, nMods: Int): Unit = {
+      minCosine: Double, nlist: Int, sampleRows: Int, nMods: Int,
+      targetCellRows: Int = Int.MaxValue, growFactor: Int = 4): Unit = {
     val s2 = batch.sparkSession
     // bootstrap, train-if-absent: centroids from the FIRST arrivals, an
     // EMPTY batch=-1 cell seed (batch 0 probes nothing earlier). Idempotent
     // on replay: if the manifest exists the store stands; if the crash hit
     // between index write and manifest, the retrain is deterministic.
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir, "sem_manifest.json"))) {
+    if (!SemManifest.exists(storeDir)) {
       Similarity.saveIvfIndex(batch, s"$storeDir/centroids", nlist, sampleRows)
       Similarity.assignStored(batch, s"$storeDir/centroids")
         .select(col("cell"), col("vec_id"), col("embedding")).limit(0)
         .write.mode("overwrite").parquet(s"$storeDir/cells/batch=-1/cell_mod=0")
       SemManifest.write(storeDir, nlist, sampleRows, nMods)
     }
+    // probe with the quantizer the store CURRENTLY pins — after an
+    // in-stream requantize the manifest's nlist has outgrown the bootstrap
+    // params, and declaring those would (rightly) drift-throw
+    val (curNlist, curSample, _) = SemManifest.read(storeDir)
     val drops = semDedupIncrementalStored(s2, storeDir,
       batch.select(col("vec_id"), col("embedding")), batchId,
-      minCosine, nlist, sampleRows)
+      minCosine, curNlist, curSample)
     batch.join(broadcast(drops), Seq("vec_id"), "left_anti") // drops <= batch
       .select(keepCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$accDir/batch=$batchId")
+    // index maintenance BETWEEN batches: if this append pushed mean cell
+    // membership past the target, grow the quantizer in place — the knob
+    // that keeps per-batch within-cell compare O(batch · targetCellRows)
+    // as the stream ages, instead of O(batch · corpus/nlist) under a
+    // frozen bootstrap quantizer. The count is one metadata-cheap parquet
+    // count, paid only when maintenance is enabled.
+    if (targetCellRows < Int.MaxValue) {
+      val total = readStore(s2, s"$storeDir/cells").count()
+      if (total > targetCellRows.toLong * curNlist)
+        requantizeSemStore(s2, storeDir, curNlist * growFactor, curSample)
+    }
     ()
   }
 

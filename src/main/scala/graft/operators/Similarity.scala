@@ -411,6 +411,15 @@ object Similarity {
         .map(_.getSeq[Double](1).toArray)
     })
 
+  /** Drop ONE persisted-index cache entry — the maintenance hook for
+    * artifact-path reuse: after a swap replaces the parquet at `path`
+    * (`Dedup.requantizeSemStore`), the JVM cache must not keep serving
+    * the replaced centroids.
+    */
+  private[graft] def invalidateIvfIndex(path: String): Unit = {
+    loadedIvfCache.remove(path); ()
+  }
+
   /** IVF top-k probing a PERSISTED index: load the centroids (no retrain)
     * and run the shared probe tail. Same result contract as [[ivfTopK]]
     * over the corpus the index was trained on.

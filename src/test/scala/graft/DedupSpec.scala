@@ -618,6 +618,179 @@ class DedupSpec extends SparkSpec {
     assert(stored == unpruned)
   }
 
+  test("requantizeSemStore: same probe drops at 16→64, rows preserved, manifest bumped") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val clone = e.where(col("vec_id") === 0)
+      .select(lit(7300000L).as("vec_id"), col("embedding"))
+    val negBase = e.where(col("vec_id") === 5)
+      .select(transform(col("embedding"), x => -x).as("embedding"))
+    val inc = clone
+      .unionByName(negBase.select(lit(7300010L).as("vec_id"), col("embedding")))
+      .unionByName(negBase.select(lit(7300011L).as("vec_id"), col("embedding")))
+    // twin stores: A gets requantized, B stays — probe drops must agree
+    val a = java.nio.file.Files.createTempDirectory("semrq_a").toString
+    val b = java.nio.file.Files.createTempDirectory("semrq_b").toString
+    Dedup.seedSemStore(e, a)
+    Dedup.seedSemStore(e, b)
+    def vecSet(dir: String) = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val before = vecSet(a)
+    Dedup.requantizeSemStore(spark, a, newNlist = 64)
+    assert(vecSet(a) == before, "requantize must preserve the stored vec set")
+    assert(Dedup.SemManifest.read(a)._1 == 64, "manifest must pin the new nlist")
+    // the finer quantizer actually took effect: more distinct cells than
+    // the old nlist could express
+    assert(spark.read.parquet(s"$a/cells").select("cell").distinct().count() > 16)
+    // declaring the STALE nlist now drift-throws
+    val eDrift = intercept[IllegalStateException](
+      Dedup.semDedupIncrementalStored(spark, a, inc, batchId = 1L)) // default nlist=16
+    assert(eDrift.getMessage.contains("parameter drift"), eDrift.getMessage)
+    val dropsA = Dedup.semDedupIncrementalStored(spark, a, inc,
+        batchId = 1L, minCosine = 0.95, nlist = 64)
+      .as[Long].collect().toSet
+    val dropsB = Dedup.semDedupIncrementalStored(spark, b, inc,
+        batchId = 1L, minCosine = 0.95)
+      .as[Long].collect().toSet
+    assert(dropsA == dropsB && dropsA == Set(7300000L, 7300011L),
+      s"requantized drops $dropsA vs twin $dropsB")
+    // a clean swap leaves no set-aside, stage, or sentinel behind
+    for (left <- Seq(".requant_old", ".requant_stage"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(a, left)), left)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(a, "cells", Dedup.MaintenanceSentinel)))
+  }
+
+  test("streaming semantic dedup with in-place requantize: accepted set unchanged, nlist grew") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("semstream_rq")
+    val in = s"$tmp/slices"
+    val mx = e.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0) + 1
+    val base = System.currentTimeMillis()
+    def stamp(i: Int): Unit = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+      }
+    }
+    (0 until 2).foreach { i =>
+      e.where(col("vec_id") >= i * mx / 2 && col("vec_id") < (i + 1) * mx / 2)
+        .coalesce(1).write.mode("append").parquet(in)
+      stamp(i)
+    }
+    val negBase = e.where(col("vec_id") === 3)
+      .select(transform(col("embedding"), x => -x).as("embedding"))
+    e.where(col("vec_id") === 0)
+      .select(lit(7500000L).as("vec_id"), col("embedding"))
+      .unionByName(negBase.select(lit(7500010L).as("vec_id"), col("embedding")))
+      .unionByName(negBase.select(lit(7500011L).as("vec_id"), col("embedding")))
+      .coalesce(1).write.mode("append").parquet(in)
+    stamp(2)
+    // run twice: maintenance off, and with a cell target small enough that
+    // the second batch's append triggers a mid-stream 16→64 requantize.
+    // Greedy keep-first truth is quantizer-invariant for the planted dups
+    // (cosine 1.0 pairs share a cell under ANY quantizer; organic max
+    // pairwise cosine ≈0.51 ≪ 0.95), so accepted sets must be identical.
+    val accPlain = Dedup.semDedupStreamKeep(spark, in, s"$tmp/work_plain",
+        keepCols = Seq("vec_id"), minCosine = 0.95)
+      .as[Long].collect().toSet
+    val accMaint = Dedup.semDedupStreamKeep(spark, in, s"$tmp/work_maint",
+        keepCols = Seq("vec_id"), minCosine = 0.95, targetCellRows = 20)
+      .as[Long].collect().toSet
+    assert(accMaint == accPlain,
+      s"diff: ${(accMaint diff accPlain) ++ (accPlain diff accMaint)}")
+    val organic = e.select("vec_id").as[Long].collect().toSet
+    assert(accPlain == organic + 7500010L)
+    assert(Dedup.SemManifest.read(s"$tmp/work_maint/semstore")._1 > 16,
+      "maintenance must have grown the quantizer in place")
+  }
+
+  test("maintenance swap hygiene: stale leftovers fail fast, sentinel blocks reads") {
+    val docsD = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("swaphyg")
+    val path = s"$tmp/census"
+    (0 until 2).foreach { b =>
+      val slice = docsD.where(col("doc_id") >= b * 150 && col("doc_id") < (b + 1) * 150)
+      Dedup.windowCensus(Dedup.windowTable(slice))
+        .withColumn("win_mod", pmod(xxhash64(col("win")), lit(Dedup.NMods)).cast("int"))
+        .write.mode("overwrite").partitionBy("win_mod").parquet(s"$path/batch=$b")
+    }
+    Dedup.CensusManifest.write(path, 40, Dedup.NMods)
+    // a stale set-aside dir from a crashed swap blocks the next compaction
+    val staleOld = java.nio.file.Paths.get(path, ".compact_old")
+    java.nio.file.Files.createDirectories(staleOld)
+    val e1 = intercept[IllegalStateException](
+      Dedup.compactStore(spark, path, "win_mod", "win", Dedup.NMods, upTo = 1L))
+    assert(e1.getMessage.contains("leftover"), e1.getMessage)
+    java.nio.file.Files.delete(staleOld)
+    // the in-progress sentinel makes every store read refuse loudly —
+    // both the raw read path and a probe that rides it
+    val sentinel = java.nio.file.Paths.get(path, Dedup.MaintenanceSentinel)
+    java.nio.file.Files.createFile(sentinel)
+    val e2 = intercept[IllegalStateException](Dedup.readStore(spark, path))
+    assert(e2.getMessage.contains("maintenance swap in progress"), e2.getMessage)
+    val inc = docsD.where(col("doc_id") >= 450)
+    val e3 = intercept[IllegalStateException](
+      Dedup.substringMassIncrementalStored(spark, path, inc, width = 40).count())
+    assert(e3.getMessage.contains("maintenance swap in progress"), e3.getMessage)
+    // sentinel down: compaction and probes proceed normally
+    java.nio.file.Files.delete(sentinel)
+    Dedup.compactStore(spark, path, "win_mod", "win", Dedup.NMods, upTo = 1L)
+    assert(Dedup.substringMassIncrementalStored(spark, path, inc, width = 40).count() >= 0)
+  }
+
+  test("compactStore consolidates the sem cells store: same rows, probe unchanged") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val inc1 = e.where(col("vec_id") < 16)
+      .select((col("vec_id") + 7400000L).as("vec_id"), col("embedding"))
+    val clone = e.where(col("vec_id") === 0)
+      .select(lit(7450000L).as("vec_id"), col("embedding"))
+    val inc2 = clone.unionByName(e.where(col("vec_id") === 7)
+      .select(lit(7450001L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
+    // twin stores with one appended batch each; A compacts, B stays
+    val a = java.nio.file.Files.createTempDirectory("semcells_a").toString
+    val b = java.nio.file.Files.createTempDirectory("semcells_b").toString
+    for (dir <- Seq(a, b)) {
+      Dedup.seedSemStore(e, dir)
+      Dedup.semDedupIncrementalStored(spark, dir, inc1, batchId = 1L).count()
+    }
+    def rowSet(dir: String) = spark.read.parquet(s"$dir/cells")
+      .select("cell", "vec_id").as[(Int, Long)].collect().toSet
+    val before = rowSet(a)
+    Dedup.compactStore(spark, s"$a/cells", "cell_mod", "vec_id", Dedup.NMods, upTo = 1L)
+    assert(rowSet(a) == before, "cells compaction must keep the (cell, vec_id) set")
+    val dropsA = Dedup.semDedupIncrementalStored(spark, a, inc2, batchId = 2L)
+      .as[Long].collect().toSet
+    val dropsB = Dedup.semDedupIncrementalStored(spark, b, inc2, batchId = 2L)
+      .as[Long].collect().toSet
+    assert(dropsA == dropsB && dropsA == Set(7450000L),
+      s"compacted-store drops $dropsA vs twin $dropsB")
+  }
+
+  test("legacy store migration: manifest-less store pins known params and probes again") {
+    val docsD = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("legacy")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docsD, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    Dedup.minhashIncrementalStored(spark, idx,
+      docsD.where(col("doc_id") < 50), batchId = 0L).count()
+    // simulate a pre-round-11 store: manifest absent, nmods file present
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "index_manifest.json"))
+    intercept[IllegalStateException](
+      Dedup.minhashIncrementalStored(spark, idx,
+        docsD.where(col("doc_id") < 10), batchId = 1L))
+    Dedup.IndexManifest.migrateLegacy(idx, n = 3, perms = 32, bands = 8)
+    assert(Dedup.minhashIncrementalStored(spark, idx,
+      docsD.where(col("doc_id") < 10), batchId = 1L).count() >= 0)
+    // migration is for stores with NO manifest, never a drift bypass
+    val e2 = intercept[IllegalStateException](
+      Dedup.IndexManifest.migrateLegacy(idx, 5, 32, 8))
+    assert(e2.getMessage.contains("already has a manifest"), e2.getMessage)
+  }
+
   test("bucket skew guard: oversized buckets degrade to a linear star") {
     val many = (1L to 200L).map(_ -> "same text for every single doc repeated words words")
     val out = Dedup.minhashCandidates(many.toDF("doc_id", "text"), minEstJaccard = 0.5)

@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   * same factor at two nMods values to measure the knob).
   *
   * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [nMods] [tiers] [factors...]"`
-  * where `tiers` is a csv subset of `minhash,census,sem` (default: all).
+  * where `tiers` is a csv subset of `minhash,census,sem,semrq` (default:
+  * `minhash,census,sem`; `semrq` measures the quantizer-AGING term and
+  * its in-place [[Dedup.requantizeSemStore]] cure: probe at the seed's
+  * nlist=16, timed requantize to the decade's nlist, probe again).
   */
 object DedupSteadyProbe {
   def main(args: Array[String]): Unit = {
@@ -134,6 +137,42 @@ object DedupSteadyProbe {
         }.min
         line += f"  census $tCensus%6.2f s"
         corpus.unpersist()
+      }
+
+      if (tiers("semrq")) {
+        // the REQUANTIZE demonstration: the store seeds at nlist=16 at
+        // EVERY decade (the aging quantizer), the probe is measured, then
+        // requantizeSemStore grows nlist in place (timed: the maintenance
+        // price, one parallel re-assign — NOT a re-seed) and the probe is
+        // measured again. Flat `rq_probe` across decades with `probe16`
+        // growing is the aging term and its in-place cure on one line.
+        val nlistHi = math.min(512, 16 * factor)
+        val semMods = math.min(64, nlistHi)
+        val ec = embCorpusAt(factor).persist()
+        val nVecs = ec.count()
+        val semDir = s"$root/semrq"
+        // fresh store every run: a disk-cached requantized store would
+        // make the nlist=16 probe drift-throw
+        val semDirP = new org.apache.hadoop.fs.Path(semDir)
+        semDirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(semDirP, true)
+        Dedup.seedSemStore(ec, semDir, nlist = 16, sampleRows = 2048,
+          nMods = semMods) // untimed build (the one-off corpus assignment)
+        val t16 = (1 to 3).map { b =>
+          timed(Dedup.semDedupIncrementalStored(spark, semDir,
+            fixedVecs.select((col("vec_id") + b * 100L).as("vec_id"), col("embedding")),
+            batchId = b.toLong, nlist = 16).count())
+        }.drop(1).min
+        val sampleHi = math.max(2048, 2 * nlistHi)
+        val tRq = timed(Dedup.requantizeSemStore(spark, semDir, nlistHi,
+          sampleRows = sampleHi))
+        val tHi = (4 to 6).map { b =>
+          timed(Dedup.semDedupIncrementalStored(spark, semDir,
+            fixedVecs.select((col("vec_id") + b * 100L).as("vec_id"), col("embedding")),
+            batchId = b.toLong, nlist = nlistHi, sampleRows = sampleHi).count())
+        }.drop(1).min
+        line += f"  vecs $nVecs%7d  probe16 $t16%6.2f s  requant($nlistHi%3d) $tRq%6.2f s  rq_probe $tHi%6.2f s"
+        ec.unpersist()
       }
 
       if (tiers("sem")) {
