@@ -212,20 +212,179 @@ object Similarity {
     * measured ~10× slower; this is also exactly the shape a 1000-executor
     * IVF uses. Shared by the single-probe and probe-set paths so the two
     * can never diverge.
+    *
+    * At small nlist the scan is exact and linear. Past
+    * [[CoarseAssignThreshold]] centroids the linear scan is the next
+    * per-row term (O(nlist·dim) per vector — at the 10⁴–10⁵ nlist a lake-
+    * scale corpus implies, that is the assignment pass's whole budget), so
+    * the assigner goes two-level: the FAISS coarse-quantizer-on-quantizer
+    * trick. The nlist centroids are themselves k-means'd into ~√nlist
+    * groups ONCE (cached per centroid matrix); each row finds its
+    * `probeGroups` nearest group centroids (O(√nlist·dim)) and exact-scans
+    * only those groups' member centroids (O(probeGroups·√nlist·dim)) —
+    * ~√nlist total vs nlist. The shortlist is approximate in the same
+    * tunable sense as IVF's nprobe; determinism is what the dedup tiers
+    * need (seed, probe, and requantize all assign through THIS function
+    * against the same stored centroid matrix, so batch and corpus can
+    * never disagree on a cell), and `probeGroups == nGroups` degrades to
+    * exact, tie-broken identically to the linear scan (lowest index).
     */
-  private def nearestCellUdf(centroids: Array[Array[Double]]) =
-    udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
+  private[graft] val CoarseAssignThreshold = 2048
+
+  private[graft] def nearestCellAssigner(
+      centroids: Array[Array[Double]],
+      forceCoarse: Boolean = false,
+      probeGroups: Int = 4): Seq[Float] => Int = {
+    val n = centroids.length
+    def exactAmong(v: Seq[Float], idxs: Array[Int]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      var i = 0
+      while (i < idxs.length) {
+        val c = idxs(i); val cc = centroids(c)
         var d = 0.0; var j = 0
-        val cc = centroids(c)
         while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
+        if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+        i += 1
       }
       best
     }
+    if (n < CoarseAssignThreshold && !forceCoarse) {
+      val all = Array.range(0, n)
+      v => exactAmong(v, all)
+    } else {
+      val (groupCentroids, members) = coarseGroups(centroids)
+      val p = math.min(probeGroups, groupCentroids.length)
+      v => {
+        // top-p nearest group centroids by p select-min passes (p is small)
+        val gd = new Array[Double](groupCentroids.length)
+        var g = 0
+        while (g < groupCentroids.length) {
+          val gc = groupCentroids(g)
+          var d = 0.0; var j = 0
+          while (j < gc.length) { val t = v(j) - gc(j); d += t * t; j += 1 }
+          gd(g) = d; g += 1
+        }
+        val taken = new Array[Boolean](gd.length)
+        var best = -1; var bestD = Double.MaxValue
+        var pick = 0
+        while (pick < p) {
+          var bg = -1; var bgD = Double.MaxValue
+          var i = 0
+          while (i < gd.length) {
+            if (!taken(i) && gd(i) < bgD) { bgD = gd(i); bg = i }
+            i += 1
+          }
+          taken(bg) = true
+          val cand = exactAmong(v, members(bg))
+          if (cand >= 0) {
+            val cc = centroids(cand)
+            var d = 0.0; var j = 0
+            while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+            if (d < bestD || (d == bestD && cand < best)) { bestD = d; best = cand }
+          }
+          pick += 1
+        }
+        best
+      }
+    }
+  }
+
+  /** The group quantizer over a centroid matrix: ~√n group centroids plus
+    * each group's member centroid indices (ascending, so scan order — and
+    * with it tie-breaking — matches the linear scan). Cached per centroid
+    * ARRAY identity: both centroid caches ([[buildCentroids]],
+    * [[loadIvfIndex]]) hand out stable references, so the group k-means
+    * runs once per index per JVM, not once per probe call.
+    */
+  private val coarseGroupCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Double]], (Array[Array[Double]], Array[Array[Int]])]())
+
+  private def coarseGroups(
+      centroids: Array[Array[Double]]): (Array[Array[Double]], Array[Array[Int]]) = {
+    val cached = coarseGroupCache.get(centroids)
+    if (cached != null) cached
+    else {
+      val nGroups = math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
+      val gc = kmeans(centroids, nGroups, iters = 4)
+      val buckets = Array.fill(gc.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var c = 0
+      while (c < centroids.length) {
+        val cc = centroids(c)
+        var best = 0; var bestD = Double.MaxValue
+        var g = 0
+        while (g < gc.length) {
+          val gcc = gc(g)
+          var d = 0.0; var j = 0
+          while (j < gcc.length) { val t = cc(j) - gcc(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = g }
+          g += 1
+        }
+        buckets(best) += c
+        c += 1
+      }
+      // drop empty groups: a probe pass over an empty member list can
+      // return no candidate, and the group slot would waste a pick
+      val keep = buckets.indices.filter(buckets(_).nonEmpty).toArray
+      val res = (keep.map(gc), keep.map(buckets(_).toArray))
+      coarseGroupCache.put(centroids, res)
+      res
+    }
+  }
+
+  private def nearestCellUdf(centroids: Array[Array[Double]]) =
+    udf(nearestCellAssigner(centroids))
+
+  /** Top-`nprobe` nearest centroids per row — the probe-set sibling of
+    * [[nearestCellAssigner]], same two-level structure past the
+    * threshold: visit groups nearest-first, gather their member centroids
+    * until the candidate pool covers `nprobe` (and at least `probeGroups`
+    * groups were visited), exact-rank the pool by (distance, index).
+    * `probeGroups == nGroups` degrades to the exact full ranking with
+    * identical tie-breaking (the linear form's stable sort resolves ties
+    * by centroid index; ranking by the (d, idx) pair does the same
+    * independent of pool order).
+    */
+  private[graft] def nearestCellsAssigner(
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      forceCoarse: Boolean = false,
+      probeGroups: Int = 4): Seq[Float] => Seq[Int] = {
+    def rank(v: Seq[Float], idxs: Array[Int]): Seq[Int] = {
+      val ds = idxs.map { c =>
+        val cc = centroids(c)
+        var d = 0.0; var j = 0
+        while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+        (d, c)
+      }
+      ds.sortBy(identity).take(nprobe).map(_._2).toSeq
+    }
+    val n = centroids.length
+    if (n < CoarseAssignThreshold && !forceCoarse) {
+      val all = Array.range(0, n)
+      v => rank(v, all)
+    } else {
+      val (groupCentroids, members) = coarseGroups(centroids)
+      val minGroups = math.min(probeGroups, groupCentroids.length)
+      v => {
+        val gd = new Array[Double](groupCentroids.length)
+        var g = 0
+        while (g < groupCentroids.length) {
+          val gc = groupCentroids(g)
+          var d = 0.0; var j = 0
+          while (j < gc.length) { val t = v(j) - gc(j); d += t * t; j += 1 }
+          gd(g) = d; g += 1
+        }
+        val order = Array.range(0, groupCentroids.length).sortBy(g => (gd(g), g))
+        val pool = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var gi = 0
+        while (gi < order.length && (gi < minGroups || pool.length < nprobe)) {
+          pool ++= members(order(gi)); gi += 1
+        }
+        rank(v, pool.toArray)
+      }
+    }
+  }
 
   /** Hard-negative mining for contrastive embedding training: for each
     * anchor, the most-similar corpus vector BELOW the positive band
@@ -609,13 +768,7 @@ object Similarity {
       sampleRows: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = buildCentroids(embeddings, nlist, sampleRows)
-    val nearestCellsUdf = udf { (v: Seq[Float]) =>
-      centroids.zipWithIndex.map { case (cc, i) =>
-        var d = 0.0; var j = 0
-        while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    }
+    val nearestCellsUdf = udf(nearestCellsAssigner(centroids, nprobe))
     val assigned = embeddings.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))

@@ -90,6 +90,31 @@ object DedupSteadyProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Scanned-bytes instrumentation for the nMods-knob measurement: wall
+    // time at toy scale is floor-dominated (job overhead ≫ I/O), so the
+    // term the fanout actually controls — bytes of the stored index read
+    // per fixed batch — is accumulated from task input metrics. The
+    // listener bus is async; a short drain sleep before reading keeps the
+    // attribution honest for multi-second probes.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    })
+    def timedIO(f: => Unit): (Double, Double) = {
+      Thread.sleep(300); bytesRead.set(0L)
+      val t = timed(f)
+      Thread.sleep(300)
+      (t, bytesRead.get() / 1e6)
+    }
+    def dirMB(path: String): Double = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0.0
+      else fs.getContentSummary(p).getLength / 1e6
+    }
+
     println(f"[steady] fixed batch = 32 docs/vecs; corpus = ${docs.count()} x factor; tiers=$tiers")
     for (factor <- factors) {
       val root = s"/tmp/graft_steady_f${factor}_m$nMods"
@@ -108,17 +133,18 @@ object DedupSteadyProbe {
             minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count() // bulk build
         }
         // warm + 2 measured fixed batches against the grown index
-        val tStored = (1 to 3).map { b =>
-          timed(Dedup.minhashIncrementalStored(spark, idx,
+        val probes = (1 to 3).map { b =>
+          timedIO(Dedup.minhashIncrementalStored(spark, idx,
             fixedInc.select((col("doc_id") + b * 100L).as("doc_id"), col("text")),
             batchId = b.toLong, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count())
-        }.drop(1).min
+        }.drop(1)
+        val (tStored, mbStored) = probes.minBy(_._1)
         // --- in-memory contrast: corpus re-signed + re-ranked per call
         val tInmem = (1 to 2).map { _ =>
           timed(Dedup.minhashIncremental(corpus, fixedInc,
             minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count())
         }.min
-        line += f"  corpus $nCorpus%7d  stored $tStored%6.2f s  inmem $tInmem%6.2f s"
+        line += f"  corpus $nCorpus%7d  stored $tStored%6.2f s  scan $mbStored%7.2f MB of ${dirMB(idx)}%7.2f MB  inmem $tInmem%6.2f s"
         corpus.unpersist()
       }
 
@@ -131,11 +157,12 @@ object DedupSteadyProbe {
           Dedup.writeCensusStore(
             Dedup.windowCensus(Dedup.windowTable(corpus)), censusPath,
             width = 40, nMods = nMods)
-        val tCensus = (1 to 2).map { _ =>
-          timed(Dedup.substringMassIncrementalStored(
+        val cProbes = (1 to 2).map { _ =>
+          timedIO(Dedup.substringMassIncrementalStored(
             spark, censusPath, fixedInc).count())
-        }.min
-        line += f"  census $tCensus%6.2f s"
+        }
+        val (tCensus, mbCensus) = cProbes.minBy(_._1)
+        line += f"  census $tCensus%6.2f s  scan $mbCensus%7.2f MB of ${dirMB(censusPath)}%7.2f MB"
         corpus.unpersist()
       }
 

@@ -213,4 +213,58 @@ class SimilaritySpec extends SparkSpec {
       "probing a persisted PQ index must not re-run k-means")
     assert(viaIndex == direct)
   }
+
+  test("coarse two-level cell assigner: exhaustive probes equal the exact scan, " +
+    "default probes agree closely, rebuild is deterministic") {
+    val rnd = new scala.util.Random(7)
+    val cents: Array[Array[Double]] = Array.fill(96)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs: Seq[Seq[Float]] =
+      (0 until 300).map(_ => Seq.fill(8)(rnd.nextGaussian().toFloat))
+    val exact = Similarity.nearestCellAssigner(cents)
+    val exactCells = vecs.map(exact)
+    // probeGroups >= nGroups scans every member list — must reproduce the
+    // linear scan EXACTLY, ties included (same lowest-index tie-break)
+    val coarseAll =
+      Similarity.nearestCellAssigner(cents, forceCoarse = true, probeGroups = Int.MaxValue)
+    assert(vecs.map(coarseAll) == exactCells,
+      "exhaustive coarse probes must degrade to the exact linear scan")
+    // the default shortlist is approximate in the IVF-nprobe sense; on
+    // gaussian centroids/queries it should still find the true nearest
+    // centroid for the large majority of rows
+    val coarseDef = Similarity.nearestCellAssigner(cents, forceCoarse = true)
+    val defCells = vecs.map(coarseDef)
+    val agree = defCells.zip(exactCells).count { case (a, b) => a == b }
+    assert(agree >= 240, s"default coarse-probe agreement too low: $agree/300")
+    // determinism across a REBUILT group quantizer (cloned matrix defeats
+    // the identity cache): seed, probe, and requantize must always agree
+    val rebuilt =
+      Similarity.nearestCellAssigner(cents.map(_.clone()), forceCoarse = true)
+    assert(vecs.map(rebuilt) == defCells,
+      "coarse assignment must be deterministic across group-quantizer rebuilds")
+  }
+
+  test("coarse top-nprobe cell ranking: exhaustive probes equal the exact ranking; " +
+    "shortlist always yields nprobe cells containing its own best assignment") {
+    val rnd = new scala.util.Random(13)
+    val cents: Array[Array[Double]] = Array.fill(96)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs: Seq[Seq[Float]] =
+      (0 until 200).map(_ => Seq.fill(8)(rnd.nextGaussian().toFloat))
+    val exact = Similarity.nearestCellsAssigner(cents, nprobe = 4)
+    val coarseAll = Similarity.nearestCellsAssigner(cents, nprobe = 4,
+      forceCoarse = true, probeGroups = Int.MaxValue)
+    assert(vecs.map(coarseAll) == vecs.map(exact),
+      "exhaustive coarse probes must reproduce the exact top-nprobe ranking")
+    // the shortlisted form must (a) always fill nprobe cells and (b) rank
+    // the single-cell assigner's pick first — the two paths share the
+    // group shortlist, so the probe-set path can never miss the cell the
+    // corpus side would assign a copy of the probe to
+    val coarseDef = Similarity.nearestCellsAssigner(cents, nprobe = 4, forceCoarse = true)
+    val single = Similarity.nearestCellAssigner(cents, forceCoarse = true)
+    vecs.foreach { v =>
+      val cells = coarseDef(v)
+      assert(cells.size == 4 && cells.distinct.size == 4)
+      assert(cells.head == single(v),
+        "top-ranked probe cell must equal the single-cell assignment")
+    }
+  }
 }
