@@ -1258,6 +1258,38 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- [NS] the SQ8-QUANTIZED stored semantic index: cells persist
+    // (cell, vec_id, qvec int8, qscale) at ~1/4 the bytes of the
+    // full-precision store (the minhash store's column-weight lesson
+    // applied to the sem tier — at lake scale the float embedding column
+    // is the index's byte bottleneck). Cosine needs only the codes (a
+    // per-vector positive scale cancels), so the probe compares the batch
+    // floats against the cast-up stored codes; SQ8 direction error is
+    // < 1% per component, three orders below the planted fixture's margin
+    // (clones at 1.0, organics ≤ 0.51, threshold 0.95), so the drop set is
+    // the same deterministic plant at shifted ids. Quantized==full parity
+    // and the 1/4-bytes claim are spec-pinned. --
+    "q_semdedup_quantized_stored" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val store = scratchDirs.getOrElseUpdate(s"semqstore:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_semq")
+        deleteRecursivelyOnExit(tmp)
+        val r = tmp.toFile.getAbsolutePath
+        graft.operators.Dedup.seedSemStore(e, r, quantized = true)
+        r
+      })
+      val clones = e.where(col("vec_id") < 3)
+        .select((col("vec_id") + 8800000L).as("vec_id"), col("embedding"))
+      val negBase = e.where(col("vec_id") === 5)
+        .select(transform(col("embedding"), x => -x).as("embedding"))
+      val inc = clones
+        .unionByName(negBase.select(lit(8800010L).as("vec_id"), col("embedding")))
+        .unionByName(negBase.select(lit(8800011L).as("vec_id"), col("embedding")))
+      graft.operators.Dedup.semDedupIncrementalStored(s, store, inc,
+          batchId = 1L, minCosine = 0.95)
+        .orderBy("vec_id")
+    }),
+
     // -- [NS] STREAMING semantic dedup: the embedding tier's streaming
     // form, completing tier symmetry (exact/fuzzy/substring/ANN already
     // stream). Three id-ordered organic slices bootstrap the quantizer on
@@ -6262,6 +6294,15 @@ object SparkEntry {
       """SELECT vec_id FROM (
         |  SELECT vec_id + 8600000 AS vec_id FROM embeddings WHERE vec_id < 3
         |  UNION ALL SELECT 8600011
+        |) ORDER BY vec_id""".stripMargin,
+
+    // same planted-drop argument as the stored form at shifted ids: the
+    // SQ8 codes change cosines by < 1%, three orders below the fixture's
+    // margin, so the drop set is quantizer-precision-invariant
+    "q_semdedup_quantized_stored" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id + 8800000 AS vec_id FROM embeddings WHERE vec_id < 3
+        |  UNION ALL SELECT 8800011
         |) ORDER BY vec_id""".stripMargin,
 
     // arrival-ordered greedy keep-first over the planted stream: every

@@ -104,6 +104,13 @@ object Dedup {
       ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(read(root)).map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(
           s"malformed $kind manifest at $root: ${read(root)}"))
+    /** Like [[intField]] but with a default — for fields ADDED after
+      * stores already existed (absence means the pre-field behavior, so
+      * old manifests stay verifiable without migration).
+      */
+    def intFieldOr(root: String, key: String, default: Int): Int =
+      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(read(root)).map(_.group(1).toInt)
+        .getOrElse(default)
   }
 
   /** The store's pinned fanout file (written by [[seedStreamStores]]);
@@ -1973,10 +1980,17 @@ object Dedup {
     */
   object SemManifest {
     private val io = new ManifestIo("semantic dedup store", "sem_manifest.json")
-    private def render(nlist: Int, sampleRows: Int, nMods: Int): String =
-      io.render("nlist" -> nlist, "sampleRows" -> sampleRows, "nmods" -> nMods)
-    def write(root: String, nlist: Int, sampleRows: Int, nMods: Int): Unit =
-      io.write(root, render(nlist, sampleRows, nMods))
+    // `quantized` is rendered only when set, so pre-field stores (which
+    // are all full-precision) stay verifiable without migration
+    private def render(nlist: Int, sampleRows: Int, nMods: Int,
+        quantized: Boolean): String =
+      if (quantized)
+        io.render("nlist" -> nlist, "sampleRows" -> sampleRows,
+          "nmods" -> nMods, "quantized" -> 1)
+      else io.render("nlist" -> nlist, "sampleRows" -> sampleRows, "nmods" -> nMods)
+    def write(root: String, nlist: Int, sampleRows: Int, nMods: Int,
+        quantized: Boolean = false): Unit =
+      io.write(root, render(nlist, sampleRows, nMods, quantized))
     def exists(root: String): Boolean = io.exists(root)
     /** The store's pinned `(nlist, sampleRows, nmods)` — for consumers
       * that FOLLOW the quantizer as maintenance evolves it (the streaming
@@ -1985,9 +1999,14 @@ object Dedup {
     def read(root: String): (Int, Int, Int) =
       (io.intField(root, "nlist"), io.intField(root, "sampleRows"),
         io.intField(root, "nmods"))
+    /** Whether the store holds SQ8 codes (`qvec`/`qscale`) instead of the
+      * full-precision `embedding` column — a property OF the store every
+      * consumer reads, never declares.
+      */
+    def quantized(root: String): Boolean = io.intFieldOr(root, "quantized", 0) == 1
     def checkAndNMods(root: String, nlist: Int, sampleRows: Int): Int = {
       val nm = io.intField(root, "nmods")
-      io.check(root, render(nlist, sampleRows, nm))
+      io.check(root, render(nlist, sampleRows, nm, quantized(root)))
       nm
     }
   }
@@ -2003,10 +2022,20 @@ object Dedup {
     * to the increment's cells ([[semDedupIncrementalStored]]).
     */
   def seedSemStore(corpus: DataFrame, storeDir: String, nlist: Int = 16,
-      sampleRows: Int = 2048, nMods: Int = NMods): Unit = {
+      sampleRows: Int = 2048, nMods: Int = NMods,
+      quantized: Boolean = false): Unit = {
     Similarity.saveIvfIndex(corpus, s"$storeDir/centroids", nlist, sampleRows)
-    val assigned = Similarity.assignStored(corpus, s"$storeDir/centroids")
+    val assignedF = Similarity.assignStored(corpus, s"$storeDir/centroids")
       .select(col("cell"), col("vec_id"), col("embedding"))
+    // the SQ8 store drops the fat float column — the minhash store's
+    // column-weight lesson applied to the sem tier: cells persist
+    // (cell, vec_id, qvec int8, qscale) at ~1/4 the bytes; cosine probes
+    // need only the codes (per-vector scale cancels), maintenance
+    // reconstructs via qvec*qscale
+    val assigned =
+      if (quantized) Similarity.quantizeWithScale(assignedF)
+        .select(col("cell"), col("vec_id"), col("qvec"), col("qscale"))
+      else assignedF
     // empty batch=-1 partition: discovery resolves before any real append
     assigned.limit(0)
       .write.mode("overwrite").parquet(s"$storeDir/cells/batch=-1/cell_mod=0")
@@ -2014,7 +2043,7 @@ object Dedup {
       .withColumn("cell_mod", pmod(col("cell"), lit(nMods)).cast("int"))
       .write.mode("overwrite").partitionBy("cell_mod")
       .parquet(s"$storeDir/cells/batch=0")
-    SemManifest.write(storeDir, nlist, sampleRows, nMods)
+    SemManifest.write(storeDir, nlist, sampleRows, nMods, quantized)
   }
 
   /** INCREMENTAL semantic dedup against a STORED cell-assignment index —
@@ -2042,6 +2071,7 @@ object Dedup {
       nlist: Int = 16,
       sampleRows: Int = 2048): DataFrame = {
     val nm = SemManifest.checkAndNMods(storeDir, nlist, sampleRows)
+    val qz = SemManifest.quantized(storeDir)
     if (increment.isEmpty)
       return increment.select(col("vec_id"))
     val incA = Similarity.assignStored(increment, s"$storeDir/centroids")
@@ -2050,10 +2080,16 @@ object Dedup {
     val mods = incA.select(pmod(col("cell"), lit(nm)).cast("int").as("m"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= nMods values
     val stored = if (mods.isEmpty) incA.limit(0)
-      else readStore(spark, s"$storeDir/cells")
-        .where(col("batch") < batchId && col("cell_mod").isin(mods: _*))
-        .join(broadcast(incA.select(col("cell")).distinct()), Seq("cell"), "left_semi")
-        .select(col("cell"), col("vec_id"), col("embedding"))
+      else {
+        val pruned = readStore(spark, s"$storeDir/cells")
+          .where(col("batch") < batchId && col("cell_mod").isin(mods: _*))
+          .join(broadcast(incA.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+        // SQ8 store: the codes ARE the comparison vector — cosine is
+        // scale-invariant, so the cast-up codes stand in for the embedding
+        if (qz) pruned.select(col("cell"), col("vec_id"),
+          col("qvec").cast("array<float>").as("embedding"))
+        else pruned.select(col("cell"), col("vec_id"), col("embedding"))
+      }
     val members = stored
       .select(col("cell"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), lit(false).as("a_inc"))
@@ -2068,7 +2104,11 @@ object Dedup {
         VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("vec_b").as("vec_id")).distinct()
       .localCheckpoint(true)
-    incA.withColumn("cell_mod", pmod(col("cell"), lit(nm)).cast("int"))
+    val append =
+      if (qz) Similarity.quantizeWithScale(incA)
+        .select(col("cell"), col("vec_id"), col("qvec"), col("qscale"))
+      else incA
+    append.withColumn("cell_mod", pmod(col("cell"), lit(nm)).cast("int"))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("cell_mod")
       .parquet(s"$storeDir/cells/batch=$batchId")
@@ -2117,6 +2157,7 @@ object Dedup {
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
     val (_, _, nm) = SemManifest.read(storeDir) // asserts the store is verifiable
+    val qz = SemManifest.quantized(storeDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val cellsDir = s"$storeDir/cells"
     val centDir = s"$storeDir/centroids"
@@ -2130,8 +2171,16 @@ object Dedup {
           "remove the sentinel) before retrying")
     val stageRoot = s"$storeDir/.requant_stage"
     fs.delete(new Path(stageRoot), true) // stale stage from a failed run: data-free, safe to clear
-    val rows = readStore(spark, cellsDir)
-      .select(col("batch"), col("vec_id"), col("embedding"))
+    // SQ8 store: reconstruct qvec*qscale (within half a quantization step
+    // per component) for training + re-assignment; the codes themselves
+    // rewrite through LOSSLESSLY — maintenance never re-quantizes
+    val rows = (if (qz)
+        readStore(spark, cellsDir)
+          .select(col("batch"), col("vec_id"), col("qvec"), col("qscale"),
+            transform(col("qvec"), x => (x.cast("float") * col("qscale")))
+              .as("embedding"))
+      else readStore(spark, cellsDir)
+        .select(col("batch"), col("vec_id"), col("embedding")))
       .persist() // train sample + emptiness check + rewrite
     if (rows.isEmpty) {
       rows.unpersist()
@@ -2148,9 +2197,11 @@ object Dedup {
     val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
     val slices = math.max(1L,
       (totalBytes + nm.toLong * targetFileBytes - 1) / (nm.toLong * targetFileBytes)).toInt
+    val payload: Seq[org.apache.spark.sql.Column] =
+      if (qz) Seq(col("qvec"), col("qscale")) else Seq(col("embedding"))
     Similarity.assignStored(rows, s"$stageRoot/centroids")
-      .select(col("batch"), col("cell"), col("vec_id"), col("embedding"),
-        pmod(col("cell"), lit(nm)).cast("int").as("cell_mod"))
+      .select(Seq(col("batch"), col("cell"), col("vec_id")) ++ payload :+
+        pmod(col("cell"), lit(nm)).cast("int").as("cell_mod"): _*)
       .repartition(nm * slices, col("batch"), col("cell_mod"),
         pmod(xxhash64(col("vec_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("batch", "cell_mod")
@@ -2204,7 +2255,7 @@ object Dedup {
     fs.listStatus(stagedCells).filter(_.getPath.getName.startsWith("batch="))
       .foreach(st => promote(st.getPath, new Path(cellsDir, st.getPath.getName)))
     promote(stagedCent, new Path(centDir))
-    SemManifest.write(storeDir, newNlist, sampleRows, nm)
+    SemManifest.write(storeDir, newNlist, sampleRows, nm, qz)
     Similarity.invalidateIvfIndex(centDir)
     if (!fs.delete(sentinel, false))
       throw new IllegalStateException(
@@ -2253,7 +2304,8 @@ object Dedup {
       sampleRows: Int = 2048,
       nMods: Int = NMods,
       targetCellRows: Int = Int.MaxValue,
-      growFactor: Int = 4): DataFrame = {
+      growFactor: Int = 4,
+      quantized: Boolean = false): DataFrame = {
     val accDir = s"$workDir/accepted"
     val static = spark.read.parquet(inputDir)
     static.select(keepCols.map(col): _*).limit(0)
@@ -2268,7 +2320,7 @@ object Dedup {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           semDedupStreamBatch(batch, batchId, s"$workDir/semstore", accDir,
             keepCols, minCosine, nlist, sampleRows, nMods,
-            targetCellRows, growFactor)
+            targetCellRows, growFactor, quantized)
           ()
         }
         .start()
@@ -2280,7 +2332,8 @@ object Dedup {
   private[graft] def semDedupStreamBatch(batch: DataFrame, batchId: Long,
       storeDir: String, accDir: String, keepCols: Seq[String],
       minCosine: Double, nlist: Int, sampleRows: Int, nMods: Int,
-      targetCellRows: Int = Int.MaxValue, growFactor: Int = 4): Unit = {
+      targetCellRows: Int = Int.MaxValue, growFactor: Int = 4,
+      quantized: Boolean = false): Unit = {
     val s2 = batch.sparkSession
     // bootstrap, train-if-absent: centroids from the FIRST arrivals, an
     // EMPTY batch=-1 cell seed (batch 0 probes nothing earlier). Idempotent
@@ -2288,10 +2341,13 @@ object Dedup {
     // between index write and manifest, the retrain is deterministic.
     if (!SemManifest.exists(storeDir)) {
       Similarity.saveIvfIndex(batch, s"$storeDir/centroids", nlist, sampleRows)
-      Similarity.assignStored(batch, s"$storeDir/centroids")
-        .select(col("cell"), col("vec_id"), col("embedding")).limit(0)
+      val shape = Similarity.assignStored(batch, s"$storeDir/centroids")
+      (if (quantized) Similarity.quantizeWithScale(shape)
+          .select(col("cell"), col("vec_id"), col("qvec"), col("qscale"))
+        else shape.select(col("cell"), col("vec_id"), col("embedding")))
+        .limit(0)
         .write.mode("overwrite").parquet(s"$storeDir/cells/batch=-1/cell_mod=0")
-      SemManifest.write(storeDir, nlist, sampleRows, nMods)
+      SemManifest.write(storeDir, nlist, sampleRows, nMods, quantized)
     }
     // probe with the quantizer the store CURRENTLY pins — after an
     // in-stream requantize the manifest's nlist has outgrown the bootstrap

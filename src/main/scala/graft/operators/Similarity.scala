@@ -720,6 +720,23 @@ object Similarity {
           x => round(x.cast("double") * lit(127.0) / col("__maxabs")).cast("tinyint")))
       .drop("__maxabs")
 
+  /** [[quantize]] plus the per-vector scale (`qscale` = maxabs/127) — the
+    * LOSSY-STORE form. `qvec * qscale` reconstructs each component to
+    * within half a quantization step, which is what store-maintenance ops
+    * (re-assignment against a retrained quantizer) need; COSINE between
+    * stored vectors needs no scale at all (a per-vector positive scale
+    * cancels), so probes compare on the bare int8 codes cast up to float.
+    */
+  def quantizeWithScale(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("__maxabs",
+        greatest(array_max(transform(col("embedding"), x => abs(x))).cast("double"), lit(1e-30)))
+      .withColumn("qvec",
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(127.0) / col("__maxabs")).cast("tinyint")))
+      .withColumn("qscale", (col("__maxabs") / lit(127.0)).cast("float"))
+      .drop("__maxabs")
+
   /** Exact top-k over the QUANTIZED vectors — the brute-force kernel run on
     * the int8 representation (cast up to float only inside the codegen'd
     * cosine). Same plan shape as `bruteForceTopK`: broadcast probe, one

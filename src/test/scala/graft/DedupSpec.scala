@@ -660,6 +660,83 @@ class DedupSpec extends SparkSpec {
       java.nio.file.Paths.get(a, "cells", Dedup.MaintenanceSentinel)))
   }
 
+  test("SQ8 sem store: drops equal the full-precision store at a fraction of the " +
+    "bytes; appends and requantize stay quantized") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val clone = e.where(col("vec_id") === 0)
+      .select(lit(7400000L).as("vec_id"), col("embedding"))
+    val negBase = e.where(col("vec_id") === 5)
+      .select(transform(col("embedding"), x => -x).as("embedding"))
+    val inc = clone
+      .unionByName(negBase.select(lit(7400010L).as("vec_id"), col("embedding")))
+      .unionByName(negBase.select(lit(7400011L).as("vec_id"), col("embedding")))
+    val f = java.nio.file.Files.createTempDirectory("semq_full").toString
+    val q = java.nio.file.Files.createTempDirectory("semq_sq8").toString
+    Dedup.seedSemStore(e, f)
+    Dedup.seedSemStore(e, q, quantized = true)
+    assert(Dedup.SemManifest.quantized(q) && !Dedup.SemManifest.quantized(f))
+    // the fat float column is gone from the stored cells
+    val qCols = spark.read.parquet(s"$q/cells").columns.toSet
+    assert(qCols("qvec") && qCols("qscale") && !qCols("embedding"), qCols.toString)
+    def cellBytes(dir: String): Long = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "cells"))
+      try it.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally it.close()
+    }
+    // design target is ~1/4 (4-byte float -> 1-byte code); assert a
+    // conservative 2x so parquet encoding/footer noise can't flake it
+    assert(cellBytes(q) * 2 < cellBytes(f),
+      s"quantized cells ${cellBytes(q)} B vs full ${cellBytes(f)} B")
+    // probe parity: SQ8 direction error « the fixture's margin
+    val dropsQ = Dedup.semDedupIncrementalStored(spark, q, inc,
+      batchId = 1L, minCosine = 0.95).as[Long].collect().toSet
+    val dropsF = Dedup.semDedupIncrementalStored(spark, f, inc,
+      batchId = 1L, minCosine = 0.95).as[Long].collect().toSet
+    assert(dropsQ == dropsF && dropsQ == Set(7400000L, 7400011L),
+      s"quantized drops $dropsQ vs full $dropsF")
+    // the appended batch itself persisted as codes, not floats
+    val b1Cols = spark.read.parquet(s"$q/cells/batch=1").columns.toSet
+    assert(b1Cols("qvec") && !b1Cols("embedding"), b1Cols.toString)
+    // maintenance on a quantized store: codes rewrite losslessly, the
+    // store stays quantized, and a later batch probes the evolved store
+    // with every earlier arrival still visible
+    Dedup.requantizeSemStore(spark, q, newNlist = 64)
+    assert(Dedup.SemManifest.quantized(q), "requantize must preserve the SQ8 layout")
+    val dropsQ2 = Dedup.semDedupIncrementalStored(spark, q, inc,
+        batchId = 2L, minCosine = 0.95, nlist = 64)
+      .as[Long].collect().toSet
+    // batch 2 re-sends the same vectors: the clone still drops against the
+    // corpus, and each negated copy now drops against the OTHER's batch-1
+    // stored row (same-id pairs are excluded, cross-id survive)
+    assert(dropsQ2 == Set(7400000L, 7400010L, 7400011L), dropsQ2.toString)
+  }
+
+  test("streaming sem micro-batch bootstraps an SQ8 store and probes it") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("semq_stream").toString
+    val store = s"$tmp/store"; val acc = s"$tmp/acc"
+    // first micro-batch: train-if-absent bootstrap must lay down the
+    // quantized layout (manifest flag + code columns in the cell store)
+    Dedup.semDedupStreamBatch(e.where(col("vec_id") < 200), 0L, store, acc,
+      Seq("vec_id"), minCosine = 0.95, nlist = 16, sampleRows = 2048,
+      nMods = Dedup.NMods, quantized = true)
+    assert(Dedup.SemManifest.quantized(store))
+    val cols = spark.read.parquet(s"$store/cells").columns.toSet
+    assert(cols("qvec") && cols("qscale") && !cols("embedding"), cols.toString)
+    // second micro-batch: a clone of an earlier arrival drops against the
+    // stored CODES; an organic newcomer is accepted
+    val b1 = e.where(col("vec_id") === 0)
+      .select(lit(7500000L).as("vec_id"), col("embedding"))
+      .unionByName(e.where(col("vec_id") === 201).select(col("vec_id"), col("embedding")))
+    Dedup.semDedupStreamBatch(b1, 1L, store, acc,
+      Seq("vec_id"), minCosine = 0.95, nlist = 16, sampleRows = 2048,
+      nMods = Dedup.NMods, quantized = true)
+    val accepted = spark.read.parquet(acc).select("vec_id").as[Long].collect().toSet
+    assert(!accepted.contains(7500000L), "clone must drop against the SQ8 store")
+    assert(accepted.contains(201L), "organic newcomer must be accepted")
+  }
+
   test("streaming semantic dedup with in-place requantize: accepted set unchanged, nlist grew") {
     val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
     val tmp = java.nio.file.Files.createTempDirectory("semstream_rq")

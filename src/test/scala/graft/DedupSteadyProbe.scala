@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * same factor at two nMods values to measure the knob).
   *
   * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [nMods] [tiers] [factors...]"`
-  * where `tiers` is a csv subset of `minhash,census,sem,semrq` (default:
+  * where `tiers` is a csv subset of `minhash,census,sem,semrq,semq` (default:
   * `minhash,census,sem`; `semrq` measures the quantizer-AGING term and
   * its in-place [[Dedup.requantizeSemStore]] cure: probe at the seed's
   * nlist=16, timed requantize to the decade's nlist, probe again).
@@ -199,6 +199,32 @@ object DedupSteadyProbe {
             batchId = b.toLong, nlist = nlistHi, sampleRows = sampleHi).count())
         }.drop(1).min
         line += f"  vecs $nVecs%7d  probe16 $t16%6.2f s  requant($nlistHi%3d) $tRq%6.2f s  rq_probe $tHi%6.2f s"
+        ec.unpersist()
+      }
+
+      if (tiers("semq")) {
+        // the SQ8 stored form vs the full-precision stored form at the
+        // same factor: same pruned-probe shape, ~1/4 the stored/scanned
+        // bytes (the embedding column is the store's byte bottleneck)
+        val nlist = math.min(512, 16 * factor)
+        val sampleRows = math.max(2048, 2 * nlist)
+        val semMods = math.min(64, nlist)
+        val ec = embCorpusAt(factor).persist()
+        val nVecs = ec.count()
+        for ((tag, qzed) <- Seq(("full", false), ("sq8", true))) {
+          val semDir = s"$root/semq_${tag}_n$nlist"
+          if (!new java.io.File(semDir).exists())
+            Dedup.seedSemStore(ec, semDir, nlist = nlist,
+              sampleRows = sampleRows, nMods = semMods, quantized = qzed)
+          val ps = (1 to 3).map { b =>
+            timedIO(Dedup.semDedupIncrementalStored(spark, semDir,
+              fixedVecs.select((col("vec_id") + b * 100L).as("vec_id"), col("embedding")),
+              batchId = b.toLong, nlist = nlist, sampleRows = sampleRows).count())
+          }.drop(1)
+          val (t, mb) = ps.minBy(_._1)
+          line += f"  $tag $t%6.2f s scan $mb%6.2f MB of ${dirMB(s"$semDir/cells")}%6.2f MB"
+        }
+        line += f"  vecs $nVecs%7d"
         ec.unpersist()
       }
 
