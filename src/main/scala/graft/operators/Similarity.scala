@@ -612,13 +612,25 @@ object Similarity {
     * one append. At 100 TB the store would be `partitionBy("cell")` so
     * probes prune to nprobe directories; at testdata scale the cell column
     * serves the same probe via [[ivfTopKStored]].
+    *
+    * INDEX AGING is handled by in-place maintenance, the same contract as
+    * `Dedup.semDedupStreamKeep`: when `targetCellRows` is set, a batch
+    * whose append leaves mean cell membership above it triggers
+    * [[requantizeIvfStore]] to `nlist × growFactor` BETWEEN batches; later
+    * batches assign against the grown index (the bootstrap `nlist` here is
+    * the FIRST index's size only — the store's current size is whatever
+    * the index artifact holds). Threshold-based and therefore replay-safe:
+    * a replayed batch re-checks membership against the already-grown index
+    * and re-fires only if it still exceeds the target.
     */
   def streamIngestIvf(
       spark: org.apache.spark.sql.SparkSession,
       inputDir: String,
       workDir: String,
       nlist: Int = 16,
-      sampleRows: Int = 2048): DataFrame = {
+      sampleRows: Int = 2048,
+      targetCellRows: Int = Int.MaxValue,
+      growFactor: Int = 4): DataFrame = {
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
     val static = spark.read.parquet(inputDir)
@@ -634,11 +646,21 @@ object Similarity {
       .option("checkpointLocation", s"$workDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         streamIngestIvfBatch(batch, batchId, idxPath, dataDir, nlist, sampleRows)
+        // maintenance BETWEEN batches: one metadata-cheap count, paid only
+        // when maintenance is enabled; the current nlist is read from the
+        // index artifact (not the bootstrap param) so consecutive triggers
+        // compound
+        if (targetCellRows < Int.MaxValue) {
+          val total = Dedup.readStore(spark, dataDir).count()
+          val curNlist = loadIvfIndex(spark, idxPath).length
+          if (total > targetCellRows.toLong * curNlist)
+            requantizeIvfStore(spark, workDir, curNlist * growFactor, sampleRows)
+        }
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(dataDir).drop("batch")
+    Dedup.readStore(spark, dataDir).drop("batch")
   }
 
   /** One ingest micro-batch — REPLAY-IDEMPOTENT like the dedup stream's:
@@ -658,6 +680,134 @@ object Similarity {
     val centroids = loadIvfIndex(s2, idxPath)
     batch.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
       .write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
+  }
+
+  /** In-place RE-QUANTIZATION of the streamed ANN store — the maintenance
+    * op `Dedup.requantizeSemStore` is for the semantic-dedup index,
+    * applied to the ingest layout (`workDir/ivf_index` +
+    * `workDir/cells/batch=<id>` rows carrying a `cell` COLUMN). The
+    * streamed ingest's add-vs-train split freezes the bootstrap quantizer;
+    * at fixed nlist every cell grows linearly with the corpus, and probe
+    * cost is O(corpus/nlist · nprobe) — this op is the offline re-train
+    * the ingest docstring defers to, WITHOUT the re-seed shape (the corpus
+    * is never re-read from the source, only the store's own rows move):
+    *
+    *   1. train `newNlist` centroids from the STORED rows' bounded sample
+    *      into a stage dir (store fully readable throughout);
+    *   2. re-assign every stored row to the staged centroids in ONE
+    *      parallel size-targeted job, PRESERVING `batch` provenance so the
+    *      ingest's replay semantics (own-partition overwrite) are
+    *      untouched;
+    *   3. swap cells + index via the recoverable checked protocol
+    *      (`Dedup.compactStore`'s): verify stage → raise the
+    *      `MaintenanceSentinel` in the cells dir (`Dedup.readStore`
+    *      refuses for the window) → move batch partitions and the index
+    *      artifact aside → promote → invalidate the JVM's index cache →
+    *      drop the sentinel → delete set-aside rows. A failed move/promote
+    *      restores the original store; stale leftovers fail the next
+    *      attempt fast.
+    *
+    * Single-writer contract as with every store maintenance op: no
+    * concurrent probes from OTHER JVMs during the swap window.
+    */
+  def requantizeIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      newNlist: Int,
+      sampleRows: Int = 2048,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idxDir = s"$workDir/ivf_index"
+    val cellsDir = s"$workDir/cells"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(workDir).getFileSystem(conf)
+    val sentinel = new Path(cellsDir, Dedup.MaintenanceSentinel)
+    val trash = new Path(workDir, ".requant_old")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"requantizeIvfStore: leftover $left from an unfinished swap at $workDir — " +
+          "recover (restore set-aside partitions/index from .requant_old, " +
+          "remove the sentinel) before retrying")
+    val stageRoot = s"$workDir/.requant_stage"
+    fs.delete(new Path(stageRoot), true) // stale stage from a failed run: data-free, safe to clear
+    val rows = Dedup.readStore(spark, cellsDir).drop("cell")
+      .persist() // train sample + emptiness check + rewrite
+    if (rows.isEmpty) {
+      rows.unpersist()
+      throw new IllegalArgumentException(
+        s"requantizeIvfStore: store at $workDir holds no vectors — nothing to train on")
+    }
+    // stage the new quantizer + relabeled rows (old store fully readable
+    // throughout). The staged-index cache entry is dropped first: the
+    // stage path is REUSED across requantizes of one store, and the JVM
+    // cache would otherwise serve a previous run's centroids.
+    invalidateIvfIndex(s"$stageRoot/ivf_index")
+    saveIvfIndex(rows, s"$stageRoot/ivf_index", nlist = newNlist, sampleRows = sampleRows)
+    val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
+    val slices = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staged = loadIvfIndex(spark, s"$stageRoot/ivf_index")
+    rows.withColumn("cell", nearestCellUdf(staged)(col("embedding")))
+      .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stageRoot/cells")
+    rows.unpersist()
+    val stagedCells = new Path(s"$stageRoot/cells")
+    val stagedIdx = new Path(s"$stageRoot/ivf_index")
+    if (!fs.exists(stagedCells) || !fs.exists(stagedIdx))
+      throw new IllegalStateException(
+        s"requantizeIvfStore: staged rewrite missing under $stageRoot — store left unchanged")
+    // swap window opens
+    fs.create(sentinel, false).close()
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def restoreMoved(): Unit = {
+      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
+      fs.delete(trash, true)
+      fs.delete(sentinel, false)
+      ()
+    }
+    if (!fs.mkdirs(trash)) {
+      fs.delete(sentinel, false)
+      throw new IllegalStateException(
+        s"requantizeIvfStore: cannot create $trash — store left unchanged")
+    }
+    def moveAside(orig: Path, asideName: String): Unit = {
+      val aside = new Path(trash, asideName)
+      if (!fs.rename(orig, aside)) {
+        restoreMoved()
+        throw new IllegalStateException(
+          s"requantizeIvfStore: failed to move $orig aside — original store restored")
+      }
+      moved += ((orig, aside))
+    }
+    // the cells dir itself stays put (it holds the sentinel readers
+    // watch); its batch partitions move aside individually
+    val oldParts = fs.listStatus(new Path(cellsDir))
+      .filter(_.getPath.getName.startsWith("batch="))
+    oldParts.foreach(st => moveAside(st.getPath, st.getPath.getName))
+    moveAside(new Path(idxDir), "ivf_index")
+    // promoted staged dirs are deleted (staged data is recomputable)
+    // before the originals rename back, so restore never renames into an
+    // existing dir (the HDFS nesting hazard)
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def promote(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst)) {
+        promoted.foreach(p => fs.delete(p, true))
+        restoreMoved()
+        throw new IllegalStateException(
+          s"requantizeIvfStore: failed to promote $src — original store restored")
+      } else promoted += dst
+    fs.listStatus(stagedCells).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(st => promote(st.getPath, new Path(cellsDir, st.getPath.getName)))
+    promote(stagedIdx, new Path(idxDir))
+    invalidateIvfIndex(idxDir)
+    if (!fs.delete(sentinel, false))
+      throw new IllegalStateException(
+        s"requantizeIvfStore: store at $workDir is CONSISTENT, but the swap " +
+          s"sentinel could not be removed — remove $sentinel manually")
+    if (!fs.delete(trash, true) || !fs.delete(new Path(stageRoot), true))
+      throw new IllegalStateException(
+        s"requantizeIvfStore: store at $workDir is CONSISTENT, but set-aside " +
+          s"leftovers could not be deleted — remove $trash / $stageRoot manually")
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's

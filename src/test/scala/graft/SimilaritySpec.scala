@@ -199,6 +199,93 @@ class SimilaritySpec extends SparkSpec {
     assert(once == 40)
   }
 
+  test("requantizeIvfStore: nlist grows in place, row identity + batch provenance " +
+    "preserved, evolved probe equals brute force, no swap leftovers") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfrq").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    val before = spark.read.parquet(data).select("vec_id", "batch")
+      .as[(Long, Int)].collect().sorted.toSeq
+    Similarity.requantizeIvfStore(spark, tmp, newNlist = 8, sampleRows = 40)
+    assert(Similarity.loadIvfIndex(spark, idx).length == 8,
+      "the promoted index must hold the grown centroid count")
+    val after = spark.read.parquet(data).select("vec_id", "batch")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(after == before,
+      "requantize must relabel cells, never add/drop/move rows across batches")
+    val cells = spark.read.parquet(data).select("cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // exhaustive probe over the evolved store degrades to exact — same
+    // contract the bootstrap store carries
+    val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 5, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"nprobe=nlist over the requantized store must equal brute force: $got vs $bf")
+    // swap hygiene: no sentinel, no stage, no set-aside rows left behind
+    for (left <- Seq(".requant_stage", ".requant_old", s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+  }
+
+  test("requantizeIvfStore refuses stale swap leftovers and empty stores") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfrq-guard").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    // a leftover .requant_old marks an unfinished swap: fail fast, store untouched
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(tmp, ".requant_old"))
+    val e1 = intercept[IllegalStateException] {
+      Similarity.requantizeIvfStore(spark, tmp, newNlist = 8, sampleRows = 40)
+    }
+    assert(e1.getMessage.contains(".requant_old"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tmp, ".requant_old"))
+    // an empty store (only the discovery seed) has nothing to train on
+    val tmp2 = java.nio.file.Files.createTempDirectory("ivfrq-empty").toString
+    emb.withColumn("cell", lit(0)).limit(0)
+      .write.mode("overwrite").parquet(s"$tmp2/cells/batch=-1")
+    Similarity.saveIvfIndex(emb, s"$tmp2/ivf_index", nlist = 4, sampleRows = 40)
+    intercept[IllegalArgumentException] {
+      Similarity.requantizeIvfStore(spark, tmp2, newNlist = 8, sampleRows = 40)
+    }
+  }
+
+  test("streamIngestIvf rides requantize between micro-batches: index grows " +
+    "in-stream, store complete, exhaustive recall holds") {
+    val tmp = java.nio.file.Files.createTempDirectory("annstream-rq").toString
+    val in = s"$tmp/slices"
+    val base = System.currentTimeMillis()
+    // 4 slices of 10 → 2 micro-batches of 20 at maxFilesPerTrigger=2
+    (0 until 4).foreach { i =>
+      emb.where(col("vec_id") >= i * 10L && col("vec_id") < (i + 1) * 10L)
+        .coalesce(1).write.mode("append").parquet(in)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base - 3600000L + i * 2000L))
+      }
+    }
+    // bootstrap nlist=2, target 5 rows/cell: batch 0 leaves 20 rows > 5·2
+    // → grow to 4; batch 1 leaves 40 > 5·4 → grow to 8. Two in-stream
+    // maintenance fires, each reading the CURRENT index size (they
+    // compound), never re-reading the source.
+    val streamed = Similarity.streamIngestIvf(spark, in, s"$tmp/work",
+      nlist = 2, sampleRows = 40, targetCellRows = 5, growFactor = 2)
+    assert(Similarity.loadIvfIndex(spark, s"$tmp/work/ivf_index").length == 8,
+      "both threshold crossings must fire, compounding 2 → 4 → 8")
+    assert(streamed.count() == 40, "every streamed vector survives the in-stream swaps")
+    val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(streamed, s"$tmp/work/ivf_index",
+        probeId = 0L, k = 5, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"evolved stored probe at nprobe=nlist must equal brute force: $got vs $bf")
+  }
+
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/pq"
     Similarity.savePqIndex(emb, dir, m = 4, codebookK = 8, sampleRows = 40)
