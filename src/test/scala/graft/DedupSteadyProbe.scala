@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,7 +39,8 @@ import org.apache.spark.sql.functions._
   * same factor at two nMods values to measure the knob).
   *
   * Run: `sbt "Test/runMain graft.DedupSteadyProbe [baseDir] [nMods] [tiers] [factors...]"`
-  * where `tiers` is a csv subset of `minhash,census,sem,semrq,semq` (default:
+  * where `tiers` is a csv subset of `minhash,census,sem,semrq,semq,annrq`
+  * (default:
   * `minhash,census,sem`; `semrq` measures the quantizer-AGING term and
   * its in-place [[Dedup.requantizeSemStore]] cure: probe at the seed's
   * nlist=16, timed requantize to the decade's nlist, probe again).
@@ -199,6 +200,44 @@ object DedupSteadyProbe {
             batchId = b.toLong, nlist = nlistHi, sampleRows = sampleHi).count())
         }.drop(1).min
         line += f"  vecs $nVecs%7d  probe16 $t16%6.2f s  requant($nlistHi%3d) $tRq%6.2f s  rq_probe $tHi%6.2f s"
+        ec.unpersist()
+      }
+
+      if (tiers("annrq")) {
+        // ANN-store aging and its in-place cure: the streamed ingest's
+        // serving path is the stored top-k probe, whose exact-cosine
+        // re-rank touches nprobe·corpus/nlist rows. Frozen at the
+        // bootstrap nlist=16 that term grows linearly with the corpus;
+        // requantized to the decade's nlist (cell size constant, the
+        // FAISS √N-family sizing) the same nprobe=4 probe compares a
+        // constant number of vectors — flat `rq_topk` across decades
+        // with `topk16` growing is the aging term and its cure on one
+        // line. The requantize itself is timed: the maintenance price,
+        // one parallel re-assign of the store's own rows, never a second
+        // corpus read.
+        val nlistHi = math.min(512, 16 * factor)
+        val ec = embCorpusAt(factor).persist()
+        val nVecs = ec.count()
+        val annDir = s"$root/annrq"
+        // fresh store every run: a disk-cached requantized store would
+        // skew the frozen-nlist measurement
+        val annDirP = new org.apache.hadoop.fs.Path(annDir)
+        annDirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(annDirP, true)
+        Similarity.invalidateIvfIndex(s"$annDir/ivf_index") // path reuse across factors
+        Similarity.streamIngestIvfBatch(ec, 0L, s"$annDir/ivf_index",
+          s"$annDir/cells", nlist = 16, sampleRows = 2048) // untimed seed
+        def topk(): Double = (1 to 3).map { _ =>
+          timed(Similarity.ivfTopKStored(
+            Dedup.readStore(spark, s"$annDir/cells").drop("batch"),
+            s"$annDir/ivf_index", probeId = 5L, k = 10, nprobe = 4)
+            .write.mode("overwrite").format("noop").save())
+        }.drop(1).min
+        val t16 = topk()
+        val tRq = timed(Similarity.requantizeIvfStore(spark, annDir, nlistHi,
+          sampleRows = math.max(2048, 2 * nlistHi)))
+        val tHi = topk()
+        line += f"  vecs $nVecs%7d  topk16 $t16%6.2f s  requant($nlistHi%3d) $tRq%6.2f s  rq_topk $tHi%6.2f s"
         ec.unpersist()
       }
 
