@@ -1504,6 +1504,37 @@ object SparkEntry {
           (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] SQ8-QUANTIZED streamed ANN store: the ingest persists
+    // (…, cell, qvec int8, qscale) instead of the float embedding column —
+    // ~1/4 the bytes on the column that IS the store's byte bottleneck at
+    // lake scale (the seedSemStore(quantized) lesson applied to the ANN
+    // tier). Cosine ranking needs only the codes (per-vector scale
+    // cancels), so the stored probe ranks on the bare cast-up codes and
+    // never loads qscale. Declared: the store holds codes only AND the
+    // code-ranked stored probe still clears the 8/10 recall gate against
+    // FLOAT brute force (quantization perturbs cosine < 1%, inside the
+    // gate's margin at nprobe=8 — the q_sim_quantized contract composed
+    // with the streamed store). --
+    "q_stream_ann_quantized" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_annq")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val streamed = Similarity.streamIngestIvf(s, in, w, nlist = 16,
+        quantized = true)
+      val codesOnly = streamed.columns.contains("qvec") &&
+        !streamed.columns.contains("embedding")
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10)
+        .select("vec_id")
+      val ivf = Similarity.ivfTopKStored(streamed, s"$w/ivf_index", probeId = 0L,
+          k = 10, nprobe = 8)
+        .select("vec_id")
+      bf.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), lit(codesOnly).as("codes_only"),
+          (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -6124,6 +6155,11 @@ object SparkEntry {
     // store still clears the recall gate at a quarter-of-cells nprobe
     "q_sim_ivf_requantized" ->
       "SELECT CAST(10 AS INT) AS k, true AS nlist_grew, true AS recall_ok",
+
+    // the streamed store holds SQ8 codes only (no float column) and the
+    // code-ranked probe still clears the 8/10 gate vs float brute force
+    "q_stream_ann_quantized" ->
+      "SELECT CAST(10 AS INT) AS k, true AS codes_only, true AS recall_ok",
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

@@ -641,6 +641,17 @@ object Similarity {
     * the index artifact holds). Threshold-based and therefore replay-safe:
     * a replayed batch re-checks membership against the already-grown index
     * and re-fires only if it still exceeds the target.
+    *
+    * `quantized = true` stores SQ8 codes instead of the float embedding
+    * column — `(…, qvec int8, qscale, cell)` at ~1/4 the bytes, the
+    * `Dedup.seedSemStore(quantized)` lesson applied to the ingest tier
+    * (at lake scale the embedding column IS the store's byte bottleneck).
+    * Cosine ranking needs only the codes (a per-vector positive scale
+    * cancels); `qscale` exists for maintenance — [[requantizeIvfStore]]
+    * reconstructs `qvec·qscale` to re-assign and rewrites the codes
+    * LOSSLESSLY. The layout is self-describing (probes and maintenance
+    * read the columns, never a flag), so replay and requantize need no
+    * extra state.
     */
   def streamIngestIvf(
       spark: org.apache.spark.sql.SparkSession,
@@ -649,13 +660,15 @@ object Similarity {
       nlist: Int = 16,
       sampleRows: Int = 2048,
       targetCellRows: Int = Int.MaxValue,
-      growFactor: Int = 4): DataFrame = {
+      growFactor: Int = 4,
+      quantized: Boolean = false): DataFrame = {
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
     val static = spark.read.parquet(inputDir)
     // empty batch=-1 partition: partition discovery resolves before any
-    // real batch lands
-    static.withColumn("cell", lit(0)).limit(0)
+    // real batch lands (quantized: the seed carries the code layout so
+    // discovery agrees with the batches)
+    storedLayout(static.withColumn("cell", lit(0)), quantized).limit(0)
       .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
     val q = spark.readStream
       .schema(static.schema)
@@ -664,7 +677,8 @@ object Similarity {
       .writeStream
       .option("checkpointLocation", s"$workDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamIngestIvfBatch(batch, batchId, idxPath, dataDir, nlist, sampleRows)
+        streamIngestIvfBatch(batch, batchId, idxPath, dataDir, nlist,
+          sampleRows, quantized)
         // maintenance BETWEEN batches: one metadata-cheap count, paid only
         // when maintenance is enabled; the current nlist is read from the
         // index artifact (not the bootstrap param) so consecutive triggers
@@ -682,6 +696,12 @@ object Similarity {
     Dedup.readStore(spark, dataDir).drop("batch")
   }
 
+  /** The cell-store row shape: full-precision keeps the embedding column;
+    * quantized swaps it for `(qvec int8, qscale)` via [[quantizeWithScale]].
+    */
+  private def storedLayout(df: DataFrame, quantized: Boolean): DataFrame =
+    if (quantized) quantizeWithScale(df).drop("embedding") else df
+
   /** One ingest micro-batch — REPLAY-IDEMPOTENT like the dedup stream's:
     * the batch overwrites its OWN `batch=<id>` partition, so a checkpoint
     * replay replaces rather than double-appends. The index bootstrap is
@@ -691,13 +711,15 @@ object Similarity {
     */
   private[graft] def streamIngestIvfBatch(
       batch: DataFrame, batchId: Long, idxPath: String, dataDir: String,
-      nlist: Int, sampleRows: Int): Unit = {
+      nlist: Int, sampleRows: Int, quantized: Boolean = false): Unit = {
     val s2 = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(idxPath)
     val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) saveIvfIndex(batch, idxPath, nlist, sampleRows)
     val centroids = loadIvfIndex(s2, idxPath)
-    batch.withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+    storedLayout(
+      batch.withColumn("cell", nearestCellUdf(centroids)(col("embedding"))),
+      quantized)
       .write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
   }
 
@@ -749,7 +771,16 @@ object Similarity {
           "remove the sentinel) before retrying")
     val stageRoot = s"$workDir/.requant_stage"
     fs.delete(new Path(stageRoot), true) // stale stage from a failed run: data-free, safe to clear
-    val rows = Dedup.readStore(spark, cellsDir).drop("cell")
+    val stored = Dedup.readStore(spark, cellsDir).drop("cell")
+    // SQ8 store (layout is self-describing): reconstruct qvec·qscale
+    // (within half a quantization step per component) for training and
+    // re-assignment; the codes themselves rewrite through LOSSLESSLY —
+    // maintenance never re-quantizes
+    val qz = stored.columns.contains("qvec")
+    val rows = (if (qz)
+        stored.withColumn("embedding",
+          transform(col("qvec"), x => (x.cast("float") * col("qscale"))))
+      else stored)
       .persist() // train sample + emptiness check + rewrite
     if (rows.isEmpty) {
       rows.unpersist()
@@ -772,7 +803,10 @@ object Similarity {
       math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
       spark.sparkContext.defaultParallelism.toLong).toInt
     val staged = loadIvfIndex(spark, s"$stageRoot/ivf_index")
-    rows.withColumn("cell", nearestCellUdf(staged)(col("embedding")))
+    val relabeled = rows.withColumn("cell", nearestCellUdf(staged)(col("embedding")))
+    // quantized store: drop the reconstructed float column again — the
+    // original codes pass through untouched
+    (if (qz) relabeled.drop("embedding") else relabeled)
       .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stageRoot/cells")
@@ -839,12 +873,20 @@ object Similarity {
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's
     * output) with a persisted index: the probe ranks its nprobe nearest
     * cells from the loaded centroids and scans only matching `cell` rows —
-    * no re-assignment map anywhere on the read path.
+    * no re-assignment map anywhere on the read path. An SQ8 store (code
+    * layout, no float column) ranks on the bare cast-up codes: cosine is
+    * invariant to the per-vector scale, so `qscale` never loads — the
+    * probe reads 1/4 the bytes, which at lake scale IS the probe cost.
     */
   def ivfTopKStored(assigned: DataFrame, indexPath: String, probeId: Long,
-                    k: Int = 10, nprobe: Int = 4): DataFrame =
-    ivfProbeAssigned(assigned, loadIvfIndex(assigned.sparkSession, indexPath),
+                    k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val comparable =
+      if (assigned.columns.contains("qvec") && !assigned.columns.contains("embedding"))
+        assigned.withColumn("embedding", col("qvec").cast("array<float>"))
+      else assigned
+    ivfProbeAssigned(comparable, loadIvfIndex(assigned.sparkSession, indexPath),
       probeId, k, nprobe)
+  }
 
   /** Persist the PQ index (per-subspace codebooks) as parquet
     * `(subspace int, code int, centroid array<double>)` — m × k × (dim/m)

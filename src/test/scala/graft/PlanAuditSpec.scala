@@ -87,7 +87,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_ivf_append", "q_sim_ivf_persisted", "q_sim_ivf_quantized",
     "q_sim_ivf_recall", "q_sim_ivf_requantized", "q_sim_pq", "q_sim_pq_persisted",
     "q_sim_probeset",
-    "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest", "q_tfidf_topterms",
+    "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",
+    "q_stream_ann_quantized", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")
 
   test("point lookup and type filter push equality predicates to the scan") {

@@ -286,6 +286,74 @@ class SimilaritySpec extends SparkSpec {
     assert(got == bf, s"evolved stored probe at nprobe=nlist must equal brute force: $got vs $bf")
   }
 
+  test("quantized ANN ingest: store holds SQ8 codes at a fraction of the bytes, " +
+    "code-ranked probe recalls, clone survives, requantize rewrites codes losslessly") {
+    val tmp = java.nio.file.Files.createTempDirectory("annq").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    val fullTmp = java.nio.file.Files.createTempDirectory("annq-full").toString
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    // quantized and full-precision stores over the same two drops
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data,
+      nlist = 4, sampleRows = 40, quantized = true)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data,
+      nlist = 4, sampleRows = 40, quantized = true)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, s"$fullTmp/ivf_index", s"$fullTmp/cells",
+      nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, s"$fullTmp/ivf_index", s"$fullTmp/cells",
+      nlist = 4, sampleRows = 40)
+    val cols = spark.read.parquet(data).columns.toSet
+    assert(cols("qvec") && cols("qscale") && !cols("embedding"), cols.toString)
+    def bytes(dir: String): Long = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try it.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally it.close()
+    }
+    // bytes claim at a size where data outweighs parquet framing (the
+    // 40×8 toy fixture is footer-dominated and the ratio inverts): one
+    // drop of the sf0.001 table (500 vecs × 64 dims), codes vs floats.
+    // Design target ~1/4 on the embedding column; assert a conservative
+    // 2× so encoding noise can't flake it.
+    val big = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val bq = java.nio.file.Files.createTempDirectory("annq-big-q").toString
+    val bfl = java.nio.file.Files.createTempDirectory("annq-big-f").toString
+    Similarity.streamIngestIvfBatch(big, 0L, s"$bq/ivf_index", s"$bq/cells",
+      nlist = 16, sampleRows = 2048, quantized = true)
+    Similarity.streamIngestIvfBatch(big, 0L, s"$bfl/ivf_index", s"$bfl/cells",
+      nlist = 16, sampleRows = 2048)
+    assert(bytes(s"$bq/cells") * 2 < bytes(s"$bfl/cells"),
+      s"quantized ${bytes(s"$bq/cells")} B vs full ${bytes(s"$bfl/cells")} B")
+    // code-ranked exhaustive probe recalls >= 4/5 of the float truth (the
+    // quantize contract) and a byte-identical clone (cosine 1.0) is top-1
+    val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert((bf intersect got).size >= 4, s"code-ranked recall too low: $got vs $bf")
+    val clone = slice(0).where(col("vec_id") === 0L)
+      .select(lit(777L).as("vec_id"), col("embedding"))
+    Similarity.streamIngestIvfBatch(clone, 2L, idx, data,
+      nlist = 4, sampleRows = 40, quantized = true)
+    val top1 = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 1, nprobe = 4)
+      .select("vec_id").as[Long].collect().head
+    assert(top1 == 777L, s"byte-identical clone must rank first, got $top1")
+    // maintenance on the quantized store: nlist grows, codes rewrite
+    // LOSSLESSLY (bit-identical), layout stays codes-only
+    val codesBefore = spark.read.parquet(data)
+      .select(col("vec_id"), col("qvec").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    Similarity.requantizeIvfStore(spark, tmp, newNlist = 8, sampleRows = 40)
+    assert(Similarity.loadIvfIndex(spark, idx).length == 8)
+    val after = spark.read.parquet(data)
+    assert(!after.columns.contains("embedding"), "requantize must preserve the code layout")
+    val codesAfter = after
+      .select(col("vec_id"), col("qvec").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codesAfter == codesBefore, "requantize must rewrite codes losslessly")
+  }
+
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/pq"
     Similarity.savePqIndex(emb, dir, m = 4, codebookK = 8, sampleRows = 40)
