@@ -1535,6 +1535,35 @@ object SparkEntry {
           (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] COMPACTION of the streamed ANN store (compactIvfStore): the
+    // per-batch appends collapse into ONE size-targeted batch partition,
+    // range-clustered and sorted by cell so the stored probe's
+    // cell-IN filter prunes parquet row groups via min/max stats — the
+    // flat layout's version of partition pruning. With this the ANN store
+    // has the full maintenance pair (compaction + requantize) like every
+    // other stored index. Declared: the compacted store is COMPLETE
+    // (every streamed vector present) and the probe over it still clears
+    // the 8/10 recall gate. --
+    "q_sim_ivf_compacted" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfcomp")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      Similarity.compactIvfStore(s, w, upTo = 10L)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells")
+      val complete = stored.count() == embeddings(s, d).count()
+      val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10)
+        .select("vec_id")
+      val ivf = Similarity.ivfTopKStored(stored.drop("batch"), s"$w/ivf_index",
+          probeId = 0L, k = 10, nprobe = 8)
+        .select("vec_id")
+      bf.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), lit(complete).as("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -6160,6 +6189,11 @@ object SparkEntry {
     // code-ranked probe still clears the 8/10 gate vs float brute force
     "q_stream_ann_quantized" ->
       "SELECT CAST(10 AS INT) AS k, true AS codes_only, true AS recall_ok",
+
+    // the compacted store holds every streamed vector in one clustered
+    // partition and the probe over it still clears the gate
+    "q_sim_ivf_compacted" ->
+      "SELECT CAST(10 AS INT) AS k, true AS complete, true AS recall_ok",
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

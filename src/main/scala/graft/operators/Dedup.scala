@@ -659,6 +659,86 @@ object Dedup {
     */
   private[graft] val MaintenanceSentinel = ".compact_inprogress"
 
+  /** The RECOVERABLE CHECKED SWAP shared by every store-maintenance op
+    * (compaction and re-quantization, all four store families) — one
+    * implementation of the protocol instead of a hand-rolled copy per op
+    * (the ManifestIo lesson applied to the swap):
+    *
+    *   raise the [[MaintenanceSentinel]] in `sentinelDir` (exclusive
+    *   create — concurrent swaps fail here; [[readStore]] — every probe's
+    *   read path — refuses while it exists) → create `trash` → move each
+    *   of `asides` into `trash` → promote each `(stagedSrc, dst)` →
+    *   `afterPromote` (manifest bump / cache invalidation, while the
+    *   store is already consistent) → drop the sentinel → delete `trash`
+    *   and each `cleanup` root.
+    *
+    * Failure anywhere before the last promote RESTORES the original
+    * store: already-promoted dsts are deleted FIRST (staged data is
+    * recomputable, and on HDFS a rename into an existing dir NESTS — the
+    * originals must rename into a free slot), then the moved-aside
+    * originals rename back in reverse order, then trash and sentinel are
+    * cleared so a retry does not fail the caller's stale-leftover check.
+    * Failures AFTER the store is consistent (sentinel/cleanup deletes)
+    * throw with the manual-fix path but never un-promote. Every
+    * `FileSystem` boolean is checked. Callers keep their own pre-flight:
+    * fail-fast on leftover sentinel/trash BEFORE staging, and verify the
+    * staged artifacts exist before calling.
+    */
+  private[graft] def recoverableSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      opName: String,
+      sentinelDir: org.apache.hadoop.fs.Path,
+      trash: org.apache.hadoop.fs.Path,
+      asides: Seq[org.apache.hadoop.fs.Path],
+      promotes: Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)],
+      cleanup: Seq[org.apache.hadoop.fs.Path],
+      afterPromote: () => Unit = () => ()): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sentinel = new Path(sentinelDir, MaintenanceSentinel)
+    fs.create(sentinel, false).close() // swap window opens
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def restoreMoved(): Unit = {
+      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
+      fs.delete(trash, true)
+      fs.delete(sentinel, false)
+      ()
+    }
+    if (!fs.mkdirs(trash)) {
+      fs.delete(sentinel, false)
+      throw new IllegalStateException(
+        s"$opName: cannot create $trash — store left unchanged")
+    }
+    asides.foreach { orig =>
+      val aside = new Path(trash, orig.getName)
+      if (!fs.rename(orig, aside)) {
+        restoreMoved()
+        throw new IllegalStateException(
+          s"$opName: failed to move $orig aside — original store restored")
+      }
+      moved += ((orig, aside))
+    }
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    promotes.foreach { case (src, dst) =>
+      if (!fs.rename(src, dst)) {
+        promoted.foreach(p => fs.delete(p, true))
+        restoreMoved()
+        throw new IllegalStateException(
+          s"$opName: failed to promote $src — original store restored")
+      }
+      promoted += dst
+    }
+    afterPromote()
+    if (!fs.delete(sentinel, false))
+      throw new IllegalStateException(
+        s"$opName: store is CONSISTENT, but the swap sentinel could not be " +
+          s"removed — remove $sentinel manually")
+    val undeleted = (trash +: cleanup).filter(p => fs.exists(p) && !fs.delete(p, true))
+    if (undeleted.nonEmpty)
+      throw new IllegalStateException(
+        s"$opName: store is CONSISTENT, but set-aside leftovers could not be " +
+          s"deleted — remove ${undeleted.mkString(", ")} manually")
+  }
+
   /** Set/restore of the SESSION-GLOBAL shuffle-partitions knob, held for
     * the duration of `body` under one lock: per-batch joins in the
     * streaming tiers move ≤ corpus-index rows, and at the session's width
@@ -1108,47 +1188,11 @@ object Dedup {
     if (!fs.exists(stagedP))
       throw new IllegalStateException(
         s"compactStore: staged rewrite missing at $staged — store left unchanged")
-    // swap window opens: exclusive sentinel create (races fail here), and
-    // every probe's readStore refuses until it drops
-    fs.create(sentinel, false).close()
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-    def restoreMoved(): Unit = {
-      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
-      // the aside dir is empty after a full restore and the sentinel's job
-      // is done — clear both so a RETRY does not fail the stale-state check
-      fs.delete(trash, true)
-      fs.delete(sentinel, false)
-      ()
-    }
-    if (!fs.mkdirs(trash)) {
-      fs.delete(sentinel, false)
-      throw new IllegalStateException(
-        s"compactStore: cannot create $trash — store left unchanged")
-    }
-    olds.foreach { st =>
-      val aside = new Path(trash, st.getPath.getName)
-      if (!fs.rename(st.getPath, aside)) {
-        restoreMoved()
-        throw new IllegalStateException(
-          s"compactStore: failed to move ${st.getPath} aside — original partitions restored")
-      }
-      moved += ((st.getPath, aside))
-    }
-    if (!fs.rename(stagedP, new Path(s"$storeDir/batch=$upTo"))) {
-      restoreMoved()
-      throw new IllegalStateException(
-        s"compactStore: failed to promote $staged — original partitions restored")
-    }
-    // promote landed: the store is consistent — drop the sentinel before
-    // the cleanup delete so a cleanup failure leaves a READABLE store
-    if (!fs.delete(sentinel, false))
-      throw new IllegalStateException(
-        s"compactStore: compacted store at $storeDir is CONSISTENT, but the " +
-          s"swap sentinel could not be removed — remove $sentinel manually")
-    if (!fs.delete(trash, true))
-      throw new IllegalStateException(
-        s"compactStore: compacted store at $storeDir is CONSISTENT, but the " +
-          s"replaced partitions could not be deleted — remove $trash manually")
+    recoverableSwap(fs, "compactStore",
+      sentinelDir = new Path(storeDir), trash = trash,
+      asides = olds.map(_.getPath).toSeq,
+      promotes = Seq((stagedP, new Path(s"$storeDir/batch=$upTo"))),
+      cleanup = Nil)
   }
 
   /** Batch-incremental dedup against a STORED pre-banded index — the
@@ -2212,59 +2256,23 @@ object Dedup {
     if (!fs.exists(stagedCells) || !fs.exists(stagedCent))
       throw new IllegalStateException(
         s"requantizeSemStore: staged rewrite missing under $stageRoot — store left unchanged")
-    // swap window opens
-    fs.create(sentinel, false).close()
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-    def restoreMoved(): Unit = {
-      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
-      fs.delete(trash, true)
-      fs.delete(sentinel, false)
-      ()
-    }
-    if (!fs.mkdirs(trash)) {
-      fs.delete(sentinel, false)
-      throw new IllegalStateException(
-        s"requantizeSemStore: cannot create $trash — store left unchanged")
-    }
-    def moveAside(orig: Path, asideName: String): Unit = {
-      val aside = new Path(trash, asideName)
-      if (!fs.rename(orig, aside)) {
-        restoreMoved()
-        throw new IllegalStateException(
-          s"requantizeSemStore: failed to move $orig aside — original store restored")
-      }
-      moved += ((orig, aside))
-    }
-    // the cells dir itself stays put (it holds the sentinel readers watch);
-    // its batch partitions move aside individually, like compactStore's
+    // the cells dir itself stays put (it holds the sentinel readers
+    // watch); its batch partitions move aside individually, and the
+    // staged batch partitions + centroid artifact promote into place
     val oldParts = fs.listStatus(new Path(cellsDir))
-      .filter(_.getPath.getName.startsWith("batch="))
-    oldParts.foreach(st => moveAside(st.getPath, st.getPath.getName))
-    moveAside(new Path(centDir), "centroids")
-    // promoted staged dirs are deleted (staged data is recomputable)
-    // before the originals rename back, so restore never renames into an
-    // existing dir (the HDFS nesting hazard)
-    val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def promote(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst)) {
-        promoted.foreach(p => fs.delete(p, true))
-        restoreMoved()
-        throw new IllegalStateException(
-          s"requantizeSemStore: failed to promote $src — original store restored")
-      } else promoted += dst
-    fs.listStatus(stagedCells).filter(_.getPath.getName.startsWith("batch="))
-      .foreach(st => promote(st.getPath, new Path(cellsDir, st.getPath.getName)))
-    promote(stagedCent, new Path(centDir))
-    SemManifest.write(storeDir, newNlist, sampleRows, nm, qz)
-    Similarity.invalidateIvfIndex(centDir)
-    if (!fs.delete(sentinel, false))
-      throw new IllegalStateException(
-        s"requantizeSemStore: store at $storeDir is CONSISTENT, but the swap " +
-          s"sentinel could not be removed — remove $sentinel manually")
-    if (!fs.delete(trash, true) || !fs.delete(new Path(stageRoot), true))
-      throw new IllegalStateException(
-        s"requantizeSemStore: store at $storeDir is CONSISTENT, but set-aside " +
-          s"leftovers could not be deleted — remove $trash / $stageRoot manually")
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    val stagedParts = fs.listStatus(stagedCells)
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    recoverableSwap(fs, "requantizeSemStore",
+      sentinelDir = new Path(cellsDir), trash = trash,
+      asides = oldParts :+ new Path(centDir),
+      promotes = stagedParts.map(p => (p, new Path(cellsDir, p.getName))) :+
+        ((stagedCent, new Path(centDir))),
+      cleanup = Seq(new Path(stageRoot)),
+      afterPromote = () => {
+        SemManifest.write(storeDir, newNlist, sampleRows, nm, qz)
+        Similarity.invalidateIvfIndex(centDir)
+      })
   }
 
   /** STREAMING semantic dedup — the embedding tier's [[minhashStreamKeep]],

@@ -816,58 +816,80 @@ object Similarity {
     if (!fs.exists(stagedCells) || !fs.exists(stagedIdx))
       throw new IllegalStateException(
         s"requantizeIvfStore: staged rewrite missing under $stageRoot — store left unchanged")
-    // swap window opens
-    fs.create(sentinel, false).close()
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-    def restoreMoved(): Unit = {
-      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
-      fs.delete(trash, true)
-      fs.delete(sentinel, false)
-      ()
-    }
-    if (!fs.mkdirs(trash)) {
-      fs.delete(sentinel, false)
-      throw new IllegalStateException(
-        s"requantizeIvfStore: cannot create $trash — store left unchanged")
-    }
-    def moveAside(orig: Path, asideName: String): Unit = {
-      val aside = new Path(trash, asideName)
-      if (!fs.rename(orig, aside)) {
-        restoreMoved()
-        throw new IllegalStateException(
-          s"requantizeIvfStore: failed to move $orig aside — original store restored")
-      }
-      moved += ((orig, aside))
-    }
     // the cells dir itself stays put (it holds the sentinel readers
-    // watch); its batch partitions move aside individually
+    // watch); its batch partitions move aside individually, the staged
+    // batch partitions + index artifact promote into place
     val oldParts = fs.listStatus(new Path(cellsDir))
-      .filter(_.getPath.getName.startsWith("batch="))
-    oldParts.foreach(st => moveAside(st.getPath, st.getPath.getName))
-    moveAside(new Path(idxDir), "ivf_index")
-    // promoted staged dirs are deleted (staged data is recomputable)
-    // before the originals rename back, so restore never renames into an
-    // existing dir (the HDFS nesting hazard)
-    val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def promote(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst)) {
-        promoted.foreach(p => fs.delete(p, true))
-        restoreMoved()
-        throw new IllegalStateException(
-          s"requantizeIvfStore: failed to promote $src — original store restored")
-      } else promoted += dst
-    fs.listStatus(stagedCells).filter(_.getPath.getName.startsWith("batch="))
-      .foreach(st => promote(st.getPath, new Path(cellsDir, st.getPath.getName)))
-    promote(stagedIdx, new Path(idxDir))
-    invalidateIvfIndex(idxDir)
-    if (!fs.delete(sentinel, false))
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    val stagedParts = fs.listStatus(stagedCells)
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    Dedup.recoverableSwap(fs, "requantizeIvfStore",
+      sentinelDir = new Path(cellsDir), trash = trash,
+      asides = oldParts :+ new Path(idxDir),
+      promotes = stagedParts.map(p => (p, new Path(cellsDir, p.getName))) :+
+        ((stagedIdx, new Path(idxDir))),
+      cleanup = Seq(new Path(stageRoot)),
+      afterPromote = () => invalidateIvfIndex(idxDir))
+  }
+
+  /** COMPACTION for the streamed ANN store — the file-count maintenance
+    * op (`Dedup.compactStore`'s role) for the flat `cells/batch=<id>`
+    * layout, so the ANN store has the full maintenance pair (compaction +
+    * [[requantizeIvfStore]]) like every other stored index. Collapses
+    * every `batch <= upTo` into ONE `batch=upTo` partition of
+    * size-targeted files, RANGE-CLUSTERED and sorted by `cell`: the
+    * stored probe's `cell IN (…)` filter then prunes parquet ROW GROUPS
+    * via min/max stats — the flat layout's version of partition pruning
+    * (a `partitionBy(cell)` dir per cell would mix layouts with the
+    * flat per-batch appends and break discovery; clustering gets the
+    * same skip without touching the append path). Works unchanged on
+    * the SQ8 code layout (the payload columns pass through). Same
+    * contract as compactStore: only compact batches older than any
+    * replayable checkpoint horizon; single writer during the swap
+    * (probes refuse on the sentinel).
+    */
+  def compactIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      upTo: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cellsDir = s"$workDir/cells"
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinel = new Path(cellsDir, Dedup.MaintenanceSentinel)
+    val trash = new Path(workDir, ".compact_old")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
       throw new IllegalStateException(
-        s"requantizeIvfStore: store at $workDir is CONSISTENT, but the swap " +
-          s"sentinel could not be removed — remove $sentinel manually")
-    if (!fs.delete(trash, true) || !fs.delete(new Path(stageRoot), true))
+        s"compactIvfStore: leftover $left from an unfinished swap at $workDir — " +
+          "recover (restore set-aside partitions from .compact_old, remove the " +
+          "sentinel) before retrying")
+    val olds = fs.listStatus(new Path(cellsDir)).filter { st =>
+      val name = st.getPath.getName
+      name.startsWith("batch=") && name.stripPrefix("batch=").toLong <= upTo
+    }
+    val totalBytes = olds.map(st => fs.getContentSummary(st.getPath).getLength).sum
+    val slices = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staged = s"$workDir/.compact_stage"
+    fs.delete(new Path(staged), true)
+    val rows = Dedup.readStore(spark, cellsDir)
+      .where(col("batch") <= upTo).drop("batch")
+    // an all-empty store compacts to a schema-only file (a ranged write of
+    // zero rows emits no files and would leave the store unreadable)
+    if (rows.isEmpty)
+      rows.coalesce(1).write.mode("overwrite").parquet(staged)
+    else
+      rows.repartitionByRange(slices, col("cell"), col("vec_id"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").parquet(staged)
+    val stagedP = new Path(staged)
+    if (!fs.exists(stagedP))
       throw new IllegalStateException(
-        s"requantizeIvfStore: store at $workDir is CONSISTENT, but set-aside " +
-          s"leftovers could not be deleted — remove $trash / $stageRoot manually")
+        s"compactIvfStore: staged rewrite missing at $staged — store left unchanged")
+    Dedup.recoverableSwap(fs, "compactIvfStore",
+      sentinelDir = new Path(cellsDir), trash = trash,
+      asides = olds.map(_.getPath).toSeq,
+      promotes = Seq((stagedP, new Path(s"$cellsDir/batch=$upTo"))),
+      cleanup = Nil)
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's

@@ -286,6 +286,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got == bf, s"evolved stored probe at nprobe=nlist must equal brute force: $got vs $bf")
   }
 
+  test("compactIvfStore: batches collapse to one cell-clustered partition, " +
+    "rows and probe unchanged, leftovers refused, later appends still land") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfcomp").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    val beforeRows = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    val beforeTop = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    Similarity.compactIvfStore(spark, tmp, upTo = 1L)
+    val parts = new java.io.File(data).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=1"), s"expected one collapsed partition, got $parts")
+    val afterRows = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(afterRows == beforeRows, "compaction must not add/drop/change rows")
+    val afterTop = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(afterTop == beforeTop, "the stored probe must be unchanged by compaction")
+    for (left <- Seq(".compact_stage", ".compact_old", s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+    // stale leftovers refuse fast
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(tmp, ".compact_old"))
+    val e = intercept[IllegalStateException] {
+      Similarity.compactIvfStore(spark, tmp, upTo = 1L)
+    }
+    assert(e.getMessage.contains(".compact_old"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tmp, ".compact_old"))
+    // the append path is untouched: a later batch lands beside the
+    // collapsed partition and is immediately searchable
+    val late = emb.where(col("vec_id") === 0L)
+      .select(lit(888L).as("vec_id"), col("embedding"))
+    Similarity.streamIngestIvfBatch(late, 2L, idx, data, nlist = 4, sampleRows = 40)
+    val top1 = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 1, nprobe = 4)
+      .select("vec_id").as[Long].collect().head
+    assert(top1 == 888L, s"post-compaction append must be searchable, got $top1")
+  }
+
   test("quantized ANN ingest: store holds SQ8 codes at a fraction of the bytes, " +
     "code-ranked probe recalls, clone survives, requantize rewrites codes losslessly") {
     val tmp = java.nio.file.Files.createTempDirectory("annq").toString
