@@ -1476,7 +1476,7 @@ object SparkEntry {
     // sentinel-guarded protocol. Declared: the index GREW in-stream (8 →
     // past it, no re-seed, no second corpus read) and the evolved store
     // still clears the 8/10 recall gate against float brute force at a
-    // pruned nprobe (a quarter of the grown cells). --
+    // pruned nprobe (5/8 of the grown cells — see the margin note below). --
     "q_sim_ivf_requantized" -> ((s, d) => {
       val in = embSlices(s, d)
       val work = java.nio.file.Files.createTempDirectory("graft_ivfrq")
@@ -1552,7 +1552,12 @@ object SparkEntry {
       Similarity.streamIngestIvf(s, in, w, nlist = 16)
       Similarity.compactIvfStore(s, w, upTo = 10L)
       val stored = graft.operators.Dedup.readStore(s, s"$w/cells")
-      val complete = stored.count() == embeddings(s, d).count()
+      // completeness folded INTO the returned frame (a cross-join of two
+      // 1-row counts) so the declared query is one job — no
+      // plan-build-time actions
+      val completeDf = stored.agg(count(lit(1)).as("n_stored"))
+        .crossJoin(embeddings(s, d).agg(count(lit(1)).as("n_src")))
+        .select((col("n_stored") === col("n_src")).as("complete"))
       val bf = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10)
         .select("vec_id")
       val ivf = Similarity.ivfTopKStored(stored.drop("batch"), s"$w/ivf_index",
@@ -1560,7 +1565,8 @@ object SparkEntry {
         .select("vec_id")
       bf.join(ivf, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_common"))
-        .select(lit(10).as("k"), lit(complete).as("complete"),
+        .crossJoin(completeDf)
+        .select(lit(10).as("k"), col("complete"),
           (col("n_common") >= 8).as("recall_ok"))
     }),
 

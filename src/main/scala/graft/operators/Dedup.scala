@@ -66,7 +66,17 @@ object Dedup {
     private def path(root: String) = new org.apache.hadoop.fs.Path(root, fileName)
     def render(fields: (String, Any)*): String =
       fields.map {
-        case (k, v: String) => s""""$k":"$v""""
+        // escape backslash/quote (and bare control chars) so a string
+        // param can never render a malformed line that then fails every
+        // consumer's byte-equality check with an unreadable diff
+        case (k, v: String) =>
+          val esc = v.flatMap {
+            case '"'           => "\\\""
+            case '\\'          => "\\\\"
+            case c if c < ' '  => f"\\u${c.toInt}%04x"
+            case c             => c.toString
+          }
+          s""""$k":"$esc""""
         case (k, v)         => s""""$k":$v"""
       }.mkString("{", ",", "}")
     def exists(root: String): Boolean = {
@@ -678,6 +688,12 @@ object Dedup {
     * originals must rename into a free slot), then the moved-aside
     * originals rename back in reverse order, then trash and sentinel are
     * cleared so a retry does not fail the caller's stale-leftover check.
+    * If the RESTORE ITSELF fails at any step (a promoted dst cannot be
+    * deleted, or a rename-back returns false), trash and sentinel are
+    * LEFT IN PLACE — the un-restored originals live only in trash, so
+    * deleting it there would be permanent data loss — and the thrown
+    * message names the manual-recovery path; [[readStore]] keeps
+    * refusing until the operator clears the sentinel.
     * Failures AFTER the store is consistent (sentinel/cleanup deletes)
     * throw with the manual-fix path but never un-promote. Every
     * `FileSystem` boolean is checked. Callers keep their own pre-flight:
@@ -697,33 +713,55 @@ object Dedup {
     val sentinel = new Path(sentinelDir, MaintenanceSentinel)
     fs.create(sentinel, false).close() // swap window opens
     val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-    def restoreMoved(): Unit = {
-      moved.reverse.foreach { case (orig, aside) => fs.rename(aside, orig); () }
-      fs.delete(trash, true)
-      fs.delete(sentinel, false)
-      ()
+    // Restore the original store after a mid-swap failure described by
+    // `failure`, then throw. Every restore step is CHECKED: if any
+    // rename-back returns false, the un-restored partitions exist only
+    // inside `trash`, so trash and sentinel are left in place (readStore
+    // keeps refusing) and the message switches to manual recovery —
+    // deleting trash at that point would be permanent store loss.
+    def restoreAndThrow(failure: String): Nothing = {
+      val unrestored = moved.reverse.filterNot { case (orig, aside) => fs.rename(aside, orig) }
+      if (unrestored.nonEmpty)
+        throw new IllegalStateException(
+          s"$opName: $failure; RESTORE INCOMPLETE — rename-back failed for " +
+            unrestored.map { case (orig, aside) => s"$aside -> $orig" }.mkString(", ") +
+            s" — trash and sentinel left in place; restore those partitions " +
+            s"manually, then remove $sentinel")
+      val trashGone = fs.delete(trash, true)
+      val sentGone = fs.delete(sentinel, false)
+      if (!trashGone || !sentGone)
+        throw new IllegalStateException(
+          s"$opName: $failure — original store restored, but " +
+            s"${Seq(trash.toString).filter(_ => !trashGone) ++ Seq(sentinel.toString).filter(_ => !sentGone) mkString ", "} " +
+            "could not be removed; delete manually before retrying")
+      throw new IllegalStateException(s"$opName: $failure — original store restored")
     }
     if (!fs.mkdirs(trash)) {
-      fs.delete(sentinel, false)
+      val sentGone = fs.delete(sentinel, false)
       throw new IllegalStateException(
-        s"$opName: cannot create $trash — store left unchanged")
+        s"$opName: cannot create $trash — store left unchanged" +
+          (if (sentGone) "" else s"; ALSO could not remove $sentinel — remove it manually"))
     }
     asides.foreach { orig =>
       val aside = new Path(trash, orig.getName)
-      if (!fs.rename(orig, aside)) {
-        restoreMoved()
-        throw new IllegalStateException(
-          s"$opName: failed to move $orig aside — original store restored")
-      }
+      if (!fs.rename(orig, aside))
+        restoreAndThrow(s"failed to move $orig aside")
       moved += ((orig, aside))
     }
     val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
     promotes.foreach { case (src, dst) =>
       if (!fs.rename(src, dst)) {
-        promoted.foreach(p => fs.delete(p, true))
-        restoreMoved()
-        throw new IllegalStateException(
-          s"$opName: failed to promote $src — original store restored")
+        // free the original slots first; if a promoted dst cannot be
+        // deleted, rename-back into that slot would nest on HDFS — stop
+        // here with trash and sentinel intact rather than half-restore
+        val undeletable = promoted.filterNot(p => fs.delete(p, true))
+        if (undeletable.nonEmpty)
+          throw new IllegalStateException(
+            s"$opName: failed to promote $src, and already-promoted " +
+              s"${undeletable.mkString(", ")} could not be deleted to free the " +
+              s"original slots — trash and sentinel left in place; restore the " +
+              s"partitions in $trash manually, then remove $sentinel")
+        restoreAndThrow(s"failed to promote $src")
       }
       promoted += dst
     }

@@ -267,7 +267,10 @@ object Similarity {
     }
     if (n < CoarseAssignThreshold && !forceCoarse) {
       val all = Array.range(0, n)
-      vs => exactAmong(toDense(vs), all)
+      // a vector containing NaN compares false against every distance and
+      // exactAmong returns -1; pin such rows to cell 0 (the pre-coarse
+      // linear scan's behavior) so assignment stays total and deterministic
+      vs => { val c = exactAmong(toDense(vs), all); if (c < 0) 0 else c }
     } else {
       val (groupCentroids, members) = coarseGroups(centroids)
       val p = math.min(probeGroups, groupCentroids.length)
@@ -292,17 +295,22 @@ object Similarity {
             if (!taken(i) && gd(i) < bgD) { bgD = gd(i); bg = i }
             i += 1
           }
-          taken(bg) = true
-          val cand = exactAmong(v, members(bg))
-          if (cand >= 0) {
-            val cc = centroids(cand)
-            var d = 0.0; var j = 0
-            while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-            if (d < bestD || (d == bestD && cand < best)) { bestD = d; best = cand }
+          if (bg < 0) pick = p // every group distance NaN — nothing to probe
+          else {
+            taken(bg) = true
+            val cand = exactAmong(v, members(bg))
+            if (cand >= 0) {
+              val cc = centroids(cand)
+              var d = 0.0; var j = 0
+              while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+              if (d < bestD || (d == bestD && cand < best)) { bestD = d; best = cand }
+            }
+            pick += 1
           }
-          pick += 1
         }
-        best
+        // NaN vectors (no comparable distance anywhere) pin to cell 0,
+        // matching the exact path above
+        if (best < 0) 0 else best
       }
     }
   }
@@ -670,6 +678,18 @@ object Similarity {
     // discovery agrees with the batches)
     storedLayout(static.withColumn("cell", lit(0)), quantized).limit(0)
       .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
+    // maintenance running total: ONE store-wide metadata count at stream
+    // start (a checkpoint resume picks up prior batches here), then
+    // per-batch increments from the just-written partition's own footers.
+    // The previous shape — a full-store count() in every trigger — is
+    // O(files in store) per batch and grows until the next compaction:
+    // a per-batch listing storm at lake scale. A replayed batch whose
+    // partition was written before the crash double-counts once against
+    // the start total; threshold-based maintenance absorbs that (it can
+    // only fire slightly early, and re-fires are membership-checked).
+    var storeRows =
+      if (targetCellRows < Int.MaxValue) Dedup.readStore(spark, dataDir).count() else 0L
+    val batchCounts = scala.collection.mutable.Map.empty[Long, Long]
     val q = spark.readStream
       .schema(static.schema)
       .option("maxFilesPerTrigger", 2)
@@ -679,14 +699,19 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         streamIngestIvfBatch(batch, batchId, idxPath, dataDir, nlist,
           sampleRows, quantized)
-        // maintenance BETWEEN batches: one metadata-cheap count, paid only
-        // when maintenance is enabled; the current nlist is read from the
-        // index artifact (not the bootstrap param) so consecutive triggers
-        // compound
+        // maintenance BETWEEN batches: count only the partition THIS batch
+        // just wrote (its parquet footers — O(batch files), not O(store
+        // files)) and roll it into the running total; an in-run replay
+        // replaces its own prior contribution, mirroring the writer's
+        // own-partition overwrite. The current nlist is read from the
+        // index artifact (not the bootstrap param) so consecutive
+        // triggers compound.
         if (targetCellRows < Int.MaxValue) {
-          val total = Dedup.readStore(spark, dataDir).count()
+          val batchRows = spark.read.parquet(s"$dataDir/batch=$batchId").count()
+          storeRows += batchRows - batchCounts.getOrElse(batchId, 0L)
+          batchCounts(batchId) = batchRows
           val curNlist = loadIvfIndex(spark, idxPath).length
-          if (total > targetCellRows.toLong * curNlist)
+          if (storeRows > targetCellRows.toLong * curNlist)
             requantizeIvfStore(spark, workDir, curNlist * growFactor, sampleRows)
         }
         ()
@@ -908,6 +933,69 @@ object Similarity {
       else assigned
     ivfProbeAssigned(comparable, loadIvfIndex(assigned.sparkSession, indexPath),
       probeId, k, nprobe)
+  }
+
+  /** Batch (probe-set) top-k over the STORED cell-assigned table with a
+    * persisted index — the production probe shape at lake scale: probes
+    * arrive N at a time and the index is always the persisted one, so N
+    * single-probe store reads ([[ivfTopKStored]] per probe) would re-scan
+    * the store N times. This runs them in ONE pruned pass:
+    *
+    *  - each probe ranks its `nprobe` nearest cells against the LOADED
+    *    centroid matrix distributively ([[nearestCellsAssigner]] — the
+    *    same function every write-side assignment used, so probe and
+    *    store can never disagree on cell geometry) and EXPLODES to one
+    *    `(probe, cell)` row, making the candidate join an equi-join on
+    *    `cell` (hash join; the probe side is tiny and broadcast);
+    *  - the UNION of all probes' cells — at most `nlist` ints, collected
+    *    driver-side (bounded by the index size, not the data) — prunes
+    *    the store scan with a LITERAL `cell IN (…)` filter, the form
+    *    parquet row-group stats can act on: a [[compactIvfStore]]-clustered
+    *    store skips every row group whose cell range misses the probe
+    *    set, exactly like the single-probe path;
+    *  - one per-probe window top-k (`WindowGroupLimit` pushes the rank
+    *    filter into the shuffle) ranks the candidates.
+    *
+    * An SQ8 store (codes-only layout, self-describing) ranks on the bare
+    * cast-up codes against the FLOAT probe vectors: cosine is invariant
+    * to the corpus row's per-vector scale, so `qscale` never loads and
+    * the store-side scan reads 1/4 the bytes.
+    */
+  def ivfProbeSetTopKStored(
+      assigned: DataFrame,
+      indexPath: String,
+      probes: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centroids = loadIvfIndex(spark, indexPath)
+    val comparable =
+      if (assigned.columns.contains("qvec") && !assigned.columns.contains("embedding"))
+        assigned.withColumn("embedding", col("qvec").cast("array<float>"))
+      else assigned
+    val nearestCellsUdf = udf(nearestCellsAssigner(centroids, nprobe))
+    val p = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .select(col("probe_id"), col("probe_emb"),
+        explode(nearestCellsUdf(col("probe_emb"))).as("cell"))
+    // bounded collect: the probe set's distinct cells, ≤ nlist ints — the
+    // literal IN list is what lets parquet row-group stats prune the
+    // store scan (a join filter cannot)
+    val unionCells = p.select(col("cell")).distinct().as[Int].collect().sorted
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    comparable
+      .where(col("cell").isin(unionCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .join(broadcast(p), Seq("cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+      .withColumn("rk", row_number().over(byProbe))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
   /** Persist the PQ index (per-subspace codebooks) as parquet

@@ -13,7 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - Tables: 1-row min/max sniff deciding the physical `ts` encoding.
   *  - Similarity: k-means/IVF index builds — a fixed 2048-row training
   *    sample and nlist×dim centroid arrays (the FAISS driver-state shape);
-  *    probe-set reads bounded by the declared probe count.
+  *    probe-set reads bounded by the declared probe count; the stored
+  *    batch probe's cell-union collect (≤ nlist ints — the literal IN
+  *    list that row-group-prunes the store scan).
   *  - Dedup: six ≤ nMods-int partition-pruning collects (stored-index
   *    probe: batch band mods, candidate doc mods, est-passing doc mods;
   *    census probes: increment win mods ×2 — stored + streaming; semantic
@@ -51,7 +53,7 @@ class CollectAuditSpec extends AnyFunSuite {
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
       "graft/SparkEntry.scala"            -> 9,
-      "graft/operators/Similarity.scala"  -> 6,
+      "graft/operators/Similarity.scala"  -> 7,
       "graft/operators/Dedup.scala"       -> 7,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,

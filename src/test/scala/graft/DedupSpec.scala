@@ -818,6 +818,50 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringMassIncrementalStored(spark, path, inc, width = 40).count() >= 0)
   }
 
+  test("recoverableSwap: checked restore — clean rollback vs trash-preserving abort") {
+    import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path => HPath}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // fault-injecting fs: renames whose SOURCE matches a live predicate fail
+    var failSrc: String => Boolean = _ => false
+    val base = new HPath("/tmp").getFileSystem(hconf)
+    val fs: FileSystem = new FilterFileSystem(base) {
+      override def rename(src: HPath, dst: HPath): Boolean =
+        if (failSrc(src.toString)) false else super.rename(src, dst)
+    }
+    def mkStore(): (String, HPath, HPath, HPath) = {
+      val tmp = java.nio.file.Files.createTempDirectory("swapfault").toString
+      val orig = new HPath(s"$tmp/store/part=0")
+      val staged = new HPath(s"$tmp/.stage/part=0")
+      fs.mkdirs(orig); fs.mkdirs(staged)
+      fs.create(new HPath(orig, "data.bin"), true).close()
+      fs.create(new HPath(staged, "data.bin"), true).close()
+      (tmp, orig, staged, new HPath(s"$tmp/store"))
+    }
+    // CASE A: promote fails, restore succeeds -> original back, no leftovers
+    val (tmpA, origA, stagedA, storeA) = mkStore()
+    failSrc = s => s.endsWith(".stage/part=0")
+    val eA = intercept[IllegalStateException](Dedup.recoverableSwap(
+      fs, "testop", storeA, new HPath(s"$tmpA/.trash"),
+      asides = Seq(origA), promotes = Seq((stagedA, origA)), cleanup = Nil))
+    assert(eA.getMessage.contains("original store restored"), eA.getMessage)
+    assert(fs.exists(new HPath(origA, "data.bin")), "original partition must be back")
+    assert(!fs.exists(new HPath(s"$tmpA/.trash")), "trash cleared after full restore")
+    assert(!fs.exists(new HPath(storeA, Dedup.MaintenanceSentinel)), "sentinel dropped")
+    // CASE B: promote fails AND rename-back fails -> trash + sentinel are
+    // LEFT (the aside is the only copy); message names manual recovery
+    val (tmpB, origB, stagedB, storeB) = mkStore()
+    failSrc = s => s.endsWith(".stage/part=0") || s.contains("/.trash/")
+    val eB = intercept[IllegalStateException](Dedup.recoverableSwap(
+      fs, "testop", storeB, new HPath(s"$tmpB/.trash"),
+      asides = Seq(origB), promotes = Seq((stagedB, origB)), cleanup = Nil))
+    assert(eB.getMessage.contains("RESTORE INCOMPLETE"), eB.getMessage)
+    assert(fs.exists(new HPath(s"$tmpB/.trash/part=0/data.bin")),
+      "un-restored original must survive inside trash")
+    assert(fs.exists(new HPath(storeB, Dedup.MaintenanceSentinel)),
+      "sentinel must stay up so readStore keeps refusing")
+    failSrc = _ => false
+  }
+
   test("compactStore consolidates the sem cells store: same rows, probe unchanged") {
     val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
     val inc1 = e.where(col("vec_id") < 16)

@@ -437,6 +437,13 @@ class SimilaritySpec extends SparkSpec {
       Similarity.nearestCellAssigner(cents.map(_.clone()), forceCoarse = true)
     assert(vecs.map(rebuilt) == defCells,
       "coarse assignment must be deterministic across group-quantizer rebuilds")
+    // a NaN vector has no comparable distance anywhere: both paths must
+    // stay TOTAL and pin it to cell 0 (the pre-coarse linear scan's
+    // behavior) instead of throwing or returning -1
+    val nanVec: Seq[Float] = Seq.fill(8)(Float.NaN)
+    assert(exact(nanVec) == 0, "exact path must pin NaN vectors to cell 0")
+    assert(coarseDef(nanVec) == 0, "coarse path must pin NaN vectors to cell 0")
+    assert(coarseAll(nanVec) == 0, "exhaustive coarse path must pin NaN vectors to cell 0")
   }
 
   test("coarse top-nprobe cell ranking: exhaustive probes equal the exact ranking; " +
