@@ -1570,6 +1570,49 @@ object SparkEntry {
           (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] STORED batch probe-set (ivfProbeSetTopKStored): the
+    // production probe shape at lake scale — probes arrive N at a time and
+    // the index is always the persisted one, so N single-probe reads would
+    // re-scan the store N times. This runs all four probes in ONE pruned
+    // pass over the AGED production layout (SQ8-quantized at ingest, then
+    // compacted so the store is cell-clustered): each probe ranks its
+    // nprobe cells against the loaded centroids, the probes' cell-union
+    // becomes a literal IN that parquet row-group stats act on, and one
+    // per-probe WindowGroupLimit ranks the candidates. Declared: EVERY
+    // probe independently clears the 8/10 recall gate vs float brute
+    // force (the per-probe form of the single-probe tiers' contract). --
+    "q_sim_ivf_batch_stored" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfbstore")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16, quantized = true)
+      Similarity.compactIvfStore(s, w, upTo = 10L)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val emb = embeddings(s, d)
+      val probes = emb.where(col("vec_id").isin(0L, 1L, 2L, 3L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10, nprobe = 8)
+      // float truth: per-probe exact top-10 — one corpus pass, probes
+      // broadcast, same WindowGroupLimit shape as the probe under test
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"), (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -6200,6 +6243,12 @@ object SparkEntry {
     // partition and the probe over it still clears the gate
     "q_sim_ivf_compacted" ->
       "SELECT CAST(10 AS INT) AS k, true AS complete, true AS recall_ok",
+
+    // the stored batch probe-set (one pruned pass over the SQ8+compacted
+    // store) clears the recall gate INDEPENDENTLY for every probe
+    "q_sim_ivf_batch_stored" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS recall_ok
+        |FROM (VALUES (0), (1), (2), (3)) t(v) ORDER BY probe_id""".stripMargin,
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

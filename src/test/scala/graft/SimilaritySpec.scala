@@ -327,6 +327,36 @@ class SimilaritySpec extends SparkSpec {
     assert(top1 == 888L, s"post-compaction append must be searchable, got $top1")
   }
 
+  test("ivfProbeSetTopKStored: nprobe=nlist equals per-probe brute force, and the " +
+    "batch runs as ONE store scan with the cell union pushed to parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfbstored").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    val stored = spark.read.parquet(data).drop("batch")
+    val probes = emb.where(col("vec_id").isin(0L, 1L))
+    val res = Similarity.ivfProbeSetTopKStored(stored, idx, probes, k = 5, nprobe = 4)
+    val got = res.select("probe_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (p <- Seq(0L, 1L)) {
+      val bf = Similarity.bruteForceTopK(emb, probeId = p, k = 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got(p) == bf, s"probe $p: nprobe=nlist stored batch must equal brute force")
+    }
+    // plan shape: the WHOLE batch is one parquet scan of the store, and the
+    // probes' cell union reaches it as a pushed In filter (row-group
+    // pruning on a compacted cell-clustered store rides these stats)
+    val plan = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // each scan node appears once in the tree and once as a numbered
+    // detail header — count the headers
+    val scans = """\(\d+\) Scan parquet""".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected exactly one store scan, got $scans:\n${plan.take(800)}")
+    assert(plan.contains("In(cell"),
+      s"cell union not pushed to the store scan:\n${plan.take(800)}")
+  }
+
   test("quantized ANN ingest: store holds SQ8 codes at a fraction of the bytes, " +
     "code-ranked probe recalls, clone survives, requantize rewrites codes losslessly") {
     val tmp = java.nio.file.Files.createTempDirectory("annq").toString
