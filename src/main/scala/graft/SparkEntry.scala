@@ -212,6 +212,36 @@ object SparkEntry {
     * deterministic). The 1-row max-id sniff sizing the slices is an
     * audited bounded collect.
     */
+  /** Expanded-corpus fixture for the coarse-assignment gate
+    * (`q_sim_ivf_coarse`): 16 deterministic jittered copies of every
+    * embedding row (new id = orig·16 + copy; copy 0 unjittered; jitter =
+    * hash-keyed uniform ±0.1 per component, ~1% of the vector norm), so a
+    * 500-row table becomes an 8000-row corpus of 500 TIGHT clusters —
+    * enough rows to train a 2048-cell quantizer, and the clustered
+    * geometry a real embedding corpus has (the regime the two-level
+    * assigner's 0.96 agreement floor was measured on, vs 0.38 on i.i.d.
+    * gaussian — SCALING.md round 12). Pure column expressions, no collect.
+    */
+  private def embExpanded(s: SparkSession, d: String): String =
+    scratchDirs.getOrElseUpdate(s"embexpanded:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_embexp")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath + "/corpus"
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(15))).as("copy"))
+        .select((col("vec_id") * 16 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (x, j) => (x.cast("double") +
+                (pmod(xxhash64(col("vec_id"), col("copy"), j), lit(1001))
+                  .cast("double") / lit(1000.0) - lit(0.5)) * lit(0.2))
+                .cast("float")))
+            .as("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
   private def embSlices(s: SparkSession, d: String): String =
     scratchDirs.getOrElseUpdate(s"embslices:$d", {
       val tmp = java.nio.file.Files.createTempDirectory("graft_embslices")
@@ -1610,6 +1640,53 @@ object SparkEntry {
           Seq("probe_id", "vec_id"), "left_semi")
         .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
         .select(col("probe_id"), (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
+    // -- [NS] COARSE two-level assignment under the oracle gate: every
+    // other declared ANN/dedup query runs at nlist far below
+    // CoarseAssignThreshold (2048), so the two-level shortlist the 100 TB
+    // story leans on (assign via ~sqrt(nlist) groups — 27x per row at
+    // nlist 16k) was spec-tested but never oracle-gated. This query
+    // requantizes a streamed store PAST the threshold (16 -> 2048 cells;
+    // the re-assign of every stored row AND the probe-side cell ranking
+    // both go through the two-level path) over an expanded corpus of 16
+    // deterministic jittered copies per embedding (the clustered geometry
+    // a real corpus has — see embExpanded), then gates per-probe recall
+    // >= 8/10 vs float brute force through the stored batch probe.
+    // Deterministic end to end: seed-free k-means on an ordered sample,
+    // hash-keyed jitter, tie-breaks by (distance, index). --
+    "q_sim_ivf_coarse" -> ((s, d) => {
+      val in = embExpanded(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfcoarse")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      Similarity.requantizeIvfStore(s, w, newNlist = 2048, sampleRows = 2048)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val nlistAfter = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val expanded = s.read.parquet(in)
+      // probes = copy-0 (unjittered) rows of originals 0 and 1
+      val probes = expanded.where(col("vec_id").isin(0L, 16L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10, nprobe = 32)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = expanded.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"),
+          lit(nlistAfter >= Similarity.CoarseAssignThreshold).as("nlist_coarse"),
+          (col("n_common") >= 8).as("recall_ok"))
         .orderBy("probe_id")
     }),
 
@@ -6249,6 +6326,14 @@ object SparkEntry {
     "q_sim_ivf_batch_stored" ->
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS recall_ok
         |FROM (VALUES (0), (1), (2), (3)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // the store requantized PAST CoarseAssignThreshold (16 -> 2048 cells):
+    // write-side re-assign and probe-side cell ranking both run the
+    // two-level coarse path, and per-probe recall still clears 8/10
+    "q_sim_ivf_coarse" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS nlist_coarse,
+        |  true AS recall_ok
+        |FROM (VALUES (0), (16)) t(v) ORDER BY probe_id""".stripMargin,
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

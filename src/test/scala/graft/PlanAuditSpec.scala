@@ -84,8 +84,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_search", "q_cms_freq", "q_cross_join", "q_funnel", "q_gapfill",
     "q_hard_negatives", "q_lm_score", "q_mix_temperature", "q_pmi_bigrams",
     "q_quantile_sliding", "q_sim_hamming", "q_sim_hamming_batch", "q_sim_ivf",
-    "q_sim_ivf_append", "q_sim_ivf_batch_stored", "q_sim_ivf_compacted",
-    "q_sim_ivf_persisted",
+    "q_sim_ivf_append", "q_sim_ivf_batch_stored", "q_sim_ivf_coarse",
+    "q_sim_ivf_compacted", "q_sim_ivf_persisted",
     "q_sim_ivf_quantized",
     "q_sim_ivf_recall", "q_sim_ivf_requantized", "q_sim_pq", "q_sim_pq_persisted",
     "q_sim_probeset",
