@@ -1690,6 +1690,40 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // -- [NS] STORED IVF-PQ — the layout a real 100 TB ANN deployment
+    // uses (FAISS IVFPQ: coarse cells to touch less + PQ codes to store
+    // less, ~32x under float32): streamed ingest trains BOTH quantizers
+    // on the bootstrap batch, appends (…, cell, pqcode) codes-only rows,
+    // and the probe serves as ADC over the nprobe-pruned cells into a
+    // rerank·k candidate pool, exact-float re-ranked against the source
+    // corpus (the FAISS refine discipline — exact math touches rerank·k
+    // rows, never the store). Declared: the store holds codes only AND
+    // the served top-k clears the 8/10 recall gate vs float brute force.
+    // Maintenance closes the last index-family asymmetry: this layout
+    // requantizes through the SAME requantizeIvfStore op (codes encode
+    // raw vectors, so nlist growth relabels cells without touching a
+    // code) — spec-covered alongside the swap protocol. --
+    "q_sim_ivfpq_stored" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val streamed = Similarity.streamIngestIvfPq(s, in, w, nlist = 16,
+        m = 8, codebookK = 32)
+      val codesOnly = streamed.columns.contains("pqcode") &&
+        !streamed.columns.contains("embedding")
+      val emb = embeddings(s, d)
+      val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 10)
+        .select("vec_id")
+      val pq = Similarity.ivfPqTopKStored(s, w, probeId = 0L,
+          rerankWith = emb, k = 10, nprobe = 8, rerank = 10)
+        .select("vec_id")
+      bf.join(pq, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), lit(codesOnly).as("codes_only"),
+          (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -6334,6 +6368,12 @@ object SparkEntry {
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS nlist_coarse,
         |  true AS recall_ok
         |FROM (VALUES (0), (16)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // the streamed IVF-PQ store holds (cell, pqcode) rows only — ~32x
+    // under float32 — and ADC-over-pruned-cells + exact re-rank still
+    // clears the 8/10 gate vs float brute force
+    "q_sim_ivfpq_stored" ->
+      "SELECT CAST(10 AS INT) AS k, true AS codes_only, true AS recall_ok",
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

@@ -748,6 +748,133 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
   }
 
+  /** STREAMING IVF-PQ ingest — the composition a real 100 TB ANN
+    * deployment stores (FAISS's IVFPQ: coarse cells for touch-less, PQ
+    * codes for store-less): the ingest layout of [[streamIngestIvf]] with
+    * the per-row payload compressed to `m` PQ codes (~32× smaller than
+    * float32 — past SQ8's 4×, the byte bottleneck at lake scale). The
+    * bootstrap batch trains BOTH quantizers (the coarse centroids and the
+    * per-subspace codebooks — the pipeline's one training pass); every
+    * batch then assigns cells + encodes codes in one map and appends
+    * `(…, cell, pqcode)` rows — codes-only, no float column. Codes encode
+    * the RAW vector (not the residual), which is what lets nlist
+    * maintenance ([[requantizeIvfStore]] — it handles this layout) move
+    * cell labels without touching a single code.
+    *
+    * Same replay/maintenance contract as [[streamIngestIvf]]: per-batch
+    * own-partition overwrite, train-if-absent bootstrap, compaction via
+    * [[compactIvfStore]] (payload passthrough). Probes serve through
+    * [[ivfPqTopKStored]] (ADC over the pruned cells + exact re-rank).
+    */
+  def streamIngestIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      workDir: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      codebookK: Int = 32,
+      sampleRows: Int = 2048): DataFrame = {
+    val dataDir = s"$workDir/cells"
+    val static = spark.read.parquet(inputDir)
+    // empty batch=-1 seed partition carrying the coded layout, so
+    // partition discovery resolves before any real batch lands
+    static.withColumn("cell", lit(0))
+      .withColumn("pqcode", array_repeat(lit(0), m))
+      .drop("embedding").limit(0)
+      .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
+    val q = spark.readStream
+      .schema(static.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/_chk")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamIngestIvfPqBatch(batch, batchId, workDir, nlist, m,
+          codebookK, sampleRows)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Dedup.readStore(spark, dataDir).drop("batch")
+  }
+
+  /** One IVF-PQ ingest micro-batch — replay-idempotent like the flat
+    * ingest's (own-partition overwrite; both trainings are
+    * train-if-absent and deterministic, so a replayed bootstrap retrains
+    * to the same artifacts).
+    */
+  private[graft] def streamIngestIvfPqBatch(
+      batch: DataFrame, batchId: Long, workDir: String,
+      nlist: Int, m: Int, codebookK: Int, sampleRows: Int): Unit = {
+    val s2 = batch.sparkSession
+    val idxPath = s"$workDir/ivf_index"
+    val pqPath = s"$workDir/pq_index"
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(s2.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath)))
+      saveIvfIndex(batch, idxPath, nlist, sampleRows)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pqPath)))
+      savePqIndex(batch, pqPath, m, codebookK, sampleRows)
+    val centroids = loadIvfIndex(s2, idxPath)
+    val books = loadPqIndex(s2, pqPath)
+    batch
+      .withColumn("cell", nearestCellUdf(centroids)(col("embedding")))
+      .withColumn("pqcode", pqEncodeUdf(books)(col("embedding")))
+      .drop("embedding")
+      .write.mode("overwrite").parquet(s"$workDir/cells/batch=$batchId")
+  }
+
+  /** IVF-PQ top-k over the STORED coded table — the serving path of
+    * [[streamIngestIvfPq]], and the FAISS "refine" discipline end to end:
+    *
+    *  - the probe's float vector comes from `rerankWith` (the source
+    *    corpus — at lake scale an id point-lookup), ONE bounded collect;
+    *  - its `nprobe` nearest cells rank against the loaded centroids
+    *    through [[nearestCellsAssigner]] (the same two-level function
+    *    every write-side assignment used), pruning the store scan with a
+    *    literal `cell IN (…)` — row-group stats on a compacted store;
+    *  - the pruned rows score by ADC (m LUT adds per row, no float
+    *    column ever loads) into a `rerank·k` candidate pool
+    *    (TakeOrderedAndProject — nothing shuffles);
+    *  - the pool re-ranks with EXACT float cosine against `rerankWith`
+    *    (broadcast pool semi-shape: exact math touches rerank·k rows,
+    *    not the corpus).
+    */
+  def ivfPqTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      probeId: Long,
+      rerankWith: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 10): DataFrame = {
+    val centroids = loadIvfIndex(spark, s"$workDir/ivf_index")
+    val books = loadPqIndex(spark, s"$workDir/pq_index")
+    val stored = Dedup.readStore(spark, s"$workDir/cells").drop("batch")
+    val probeRows = rerankWith.where(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>")).collect()
+    require(probeRows.nonEmpty, s"probe vec_id=$probeId not found in rerankWith")
+    val probeVec = probeRows.head.getSeq[Double](0).toArray
+    val cells = nearestCellsAssigner(centroids, nprobe)(
+      probeVec.map(_.toFloat).toSeq)
+    val adcScore = pqAdcUdf(books, probeVec)
+    val pool = stored
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= probeId)
+      .select(col("vec_id"), adcScore(col("pqcode")).as("pq_cosine"))
+      .orderBy(col("pq_cosine").desc, col("vec_id"))
+      .limit(rerank * k)
+    val probe = rerankWith.where(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    rerankWith
+      .join(broadcast(pool.select("vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** In-place RE-QUANTIZATION of the streamed ANN store — the maintenance
     * op `Dedup.requantizeSemStore` is for the semantic-dedup index,
     * applied to the ingest layout (`workDir/ivf_index` +
@@ -797,14 +924,19 @@ object Similarity {
     val stageRoot = s"$workDir/.requant_stage"
     fs.delete(new Path(stageRoot), true) // stale stage from a failed run: data-free, safe to clear
     val stored = Dedup.readStore(spark, cellsDir).drop("cell")
-    // SQ8 store (layout is self-describing): reconstruct qvec·qscale
-    // (within half a quantization step per component) for training and
-    // re-assignment; the codes themselves rewrite through LOSSLESSLY —
-    // maintenance never re-quantizes
+    // coded stores (layout is self-describing): reconstruct the float
+    // vector for training and re-assignment — SQ8 as qvec·qscale (within
+    // half a quantization step per component), PQ by codeword lookup
+    // (within the codebook's quantization error). The codes themselves
+    // rewrite through LOSSLESSLY — maintenance never re-quantizes.
     val qz = stored.columns.contains("qvec")
+    val pq = stored.columns.contains("pqcode")
     val rows = (if (qz)
         stored.withColumn("embedding",
           transform(col("qvec"), x => (x.cast("float") * col("qscale"))))
+      else if (pq)
+        stored.withColumn("embedding",
+          pqDecodeUdf(loadPqIndex(spark, s"$workDir/pq_index"))(col("pqcode")))
       else stored)
       .persist() // train sample + emptiness check + rewrite
     if (rows.isEmpty) {
@@ -829,9 +961,9 @@ object Similarity {
       spark.sparkContext.defaultParallelism.toLong).toInt
     val staged = loadIvfIndex(spark, s"$stageRoot/ivf_index")
     val relabeled = rows.withColumn("cell", nearestCellUdf(staged)(col("embedding")))
-    // quantized store: drop the reconstructed float column again — the
+    // coded store: drop the reconstructed float column again — the
     // original codes pass through untouched
-    (if (qz) relabeled.drop("embedding") else relabeled)
+    (if (qz || pq) relabeled.drop("embedding") else relabeled)
       .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stageRoot/cells")
@@ -1193,13 +1325,15 @@ object Similarity {
     pqTopKWith(embeddings, loadPqIndex(embeddings.sparkSession, indexPath),
       probeId, kTop, rerank)
 
-  private def pqTopKWith(
-      embeddings: DataFrame, books: Array[Array[Array[Double]]],
-      probeId: Long, kTop: Int, rerank: Int): DataFrame = {
+  /** PQ encoder over the embedding column: each vector becomes `m` small
+    * codes (nearest codeword per subspace). One unboxed JVM loop per row,
+    * shared by the in-memory probe path and the stored-index ingest so the
+    * two can never encode differently.
+    */
+  private def pqEncodeUdf(books: Array[Array[Array[Double]]]) = {
     val m = books.length
-    val codebookK = books(0).length
     val sub = books(0)(0).length
-    val encode = udf { (vSeq: Seq[Float]) =>
+    udf { (vSeq: Seq[Float]) =>
       val v = vSeq.toArray // primitive copy — see VectorOps.lshSigScala (boxed Seq apply ran m·k·sub× per row)
       val codes = new Array[Int](m)
       var j = 0
@@ -1218,10 +1352,40 @@ object Similarity {
       }
       codes
     }
-    val probeRows = embeddings.where(col("vec_id") === probeId)
-      .select(col("embedding").cast("array<double>")).collect()
-    require(probeRows.nonEmpty, s"probe vec_id=$probeId not found in embeddings")
-    val probeVec = probeRows.head.getSeq[Double](0).toArray
+  }
+
+  /** PQ reconstruction (codes → concatenated codewords, as float) — what
+    * store maintenance needs to re-assign coded rows against a retrained
+    * coarse quantizer. Reconstruction error is the quantization error; the
+    * codes themselves pass through maintenance untouched.
+    */
+  private def pqDecodeUdf(books: Array[Array[Array[Double]]]) = {
+    val m = books.length
+    val sub = books(0)(0).length
+    udf { (codes: Seq[Int]) =>
+      val out = new Array[Float](m * sub)
+      var j = 0
+      while (j < m) {
+        val cw = books(j)(codes(j))
+        var t = 0
+        while (t < sub) { out(j * sub + t) = cw(t).toFloat; t += 1 }
+        j += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** ADC scorer for one probe: the per-probe LUT (dot and norm
+    * contributions of every codeword against the probe's subvectors — m·k
+    * doubles, built once on the driver and shipped in the task closure)
+    * turns a row's score into m lookups + adds. Shared by the in-memory
+    * and stored PQ probe paths.
+    */
+  private def pqAdcUdf(books: Array[Array[Array[Double]]],
+                       probeVec: Array[Double]) = {
+    val m = books.length
+    val codebookK = books(0).length
+    val sub = books(0)(0).length
     val qnorm = math.sqrt(probeVec.map(x => x * x).sum)
     val dotLut = Array.tabulate(m, codebookK) { (j, c) =>
       var s = 0.0; var t = 0
@@ -1233,11 +1397,22 @@ object Similarity {
       while (t < sub) { s += books(j)(c)(t) * books(j)(c)(t); t += 1 }
       s
     }
-    val adcScore = udf { (codes: Seq[Int]) =>
+    udf { (codes: Seq[Int]) =>
       var dot = 0.0; var nrm = 0.0; var j = 0
       while (j < m) { dot += dotLut(j)(codes(j)); nrm += normLut(j)(codes(j)); j += 1 }
       if (nrm <= 0 || qnorm <= 0) 0.0 else dot / (qnorm * math.sqrt(nrm))
     }
+  }
+
+  private def pqTopKWith(
+      embeddings: DataFrame, books: Array[Array[Array[Double]]],
+      probeId: Long, kTop: Int, rerank: Int): DataFrame = {
+    val encode = pqEncodeUdf(books)
+    val probeRows = embeddings.where(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>")).collect()
+    require(probeRows.nonEmpty, s"probe vec_id=$probeId not found in embeddings")
+    val probeVec = probeRows.head.getSeq[Double](0).toArray
+    val adcScore = pqAdcUdf(books, probeVec)
     // ADC is the coarse pass: keep a rerank·kTop candidate pool on the
     // compressed representation (TakeOrderedAndProject — corpus never
     // shuffles), then re-rank the pool with EXACT float cosine. This is

@@ -425,6 +425,50 @@ class SimilaritySpec extends SparkSpec {
     assert(codesAfter == codesBefore, "requantize must rewrite codes losslessly")
   }
 
+  test("IVF-PQ streamed store: codes-only layout, ADC + exact rerank serves the " +
+    "truth, requantize relabels cells without touching a code") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqstore").toString
+    val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfPqBatch(slice(0), 0L, tmp,
+      nlist = 4, m = 4, codebookK = 8, sampleRows = 40)
+    Similarity.streamIngestIvfPqBatch(slice(1), 1L, tmp,
+      nlist = 4, m = 4, codebookK = 8, sampleRows = 40)
+    val cols = spark.read.parquet(data).columns.toSet
+    assert(cols("pqcode") && cols("cell") && !cols("embedding"), cols.toString)
+    assert(spark.read.parquet(data).count() == 40, "every ingested vector lands")
+    // serving at nprobe = nlist with a rerank pool covering the corpus:
+    // the exact re-rank recovers brute force exactly (the refine
+    // discipline's degenerate-correctness bound)
+    val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfPqTopKStored(spark, tmp, probeId = 0L,
+        rerankWith = emb, k = 5, nprobe = 4, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"full-probe IVF-PQ + rerank must equal brute force: $got vs $bf")
+    // maintenance through the SHARED requantize op: nlist grows, the pq
+    // codes rewrite bit-identically (they encode raw vectors, so cell
+    // relabeling never touches them), layout stays codes-only
+    val codesBefore = spark.read.parquet(data)
+      .select(col("vec_id"), col("pqcode"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    Similarity.requantizeIvfStore(spark, tmp, newNlist = 8, sampleRows = 40)
+    assert(Similarity.loadIvfIndex(spark, s"$tmp/ivf_index").length == 8)
+    val after = spark.read.parquet(data)
+    assert(!after.columns.contains("embedding"), "requantize must keep the code layout")
+    val codesAfter = after.select(col("vec_id"), col("pqcode"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codesAfter == codesBefore, "requantize must pass pq codes through untouched")
+    // the swap left no leftovers and the store still serves the truth
+    for (left <- Seq(".requant_stage", ".requant_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+    val got2 = Similarity.ivfPqTopKStored(spark, tmp, probeId = 0L,
+        rerankWith = emb, k = 5, nprobe = 8, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got2 == bf, s"post-requantize serve must equal brute force: $got2 vs $bf")
+  }
+
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString + "/pq"
     Similarity.savePqIndex(emb, dir, m = 4, codebookK = 8, sampleRows = 40)
