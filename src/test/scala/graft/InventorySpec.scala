@@ -15,10 +15,20 @@ class InventorySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("inventory is substantial and keys are well-formed") {
-    assert(SparkEntry.queries.size >= 55)
+  /** Pinned EXACT count — the same number SURVEY §2.3's headline states.
+    * A new query must touch both (and the survey table) in one commit, so
+    * the contract doc and the engine cannot drift silently; the round-12
+    * verdict caught exactly that drift (doc said 255, engine held 262).
+    */
+  private val DeclaredQueryCount = 265
+
+  test("inventory matches the SURVEY §2.3 contract count and keys are well-formed") {
+    assert(SparkEntry.queries.size == DeclaredQueryCount,
+      s"queries.size=${SparkEntry.queries.size} != pinned $DeclaredQueryCount — " +
+        "update the pin AND SURVEY §2.3's headline count together")
     assert(SparkEntry.queries.keys.forall(_.startsWith("q_")))
-    assert(SparkEntry.oracleSql.size >= 45)
+    assert(SparkEntry.oracleSql.size == DeclaredQueryCount,
+      "every declared query needs an oracle entry (value- or invariant-oracled)")
   }
 
   test("a sample of queries from each family runs and is non-empty at sf0.001") {
