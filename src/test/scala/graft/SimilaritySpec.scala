@@ -467,6 +467,19 @@ class SimilaritySpec extends SparkSpec {
         rerankWith = emb, k = 5, nprobe = 8, rerank = 8)
       .select("vec_id").as[Long].collect().toSet
     assert(got2 == bf, s"post-requantize serve must equal brute force: $got2 vs $bf")
+    // the OTHER maintenance op composes too: compaction passes the coded
+    // payload through (one clustered partition, codes + serve unchanged)
+    Similarity.compactIvfStore(spark, tmp, upTo = 1L)
+    val parts = new java.io.File(data).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=1"), s"expected one collapsed partition, got $parts")
+    val codesCompacted = spark.read.parquet(data).select(col("vec_id"), col("pqcode"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codesCompacted == codesBefore, "compaction must pass pq codes through")
+    val got3 = Similarity.ivfPqTopKStored(spark, tmp, probeId = 0L,
+        rerankWith = emb, k = 5, nprobe = 8, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got3 == bf, s"post-compaction serve must equal brute force: $got3 vs $bf")
   }
 
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
