@@ -1724,6 +1724,69 @@ object SparkEntry {
           (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] BATCH probe-set over the stored IVF-PQ index — the
+    // production probe shape for the production layout: N probes, ONE
+    // pruned pass over the coded store (cell-union IN prune, per-probe
+    // ADC LUTs shipped in the task closure, WindowGroupLimit pool, exact
+    // float re-rank against the source corpus). Declared: every probe
+    // independently clears the 8/10 recall gate vs float brute force. --
+    "q_sim_ivfpq_batch_stored" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfpqb")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvfPq(s, in, w, nlist = 16, m = 8, codebookK = 32)
+      val emb = embeddings(s, d)
+      val probes = emb.where(col("vec_id").isin(0L, 1L, 2L, 3L))
+      val approx = Similarity.ivfPqProbeSetTopKStored(s, w, probes,
+        rerankWith = emb, k = 10, nprobe = 8, rerank = 10)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"), (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
+    // -- [NS] IN-STREAM RE-QUANTIZATION of the IVF-PQ store: the coded
+    // tier rides the SAME maintenance as the flat/SQ8 tiers —
+    // streamIngestIvfPq(targetCellRows) fires requantizeIvfStore between
+    // micro-batches, which reconstructs through the codebooks, retrains
+    // the coarse quantizer from the stored rows, and relabels cells
+    // WITHOUT touching a code. Declared: the index grew in-stream (8 ->
+    // past it) and the evolved coded store still clears the 8/10 recall
+    // gate through ADC + exact re-rank at a pruned nprobe. --
+    "q_sim_ivfpq_requantized" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfpqrq")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvfPq(s, in, w, nlist = 8, m = 8, codebookK = 32,
+        targetCellRows = 16, growFactor = 4)
+      val nlistAfter = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val emb = embeddings(s, d)
+      val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 10)
+        .select("vec_id")
+      val pq = Similarity.ivfPqTopKStored(s, w, probeId = 0L,
+          rerankWith = emb, k = 10,
+          nprobe = math.max(8, nlistAfter * 5 / 8), rerank = 10)
+        .select("vec_id")
+      bf.join(pq, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), lit(nlistAfter > 8).as("nlist_grew"),
+          (col("n_common") >= 8).as("recall_ok"))
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -6374,6 +6437,18 @@ object SparkEntry {
     // clears the 8/10 gate vs float brute force
     "q_sim_ivfpq_stored" ->
       "SELECT CAST(10 AS INT) AS k, true AS codes_only, true AS recall_ok",
+
+    // N probes in one pruned pass over the coded store: per-probe ADC
+    // LUTs + exact re-rank clear the gate independently for every probe
+    "q_sim_ivfpq_batch_stored" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS recall_ok
+        |FROM (VALUES (0), (1), (2), (3)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // in-stream maintenance grew the coarse quantizer past its bootstrap
+    // nlist=8 on the CODED store (codes untouched) and the evolved store
+    // still clears the recall gate at a pruned nprobe
+    "q_sim_ivfpq_requantized" ->
+      "SELECT CAST(10 AS INT) AS k, true AS nlist_grew, true AS recall_ok",
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

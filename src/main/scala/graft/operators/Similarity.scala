@@ -773,8 +773,11 @@ object Similarity {
       nlist: Int = 16,
       m: Int = 8,
       codebookK: Int = 32,
-      sampleRows: Int = 2048): DataFrame = {
+      sampleRows: Int = 2048,
+      targetCellRows: Int = Int.MaxValue,
+      growFactor: Int = 4): DataFrame = {
     val dataDir = s"$workDir/cells"
+    val idxPath = s"$workDir/ivf_index"
     val static = spark.read.parquet(inputDir)
     // empty batch=-1 seed partition carrying the coded layout, so
     // partition discovery resolves before any real batch lands
@@ -782,6 +785,12 @@ object Similarity {
       .withColumn("pqcode", array_repeat(lit(0), m))
       .drop("embedding").limit(0)
       .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
+    // nlist maintenance running total — same O(batch) shape as the flat
+    // ingest's: one store-wide count at stream start, then per-batch
+    // increments from the just-written partition's own footers
+    var storeRows =
+      if (targetCellRows < Int.MaxValue) Dedup.readStore(spark, dataDir).count() else 0L
+    val batchCounts = scala.collection.mutable.Map.empty[Long, Long]
     val q = spark.readStream
       .schema(static.schema)
       .option("maxFilesPerTrigger", 2)
@@ -791,6 +800,18 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         streamIngestIvfPqBatch(batch, batchId, workDir, nlist, m,
           codebookK, sampleRows)
+        // cell aging rides the SHARED requantize between batches (it
+        // reconstructs through the codebooks and relabels cells without
+        // touching a code); threshold-checked so replays can only fire
+        // early, never wrongly
+        if (targetCellRows < Int.MaxValue) {
+          val batchRows = spark.read.parquet(s"$dataDir/batch=$batchId").count()
+          storeRows += batchRows - batchCounts.getOrElse(batchId, 0L)
+          batchCounts(batchId) = batchRows
+          val curNlist = loadIvfIndex(spark, idxPath).length
+          if (storeRows > targetCellRows.toLong * curNlist)
+            requantizeIvfStore(spark, workDir, curNlist * growFactor, sampleRows)
+        }
         ()
       }
       .start()
@@ -873,6 +894,97 @@ object Similarity {
         round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch (probe-set) top-k over the STORED IVF-PQ index — the
+    * production probe shape ([[ivfProbeSetTopKStored]]) for the
+    * production layout ([[streamIngestIvfPq]]): N probes in ONE pruned
+    * pass over the coded store.
+    *
+    * The probes' float vectors are one bounded collect (N × dim — the
+    * declared probe set, not data); their per-probe cell shortlists AND
+    * the cell union both come from the same driver-side
+    * [[nearestCellsAssigner]] call (no extra job, no UDF divergence from
+    * the write-side assigner). The store scans ONCE, pruned by the
+    * union's literal `cell IN (…)`; each (probe, cell) candidate scores
+    * by the probe's ADC LUT (a map of m·k-double tables in the task
+    * closure — how a 1000-executor deployment ships them), a per-probe
+    * `WindowGroupLimit` keeps `rerank·k` candidates, and the pool
+    * re-ranks on EXACT float cosine against `rerankWith`. Output matches
+    * [[ivfProbeSetTopK]]'s (probe_id, vec_id, cosine) contract.
+    */
+  def ivfPqProbeSetTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      probes: DataFrame,
+      rerankWith: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centroids = loadIvfIndex(spark, s"$workDir/ivf_index")
+    val books = loadPqIndex(spark, s"$workDir/pq_index")
+    val stored = Dedup.readStore(spark, s"$workDir/cells").drop("batch")
+    val m = books.length
+    val codebookK = books(0).length
+    val sub = books(0)(0).length
+    // bounded collect: the declared probe set's float vectors
+    val probeVecs: Map[Long, Array[Double]] = probes
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(probeVecs.nonEmpty, "ivfPqProbeSetTopKStored: empty probe set")
+    val shortlist = nearestCellsAssigner(centroids, nprobe)
+    val probeCells: Seq[(Long, Int)] = probeVecs.toSeq.sortBy(_._1).flatMap {
+      case (id, v) => shortlist(v.map(_.toFloat).toSeq).map(c => id -> c)
+    }
+    val unionCells = probeCells.map(_._2).distinct.sorted
+    // per-probe ADC LUTs, keyed by probe id in one closure-shipped map
+    val luts: Map[Long, (Array[Array[Double]], Array[Array[Double]], Double)] =
+      probeVecs.map { case (id, v) =>
+        val dot = Array.tabulate(m, codebookK) { (j, c) =>
+          var s = 0.0; var t = 0
+          while (t < sub) { s += v(j * sub + t) * books(j)(c)(t); t += 1 }
+          s
+        }
+        val nrm = Array.tabulate(m, codebookK) { (j, c) =>
+          var s = 0.0; var t = 0
+          while (t < sub) { s += books(j)(c)(t) * books(j)(c)(t); t += 1 }
+          s
+        }
+        id -> ((dot, nrm, math.sqrt(v.map(x => x * x).sum)))
+      }
+    val adc = udf { (probeId: Long, codes: Seq[Int]) =>
+      val (dotLut, normLut, qnorm) = luts(probeId)
+      var dot = 0.0; var nrm = 0.0; var j = 0
+      while (j < m) { dot += dotLut(j)(codes(j)); nrm += normLut(j)(codes(j)); j += 1 }
+      if (nrm <= 0 || qnorm <= 0) 0.0 else dot / (qnorm * math.sqrt(nrm))
+    }
+    val pc = probeCells.toDF("probe_id", "cell")
+    val byPqScore = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pq_cosine").desc, col("vec_id"))
+    val pool = stored
+      .where(col("cell").isin(unionCells.map(Integer.valueOf): _*))
+      .join(broadcast(pc), Seq("cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("pq_cosine", adc(col("probe_id"), col("pqcode")))
+      .withColumn("rk", row_number().over(byPqScore))
+      .where(col("rk") <= rerank * k)
+      .select(col("probe_id"), col("vec_id"))
+    val pe = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_emb"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rerankWith
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(pe), Seq("probe_id"))
+      .withColumn("cosine",
+        round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+      .withColumn("rk", row_number().over(byProbe))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
   /** In-place RE-QUANTIZATION of the streamed ANN store — the maintenance

@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_quantile_sliding", "q_sim_hamming", "q_sim_hamming_batch", "q_sim_ivf",
     "q_sim_ivf_append", "q_sim_ivf_batch_stored", "q_sim_ivf_coarse",
     "q_sim_ivf_compacted", "q_sim_ivf_persisted",
-    "q_sim_ivf_quantized", "q_sim_ivfpq_stored",
+    "q_sim_ivf_quantized", "q_sim_ivfpq_batch_stored",
+    "q_sim_ivfpq_requantized", "q_sim_ivfpq_stored",
     "q_sim_ivf_recall", "q_sim_ivf_requantized", "q_sim_pq", "q_sim_pq_persisted",
     "q_sim_probeset",
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",

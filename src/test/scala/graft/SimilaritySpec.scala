@@ -480,6 +480,19 @@ class SimilaritySpec extends SparkSpec {
         rerankWith = emb, k = 5, nprobe = 8, rerank = 8)
       .select("vec_id").as[Long].collect().toSet
     assert(got3 == bf, s"post-compaction serve must equal brute force: $got3 vs $bf")
+    // batch probe-set over the coded store: at full nprobe with a pool
+    // covering the corpus, every probe's re-ranked top-k equals its
+    // per-probe brute force
+    val batch = Similarity.ivfPqProbeSetTopKStored(spark, tmp,
+        probes = emb.where(col("vec_id").isin(0L, 1L)), rerankWith = emb,
+        k = 5, nprobe = 8, rerank = 8)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (p <- Seq(0L, 1L)) {
+      val t = Similarity.bruteForceTopK(emb, probeId = p, k = 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(p) == t, s"probe $p: full-probe batch must equal brute force")
+    }
   }
 
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
