@@ -1777,9 +1777,16 @@ object SparkEntry {
       val emb = embeddings(s, d)
       val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 10)
         .select("vec_id")
+      // wider than the flat twin's 5/8 pruning on BOTH knobs: the coded
+      // tier stacks two approximations (cell pruning + ADC pool), and at
+      // grown nlist the per-cell candidate count shrinks so ADC's pool-
+      // composition noise is the recall term — production IVFPQ raises
+      // rerank with nlist for the same reason (measured: 5/8+rerank10
+      // missed the gate at the bench SF's 128-cell growth; 3/4+rerank20
+      // clears at every testdata SF)
       val pq = Similarity.ivfPqTopKStored(s, w, probeId = 0L,
           rerankWith = emb, k = 10,
-          nprobe = math.max(8, nlistAfter * 5 / 8), rerank = 10)
+          nprobe = math.max(8, nlistAfter * 3 / 4), rerank = 20)
         .select("vec_id")
       bf.join(pq, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_common"))
