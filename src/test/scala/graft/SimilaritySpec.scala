@@ -483,9 +483,10 @@ class SimilaritySpec extends SparkSpec {
     // batch probe-set over the coded store: at full nprobe with a pool
     // covering the corpus, every probe's re-ranked top-k equals its
     // per-probe brute force
-    val batch = Similarity.ivfPqProbeSetTopKStored(spark, tmp,
+    val batchDf = Similarity.ivfPqProbeSetTopKStored(spark, tmp,
         probes = emb.where(col("vec_id").isin(0L, 1L)), rerankWith = emb,
         k = 5, nprobe = 8, rerank = 8)
+    val batch = batchDf
       .select("probe_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     for (p <- Seq(0L, 1L)) {
@@ -493,6 +494,13 @@ class SimilaritySpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet
       assert(batch(p) == t, s"probe $p: full-probe batch must equal brute force")
     }
+    // same plan discipline as the flat batch probe: the coded store scans
+    // ONCE with the probes' cell union pushed as an In filter
+    val plan = batchDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = """\(\d+\) Scan parquet""".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected exactly one coded-store scan, got $scans")
+    assert(plan.contains("In(cell"), "cell union not pushed to the coded-store scan")
   }
 
   test("persisted PQ codebooks: load is train-free and probe matches the in-memory path") {
