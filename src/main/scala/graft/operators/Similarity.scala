@@ -143,7 +143,9 @@ object Similarity {
     kmeansTrainings += 1
     val dim = sample.head.length
     var centroids = sample.take(k).map(_.clone())
-    for (_ <- 0 until iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val sums   = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)
       sample.foreach { v =>
@@ -157,10 +159,20 @@ object Similarity {
         var j = 0
         while (j < dim) { sums(best)(j) += v(j); j += 1 }
       }
-      centroids = centroids.indices.map { c =>
+      val next = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }.toArray
+      // exact-convergence early exit: once an update moves NO centroid
+      // bit, every further iteration recomputes the identical fixpoint —
+      // results are bit-identical to running all `iters`, only cheaper.
+      // The k == sample-size trainings (the coarse-gate's 2048-cell
+      // quantizer: every sample point its own centroid) converge after
+      // one pass and were paying the other seven.
+      converged = next.indices.forall(c =>
+        java.util.Arrays.equals(next(c), centroids(c)))
+      centroids = next
+      it += 1
     }
     centroids
   }
