@@ -215,7 +215,9 @@ object SparkEntry {
   /** Expanded-corpus fixture for the coarse-assignment gate
     * (`q_sim_ivf_coarse`): 16 deterministic jittered copies of every
     * embedding row (new id = orig·16 + copy; copy 0 unjittered; jitter =
-    * hash-keyed uniform ±0.1 per component, ~1% of the vector norm), so a
+    * hash-keyed uniform ±0.1 per component — expected jitter norm
+    * ≈ √(64·0.01/3) ≈ 0.46, i.e. ~46% of the unit-norm vectors, which
+    * still leaves intra-copy cosine ~0.9 vs inter-cluster ~0.13), so a
     * 500-row table becomes an 8000-row corpus of 500 TIGHT clusters —
     * enough rows to train a 2048-cell quantizer, and the clustered
     * geometry a real embedding corpus has (the regime the two-level
@@ -223,14 +225,25 @@ object SparkEntry {
     * gaussian — SCALING.md round 12). Pure column expressions, no collect.
     */
   private def embExpanded(s: SparkSession, d: String): String =
-    scratchDirs.getOrElseUpdate(s"embexpanded:$d", {
+    embExpandedN(s, d, factor = 16)
+
+  /** 256×-expanded sibling for the LAKE-SCALE training gate
+    * (`q_sim_ivf_hier`): 128k rows at the correctness SF — enough that a
+    * distributed ≥ 8×nlist sample exists for nlist 8192. Written as 32
+    * files so downstream scans parallelize.
+    */
+  private def embExpandedWide(s: SparkSession, d: String): String =
+    embExpandedN(s, d, factor = 256)
+
+  private def embExpandedN(s: SparkSession, d: String, factor: Int): String =
+    scratchDirs.getOrElseUpdate(s"embexpanded$factor:$d", {
       val tmp = java.nio.file.Files.createTempDirectory("graft_embexp")
       deleteRecursivelyOnExit(tmp)
       val out = tmp.toFile.getAbsolutePath + "/corpus"
-      embeddings(s, d)
+      val expanded = embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0), lit(15))).as("copy"))
-        .select((col("vec_id") * 16 + col("copy")).as("vec_id"),
+          explode(sequence(lit(0), lit(factor - 1))).as("copy"))
+        .select((col("vec_id") * factor + col("copy")).as("vec_id"),
           when(col("copy") === 0, col("embedding"))
             .otherwise(transform(col("embedding"),
               (x, j) => (x.cast("double") +
@@ -238,7 +251,12 @@ object SparkEntry {
                   .cast("double") / lit(1000.0) - lit(0.5)) * lit(0.2))
                 .cast("float")))
             .as("embedding"))
-        .coalesce(1).write.mode("overwrite").parquet(out)
+      // the 16× fixture stays one file (its consumers re-partition through
+      // shuffles anyway); the wide fixture fans out so the corpus-side
+      // scans don't serialize on a single 100+ MB parquet split
+      (if (factor >= 64) expanded.repartition(32, col("vec_id"))
+       else expanded.coalesce(1))
+        .write.mode("overwrite").parquet(out)
       out
     })
 
@@ -1686,6 +1704,58 @@ object SparkEntry {
         .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
         .select(col("probe_id"),
           lit(nlistAfter >= Similarity.CoarseAssignThreshold).as("nlist_coarse"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
+    // -- [NS] LAKE-SCALE quantizer TRAINING (hierarchical two-level
+    // k-means): the driver-sample trainer caps nlist at the bounded
+    // sample (kmeans now clamps LOUDLY), but √N at 100 TB implies nlist
+    // 10⁵–10⁶ — so training goes two-level, the training-side twin of
+    // the coarse assigner: the driver trains √nlist GROUP centroids from
+    // the usual bounded sample, then ONE parallel job hash-samples
+    // ~10×nlist rows DISTRIBUTED (never driver-collected), assigns each
+    // to its group, and trains per-group sub-centroids in the tasks
+    // (mass-proportional k, largest-remainder, Σ = nlist). This query
+    // trains nlist=8192 on the 256×-expanded corpus (128k rows),
+    // seeds a cell-clustered store against the artifact, and declares:
+    // the distributed sample was NON-degenerate (≥ 8×nlist rows), the
+    // artifact holds all 8192 centroids (no silent clamp), and every
+    // probe clears the ≥8/10 recall gate through the stored batch probe
+    // — assignment and probe-side ranking both on the two-level coarse
+    // path. --
+    "q_sim_ivf_hier" -> ((s, d) => {
+      val in = embExpandedWide(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfhier")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val expanded = s.read.parquet(in)
+      val sampleN = Similarity.trainIvfIndexHierarchical(
+        expanded, s"$w/ivf_index", nlist = 8192, oversample = 10)
+      Similarity.seedIvfStore(expanded, w)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val nlistTrained = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      // probes = copy-0 (unjittered) rows of originals 0 and 1
+      val probes = expanded.where(col("vec_id").isin(0L, 256L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10, nprobe = 32)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = expanded.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"),
+          lit(nlistTrained == 8192).as("nlist_ok"),
+          lit(sampleN >= 8L * 8192).as("sample_ok"),
           (col("n_common") >= 8).as("recall_ok"))
         .orderBy("probe_id")
     }),
@@ -6438,6 +6508,14 @@ object SparkEntry {
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS nlist_coarse,
         |  true AS recall_ok
         |FROM (VALUES (0), (16)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // hierarchical two-level training honored nlist=8192 (no silent
+    // clamp) from a distributed ≥ 8×nlist sample, and per-probe recall
+    // through the stored batch probe clears 8/10 on the coarse path
+    "q_sim_ivf_hier" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS nlist_ok,
+        |  true AS sample_ok, true AS recall_ok
+        |FROM (VALUES (0), (256)) t(v) ORDER BY probe_id""".stripMargin,
 
     // the streamed IVF-PQ store holds (cell, pqcode) rows only — ~32x
     // under float32 — and ADC-over-pruned-cells + exact re-rank still

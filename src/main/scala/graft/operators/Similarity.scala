@@ -140,6 +140,16 @@ object Similarity {
     */
   private[graft] def kmeans(sample: Array[Array[Double]], k: Int, iters: Int = 8): Array[Array[Double]] = {
     require(sample.nonEmpty, "kmeans needs a non-empty sample")
+    // loud clamp: `take(k)` on a short sample would silently train fewer
+    // centroids than asked — every downstream read derives nlist from the
+    // array length so results stay correct, but a maintenance growth
+    // ladder (`curNlist * growFactor`) would stall invisibly at the
+    // sample size. Past the driver-sample ceiling, train through
+    // [[buildCentroidsHierarchical]] instead.
+    require(sample.length >= k,
+      s"kmeans: sample ${sample.length} < k=$k — raise sampleRows or train " +
+        "hierarchically (buildCentroidsHierarchical); a silent take(k) clamp " +
+        "would stall nlist growth invisibly")
     kmeansTrainings += 1
     val dim = sample.head.length
     var centroids = sample.take(k).map(_.clone())
@@ -216,6 +226,132 @@ object Similarity {
         .map(_.getSeq[Double](1).toArray)
       kmeans(sample, nlist)
     })
+  }
+
+  /** LAKE-SCALE quantizer training: hierarchical two-level k-means, the
+    * training-side twin of the two-level ASSIGNER below. Driver Lloyd is
+    * O(sample·nlist·dim) per pass and the driver sample is bounded, so
+    * past a few thousand cells [[buildCentroids]] cannot honor nlist at
+    * all (the loud clamp in [[kmeans]]) — yet the √N heuristic at 100 TB
+    * implies nlist 10⁵–10⁶. Two levels fix both the sample ceiling and
+    * the Lloyd cost:
+    *
+    *   1. the driver trains ~√nlist GROUP centroids from the usual
+    *      bounded sample (the existing [[buildCentroids]] machinery —
+    *      √nlist stays driver-feasible far past 10⁶ cells);
+    *   2. ONE parallel job: a deterministic distributed hash-sample of
+    *      ~`oversample`·nlist rows assigns each row to its nearest group
+    *      (the SAME [[nearestCellAssigner]] the serve path uses), and
+    *      each group's rows train their own sub-centroids IN THE TASK —
+    *      per-group k proportional to group mass (largest-remainder
+    *      rounding, capacity-clamped, so Σk == nlist);
+    *   3. centroids = concat ordered by (group, sub-index).
+    *
+    * Per-task Lloyd cost is O((S/√nlist)·(nlist/√nlist)·dim) = O(S·dim)
+    * — flat in nlist per task, √nlist-way parallel; the driver never
+    * holds more than the group quantizer and the nGroups mass counts.
+    * Deterministic end to end: hash-bucket sampling (same input → same
+    * sample, no Bernoulli RNG), id-sorted group rows feeding the
+    * seed-free [[kmeans]] init, largest-remainder ties broken by group
+    * index. Returns (centroids, distributedSampleRows) — callers gate
+    * non-degeneracy on the sample count (`q_sim_ivf_hier`'s contract).
+    */
+  def buildCentroidsHierarchical(
+      embeddings: DataFrame,
+      nlist: Int,
+      oversample: Int = 10,
+      sampleRows: Int = 2048): (Array[Array[Double]], Long) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(nlist >= 2, s"buildCentroidsHierarchical: nlist=$nlist")
+    // one corpus count to size the hash-sample fraction — metadata-scale
+    // (parquet footers), the only full-corpus statistic training needs
+    val corpusN = embeddings.count()
+    require(corpusN >= 2L * nlist,
+      s"buildCentroidsHierarchical: corpus $corpusN < 2×nlist=$nlist — " +
+        "nothing non-degenerate to train")
+    val target = oversample.toLong * nlist
+    val den = 1000000L
+    val num = if (target >= corpusN) den else math.max(1L, den * target / corpusN)
+    // level 1: bounded driver sample → ~√nlist group centroids
+    val nGroups = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+    val groupCentroids = buildCentroids(embeddings, nGroups, sampleRows)
+    val sampled = embeddings
+      .where(pmod(xxhash64(col("vec_id")), lit(den)) < num)
+      .withColumn("grp", nearestCellUdf(groupCentroids)(col("embedding")))
+      .select(col("grp"), col("vec_id"), col("embedding").cast("array<double>"))
+      .persist() // feeds the mass count and the per-group training job
+    // group masses: ≤ nGroups longs — bounded by the index width, not data
+    val masses = sampled.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sampleN = masses.valuesIterator.sum
+    require(sampleN >= 2L * nlist,
+      s"buildCentroidsHierarchical: distributed sample $sampleN < 2×nlist=" +
+        s"$nlist — raise oversample")
+    val kByGroup = allocateByMass(masses, nlist)
+    val bcK = spark.sparkContext.broadcast(kByGroup)
+    // level 2: per-group sub-centroid training, one shuffle of the sample
+    // (S·dim doubles) and one bounded collect (nlist·dim — the index)
+    val subs = sampled
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val kg = bcK.value.getOrElse(g, 0)
+        if (kg == 0) Iterator.empty
+        else {
+          // id-sort so the kmeans init depends on WHICH rows sampled,
+          // not the iterator arrival order — same discipline as
+          // buildCentroids' driver-side re-sort
+          val rows = it.toArray.sortBy(_._2).map(_._3)
+          kmeans(rows, kg).iterator.zipWithIndex.map { case (c, i) => (g, i, c) }
+        }
+      }
+      .collect()
+    sampled.unpersist()
+    (subs.sortBy(t => (t._1, t._2)).map(_._3), sampleN)
+  }
+
+  /** Proportional largest-remainder seat allocation of `total` centroids
+    * across groups by sample mass, clamped to each group's row capacity
+    * (a group cannot train more centroids than it holds rows). Remainder
+    * seats go to the largest fractional quotas first, ties and the
+    * capacity-spill walk ordered by group index — fully deterministic.
+    */
+  private[graft] def allocateByMass(masses: Map[Int, Long], total: Int): Map[Int, Int] = {
+    val ms = masses.toArray.sortBy(_._1)
+    val s = ms.map(_._2).sum
+    require(s >= total,
+      s"allocateByMass: sample $s cannot seat $total centroids")
+    val quota = ms.map { case (g, n) => (g, n, total.toDouble * n / s) }
+    val alloc = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    quota.foreach { case (g, n, q) =>
+      alloc(g) = math.min(n, math.floor(q).toLong).toInt
+    }
+    var remaining = total - alloc.valuesIterator.sum
+    val order = quota.sortBy { case (g, _, q) => (-(q - math.floor(q)), g) }
+    var i = 0
+    while (remaining > 0) {
+      val (g, n, _) = order(i % order.length)
+      if (alloc(g) < n) { alloc(g) += 1; remaining -= 1 }
+      i += 1
+    }
+    alloc.toMap
+  }
+
+  /** Train hierarchically ([[buildCentroidsHierarchical]]) and persist the
+    * index artifact at `path` — the lake-scale twin of [[saveIvfIndex]].
+    * Returns the distributed-sample row count for the caller's
+    * non-degeneracy gate. Invalidate-then-write so artifact-path reuse
+    * never serves a previous quantizer from the JVM cache.
+    */
+  def trainIvfIndexHierarchical(
+      embeddings: DataFrame, path: String, nlist: Int,
+      oversample: Int = 10, sampleRows: Int = 2048): Long = {
+    val (centroids, sampleN) =
+      buildCentroidsHierarchical(embeddings, nlist, oversample, sampleRows)
+    invalidateIvfIndex(path)
+    writeCentroids(embeddings.sparkSession, centroids, path)
+    sampleN
   }
 
   /** Nearest-centroid cell assignment as one JVM loop over the
@@ -582,10 +718,16 @@ object Similarity {
     * same reason). Size is nlist × dim doubles — metadata-scale.
     */
   def saveIvfIndex(embeddings: DataFrame, path: String,
-                   nlist: Int = 16, sampleRows: Int = 2048): Unit = {
-    val spark = embeddings.sparkSession
+                   nlist: Int = 16, sampleRows: Int = 2048): Unit =
+    writeCentroids(embeddings.sparkSession,
+      buildCentroids(embeddings, nlist, sampleRows), path)
+
+  /** The one index-artifact writer: `(cell int, centroid array<double>)`
+    * parquet, shared by the driver-sample and hierarchical trainers.
+    */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             centroids: Array[Array[Double]], path: String): Unit = {
     import spark.implicits._
-    val centroids = buildCentroids(embeddings, nlist, sampleRows)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -636,6 +778,24 @@ object Similarity {
     data.withColumn("cell",
       nearestCellUdf(loadIvfIndex(data.sparkSession, indexPath))(col("embedding")))
 
+  /** Seed a cell-store from a STATIC corpus against the PERSISTED index at
+    * `workDir/ivf_index` — the batch (non-streamed) twin of the ingest
+    * tiers, used when the index was trained out-of-band (e.g.
+    * [[trainIvfIndexHierarchical]]): one assignment map over the corpus,
+    * one cell-clustered write (`repartitionByRange(cell)` + sorted — the
+    * compacted layout, so probes prune parquet row groups from the first
+    * scan). Lands under `cells/batch=0`, the same layout
+    * [[Dedup.readStore]] and the stored probes serve.
+    */
+  def seedIvfStore(data: DataFrame, workDir: String): Unit = {
+    val spark = data.sparkSession
+    val slices = spark.sparkContext.defaultParallelism
+    assignStored(data, s"$workDir/ivf_index")
+      .repartitionByRange(slices, col("cell"), col("vec_id"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(s"$workDir/cells/batch=0")
+  }
+
   /** STREAMING ANN ingest — the embeddings-side sibling of
     * `Dedup.minhashStreamKeep`: vector drops arrive as a file stream; the
     * IVF index BOOTSTRAPS on the first drop (`saveIvfIndex`, the one
@@ -681,24 +841,48 @@ object Similarity {
       sampleRows: Int = 2048,
       targetCellRows: Int = Int.MaxValue,
       growFactor: Int = 4,
-      quantized: Boolean = false): DataFrame = {
+      quantized: Boolean = false): DataFrame =
+    runIvfIngestStream(spark, inputDir, workDir,
+      seedLayout = df => storedLayout(df, quantized),
+      writeBatch = (batch, batchId) =>
+        streamIngestIvfBatch(batch, batchId, s"$workDir/ivf_index",
+          s"$workDir/cells", nlist, sampleRows, quantized),
+      sampleRows = sampleRows, targetCellRows = targetCellRows,
+      growFactor = growFactor)
+
+  /** THE ingest stream driver, shared by the flat/SQ8 ([[streamIngestIvf]])
+    * and IVF-PQ ([[streamIngestIvfPq]]) tiers — the replay-counting and
+    * requantize-trigger bookkeeping lives HERE once; the tiers supply only
+    * their seed layout and per-batch writer.
+    *
+    *  - empty `batch=-1` seed partition: partition discovery resolves
+    *    before any real batch lands, and the seed carries the tier's
+    *    layout so discovery agrees with the batches;
+    *  - maintenance running total: ONE store-wide metadata count at stream
+    *    start (a checkpoint resume picks up prior batches here), then
+    *    per-batch increments from the just-written partition's own footers
+    *    — O(batch files) per trigger, not O(store files). A replayed batch
+    *    whose partition was written before the crash double-counts once
+    *    against the start total; threshold-based maintenance absorbs that
+    *    (it can only fire slightly early, and re-fires are
+    *    membership-checked). The current nlist is read from the index
+    *    artifact (not the bootstrap param) so consecutive triggers
+    *    compound.
+    */
+  private def runIvfIngestStream(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      workDir: String,
+      seedLayout: DataFrame => DataFrame,
+      writeBatch: (DataFrame, Long) => Unit,
+      sampleRows: Int,
+      targetCellRows: Int,
+      growFactor: Int): DataFrame = {
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
     val static = spark.read.parquet(inputDir)
-    // empty batch=-1 partition: partition discovery resolves before any
-    // real batch lands (quantized: the seed carries the code layout so
-    // discovery agrees with the batches)
-    storedLayout(static.withColumn("cell", lit(0)), quantized).limit(0)
+    seedLayout(static.withColumn("cell", lit(0))).limit(0)
       .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
-    // maintenance running total: ONE store-wide metadata count at stream
-    // start (a checkpoint resume picks up prior batches here), then
-    // per-batch increments from the just-written partition's own footers.
-    // The previous shape — a full-store count() in every trigger — is
-    // O(files in store) per batch and grows until the next compaction:
-    // a per-batch listing storm at lake scale. A replayed batch whose
-    // partition was written before the crash double-counts once against
-    // the start total; threshold-based maintenance absorbs that (it can
-    // only fire slightly early, and re-fires are membership-checked).
     var storeRows =
       if (targetCellRows < Int.MaxValue) Dedup.readStore(spark, dataDir).count() else 0L
     val batchCounts = scala.collection.mutable.Map.empty[Long, Long]
@@ -709,15 +893,7 @@ object Similarity {
       .writeStream
       .option("checkpointLocation", s"$workDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamIngestIvfBatch(batch, batchId, idxPath, dataDir, nlist,
-          sampleRows, quantized)
-        // maintenance BETWEEN batches: count only the partition THIS batch
-        // just wrote (its parquet footers — O(batch files), not O(store
-        // files)) and roll it into the running total; an in-run replay
-        // replaces its own prior contribution, mirroring the writer's
-        // own-partition overwrite. The current nlist is read from the
-        // index artifact (not the bootstrap param) so consecutive
-        // triggers compound.
+        writeBatch(batch, batchId)
         if (targetCellRows < Int.MaxValue) {
           val batchRows = spark.read.parquet(s"$dataDir/batch=$batchId").count()
           storeRows += batchRows - batchCounts.getOrElse(batchId, 0L)
@@ -787,49 +963,19 @@ object Similarity {
       codebookK: Int = 32,
       sampleRows: Int = 2048,
       targetCellRows: Int = Int.MaxValue,
-      growFactor: Int = 4): DataFrame = {
-    val dataDir = s"$workDir/cells"
-    val idxPath = s"$workDir/ivf_index"
-    val static = spark.read.parquet(inputDir)
-    // empty batch=-1 seed partition carrying the coded layout, so
-    // partition discovery resolves before any real batch lands
-    static.withColumn("cell", lit(0))
-      .withColumn("pqcode", array_repeat(lit(0), m))
-      .drop("embedding").limit(0)
-      .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
-    // nlist maintenance running total — same O(batch) shape as the flat
-    // ingest's: one store-wide count at stream start, then per-batch
-    // increments from the just-written partition's own footers
-    var storeRows =
-      if (targetCellRows < Int.MaxValue) Dedup.readStore(spark, dataDir).count() else 0L
-    val batchCounts = scala.collection.mutable.Map.empty[Long, Long]
-    val q = spark.readStream
-      .schema(static.schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(inputDir)
-      .writeStream
-      .option("checkpointLocation", s"$workDir/_chk")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      growFactor: Int = 4): DataFrame =
+    // cell aging rides the SHARED requantize between batches (it
+    // reconstructs through the codebooks and relabels cells without
+    // touching a code); driver bookkeeping is the shared one
+    runIvfIngestStream(spark, inputDir, workDir,
+      seedLayout = df => df
+        .withColumn("pqcode", array_repeat(lit(0), m))
+        .drop("embedding"),
+      writeBatch = (batch, batchId) =>
         streamIngestIvfPqBatch(batch, batchId, workDir, nlist, m,
-          codebookK, sampleRows)
-        // cell aging rides the SHARED requantize between batches (it
-        // reconstructs through the codebooks and relabels cells without
-        // touching a code); threshold-checked so replays can only fire
-        // early, never wrongly
-        if (targetCellRows < Int.MaxValue) {
-          val batchRows = spark.read.parquet(s"$dataDir/batch=$batchId").count()
-          storeRows += batchRows - batchCounts.getOrElse(batchId, 0L)
-          batchCounts(batchId) = batchRows
-          val curNlist = loadIvfIndex(spark, idxPath).length
-          if (storeRows > targetCellRows.toLong * curNlist)
-            requantizeIvfStore(spark, workDir, curNlist * growFactor, sampleRows)
-        }
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    Dedup.readStore(spark, dataDir).drop("batch")
-  }
+          codebookK, sampleRows),
+      sampleRows = sampleRows, targetCellRows = targetCellRows,
+      growFactor = growFactor)
 
   /** One IVF-PQ ingest micro-batch — replay-idempotent like the flat
     * ingest's (own-partition overwrite; both trainings are
@@ -938,9 +1084,6 @@ object Similarity {
     val centroids = loadIvfIndex(spark, s"$workDir/ivf_index")
     val books = loadPqIndex(spark, s"$workDir/pq_index")
     val stored = Dedup.readStore(spark, s"$workDir/cells").drop("batch")
-    val m = books.length
-    val codebookK = books(0).length
-    val sub = books(0)(0).length
     // bounded collect: the declared probe set's float vectors
     val probeVecs: Map[Long, Array[Double]] = probes
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -952,26 +1095,13 @@ object Similarity {
       case (id, v) => shortlist(v.map(_.toFloat).toSeq).map(c => id -> c)
     }
     val unionCells = probeCells.map(_._2).distinct.sorted
-    // per-probe ADC LUTs, keyed by probe id in one closure-shipped map
-    val luts: Map[Long, (Array[Array[Double]], Array[Array[Double]], Double)] =
-      probeVecs.map { case (id, v) =>
-        val dot = Array.tabulate(m, codebookK) { (j, c) =>
-          var s = 0.0; var t = 0
-          while (t < sub) { s += v(j * sub + t) * books(j)(c)(t); t += 1 }
-          s
-        }
-        val nrm = Array.tabulate(m, codebookK) { (j, c) =>
-          var s = 0.0; var t = 0
-          while (t < sub) { s += books(j)(c)(t) * books(j)(c)(t); t += 1 }
-          s
-        }
-        id -> ((dot, nrm, math.sqrt(v.map(x => x * x).sum)))
-      }
+    // per-probe ADC LUTs keyed by probe id in one closure-shipped map —
+    // built and scored through the SAME helpers as the single-probe path
+    // ([[pqLuts]]/[[adcCosine]]) so the two can never diverge
+    val luts: Map[Long, PqLuts] =
+      probeVecs.map { case (id, v) => id -> pqLuts(books, v) }
     val adc = udf { (probeId: Long, codes: Seq[Int]) =>
-      val (dotLut, normLut, qnorm) = luts(probeId)
-      var dot = 0.0; var nrm = 0.0; var j = 0
-      while (j < m) { dot += dotLut(j)(codes(j)); nrm += normLut(j)(codes(j)); j += 1 }
-      if (nrm <= 0 || qnorm <= 0) 0.0 else dot / (qnorm * math.sqrt(nrm))
+      adcCosine(luts(probeId), codes)
     }
     val pc = probeCells.toDF("probe_id", "cell")
     val byPqScore = Window.partitionBy(col("probe_id"))
@@ -1499,18 +1629,23 @@ object Similarity {
     }
   }
 
-  /** ADC scorer for one probe: the per-probe LUT (dot and norm
-    * contributions of every codeword against the probe's subvectors — m·k
-    * doubles, built once on the driver and shipped in the task closure)
-    * turns a row's score into m lookups + adds. Shared by the in-memory
-    * and stored PQ probe paths.
+  /** One probe's ADC tables: dot and norm contributions of every codeword
+    * against the probe's subvectors (m·k doubles each) plus the probe
+    * norm — built once on the driver per probe, shipped in the task
+    * closure.
     */
-  private def pqAdcUdf(books: Array[Array[Array[Double]]],
-                       probeVec: Array[Double]) = {
+  private type PqLuts = (Array[Array[Double]], Array[Array[Double]], Double)
+
+  /** THE LUT builder — single-probe ([[pqAdcUdf]]) and batch
+    * ([[ivfPqProbeSetTopKStored]]) ADC scoring both build their tables
+    * here, so a future change to the dot/norm math lands in both paths or
+    * neither.
+    */
+  private def pqLuts(books: Array[Array[Array[Double]]],
+                     probeVec: Array[Double]): PqLuts = {
     val m = books.length
     val codebookK = books(0).length
     val sub = books(0)(0).length
-    val qnorm = math.sqrt(probeVec.map(x => x * x).sum)
     val dotLut = Array.tabulate(m, codebookK) { (j, c) =>
       var s = 0.0; var t = 0
       while (t < sub) { s += probeVec(j * sub + t) * books(j)(c)(t); t += 1 }
@@ -1521,11 +1656,28 @@ object Similarity {
       while (t < sub) { s += books(j)(c)(t) * books(j)(c)(t); t += 1 }
       s
     }
-    udf { (codes: Seq[Int]) =>
-      var dot = 0.0; var nrm = 0.0; var j = 0
-      while (j < m) { dot += dotLut(j)(codes(j)); nrm += normLut(j)(codes(j)); j += 1 }
-      if (nrm <= 0 || qnorm <= 0) 0.0 else dot / (qnorm * math.sqrt(nrm))
+    (dotLut, normLut, math.sqrt(probeVec.map(x => x * x).sum))
+  }
+
+  /** THE ADC cosine formula over a row's codes — m LUT lookups + adds,
+    * shared by every ADC scorer.
+    */
+  private def adcCosine(luts: PqLuts, codes: Seq[Int]): Double = {
+    val (dotLut, normLut, qnorm) = luts
+    var dot = 0.0; var nrm = 0.0; var j = 0
+    while (j < dotLut.length) {
+      val c = codes(j); dot += dotLut(j)(c); nrm += normLut(j)(c); j += 1
     }
+    if (nrm <= 0 || qnorm <= 0) 0.0 else dot / (qnorm * math.sqrt(nrm))
+  }
+
+  /** ADC scorer for one probe: the per-probe LUT turns a row's score into
+    * m lookups + adds. Shared by the in-memory and stored PQ probe paths.
+    */
+  private def pqAdcUdf(books: Array[Array[Array[Double]]],
+                       probeVec: Array[Double]) = {
+    val luts = pqLuts(books, probeVec)
+    udf { (codes: Seq[Int]) => adcCosine(luts, codes) }
   }
 
   private def pqTopKWith(

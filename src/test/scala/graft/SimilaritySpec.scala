@@ -518,6 +518,60 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("kmeans clamps loudly when k exceeds the sample") {
+    val rnd = new scala.util.Random(3)
+    val sample = Array.fill(5)(Array.fill(4)(rnd.nextGaussian()))
+    val e = intercept[IllegalArgumentException](Similarity.kmeans(sample, k = 6))
+    assert(e.getMessage.contains("sample 5 < k=6"), e.getMessage)
+    // equality is the boundary case the coarse-gate trains (k == sample)
+    assert(Similarity.kmeans(sample, k = 5).length == 5)
+  }
+
+  test("allocateByMass: proportional largest-remainder, capacity-clamped, " +
+    "deterministic, sums to total") {
+    // plain proportional with a fractional tie: 10 seats over 100/50/50
+    assert(Similarity.allocateByMass(Map(0 -> 100L, 1 -> 50L, 2 -> 50L), 10) ==
+      Map(0 -> 5, 1 -> 3, 2 -> 2))
+    // capacity clamp + spill: group 1 can seat at most 1
+    val a = Similarity.allocateByMass(Map(0 -> 10L, 1 -> 1L), 11)
+    assert(a == Map(0 -> 10, 1 -> 1))
+    // remainder seat lands on the larger fractional quota
+    assert(Similarity.allocateByMass(Map(0 -> 10L, 1 -> 1L), 10) ==
+      Map(0 -> 9, 1 -> 1))
+    // infeasible totals refuse loudly
+    intercept[IllegalArgumentException](
+      Similarity.allocateByMass(Map(0 -> 2L, 1 -> 1L), 4))
+  }
+
+  test("buildCentroidsHierarchical: honors nlist past any single-group need, " +
+    "deterministic rebuild, full-corpus sample when the corpus is small") {
+    // 40 rows, nlist 12 — far above what a tiny driver sample at
+    // sampleRows=40 could train through a single degenerate group; the
+    // hierarchical trainer must still return exactly 12 centroids
+    val (c1, n1) = Similarity.buildCentroidsHierarchical(
+      emb, nlist = 12, oversample = 10, sampleRows = 40)
+    val (c2, n2) = Similarity.buildCentroidsHierarchical(
+      emb, nlist = 12, oversample = 10, sampleRows = 40)
+    assert(c1.length == 12, s"trained ${c1.length} centroids, wanted 12")
+    assert(n1 == 40L, "fraction-1 hash sample must keep the whole corpus")
+    assert(n1 == n2 && c1.zip(c2).forall { case (x, y) =>
+      java.util.Arrays.equals(x, y) }, "rebuild must be bit-identical")
+    // every corpus vector assigns to SOME trained centroid, and an
+    // exhaustive probe over the hierarchical index equals brute force
+    val tmp = java.nio.file.Files.createTempDirectory("hieridx").toString
+    Similarity.trainIvfIndexHierarchical(emb, s"$tmp/ivf_index", nlist = 12,
+      oversample = 10, sampleRows = 40)
+    Similarity.seedIvfStore(emb, tmp)
+    val stored = spark.read.parquet(s"$tmp/cells").drop("batch")
+    assert(stored.count() == 40, "seedIvfStore must land every corpus row")
+    val bf = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfProbeSetTopKStored(stored, s"$tmp/ivf_index",
+        emb.where(col("vec_id") === 0L), k = 5, nprobe = 12)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"nprobe=nlist over the hierarchical store must equal brute force: $got vs $bf")
+  }
+
   test("coarse two-level cell assigner: exhaustive probes equal the exact scan, " +
     "default probes agree closely, rebuild is deterministic") {
     val rnd = new scala.util.Random(7)
