@@ -240,8 +240,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_embexp")
       deleteRecursivelyOnExit(tmp)
       val out = tmp.toFile.getAbsolutePath + "/corpus"
+      // `label` rides through unchanged (constant per cluster — every copy
+      // inherits its original's label), giving the clustered fixtures a
+      // pushable relational attribute for the filtered-ANN gate
       val expanded = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("label"),
           explode(sequence(lit(0), lit(factor - 1))).as("copy"))
         .select((col("vec_id") * factor + col("copy")).as("vec_id"),
           when(col("copy") === 0, col("embedding"))
@@ -250,7 +253,8 @@ object SparkEntry {
                 (pmod(xxhash64(col("vec_id"), col("copy"), j), lit(1001))
                   .cast("double") / lit(1000.0) - lit(0.5)) * lit(0.2))
                 .cast("float")))
-            .as("embedding"))
+            .as("embedding"),
+          col("label"))
       // the 16× fixture stays one file (its consumers re-partition through
       // shuffles anyway); the wide fixture fans out so the corpus-side
       // scans don't serialize on a single 100+ MB parquet split
@@ -1705,6 +1709,59 @@ object SparkEntry {
         .select(col("probe_id"),
           lit(nlistAfter >= Similarity.CoarseAssignThreshold).as("nlist_coarse"),
           (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
+    // -- [NS] FILTERED ANN over the stored index — the most common
+    // production vector-search shape ("top-k among docs WHERE lang='en'
+    // AND ts > X"): a relational predicate on a STORED column composes
+    // with the cell prune as a PRE-filter in the one store scan
+    // (post-filtering a top-k pool loses recall whenever fewer than k
+    // unfiltered winners qualify). The store is the aged production
+    // layout (streamed ingest, then compacted/cell-clustered); the scan
+    // carries `label >= 5 AND cell IN (…)` — both filters parquet-
+    // pushable (plan-asserted in SimilaritySpec). The serve path is the
+    // selectivity-SCALED probe (ivfProbeSetTopKStoredFiltered): filtered
+    // winners spread across ~1/sel× more cells than unfiltered ones, so
+    // the nprobe budget widens by inverse selectivity, capped at an
+    // exhaustive-but-still-one-scan pass. Runs on the CLUSTERED expanded
+    // corpus (the geometry a real embedding corpus has — labels ride the
+    // expansion as per-cluster constants); probes are the first four
+    // copy-0 rows whose own label qualifies ("top-k en docs for an en
+    // query"), computed by the DuckDB twin from the same table.
+    // Declared: every probe independently clears the ≥8/10 recall gate
+    // vs the FILTERED float brute force (truth ranks qualifying rows
+    // only). --
+    "q_sim_filtered_stored" -> ((s, d) => {
+      val in = embExpanded(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivffilt")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      Similarity.compactIvfStore(s, w, upTo = 10L)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val expanded = s.read.parquet(in)
+      val probes = expanded
+        .where(pmod(col("vec_id"), lit(16)) === 0 && col("label") >= 5)
+        .orderBy(col("vec_id")).limit(4)
+      val approx = Similarity.ivfProbeSetTopKStoredFiltered(
+        stored, s"$w/ivf_index", probes,
+        rowFilter = col("label") >= 5, k = 10, nprobe = 6)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = expanded.where(col("label") >= 5).crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"), (col("n_common") >= 8).as("recall_ok"))
         .orderBy("probe_id")
     }),
 
@@ -6508,6 +6565,16 @@ object SparkEntry {
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS nlist_coarse,
         |  true AS recall_ok
         |FROM (VALUES (0), (16)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // filtered ANN: the relational pre-filter composes with the cell
+    // prune in one stored scan, the nprobe budget scales by inverse
+    // selectivity, and per-probe recall vs the FILTERED brute force
+    // clears 8/10; the twin derives the probe ids (first four qualifying
+    // originals × the expansion factor) from the same table
+    "q_sim_filtered_stored" ->
+      """SELECT vec_id * 16 AS probe_id, true AS recall_ok
+        |FROM (SELECT vec_id FROM embeddings WHERE label >= 5
+        |      ORDER BY vec_id LIMIT 4) ORDER BY probe_id""".stripMargin,
 
     // hierarchical two-level training honored nlist=8192 (no silent
     // clamp) from a distributed ≥ 8×nlist sample, and per-probe recall

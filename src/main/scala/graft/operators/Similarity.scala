@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -1346,13 +1346,25 @@ object Similarity {
     * cast-up codes against the FLOAT probe vectors: cosine is invariant
     * to the corpus row's per-vector scale, so `qscale` never loads and
     * the store-side scan reads 1/4 the bytes.
+    *
+    * FILTERED ANN (`rowFilter`): a relational predicate on stored columns
+    * composes with the cell prune as a PRE-filter — the conjunction
+    * `rowFilter && cell IN (…)` reaches the one store scan, so parquet
+    * row-group stats prune on BOTH axes and ranking sees only qualifying
+    * rows. Pre-filtering is the correct discipline: post-filtering a
+    * top-k pool silently loses recall whenever fewer than k of the
+    * unfiltered winners qualify ("top-k among docs WHERE lang = 'en'"
+    * must rank the en docs, not intersect en with the global top-k).
+    * Recall among sparse qualifiers is bought with nprobe, gated by
+    * `q_sim_filtered_stored`'s filtered-brute-force twin.
     */
   def ivfProbeSetTopKStored(
       assigned: DataFrame,
       indexPath: String,
       probes: DataFrame,
       k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      rowFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = assigned.sparkSession
     import spark.implicits._
@@ -1373,7 +1385,8 @@ object Similarity {
     val byProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     comparable
-      .where(col("cell").isin(unionCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .where(col("cell").isin(unionCells.toIndexedSeq.map(Integer.valueOf): _*) &&
+        rowFilter)
       .join(broadcast(p), Seq("cell"))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
@@ -1382,6 +1395,40 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col("probe_id"), col("vec_id"), col("cosine"))
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** FILTERED ANN serve: [[ivfProbeSetTopKStored]] with the nprobe budget
+    * scaled by INVERSE qualifier selectivity, capped at nlist. When the
+    * predicate keeps 1-in-s store rows, each probed cell holds ~1/s as
+    * many candidates and the filtered winners spread across ~s× more
+    * cells, so a fixed nprobe silently loses recall exactly when the
+    * filter matters most (the ACORN-style expansion rule: widen the
+    * search by inverse selectivity). Pricing the selectivity costs ONE
+    * extra aggregate over the store with the predicate pushed (row-group
+    * stats + column-pruned — at lake scale this reads the filter column
+    * only); as sel → 0 the probe degrades gracefully to an exhaustive —
+    * still ONE — pruned-layout scan, never to a lost result.
+    *
+    * Like every stored probe: pre-filter semantics (the predicate joins
+    * the cell prune IN the scan), per-probe recall gated vs the filtered
+    * float truth by `q_sim_filtered_stored`.
+    */
+  def ivfProbeSetTopKStoredFiltered(
+      assigned: DataFrame,
+      indexPath: String,
+      probes: DataFrame,
+      rowFilter: Column,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val nlist = loadIvfIndex(assigned.sparkSession, indexPath).length
+    val counts = assigned.agg(
+      count(lit(1)).as("n"),
+      count(when(rowFilter, 1)).as("nq")).head()
+    val (total, qual) = (counts.getLong(0), counts.getLong(1))
+    require(qual > 0, "ivfProbeSetTopKStoredFiltered: no store rows qualify")
+    val scaled = math.min(nlist.toLong,
+      math.ceil(nprobe * total.toDouble / qual).toLong).toInt
+    ivfProbeSetTopKStored(assigned, indexPath, probes, k, scaled, rowFilter)
   }
 
   /** Persist the PQ index (per-subspace codebooks) as parquet

@@ -518,6 +518,43 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("filtered stored batch probe: pre-filter semantics vs filtered brute " +
+    "force, one scan with BOTH the label filter and the cell union pushed") {
+    val labeled = emb.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivffilt").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.streamIngestIvfBatch(labeled, 0L, idx, data, nlist = 4, sampleRows = 40)
+    val stored = spark.read.parquet(data).drop("batch")
+    val probes = labeled.where(col("vec_id") === 0L)
+    // nprobe = nlist → exhaustive: the filtered probe must EQUAL the
+    // filtered brute force (pre-filter, not post-filter, semantics)
+    val got = Similarity.ivfProbeSetTopKStored(stored, idx, probes,
+      k = 5, nprobe = 4, rowFilter = col("label") === 1)
+    val bf = Similarity.bruteForceTopK(labeled.where(col("label") === 1)
+        .unionByName(probes), probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.select("vec_id").as[Long].collect().toSet == bf,
+      "exhaustive filtered probe must equal filtered brute force")
+    // every returned row satisfies the predicate
+    val labels = got.join(labeled, Seq("vec_id")).select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 1))
+    // selectivity-scaled serve: sel = 10/40 at base nprobe 1 widens to
+    // ceil(1·40/10) = 4 = nlist — the exhaustive cap — so the filtered
+    // wrapper must also equal the filtered truth
+    val capped = Similarity.ivfProbeSetTopKStoredFiltered(stored, idx, probes,
+      rowFilter = col("label") === 1, k = 5, nprobe = 1)
+    assert(capped.select("vec_id").as[Long].collect().toSet == bf,
+      "inverse-selectivity cap must degrade to the exhaustive one-scan probe")
+    // plan: ONE store scan carrying both pushed filters
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = """\(\d+\) Scan parquet""".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected exactly one store scan, got $scans\n$plan")
+    assert(plan.contains("In(cell"), "cell union not pushed to the store scan")
+    assert(plan.contains("EqualTo(label,1)"),
+      "relational pre-filter not pushed to the store scan")
+  }
+
   test("kmeans clamps loudly when k exceeds the sample") {
     val rnd = new scala.util.Random(3)
     val sample = Array.fill(5)(Array.fill(4)(rnd.nextGaussian()))
