@@ -1921,6 +1921,63 @@ object SparkEntry {
           (col("n_common") >= 8).as("recall_ok"))
     }),
 
+    // -- [NS] AGED IVF-PQ lifecycle end to end — the coded-store analogue
+    // of q_sim_ivf_batch_stored's aged-layout discipline: streamed
+    // codes-only ingest whose coarse quantizer GROWS in-stream (the
+    // shared requantize relabels cells without touching a code), then
+    // COMPACTION collapses the batch partitions into one cell-clustered
+    // partition (row-group pruning for the cell-IN probe), then the
+    // BATCH probe serves N probes in one pruned pass with ADC + exact
+    // re-rank. Declared: nlist grew past its bootstrap, the compacted
+    // store is complete in ONE batch partition, and every probe clears
+    // the ≥8/10 recall gate vs float brute force. --
+    "q_sim_ivfpq_aged" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfpqaged")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvfPq(s, in, w, nlist = 8, m = 8, codebookK = 32,
+        targetCellRows = 16, growFactor = 4)
+      Similarity.compactIvfStore(s, w, upTo = 10L)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells")
+      val nlistAfter = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val emb = embeddings(s, d)
+      val probes = emb.where(col("vec_id").isin(0L, 1L, 2L, 3L))
+      // the requantized single-probe twin's measured policy: at grown
+      // nlist the per-cell candidate count shrinks, so both knobs widen
+      // (3/4-of-nlist probes + rerank 20) to absorb the stacked cell +
+      // ADC approximations
+      val approx = Similarity.ivfPqProbeSetTopKStored(s, w, probes,
+        rerankWith = emb, k = 10,
+        nprobe = math.max(8, nlistAfter * 3 / 4), rerank = 20)
+      // aged-layout invariants folded into the frame: complete store,
+      // ONE surviving batch partition
+      val agedDf = stored.agg(count(lit(1)).as("n_stored"),
+          countDistinct(col("batch")).as("n_parts"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_src")))
+        .select((col("n_stored") === col("n_src") &&
+          col("n_parts") === 1).as("aged_ok"))
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(agedDf)
+        .select(col("probe_id"),
+          lit(nlistAfter > 8).as("nlist_grew"), col("aged_ok"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     "q_sim_ivf_recall" -> ((s, d) => {
       val bf  = Similarity.bruteForceTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
       val ivf = Similarity.ivfTopK(embeddings(s, d), probeId = 0L, k = 10).select("vec_id")
@@ -6601,6 +6658,14 @@ object SparkEntry {
     // still clears the recall gate at a pruned nprobe
     "q_sim_ivfpq_requantized" ->
       "SELECT CAST(10 AS INT) AS k, true AS nlist_grew, true AS recall_ok",
+
+    // the full coded-store lifecycle (ingest -> in-stream growth ->
+    // compaction -> batch probe): one complete batch partition survives
+    // and every probe clears the gate on the aged layout
+    "q_sim_ivfpq_aged" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS nlist_grew,
+        |  true AS aged_ok, true AS recall_ok
+        |FROM (VALUES (0), (1), (2), (3)) t(v) ORDER BY probe_id""".stripMargin,
 
     // int8 quantization keeps the exact top-10 on this data (cosine
     // perturbation ~1e-3 ≪ neighbor gaps); gated at ≥ 8/10 like IVF

@@ -1780,13 +1780,27 @@ object Dedup {
     massAgainstCensus(winsInc, census)
   }
 
+  /** Broadcast ceiling for the census existence probe: the build side is
+    * the INCREMENT's distinct windows — bounded by batch size, not corpus,
+    * so every declared scale broadcasts — but a bulk backfill increment
+    * (~10⁸ windows) would blow the driver/exchange broadcast limit. Past
+    * this many increment window rows the probe drops the broadcast hint
+    * and lets the planner run the semi-join shuffled (same result, one
+    * extra exchange of the increment side — never of the census). 2M
+    * window rows ≈ tens of MB built — comfortably inside default
+    * broadcast budgets with margin for row overhead.
+    */
+  private[graft] val CensusProbeBroadcastLimit = 2L * 1000 * 1000
+
   /** Shared probe core of the incremental substring tiers: `winsInc` is
     * the increment's distinct (doc_id, win) set, ALREADY persisted by the
     * caller (released here via the eager checkpoint); `corpusCensus` is
     * whatever slice of the standing census the caller scoped (full table,
     * mod-pruned store read, or earlier stream deltas).
     */
-  private def massAgainstCensus(winsInc: DataFrame, corpusCensus: DataFrame): DataFrame = {
+  private[graft] def massAgainstCensus(
+      winsInc: DataFrame, corpusCensus: DataFrame,
+      broadcastLimit: Long = CensusProbeBroadcastLimit): DataFrame = {
     val sharedIntra = winsInc
       .groupBy(col("win")).agg(count(lit(1)).as("ni"))
       .where(col("ni") >= 2).select(col("win"))
@@ -1795,8 +1809,14 @@ object Dedup {
     // (big, stored, column-pruned to `win`) census is the streamed side,
     // the increment's windows the broadcast build side, so the probe is
     // one map-side pass with no shuffle and no aggregation of the store.
+    // The (doc_id, win) row count is a free-ish upper bound on distinct
+    // windows (winsInc is persisted by every caller): past the ceiling,
+    // fall back to the planner's shuffled semi-join rather than force a
+    // broadcast that cannot build.
+    val probeWins = winsInc.select(col("win")).distinct()
     val sharedCorpus = corpusCensus.select(col("win"))
-      .join(broadcast(winsInc.select(col("win")).distinct()), Seq("win"), "left_semi")
+      .join(if (winsInc.count() <= broadcastLimit) broadcast(probeWins) else probeWins,
+        Seq("win"), "left_semi")
     val shared = sharedIntra.unionByName(sharedCorpus).distinct()
     // eager: the per-doc result (<= increment docs) is materialized so the
     // cached increment windows release immediately — a long-running caller

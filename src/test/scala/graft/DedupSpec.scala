@@ -533,6 +533,23 @@ class DedupSpec extends SparkSpec {
     assert(replay == stored)
   }
 
+  test("census probe broadcast fallback: both sides of the windows-count " +
+    "threshold yield identical per-doc masses") {
+    val docs = Tables.documents(spark, Sf0001)
+    val census = Dedup.windowCensus(Dedup.windowTable(docs.where(col("doc_id") < 250L)))
+    val inc = docs.where(col("doc_id") >= 250L && col("doc_id") < 300L)
+    def wins() = Dedup.windowTable(inc, 40)
+      .select(col("doc_id"), col("win")).distinct().persist()
+    val viaBroadcast = Dedup.massAgainstCensus(wins(), census,
+        broadcastLimit = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val viaShuffle = Dedup.massAgainstCensus(wins(), census, broadcastLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaBroadcast.nonEmpty, "fixture must produce shared windows")
+    assert(viaBroadcast == viaShuffle,
+      "the planner-chosen semi-join past the ceiling must equal the broadcast probe")
+  }
+
   test("stored pruned census probe equals the unpruned incremental; width drift throws") {
     val docs = Tables.documents(spark, Sf0001)
     val corpus = docs.where(col("doc_id") < 250L)
