@@ -264,6 +264,50 @@ object SparkEntry {
       out
     })
 
+  /** Drifting-arrival fixture for the hot-cell maintenance gate
+    * (`q_sim_ivf_hotsplit`): slices 0–1 are the base embeddings (the
+    * bootstrap's uniform world); slices 2–3 are a CONCENTRATED drop —
+    * `max(64, base/8)` tight jittered near-clones of each of originals
+    * 0–3 (ids beyond the base range, ±0.02/component jitter so every
+    * clone stays in its original's cell) — so the quantizer trained on
+    * the bootstrap batch watches mass pile into a few cells while the
+    * store-wide MEAN stays unremarkable. Same mtime ladder as
+    * [[embSlices]].
+    */
+  private def embDriftSlices(s: SparkSession, d: String): String =
+    scratchDirs.getOrElseUpdate(s"embdrift:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_embdrift")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath + "/slices"
+      val e = embeddings(s, d)
+      val mx = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val baseN = e.count()
+      val copies = math.max(64L, (baseN + 7) / 8)
+      val base = System.currentTimeMillis()
+      (0 until 2).foreach { i =>
+        e.where(col("vec_id") >= i * mx / 2 && col("vec_id") < (i + 1) * mx / 2)
+          .coalesce(1).write.mode("append").parquet(out)
+        stampSliceMtime(out, i, base)
+      }
+      (2 until 4).foreach { i =>
+        val lo = (i - 2) * copies / 2
+        val hi = (i - 1) * copies / 2 - 1
+        e.where(col("vec_id") < 4)
+          .select(col("vec_id"), col("embedding"), col("label"),
+            explode(sequence(lit(lo), lit(hi))).as("copy"))
+          .select((lit(mx) + col("vec_id") * copies + col("copy")).as("vec_id"),
+            transform(col("embedding"),
+              (x, j) => (x.cast("double") +
+                (pmod(xxhash64(col("vec_id"), col("copy"), j), lit(1001))
+                  .cast("double") / lit(1000.0) - lit(0.5)) * lit(0.04))
+                .cast("float")).as("embedding"),
+            col("label"))
+          .coalesce(1).write.mode("append").parquet(out)
+        stampSliceMtime(out, i, base)
+      }
+      out
+    })
+
   private def embSlices(s: SparkSession, d: String): String =
     scratchDirs.getOrElseUpdate(s"embslices:$d", {
       val tmp = java.nio.file.Files.createTempDirectory("graft_embslices")
@@ -1919,6 +1963,68 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_common"))
         .select(lit(10).as("k"), lit(nlistAfter > 8).as("nlist_grew"),
           (col("n_common") >= 8).as("recall_ok"))
+    }),
+
+    // -- [NS] HOT-CELL skew maintenance: per-probe serve cost is
+    // per-CELL, so a drifting stream that concentrates mass into a few
+    // cells degrades latency even while the store-wide MEAN stays on
+    // target — requantize's mean-based trigger never fires. This query
+    // streams the drift fixture (uniform bootstrap, then a concentrated
+    // drop of tight clone clusters), reads the occupancy probe, drives
+    // splitHotCells to quiescence (per-hot-cell sub-quantizers trained
+    // from each cell's OWN rows — O(hot rows), cold cells bit-identical),
+    // and declares: the split fired, the max-cell occupancy ceiling is
+    // restored, the store kept every row, and the hot-cluster probes
+    // still clear the ≥8/10 recall gate vs float brute force. --
+    "q_sim_ivf_hotsplit" -> ((s, d) => {
+      val in = embDriftSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_hotsplit")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      val occBefore = Similarity.cellOccupancy(s, w)
+        .agg(max(col("n_rows")), sum(col("n_rows"))).head()
+      val (maxBefore, totalRows) = (occBefore.getLong(0), occBefore.getLong(1))
+      // ceiling = 1.5× the uniform mean: the drop's clusters sit well
+      // above it, the cold cells well below
+      val ceiling = (totalRows * 3 / (2 * 16)).toInt
+      var splits = 0
+      var rounds = 0
+      while (rounds < 8 &&
+          Similarity.splitHotCells(s, w, maxCellRows = ceiling) > 0) {
+        splits += 1; rounds += 1
+      }
+      val occAfter = Similarity.cellOccupancy(s, w)
+        .agg(max(col("n_rows")), sum(col("n_rows"))).head()
+      val (maxAfter, totalAfter) = (occAfter.getLong(0), occAfter.getLong(1))
+      val nlistFinal = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val corpus = s.read.parquet(in)
+      // probes 0 and 1: originals whose clone clusters drove the skew
+      val probes = corpus.where(col("vec_id").isin(0L, 1L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10,
+        nprobe = math.max(8, nlistFinal / 2))
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"),
+          lit(splits >= 1).as("split_fired"),
+          lit(maxAfter <= ceiling && maxAfter < maxBefore).as("ceiling_ok"),
+          lit(totalAfter == totalRows).as("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
     }),
 
     // -- [NS] AGED IVF-PQ lifecycle end to end — the coded-store analogue
@@ -6658,6 +6764,14 @@ object SparkEntry {
     // still clears the recall gate at a pruned nprobe
     "q_sim_ivfpq_requantized" ->
       "SELECT CAST(10 AS INT) AS k, true AS nlist_grew, true AS recall_ok",
+
+    // hot-cell skew maintenance: the split fired on the drift fixture,
+    // the occupancy ceiling is restored without losing a row, and the
+    // hot-cluster probes still clear the recall gate
+    "q_sim_ivf_hotsplit" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS split_fired,
+        |  true AS ceiling_ok, true AS complete, true AS recall_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
     // the full coded-store lifecycle (ingest -> in-stream growth ->
     // compaction -> batch probe): one complete batch partition survives

@@ -1178,20 +1178,8 @@ object Similarity {
     val stageRoot = s"$workDir/.requant_stage"
     fs.delete(new Path(stageRoot), true) // stale stage from a failed run: data-free, safe to clear
     val stored = Dedup.readStore(spark, cellsDir).drop("cell")
-    // coded stores (layout is self-describing): reconstruct the float
-    // vector for training and re-assignment — SQ8 as qvec·qscale (within
-    // half a quantization step per component), PQ by codeword lookup
-    // (within the codebook's quantization error). The codes themselves
-    // rewrite through LOSSLESSLY — maintenance never re-quantizes.
-    val qz = stored.columns.contains("qvec")
-    val pq = stored.columns.contains("pqcode")
-    val rows = (if (qz)
-        stored.withColumn("embedding",
-          transform(col("qvec"), x => (x.cast("float") * col("qscale"))))
-      else if (pq)
-        stored.withColumn("embedding",
-          pqDecodeUdf(loadPqIndex(spark, s"$workDir/pq_index"))(col("pqcode")))
-      else stored)
+    val (reconstructed, coded) = withReconstructedEmbedding(spark, workDir, stored)
+    val rows = reconstructed
       .persist() // train sample + emptiness check + rewrite
     if (rows.isEmpty) {
       rows.unpersist()
@@ -1217,7 +1205,7 @@ object Similarity {
     val relabeled = rows.withColumn("cell", nearestCellUdf(staged)(col("embedding")))
     // coded store: drop the reconstructed float column again — the
     // original codes pass through untouched
-    (if (qz || pq) relabeled.drop("embedding") else relabeled)
+    (if (coded) relabeled.drop("embedding") else relabeled)
       .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stageRoot/cells")
@@ -1301,6 +1289,193 @@ object Similarity {
       asides = olds.map(_.getPath).toSeq,
       promotes = Seq((stagedP, new Path(s"$cellsDir/batch=$upTo"))),
       cleanup = Nil)
+  }
+
+  /** Reconstruct a float `embedding` column on a stored row set when the
+    * layout is coded (self-describing): SQ8 as `qvec·qscale` (within half
+    * a quantization step per component), PQ by codeword lookup (within
+    * the codebook's quantization error). The codes themselves always
+    * rewrite through maintenance LOSSLESSLY — nothing re-quantizes.
+    * Shared by [[requantizeIvfStore]] and [[splitHotCells]]. Returns
+    * (rows-with-embedding, wasCoded).
+    */
+  private def withReconstructedEmbedding(
+      spark: org.apache.spark.sql.SparkSession, workDir: String,
+      stored: DataFrame): (DataFrame, Boolean) = {
+    val qz = stored.columns.contains("qvec")
+    val pq = stored.columns.contains("pqcode")
+    val rows =
+      if (qz) stored.withColumn("embedding",
+        transform(col("qvec"), x => (x.cast("float") * col("qscale"))))
+      else if (pq) stored.withColumn("embedding",
+        pqDecodeUdf(loadPqIndex(spark, s"$workDir/pq_index"))(col("pqcode")))
+      else stored
+    (rows, qz || pq)
+  }
+
+  /** Per-cell occupancy of a streamed/compacted ANN store — the skew
+    * PROBE behind hot-cell maintenance. Per-probe serve cost is per-CELL
+    * (a probe scans its nprobe cells in full), so a drifting stream that
+    * concentrates mass into a few cells degrades latency even while the
+    * MEAN stays on target — `requantizeIvfStore`'s mean-based trigger
+    * never fires. One keyed count over the store's `cell` column
+    * (map-side combined; at lake scale this is a metadata-cheap aggregate
+    * over the clustered column).
+    */
+  def cellOccupancy(spark: org.apache.spark.sql.SparkSession,
+                    workDir: String): DataFrame =
+    Dedup.readStore(spark, s"$workDir/cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+
+  /** TARGETED hot-cell split — the skew response: every cell holding more
+    * than `maxCellRows` rows is split into up to `splitFactor` sub-cells
+    * trained from ITS OWN rows, in ONE parallel job over the hot rows
+    * only (pruned `cell IN (hot…)` read — on a compacted store that is a
+    * row-group-pruned scan, not a full pass). Returns the number of
+    * cells split (0 = nothing hot: the store is untouched and no swap
+    * runs — callers use the return as the trigger signal).
+    *
+    * Mechanics mirror FAISS-style local splitting:
+    *  - sub-centroid 0 REPLACES the hot centroid in place (cell id kept),
+    *    sub-centroids 1… append at the end of the matrix (ids oldNlist…,
+    *    allocated hot-cell-ascending — deterministic);
+    *  - ONLY hot-cell rows relabel, and each relabels among its OWN
+    *    cell's sub-centroids (a local decision — cold rows and cold
+    *    centroids are untouched, so cold-cell probe behavior is
+    *    bit-identical);
+    *  - coded layouts reconstruct through [[withReconstructedEmbedding]]
+    *    for training/relabeling and the codes pass through untouched;
+    *  - the rewrite preserves `batch` provenance and swaps via the same
+    *    checked recoverable protocol as requantize/compaction (sentinel,
+    *    set-aside, verify-then-promote; leftovers refuse fast).
+    *
+    * Unlike [[requantizeIvfStore]] (a global re-train sized by the MEAN),
+    * the split trains O(hot rows) and moves O(hot rows) — the right
+    * response when the occupancy histogram is skewed rather than
+    * uniformly over target. Single-writer contract during the swap.
+    *
+    * Splitting is ITERATIVE by design: when a tight sub-blob holds most
+    * of a hot cell's rows, one pass may move it into a single sub-cell
+    * still over the ceiling — callers drive the trigger to quiescence
+    * (`while (splitHotCells(…) > 0)`), which converges geometrically on
+    * distinct rows. A cell of > maxCellRows byte-IDENTICAL vectors can
+    * never split (they relabel together — k-means cannot separate
+    * equal points), so production triggers bound the loop and surface
+    * such cells to dedup instead.
+    */
+  def splitHotCells(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      maxCellRows: Int,
+      splitFactor: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(splitFactor >= 2, s"splitHotCells: splitFactor=$splitFactor")
+    val idxDir = s"$workDir/ivf_index"
+    val cellsDir = s"$workDir/cells"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(workDir).getFileSystem(conf)
+    val sentinel = new Path(cellsDir, Dedup.MaintenanceSentinel)
+    val trash = new Path(workDir, ".split_old")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"splitHotCells: leftover $left from an unfinished swap at $workDir — " +
+          "recover (restore set-aside partitions/index from .split_old, " +
+          "remove the sentinel) before retrying")
+    // the occupancy probe: ≤ nlist (cell, n) pairs — bounded by the index
+    val hot = cellOccupancy(spark, workDir)
+      .where(col("n_rows") > maxCellRows)
+      .select(col("cell")).as[Int].collect().sorted
+    if (hot.isEmpty) return 0
+    val hotSet = hot.toSet
+    val centroids = loadIvfIndex(spark, idxDir)
+    val stored = Dedup.readStore(spark, cellsDir)
+    val (rows, coded) = withReconstructedEmbedding(spark, workDir, stored)
+    // per-hot-cell sub-quantizers, trained from each cell's own rows in
+    // the tasks (id-sorted init, seed-free kmeans — deterministic); a
+    // cell with fewer rows than splitFactor trains what it holds
+    val subsByCell: Map[Int, Array[Array[Double]]] = rows
+      .where(col("cell").isin(hot.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("cell"), col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (c, it) =>
+        val cellRows = it.toArray.sortBy(_._2).map(_._3)
+        val f = math.min(splitFactor, cellRows.length)
+        kmeans(cellRows, f).iterator.zipWithIndex.map { case (s, i) => (c, i, s) }
+      }
+      .collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // global ids: sub 0 keeps the hot cell's id; subs 1… append after the
+    // current matrix, allocated hot-cell-ascending
+    var nextId = centroids.length
+    val idsByCell: Map[Int, Array[Int]] = hot.map { c =>
+      val n = subsByCell(c).length
+      val ids = new Array[Int](n)
+      ids(0) = c
+      var i = 1
+      while (i < n) { ids(i) = nextId; nextId += 1; i += 1 }
+      c -> ids
+    }.toMap
+    val newCentroids = new Array[Array[Double]](nextId)
+    System.arraycopy(centroids, 0, newCentroids, 0, centroids.length)
+    hot.foreach { c =>
+      val subs = subsByCell(c); val ids = idsByCell(c)
+      var i = 0
+      while (i < subs.length) { newCentroids(ids(i)) = subs(i); i += 1 }
+    }
+    // LOCAL relabel: a hot row picks the nearest of its OWN cell's
+    // sub-centroids (ties → lower sub-index; NaN rows pin to sub 0,
+    // keeping their cell id — the assigners' pin-to-0 discipline)
+    val relabel = udf { (c: Int, vs: Seq[Float]) =>
+      if (!hotSet(c)) c
+      else {
+        val subs = subsByCell(c); val ids = idsByCell(c)
+        val v = toDense(vs)
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < subs.length) {
+          val sc = subs(i)
+          var d = 0.0; var j = 0
+          while (j < sc.length) { val t = v(j) - sc(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        ids(best)
+      }
+    }
+    val stageRoot = s"$workDir/.split_stage"
+    fs.delete(new Path(stageRoot), true) // stale stage: data-free, safe
+    invalidateIvfIndex(s"$stageRoot/ivf_index")
+    writeCentroids(spark, newCentroids, s"$stageRoot/ivf_index")
+    val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
+    val slices = math.max(
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    val relabeled = rows.withColumn("cell", relabel(col("cell"), col("embedding")))
+    (if (coded) relabeled.drop("embedding") else relabeled)
+      .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stageRoot/cells")
+    val stagedCells = new Path(s"$stageRoot/cells")
+    val stagedIdx = new Path(s"$stageRoot/ivf_index")
+    if (!fs.exists(stagedCells) || !fs.exists(stagedIdx))
+      throw new IllegalStateException(
+        s"splitHotCells: staged rewrite missing under $stageRoot — store left unchanged")
+    val oldParts = fs.listStatus(new Path(cellsDir))
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    val stagedParts = fs.listStatus(stagedCells)
+      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    Dedup.recoverableSwap(fs, "splitHotCells",
+      sentinelDir = new Path(cellsDir), trash = trash,
+      asides = oldParts :+ new Path(idxDir),
+      promotes = stagedParts.map(p => (p, new Path(cellsDir, p.getName))) :+
+        ((stagedIdx, new Path(idxDir))),
+      cleanup = Seq(new Path(stageRoot)),
+      afterPromote = () => invalidateIvfIndex(idxDir))
+    hot.length
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's

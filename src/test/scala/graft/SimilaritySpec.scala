@@ -555,6 +555,79 @@ class SimilaritySpec extends SparkSpec {
       "relational pre-filter not pushed to the store scan")
   }
 
+  test("splitHotCells: hot cell splits locally (cold rows bit-identical), " +
+    "occupancy drops, exhaustive probe stays exact, no-op below threshold") {
+    // index trained on the 40 uniform rows; THEN a concentrated drop of 60
+    // near-clones of vec 0 lands — the drift pattern a mean-based
+    // requantize trigger misses (mean 100/4 = 25, but one cell holds 60+)
+    val tmp = java.nio.file.Files.createTempDirectory("hotsplit").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.saveIvfIndex(emb, idx, nlist = 4, sampleRows = 40)
+    val base = emb.where(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val rnd = new scala.util.Random(5)
+    val clones = (0 until 60).map { i =>
+      (1000L + i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.streamIngestIvfBatch(emb, 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(clones, 1L, idx, data, nlist = 4, sampleRows = 40)
+    val occBefore = Similarity.cellOccupancy(spark, tmp)
+      .as[(Int, Long)].collect().toMap
+    val hotCell = occBefore.maxBy(_._2)._1
+    assert(occBefore(hotCell) >= 60, s"fixture must concentrate mass: $occBefore")
+    val coldBefore = spark.read.parquet(data)
+      .where(col("cell") =!= hotCell)
+      .select("vec_id", "cell", "batch").as[(Long, Int, Int)].collect().sorted.toSeq
+    val nSplit = Similarity.splitHotCells(spark, tmp, maxCellRows = 40, splitFactor = 4)
+    assert(nSplit == 1, s"exactly the one hot cell must split, got $nSplit")
+    assert(Similarity.loadIvfIndex(spark, idx).length == 7,
+      "sub 0 replaces in place, subs 1-3 append: 4 + 3 = 7")
+    // cold rows: bit-identical (vec_id, cell, batch)
+    val coldAfter = spark.read.parquet(data)
+      .where(!col("cell").isin(hotCell, 4, 5, 6))
+      .select("vec_id", "cell", "batch").as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(coldAfter == coldBefore, "cold cells must not move")
+    // hot rows spread over the sub-cells, occupancy ceiling restored
+    val occAfter = Similarity.cellOccupancy(spark, tmp)
+      .as[(Int, Long)].collect().toMap
+    assert(occAfter.values.sum == occBefore.values.sum, "no rows added/dropped")
+    assert(occAfter.values.max < occBefore(hotCell),
+      s"max occupancy must drop: $occAfter")
+    assert(occAfter.keys.count(k => k == hotCell || k >= 4) >= 2,
+      "hot rows must actually spread over sub-cells")
+    // iterate the trigger to quiescence: a tight blob can land inside ONE
+    // sub-cell on the first pass (all near seeds) — recursive splitting
+    // is the genuine response, and it must converge fast on distinct rows
+    var extra = 0
+    while (Similarity.splitHotCells(spark, tmp, maxCellRows = 40) > 0) {
+      extra += 1
+      assert(extra <= 4, "recursive splitting must converge")
+    }
+    val occFinal = Similarity.cellOccupancy(spark, tmp)
+      .as[(Int, Long)].collect().toMap
+    assert(occFinal.values.max <= 40,
+      s"quiescence means every cell is on or under the ceiling: $occFinal")
+    assert(occFinal.values.sum == occBefore.values.sum)
+    // the evolved store still serves the exact truth at exhaustive nprobe
+    val nlistFinal = Similarity.loadIvfIndex(spark, idx).length
+    val bf = Similarity.bruteForceTopK(emb.unionByName(clones), probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 5, nprobe = nlistFinal)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"exhaustive probe over the split store must equal brute force: $got vs $bf")
+    // quiescent trigger → no-op, store untouched, and swap hygiene holds
+    val all = spark.read.parquet(data)
+      .select("vec_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    assert(Similarity.splitHotCells(spark, tmp, maxCellRows = 40) == 0)
+    val allAfter = spark.read.parquet(data)
+      .select("vec_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    assert(allAfter == all, "a no-op trigger must leave the store untouched")
+    for (left <- Seq(".split_stage", ".split_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+  }
+
   test("kmeans clamps loudly when k exceeds the sample") {
     val rnd = new scala.util.Random(3)
     val sample = Array.fill(5)(Array.fill(4)(rnd.nextGaussian()))
