@@ -4124,6 +4124,18 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) =>
       graft.operators.Corpus.bpePairs(documents(s, d), k = 20)),
 
+    // -- [NS] BPE tokenizer TRAINING — the full greedy merge loop (20
+    // rounds) over the vocabulary-collapsed dictionary, returning the
+    // merge TRAJECTORY (the artifact a tokenizer ships). Each round is
+    // one map-side-combined aggregate of which a single row (the merge
+    // rule) reaches the driver; the merge is a boundary-safe literal
+    // replace over the marked symbol encoding. Value-oracled over the
+    // WHOLE trajectory by a 20-stage unrolled DuckDB twin (the
+    // q_pagerank_sim discipline: identical tie-breaks, identical
+    // left-to-right replace semantics). --
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.Corpus.bpeTrain(documents(s, d), merges = 20)),
+
     // -- [NS] PMI collocations: top-20 adjacent word bigrams by pointwise
     // mutual information at support >= 20 — phrase mining over the corpus;
     // float discipline documented on Corpus.pmiBigrams --
@@ -5025,6 +5037,40 @@ object SparkEntry {
     * invariant is stated at the query definition and verified empirically
     * at the gate SF.
     */
+  /** The unrolled DuckDB twin of `Corpus.bpeTrain`: `merges` CTE stages,
+    * each re-counting adjacent symbol pairs of the CURRENT dictionary,
+    * picking the (n DESC, pair) winner, and applying the same
+    * boundary-safe literal replace. Still plain ANSI-ish SQL — the loop
+    * here only GENERATES the text (the `q_pagerank_sim` discipline for
+    * iterative algorithms).
+    */
+  private def bpeTrainOracle(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH d0 AS MATERIALIZED (
+      |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS w, freq FROM (
+      |    SELECT word, count(*) AS freq FROM (
+      |      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+      |      FROM documents)
+      |    WHERE regexp_matches(word, '^[a-z]{2,}$') GROUP BY 1))""".stripMargin
+    for (i <- 0 until merges) {
+      sb ++= s"""
+        |, p$i AS MATERIALIZED (SELECT '<' || z[1] || '><' || z[2] || '>' AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |    FROM (SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z, freq
+        |          FROM (SELECT string_split(trim(w, '<>'), '><') AS s, freq FROM d$i))
+        |    GROUP BY 1)
+        |, b$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1)
+        |, d${i + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM b$i),
+        |    (SELECT replace(pair, '><', '') FROM b$i)) AS w, freq FROM d$i)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (0 until merges).map { i =>
+      s"""  SELECT ${i + 1} AS step, regexp_extract(pair, '^<(.*?)><', 1) AS left_sym,
+         |    regexp_extract(pair, '><(.*?)>$$', 1) AS right_sym, n FROM b$i""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb ++= "\n) ORDER BY step"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events ORDER BY event_id",
@@ -6607,6 +6653,12 @@ object SparkEntry {
         |  FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i))
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // the full 20-round merge loop, value-oracled over the whole
+    // trajectory: the same dictionary collapse, pair count, (n desc,
+    // pair) tie-break and boundary-safe literal replace, unrolled as 20
+    // CTE stages (the q_pagerank_sim pattern)
+    "q_bpe_train" -> bpeTrainOracle(20),
 
     // identical count assembly and single-ln rounding discipline
     "q_pmi_bigrams" ->

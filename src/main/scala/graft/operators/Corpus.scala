@@ -536,6 +536,76 @@ object Corpus {
       .limit(k)
   }
 
+  /** BPE tokenizer TRAINING past the first pair count (Sennrich et al.
+    * 2016 — the greedy merge loop `q_bpe_pairs` only priced one round
+    * of): `merges` rounds over the distinct-word dictionary, each round
+    * (1) counting adjacent symbol pairs weighted by word frequency,
+    * (2) picking the max-count pair (ties → lexicographically smallest,
+    * cross-engine deterministic), (3) merging it corpus-wide. Returns
+    * the merge TRAJECTORY `(step, left_sym, right_sym, n)` — the actual
+    * trained artifact a tokenizer ships.
+    *
+    * Representation: words ride a marked symbol encoding (`"he"` →
+    * `"<h><e>"`), so the merge is a LITERAL string replace that is
+    * boundary-safe by construction — a pair `"<a><b>"` can never
+    * false-match symbol `"a"` followed by symbol `"bc"` (the closing
+    * mark disagrees), and left-to-right non-overlapping replace
+    * semantics (identical in Spark and DuckDB, which is what makes the
+    * unrolled SQL twin exact) match the reference BPE implementations
+    * on runs like `l l l → ll l`. The dictionary admits lowercase
+    * alphabetic words (≥ 2 chars), keeping the mark characters out of
+    * the symbol alphabet.
+    *
+    * Scale shape: the dictionary is VOCABULARY-sized, not corpus-sized
+    * — built once (one tokenize + keyed count over the corpus, the
+    * trainer's collapse) and cached; each round is ONE map-side-combined
+    * aggregate over it, of which a single row (the merge rule — bytes)
+    * reaches the driver, and the merge maps a codegen'd literal replace
+    * over the dictionary. Nothing corpus-sized moves after round 0; 20
+    * rounds = 20 bounded aggregates. This is exactly how production BPE
+    * trainers scale (HuggingFace/SentencePiece collapse to the word
+    * histogram first).
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict0 = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("word"))
+      .where(col("word").rlike("^[a-z]{2,}$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("w"), col("freq"))
+      .persist() // every round's aggregate re-reads the dictionary
+    var dict = dict0.select(col("w"), col("freq"))
+    val trajectory = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val syms = split(regexp_replace(col("w"), "^<|>$", ""), "><")
+      val pairs = zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => concat(lit("<"), a, lit("><"), b, lit(">")))
+      // one keyed aggregate per round; exactly one row reaches the driver
+      val top = dict.select(col("freq"), explode(pairs).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // corpus fully merged before budget
+      else {
+        val pair = top.head.getString(0)
+        val Array(leftSym, rightSym) = pair.drop(1).dropRight(1).split("><", 2)
+        trajectory += ((step, leftSym, rightSym, top.head.getLong(1)))
+        // chained literal replaces on the cached dictionary: round i
+        // scans dict0 through i cheap codegen'd string ops — no per-round
+        // materialization, one cache entry for the whole loop
+        dict = dict.withColumn("w", replace(col("w"), lit(pair), lit(pair.replace("><", ""))))
+        step += 1
+      }
+    }
+    dict0.unpersist()
+    trajectory.toSeq.toDF("step", "left_sym", "right_sym", "n")
+  }
+
   /** PMI collocations over adjacent word bigrams:
     * `pmi = ln(n_ab · n_uni² / (n_bigrams · n_a · n_b))`, reported for
     * bigrams with support ≥ `minCount` — the classic collocation /

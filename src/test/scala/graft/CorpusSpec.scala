@@ -15,6 +15,21 @@ class CorpusSpec extends SparkSpec with Checkers {
     (4L, "fig fig fig grape grape", "s2", 23L)
   ).toDF("doc_id", "text", "source", "n_chars")
 
+  test("bpeTrain: exact hand-computed trajectory, boundary-safe merges, " +
+    "early exhaustion") {
+    // 2×"abc" + 5×"ab" + 6×"bc": round 1 merges (b,c) n=8; round 2 (a,b)
+    // n=5 — and the merged pair "<a><b>" must NOT false-match "abc"'s
+    // [a, bc] (a naive space-joined replace would corrupt it here);
+    // round 3 (a,bc) n=2; then no pairs remain → the loop exhausts at 3
+    // of the 20 budgeted merges
+    val bpeDocs = (Seq.fill(2)("abc") ++ Seq.fill(5)("ab") ++ Seq.fill(6)("bc"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(bpeDocs, merges = 20)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "b", "c", 8L), (2, "a", "b", 5L), (3, "a", "bc", 2L)),
+      s"trajectory mismatch: $got")
+  }
+
   test("tfidfTopTerms ranks rarer terms above ubiquitous ones") {
     val top = Corpus.tfidfTopTerms(docs, k = 2)
       .select("doc_id", "term").as[(Long, String)].collect()
