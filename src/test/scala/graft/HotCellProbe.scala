@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{functions => F}
+
+/** Dev probe: cell-occupancy skew under a drifting stream and the
+  * hot-cell split response — the SCALING.md evidence behind
+  * `q_sim_ivf_hotsplit`. Per-probe serve cost is per-CELL, so the
+  * numbers that matter are max/mean occupancy and the hot-probe scan
+  * latency, before and after `splitHotCells` runs to quiescence.
+  *
+  * Fixture: `base` uniform rows bootstrap the quantizer (nlist 64), then
+  * a concentrated drop of `drift` tight near-clones of 4 points lands —
+  * the post-bootstrap drift the MEAN-based requantize trigger sleeps
+  * through (mean stays modest while a handful of cells absorb the drop).
+  *
+  * Run: `sbt "Test/runMain graft.HotCellProbe [base] [drift...]"`
+  */
+object HotCellProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.map(_.toInt).getOrElse(50000)
+    val drifts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(5000, 20000)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .appName("hot-cell-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dim = 64
+    def synth(n: Int, seedBase: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n.toLong).repartition(16).mapPartitions { it =>
+        it.map { id =>
+          val rnd = new scala.util.Random((id + seedBase) * 2654435761L)
+          (id + seedBase, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+        }
+      }.toDF("vec_id", "embedding")
+
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val baseDf = synth(base, 0L).persist()
+    baseDf.count()
+    val anchors = baseDf.where(F.col("vec_id") < 4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+
+    for (drift <- drifts) {
+      val dir = java.nio.file.Files.createTempDirectory("hotprobe").toString
+      val idx = s"$dir/ivf_index"; val data = s"$dir/cells"
+      Similarity.saveIvfIndex(baseDf, idx, nlist = 64, sampleRows = 4096)
+      Similarity.streamIngestIvfBatch(baseDf, 0L, idx, data, nlist = 64, sampleRows = 4096)
+      // concentrated drop: `drift` tight clones of 4 anchors
+      val clones = spark.range(drift.toLong).repartition(16).mapPartitions { it =>
+        it.map { i =>
+          val a = (i % 4).toInt
+          val rnd = new scala.util.Random(i * 40503L + a)
+          (1000000L + i,
+            anchors(a.toLong).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+        }
+      }.toDF("vec_id", "embedding")
+      Similarity.streamIngestIvfBatch(clones, 1L, idx, data, nlist = 64, sampleRows = 4096)
+
+      def occ() = Similarity.cellOccupancy(spark, dir)
+        .agg(F.max("n_rows"), F.avg("n_rows")).as[(Long, Double)].head()
+      def hotProbe() = (1 to 3).map { _ =>
+        timed(Similarity.ivfTopKStored(
+          Dedup.readStore(spark, data).drop("batch"), idx,
+          probeId = 0L, k = 10, nprobe = 4)
+          .write.mode("overwrite").format("noop").save())
+      }.drop(1).min
+
+      val (maxB, meanB) = occ()
+      val tProbeB = hotProbe()
+      val ceiling = (meanB * 3).toInt
+      var rounds = 0; var splits = 0
+      val tSplit = timed {
+        var k = Similarity.splitHotCells(spark, dir, maxCellRows = ceiling)
+        while (k > 0 && rounds < 12) { splits += k; rounds += 1
+          k = Similarity.splitHotCells(spark, dir, maxCellRows = ceiling) }
+      }
+      val (maxA, meanA) = occ()
+      val nlistA = Similarity.loadIvfIndex(spark, idx).length
+      val tProbeA = hotProbe()
+      println(f"[hotcell] base=$base%6d drift=$drift%6d | before max/mean=" +
+        f"$maxB%6d/${meanB}%7.1f probe=$tProbeB%6.3f s | split($splits cells, " +
+        f"$rounds rounds)=$tSplit%6.2f s -> nlist=$nlistA%4d | after max/mean=" +
+        f"$maxA%6d/${meanA}%7.1f probe=$tProbeA%6.3f s")
+      Similarity.invalidateIvfIndex(idx)
+    }
+    spark.stop()
+  }
+}
