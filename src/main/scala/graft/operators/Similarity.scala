@@ -1078,7 +1078,8 @@ object Similarity {
       rerankWith: DataFrame,
       k: Int = 10,
       nprobe: Int = 4,
-      rerank: Int = 10): DataFrame = {
+      rerank: Int = 10,
+      rowFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val centroids = loadIvfIndex(spark, s"$workDir/ivf_index")
@@ -1106,8 +1107,13 @@ object Similarity {
     val pc = probeCells.toDF("probe_id", "cell")
     val byPqScore = Window.partitionBy(col("probe_id"))
       .orderBy(col("pq_cosine").desc, col("vec_id"))
+    // rowFilter: a relational PRE-filter on stored columns, conjoined
+    // with the cell prune in the one scan — the flat batch probe's
+    // filtered-ANN discipline ([[ivfProbeSetTopKStored]]) carried to the
+    // coded layout (recall among sparse qualifiers is bought with
+    // nprobe, exactly as there)
     val pool = stored
-      .where(col("cell").isin(unionCells.map(Integer.valueOf): _*))
+      .where(col("cell").isin(unionCells.map(Integer.valueOf): _*) && rowFilter)
       .join(broadcast(pc), Seq("cell"))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("pq_cosine", adc(col("probe_id"), col("pqcode")))
