@@ -28,11 +28,19 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - Layout: two 2-value min/max bounds for Z-order bit interleaving.
   *  - LogStore: O(total_splits) split-count read for one document's
   *    reassembly (reference semantics: per-doc, bounded by chunking).
-  *  - Corpus: 1-value approx distinct-gram count sizing a Bloom filter.
+  *  - Corpus: 1-value approx distinct-gram count sizing a Bloom filter,
+  *    and the 1-row argmax merge-rule read per BPE training round (the
+  *    rule IS the trained artifact; ≤ mergeRounds rows total).
   *  - SparkEntry: bounded FIXTURE writes (≤ 96 rows of media/slices) and
   *    1-value max-id sniffs that size scratch layouts, census splits, and
   *    the streaming-semantic fixture's vec-id offset (a 1-row
-  *    `agg(max(vec_id)).head()` — same idiom as the other sniffs).
+  *    `agg(max(vec_id)).head()` — same idiom as the other sniffs); plus
+  *    three 1-row fixture sniffs for the round-14 ANN lifecycle gates.
+  *  - Similarity (round-14 additions, each bounded by index width):
+  *    hierarchical trainer's per-group masses (≤ nGroups rows) and
+  *    sub-centroid concat (= nlist×dim, the index itself); hot-split's
+  *    occupancy/hot-set reads (≤ nlist rows); filtered serve's 1-row
+  *    selectivity head.
   */
 class CollectAuditSpec extends AnyFunSuite {
 
@@ -56,12 +64,12 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 9,
-      "graft/operators/Similarity.scala"  -> 9,
+      "graft/SparkEntry.scala"            -> 12,
+      "graft/operators/Similarity.scala"  -> 14,
       "graft/operators/Dedup.scala"       -> 7,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
-      "graft/operators/Corpus.scala"      -> 1)
+      "graft/operators/Corpus.scala"      -> 2)
     assert(found.toMap == allowed,
       s"driver-side collect()/head() drift — audit the new site for " +
         s"boundedness before extending the closed set.\n  found:   " +

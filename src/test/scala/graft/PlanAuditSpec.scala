@@ -90,6 +90,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_ivfpq_requantized", "q_sim_ivfpq_stored",
     "q_sim_ivf_recall", "q_sim_ivf_requantized", "q_sim_pq", "q_sim_pq_persisted",
     "q_sim_probeset",
+    // round-14 lifecycle gates: each one's brute-force TRUTH leg is a
+    // crossJoin(broadcast(≤4 probe rows)) — the same declared scalar-
+    // broadcast shape as the q_sim_* siblings above.
+    "q_sim_ivf_hier", "q_sim_ivf_hotsplit", "q_sim_ivfpq_aged",
+    "q_sim_filtered_stored",
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",
     "q_stream_ann_quantized", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")
