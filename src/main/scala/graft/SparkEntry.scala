@@ -1809,6 +1809,48 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // -- [NS] FILTERED ANN on the CODED store — the production layout
+    // (PQ codes) behind the production query shape (top-k among
+    // qualifying rows): same clustered fixture, probes and filtered
+    // float truth as the flat gate above, served through the PQ batch
+    // probe with BOTH recall budgets scaled by inverse qualifier
+    // selectivity (nprobe ACORN-style capped at nlist; rerank scaled
+    // too — the ADC pool is composed of pre-filter survivors, so a
+    // fixed pool starves at sparse selectivity: exactly where the coded
+    // path loses recall first). Declared: per-probe recall ≥ 8/10 vs
+    // the FILTERED float brute force. --
+    "q_sim_ivfpq_filtered" -> ((s, d) => {
+      val in = embExpanded(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfpqfilt")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvfPq(s, in, w, nlist = 16, m = 8, codebookK = 32)
+      Similarity.compactIvfStore(s, w, upTo = 10L)
+      val expanded = s.read.parquet(in)
+      val probes = expanded
+        .where(pmod(col("vec_id"), lit(16)) === 0 && col("label") >= 5)
+        .orderBy(col("vec_id")).limit(4)
+      val approx = Similarity.ivfPqProbeSetTopKStoredFiltered(s, w,
+        probes = probes, rerankWith = expanded,
+        rowFilter = col("label") >= 5, k = 10, nprobe = 6, rerank = 10)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = expanded.where(col("label") >= 5).crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .select(col("probe_id"), (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     // -- [NS] LAKE-SCALE quantizer TRAINING (hierarchical two-level
     // k-means): the driver-sample trainer caps nlist at the bounded
     // sample (kmeans now clamps LOUDLY), but √N at 100 TB implies nlist
@@ -1988,11 +2030,18 @@ object SparkEntry {
       // ceiling = 1.5× the uniform mean: the drop's clusters sit well
       // above it, the cold cells well below
       val ceiling = (totalRows * 3 / (2 * 16)).toInt
+      // drive to QUIESCENCE (geometric convergence on distinct rows); the
+      // budget is a runaway backstop only (byte-identical clone blobs can
+      // never split), and exhausting it is surfaced as its OWN gate
+      // column (`converged`) so a budget exit is never misread as a
+      // genuine ceiling violation
       var splits = 0
       var rounds = 0
-      while (rounds < 8 &&
-          Similarity.splitHotCells(s, w, maxCellRows = ceiling) > 0) {
-        splits += 1; rounds += 1
+      var quiescent = false
+      while (rounds < 16 && !quiescent) {
+        if (Similarity.splitHotCells(s, w, maxCellRows = ceiling) > 0) {
+          splits += 1; rounds += 1
+        } else quiescent = true
       }
       val occAfter = Similarity.cellOccupancy(s, w)
         .agg(max(col("n_rows")), sum(col("n_rows"))).head()
@@ -2021,8 +2070,89 @@ object SparkEntry {
         .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
         .select(col("probe_id"),
           lit(splits >= 1).as("split_fired"),
+          lit(quiescent).as("converged"),
           lit(maxAfter <= ceiling && maxAfter < maxBefore).as("ceiling_ok"),
           lit(totalAfter == totalRows).as("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
+    // -- [NS] RIGHT-TO-ERASURE from the stored ANN index: delete a set of
+    // vec_ids WITHOUT a rebuild — prune to the files holding victims,
+    // rewrite only those, swap at file granularity, centroids untouched
+    // (the first compliance request a real deployment gets). Declared:
+    // the victims are gone and every other row survives (complete),
+    // files without victims are byte-identical (cold_ok — the
+    // q_partition_overwrite discipline applied to the index), and the
+    // shrunken store still clears the ≥8/10 recall gate vs float brute
+    // force over corpus-minus-victims. --
+    "q_sim_ivf_delete" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfdel")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      val corpus = s.read.parquet(in)
+      // victims: the 3 highest ids — they live in the LAST ingest batch,
+      // so earlier batches' files must survive byte-identical
+      val victims = corpus.orderBy(col("vec_id").desc).limit(3)
+        .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq.sorted
+      def files(): Map[String, (Long, String)] = {
+        val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+        val root = java.nio.file.Paths.get(s"$w/cells")
+        val it = java.nio.file.Files.walk(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".")) {
+            val b = java.nio.file.Files.readAllBytes(p)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(b).map("%02x".format(_)).mkString
+            out(root.relativize(p).toString) = (b.length.toLong, sha)
+          }
+        }
+        out.toMap
+      }
+      val before = files()
+      val nDeleted = Similarity.deleteFromIvfStore(s, w, victims)
+      val after = files()
+      val survivors = before.keySet intersect after.keySet
+      val coldOk = survivors.nonEmpty &&
+        survivors.forall(f => after(f) == before(f))
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val vLits = victims.map(java.lang.Long.valueOf)
+      val nlist = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val probes = corpus.where(col("vec_id").isin(0L, 1L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10, nprobe = math.max(8, nlist / 2))
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.where(!col("vec_id").isin(vLits: _*))
+        .crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      val completeness = stored.agg(
+        count(lit(1)).as("n"),
+        count(when(col("vec_id").isin(vLits: _*), 1)).as("n_victims"))
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
+        .select((col("n") === col("n_corpus") - nDeleted &&
+          col("n_victims") === 0L).as("complete"))
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(completeness))
+        .select(col("probe_id"),
+          lit(nDeleted == 3L).as("deleted_ok"),
+          lit(coldOk).as("cold_ok"),
+          col("complete"),
           (col("n_common") >= 8).as("recall_ok"))
         .orderBy("probe_id")
     }),
@@ -2251,6 +2381,42 @@ object SparkEntry {
     "q_bm25_search" -> ((s, d) =>
       graft.operators.Corpus.bm25TopK(documents(s, d),
         Seq("dup", "merge", "scan"), k = 20)),
+
+    // -- [NS] HYBRID RETRIEVAL — the standard production composition of
+    // the two retrieval legs this engine already serves: reciprocal-rank
+    // fusion (RRF, k=60) of the BM25 lexical top-20 and the STORED ANN
+    // top-20 (served through the persisted IVF index at exhaustive
+    // nprobe, where the stored probe provably equals brute force — which
+    // is what makes the fusion exactly value-oracle-able). Both legs
+    // rank deterministically (score desc, id), the fused score is two
+    // IEEE divisions and one addition in a fixed order rounded to 6 dp,
+    // ties pinned by doc_id. --
+    "q_hybrid_search" -> ((s, d) => {
+      val byLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = graft.operators.Corpus.bm25TopK(documents(s, d),
+          Seq("dup", "merge", "scan"), k = 20)
+        .select(col("doc_id"), row_number().over(byLex).as("r_lex"))
+      val work = java.nio.file.Files.createTempDirectory("graft_hybrid")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 16)
+      Similarity.seedIvfStore(emb, w)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val byVec = Window.orderBy(col("cosine").desc, col("vec_id"))
+      val vec = Similarity.ivfProbeSetTopKStored(
+          stored, s"$w/ivf_index", emb.where(col("vec_id") === 0L),
+          k = 20, nprobe = 16)
+        .select(col("vec_id").as("doc_id"), row_number().over(byVec).as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
 
     // -- [NS] token-budget sequence packing, per-shard (source) so packing
     // state never funnels through one partition --
@@ -4136,6 +4302,21 @@ object SparkEntry {
     "q_bpe_train" -> ((s, d) =>
       graft.operators.Corpus.bpeTrain(documents(s, d), merges = 20)),
 
+    // -- [NS] BPE ENCODE — the serve side of the trained artifact,
+    // completing the tokenizer loop: train the 20-merge trajectory
+    // (deterministic, the q_bpe_train subject), apply it to the corpus
+    // dictionary in training order (the shipped-tokenizer path), and
+    // report the encoded-vocabulary top-30 by token mass. The merge list
+    // is the ONE driver-side read (≤ 20 rows — the artifact itself);
+    // everything else is vocabulary-sized. Value-oracled end to end by
+    // the same unrolled 20-stage DuckDB twin's final dictionary. --
+    "q_bpe_encode" -> ((s, d) => {
+      val traj = graft.operators.Corpus.bpeTrain(documents(s, d), merges = 20)
+        .select("left_sym", "right_sym").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Corpus.bpeEncode(documents(s, d), traj, k = 30)
+    }),
+
     // -- [NS] PMI collocations: top-20 adjacent word bigrams by pointwise
     // mutual information at support >= 20 — phrase mining over the corpus;
     // float discipline documented on Corpus.pmiBigrams --
@@ -5044,7 +5225,14 @@ object SparkEntry {
     * here only GENERATES the text (the `q_pagerank_sim` discipline for
     * iterative algorithms).
     */
-  private def bpeTrainOracle(merges: Int): String = {
+  /** The shared WITH-chain of the BPE twins: dictionary d0 (marked-symbol
+    * word histogram), then per merge round i the pair census p_i, the
+    * greedy rule b_i, and the merged dictionary d_{i+1} — the exact
+    * unrolled form of Corpus.bpeTrain's loop. bpeTrainOracle reads the
+    * rule trajectory off it; bpeEncodeOracle reads the FINAL dictionary
+    * (training's replay IS encoding the training corpus).
+    */
+  private def bpeDictChain(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH d0 AS MATERIALIZED (
       |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS w, freq FROM (
@@ -5062,6 +5250,12 @@ object SparkEntry {
         |, d${i + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM b$i),
         |    (SELECT replace(pair, '><', '') FROM b$i)) AS w, freq FROM d$i)""".stripMargin
     }
+    sb.toString
+  }
+
+  private def bpeTrainOracle(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeDictChain(merges)
     sb ++= "\nSELECT * FROM (\n"
     sb ++= (0 until merges).map { i =>
       s"""  SELECT ${i + 1} AS step, regexp_extract(pair, '^<(.*?)><', 1) AS left_sym,
@@ -5070,6 +5264,15 @@ object SparkEntry {
     sb ++= "\n) ORDER BY step"
     sb.toString
   }
+
+  /** Encoding the training corpus with the trained merges = the chain's
+    * FINAL dictionary, exploded to symbols and histogrammed.
+    */
+  private def bpeEncodeOracle(merges: Int, k: Int): String =
+    bpeDictChain(merges) + s"""
+      |SELECT sym, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
+      |  SELECT unnest(string_split(trim(w, '<>'), '><')) AS sym, freq FROM d$merges)
+      |GROUP BY 1 ORDER BY n_tokens DESC, sym LIMIT $k""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -6660,6 +6863,11 @@ object SparkEntry {
     // CTE stages (the q_pagerank_sim pattern)
     "q_bpe_train" -> bpeTrainOracle(20),
 
+    // encoding the training corpus with the trained merges = the unrolled
+    // chain's final dictionary, exploded and histogrammed — exact value
+    // oracle for the whole train→encode loop
+    "q_bpe_encode" -> bpeEncodeOracle(20, 30),
+
     // identical count assembly and single-ln rounding discipline
     "q_pmi_bigrams" ->
       """WITH tk AS (
@@ -6791,6 +6999,22 @@ object SparkEntry {
         |FROM (SELECT vec_id FROM embeddings WHERE label >= 5
         |      ORDER BY vec_id LIMIT 4) ORDER BY probe_id""".stripMargin,
 
+    // the coded-store filtered serve: same probes and filtered truth as
+    // the flat gate, recall bought with inverse-selectivity nprobe AND
+    // rerank on the PQ path
+    "q_sim_ivfpq_filtered" ->
+      """SELECT vec_id * 16 AS probe_id, true AS recall_ok
+        |FROM (SELECT vec_id FROM embeddings WHERE label >= 5
+        |      ORDER BY vec_id LIMIT 4) ORDER BY probe_id""".stripMargin,
+
+    // right-to-erasure on the stored ANN index: victims deleted without a
+    // rebuild, untouched files byte-identical, survivors complete, and
+    // post-delete recall clears the gate vs corpus-minus-victims
+    "q_sim_ivf_delete" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS deleted_ok,
+        |  true AS cold_ok, true AS complete, true AS recall_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
+
     // hierarchical two-level training honored nlist=8192 (no silent
     // clamp) from a distributed ≥ 8×nlist sample, and per-probe recall
     // through the stored batch probe clears 8/10 on the coarse path
@@ -6822,7 +7046,8 @@ object SparkEntry {
     // hot-cluster probes still clear the recall gate
     "q_sim_ivf_hotsplit" ->
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS split_fired,
-        |  true AS ceiling_ok, true AS complete, true AS recall_ok
+        |  true AS converged, true AS ceiling_ok, true AS complete,
+        |  true AS recall_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
     // the full coded-store lifecycle (ingest -> in-stream growth ->
@@ -7494,6 +7719,46 @@ object SparkEntry {
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // hybrid retrieval: RRF(60) fusion of the BM25 lexical top-20 (the
+    // q_bm25_search twin, ranked) and the vector top-20 (brute-force
+    // cosine — the stored IVF probe at exhaustive nprobe equals it);
+    // fused score = two IEEE divisions + one addition, rounded to 6 dp,
+    // ties pinned by doc_id
+    "q_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
+        |      AS DECIMAL(18,8)) AS score_t
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM (
+        |    SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+        |    FROM scored GROUP BY doc_id
+        |    ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_vec FROM (
+        |    SELECT e2.vec_id AS vec_id,
+        |      round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
+        |    FROM embeddings e1, embeddings e2
+        |    WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        |    ORDER BY cosine DESC, e2.vec_id LIMIT 20))
+        |SELECT doc_id,
+        |  round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // integer running-total bin assignment — exact arithmetic in both engines
     // exact recount of MG candidates = the plain frequency filter (k=64 ≥

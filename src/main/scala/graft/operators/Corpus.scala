@@ -606,6 +606,41 @@ object Corpus {
     trajectory.toSeq.toDF("step", "left_sym", "right_sym", "n")
   }
 
+  /** BPE ENCODING with a TRAINED merge list — the serve side of
+    * [[bpeTrain]]'s artifact (apply the shipped merges to text, in
+    * training order), completing the tokenizer loop: returns the
+    * corpus-wide encoded-vocabulary histogram `(sym, n_tokens)`, top-k by
+    * mass — the vocabulary-coverage view a tokenizer pipeline reports.
+    *
+    * Same marked-symbol representation and literal-replace semantics as
+    * training (boundary-safe, left-to-right non-overlapping — identical
+    * in Spark and DuckDB, so the unrolled SQL twin is exact), same
+    * dictionary admission (lowercase alphabetic, ≥ 2 chars).
+    *
+    * Scale shape: the corpus collapses to its distinct-word frequency
+    * dictionary FIRST (the [[bpeTrain]] collapse — encoding a word is a
+    * pure function of the word, so the corpus never re-tokenizes per
+    * merge); the merge chain is |merges| chained codegen'd literal
+    * replaces over the vocabulary-sized dictionary; the histogram is one
+    * keyed aggregate.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)], k: Int = 30): DataFrame = {
+    val dict = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("word"))
+      .where(col("word").rlike("^[a-z]{2,}$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("w"), col("freq"))
+    val encoded = merges.foldLeft(dict) { case (d, (l, r)) =>
+      d.withColumn("w", replace(col("w"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+    }
+    encoded
+      .select(col("freq"),
+        explode(split(regexp_replace(col("w"), "^<|>$", ""), "><")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("sym"))
+      .limit(k)
+  }
+
   /** PMI collocations over adjacent word bigrams:
     * `pmi = ln(n_ab · n_uni² / (n_bigrams · n_a · n_b))`, reported for
     * bigrams with support ≥ `minCount` — the classic collocation /

@@ -742,8 +742,12 @@ object Dedup {
         s"$opName: cannot create $trash — store left unchanged" +
           (if (sentGone) "" else s"; ALSO could not remove $sentinel — remove it manually"))
     }
-    asides.foreach { orig =>
-      val aside = new Path(trash, orig.getName)
+    // index-prefixed aside names: FILE-granular swaps (splitHotCells) set
+    // aside part-files whose bare names repeat across batch= dirs (one
+    // write job reuses its task file names per partition), so the bare
+    // name alone would collide inside the flat trash dir
+    asides.zipWithIndex.foreach { case (orig, i) =>
+      val aside = new Path(trash, s"$i-${orig.getName}")
       if (!fs.rename(orig, aside))
         restoreAndThrow(s"failed to move $orig aside")
       moved += ((orig, aside))
@@ -775,6 +779,279 @@ object Dedup {
       throw new IllegalStateException(
         s"$opName: store is CONSISTENT, but set-aside leftovers could not be " +
           s"deleted — remove ${undeleted.mkString(", ")} manually")
+  }
+
+  /** FILE-TARGETED ROW DELETION from a partitioned store — the shared
+    * right-to-erasure core behind `Similarity.deleteFromIvfStore`'s
+    * siblings ([[deleteFromMinhashIndex]], [[deleteFromSemStore]]): given
+    * a victim predicate, remove matching rows by rewriting ONLY the files
+    * that hold any victim, at file granularity through the checked
+    * [[recoverableSwap]] — untouched files stay byte-identical, moved
+    * bytes track victim placement rather than store size.
+    *
+    * Mechanics: ONE job prices the request AND lists the owning files
+    * (a groupBy over `input_file_name()` of victim rows — bounded by the
+    * store's file count); 0 victims → store untouched, no swap. Affected
+    * files re-read with `basePath` (partition provenance preserved),
+    * victims filtered out, remainder restaged range-clustered on
+    * `clusterCols`, swap promotes staged files beside the untouched ones.
+    * The shared [[MaintenanceSentinel]] keeps probes away for the swap
+    * window ([[readStore]] refuses); pre-flight refuses stale leftovers.
+    * Returns rows deleted.
+    */
+  private[graft] def deleteRowsFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      opName: String,
+      victimCol: org.apache.spark.sql.Column,
+      partitionCols: Seq[String],
+      clusterCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      afterPromote: () => Unit = () => ()): Long = {
+    import org.apache.hadoop.fs.Path
+    val storeP = new Path(storeDir)
+    val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = storeP.getName
+    val sentinel = new Path(storeDir, MaintenanceSentinel)
+    val trash = new Path(storeP.getParent, s".${name}_delete_old")
+    val stageRoot = new Path(storeP.getParent, s".${name}_delete_stage")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"$opName: leftover $left from an unfinished swap at $storeDir — " +
+          "recover (restore set-aside files, remove the sentinel) before retrying")
+    // one job: victim count AND owning-file list (≤ store file count)
+    val perFile = readStore(spark, storeDir).where(victimCol)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    val deleted = perFile.map(_.getLong(1)).sum
+    if (deleted == 0L) return 0L
+    // match scan URIs to listed physical files by their trailing
+    // <partition dirs>/<file> components — scheme/authority-insensitive
+    val depth = partitionCols.length
+    def tailKey(p: Path): String = {
+      var cur = p
+      val parts = new Array[String](depth + 1)
+      var i = depth
+      while (i >= 0) { parts(i) = cur.getName; cur = cur.getParent; i -= 1 }
+      parts.mkString("/")
+    }
+    val victimKeys = perFile.map(r => tailKey(new Path(r.getString(0)))).toSet
+    val it = fs.listFiles(storeP, true)
+    val affected = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      val n0 = st.getPath.getName
+      if (st.isFile && !n0.startsWith("_") && !n0.startsWith(".") &&
+          victimKeys(tailKey(st.getPath)))
+        affected += st
+    }
+    require(affected.nonEmpty,
+      s"$opName: victim rows reported but no owning files resolved — " +
+        "store listing and scan disagree; refusing to swap")
+    fs.delete(stageRoot, true) // stale stage: data-free, safe
+    val affectedBytes = affected.map(_.getLen).sum
+    val slices = math.max(
+      math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    val qualifiedBase = fs.makeQualified(storeP).toString
+    spark.read.option("basePath", qualifiedBase)
+      .parquet(affected.map(_.getPath.toString).toSeq: _*)
+      .where(!victimCol)
+      .repartitionByRange(slices, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(stageRoot.toString)
+    if (!fs.exists(stageRoot))
+      throw new IllegalStateException(
+        s"$opName: staged rewrite missing under $stageRoot — store left unchanged")
+    // staged files live `depth` partition levels deep; promote each into
+    // its store slot beside the untouched files (part names uuid-unique)
+    def stagedLeaves(root: Path, lvl: Int): Seq[Path] =
+      if (lvl == 0) Seq(root)
+      else fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.contains("=")).toSeq
+        .flatMap(s => stagedLeaves(s.getPath, lvl - 1))
+    val stagedFiles = stagedLeaves(stageRoot, depth).flatMap { d =>
+      val rel = if (depth == 0) "" else {
+        var cur = d; val parts = new Array[String](depth)
+        var i = depth - 1
+        while (i >= 0) { parts(i) = cur.getName; cur = cur.getParent; i -= 1 }
+        parts.mkString("/")
+      }
+      fs.listStatus(d)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val dst = if (rel.isEmpty) new Path(storeP, f.getPath.getName)
+            else new Path(new Path(storeP, rel), f.getPath.getName)
+          (f.getPath, dst)
+        }
+    }
+    stagedFiles.foreach { case (_, dst) => fs.mkdirs(dst.getParent) }
+    recoverableSwap(fs, opName,
+      sentinelDir = storeP, trash = trash,
+      asides = affected.map(_.getPath).toSeq,
+      promotes = stagedFiles,
+      cleanup = Seq(stageRoot),
+      afterPromote = afterPromote)
+    deleted
+  }
+
+  /** Right-to-erasure for the STORED MinHash band index: remove every
+    * trace of `docIds` from all three index tables — band rows
+    * (`bands/batch=/bh_mod=`), signatures and shingles
+    * (`sigs|shingles/batch=/did_mod=`) — by file-targeted rewrite
+    * ([[deleteRowsFromStore]]); no re-banding, no re-aggregation, cold
+    * files byte-identical. The `did_mod` tables' victim scans prune to the
+    * ids' own partitions (did_mod = id % nMods — the probe discipline
+    * applied to the delete). Future probes simply never see the victims:
+    * bucket caps were applied at append time and stay valid (deletion only
+    * shrinks buckets). Returns the number of deleted doc rows (= victims
+    * present, from the 1-row-per-doc sigs table).
+    */
+  def deleteFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idxDir: String,
+      docIds: Seq[Long]): Long = {
+    require(docIds.nonEmpty, "deleteFromMinhashIndex: empty id set")
+    val nMods = storeNMods(idxDir)
+    val victims = docIds.distinct
+    val vIds = victims.map(java.lang.Long.valueOf)
+    val mods = victims.map(d => (d % nMods).toInt).distinct
+      .map(Integer.valueOf)
+    val vc = col("doc_id").isin(vIds: _*)
+    // did_mod-partitioned tables: conjoin the partition prune so the
+    // victim scan reads only the ids' own partitions
+    val vcMod = vc && col("did_mod").isin(mods: _*)
+    deleteRowsFromStore(spark, s"$idxDir/bands", "deleteFromMinhashIndex(bands)",
+      vc, Seq("batch", "bh_mod"), Seq("band_hash", "doc_id"))
+    val nDocs = deleteRowsFromStore(spark, s"$idxDir/sigs",
+      "deleteFromMinhashIndex(sigs)",
+      vcMod, Seq("batch", "did_mod"), Seq("doc_id"))
+    deleteRowsFromStore(spark, s"$idxDir/shingles",
+      "deleteFromMinhashIndex(shingles)",
+      vcMod, Seq("batch", "did_mod"), Seq("doc_id"))
+    nDocs
+  }
+
+  /** Right-to-erasure for the STORED semantic-dedup index: remove
+    * `vecIds` from the cell store (`cells/batch=/cell_mod=`) by
+    * file-targeted rewrite; the trained centroids are untouched (deletion
+    * never moves a surviving row's cell). Returns rows deleted.
+    */
+  def deleteFromSemStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      vecIds: Seq[Long]): Long = {
+    require(vecIds.nonEmpty, "deleteFromSemStore: empty id set")
+    deleteRowsFromStore(spark, s"$storeDir/cells", "deleteFromSemStore",
+      col("vec_id").isin(vecIds.distinct.map(java.lang.Long.valueOf): _*),
+      Seq("batch", "cell_mod"), Seq("cell", "vec_id"))
+  }
+
+  /** Right-to-erasure for the STORED substring census — semantically a
+    * DECREMENT, not a row delete: census rows are `(win, n_docs)`
+    * aggregates, so erasing documents means re-deriving their
+    * content-defined windows (windows are a pure function of (text,
+    * width) — the erasure request must carry the victim docs' text),
+    * subtracting each victim's holder count, and REMOVING windows whose
+    * net count hits zero (the probe is an existence test — a zero-count
+    * row would keep reporting corpus duplication against erased text).
+    *
+    * Physically partition-targeted: the victims' windows can only live in
+    * their own `win_mod` hash partitions (≤ nMods — the probe's prune
+    * applied to the delete), so ONLY those slices re-read and rewrite;
+    * every other partition stays byte-identical. Handles both stored
+    * layouts: the flat [[writeCensusStore]] table and the streamed
+    * delta store (`batch=/win_mod=`) — for the latter the affected
+    * slices' deltas CONSOLIDATE into the newest batch partition (a
+    * scoped compaction; the probe asks existence over the summed deltas,
+    * which netting preserves). Same checked swap as every maintenance op.
+    * Returns the number of census windows fully erased.
+    */
+  def deleteFromCensusStore(
+      spark: org.apache.spark.sql.SparkSession,
+      censusPath: String,
+      victimDocs: DataFrame,
+      width: Int = 40,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.hadoop.fs.Path
+    val nm = CensusManifest.checkAndNMods(censusPath, width)
+    val root = new Path(censusPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = root.getName
+    val sentinel = new Path(censusPath, MaintenanceSentinel)
+    val trash = new Path(root.getParent, s".${name}_delete_old")
+    val stageRoot = new Path(root.getParent, s".${name}_delete_stage")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"deleteFromCensusStore: leftover $left from an unfinished swap at " +
+          s"$censusPath — recover before retrying")
+    val decs = windowTable(victimDocs, width)
+      .select(col("doc_id"), col("win")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("dec"))
+      .withColumn("win_mod", winMod(nm))
+      .persist() // mods collect + net join + erased count
+    val mods = decs.select(col("win_mod")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: ≤ nMods ints
+    if (mods.isEmpty) { decs.unpersist(); return 0L }
+    val modSet = mods.map(m => s"win_mod=$m").toSet
+    val topDirs = fs.listStatus(root).filter(_.isDirectory)
+    val batchDirs = topDirs.filter(_.getPath.getName.startsWith("batch="))
+    val hasBatch = batchDirs.nonEmpty
+    val affectedDirs: Seq[org.apache.hadoop.fs.Path] =
+      if (hasBatch)
+        batchDirs.toSeq.flatMap(b => fs.listStatus(b.getPath)
+          .filter(d => d.isDirectory && modSet(d.getPath.getName)).map(_.getPath))
+      else topDirs.toSeq.filter(d => modSet(d.getPath.getName)).map(_.getPath)
+    if (affectedDirs.isEmpty) { decs.unpersist(); return 0L }
+    val qualifiedBase = fs.makeQualified(root).toString
+    val affected = spark.read.option("basePath", qualifiedBase)
+      .parquet(affectedDirs.map(_.toString): _*)
+    // net per-window count across every affected delta, subtract the
+    // victims' holder counts, keep survivors only
+    val agg = affected.groupBy(col("win"), col("win_mod"))
+      .agg(sum(col("n_docs")).as("nd")).persist()
+    val erased = agg.join(decs.select(col("win"), col("dec")), Seq("win"))
+      .where(col("nd") <= col("dec")).count()
+    val netted = agg.join(decs.select(col("win"), col("dec")), Seq("win"), "left")
+      .select(col("win"),
+        (col("nd") - coalesce(col("dec"), lit(0L))).as("n_docs"),
+        col("win_mod"))
+      .where(col("n_docs") > 0)
+    fs.delete(stageRoot, true) // stale stage: data-free, safe
+    val affectedBytes = affectedDirs
+      .map(d => fs.getContentSummary(d).getLength).sum
+    val slices = math.max(
+      math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    netted
+      .repartitionByRange(slices, col("win_mod"), col("win"))
+      .sortWithinPartitions(col("win_mod"), col("win"))
+      .write.mode("overwrite").partitionBy("win_mod")
+      .parquet(stageRoot.toString)
+    agg.unpersist(); decs.unpersist()
+    if (!fs.exists(stageRoot))
+      throw new IllegalStateException(
+        s"deleteFromCensusStore: staged rewrite missing under $stageRoot — " +
+          "store left unchanged")
+    // streamed layout: consolidated slices promote into the NEWEST batch
+    // dir (scoped compaction); flat layout promotes into the root
+    val targetBase =
+      if (hasBatch) {
+        val maxBatch = batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong).max
+        new Path(root, s"batch=$maxBatch")
+      } else root
+    val stagedDirs = fs.listStatus(stageRoot)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("win_mod=")).toSeq
+    val promotes = stagedDirs.map(d =>
+      (d.getPath, new Path(targetBase, d.getPath.getName)))
+    recoverableSwap(fs, "deleteFromCensusStore",
+      sentinelDir = root, trash = trash,
+      asides = affectedDirs,
+      promotes = promotes,
+      cleanup = Seq(stageRoot))
+    erased
   }
 
   /** Set/restore of the SESSION-GLOBAL shuffle-partitions knob, held for
@@ -1785,10 +2062,11 @@ object Dedup {
     * so every declared scale broadcasts — but a bulk backfill increment
     * (~10⁸ windows) would blow the driver/exchange broadcast limit. Past
     * this many increment window rows the probe drops the broadcast hint
-    * and lets the planner run the semi-join shuffled (same result, one
-    * extra exchange of the increment side — never of the census). 2M
-    * window rows ≈ tens of MB built — comfortably inside default
-    * broadcast budgets with margin for row overhead.
+    * and lets the planner run the semi-join shuffled (same result, but
+    * BOTH sides exchange — including the census scan — which is why the
+    * ceiling is set generous rather than conservative). 2M window rows
+    * ≈ tens of MB built — comfortably inside default broadcast budgets
+    * with margin for row overhead.
     */
   private[graft] val CensusProbeBroadcastLimit = 2L * 1000 * 1000
 
@@ -1808,14 +2086,21 @@ object Dedup {
     // match an increment window. Join direction matters at scale — the
     // (big, stored, column-pruned to `win`) census is the streamed side,
     // the increment's windows the broadcast build side, so the probe is
-    // one map-side pass with no shuffle and no aggregation of the store.
-    // The (doc_id, win) row count is a free-ish upper bound on distinct
-    // windows (winsInc is persisted by every caller): past the ceiling,
-    // fall back to the planner's shuffled semi-join rather than force a
-    // broadcast that cannot build.
+    // one map-side pass over the census with no census aggregation.
+    // Sizing the hint: the (doc_id, win) row count of the persisted
+    // increment is a cheap sound UPPER bound on the build side (distinct
+    // wins ≤ rows) — the common micro-batch path decides on that alone;
+    // only when the bound fails (bulk backfill) is the build side counted
+    // exactly, so a many-docs-few-windows backfill still broadcasts. Past
+    // both, fall back to the planner's shuffled semi-join rather than
+    // force a broadcast that cannot build — same result, at the cost of
+    // shuffling BOTH sides (the census exchange is the price of outgrowing
+    // the broadcast; it is why the ceiling is generous).
     val probeWins = winsInc.select(col("win")).distinct()
+    val fitsBroadcast = winsInc.count() <= broadcastLimit ||
+      probeWins.count() <= broadcastLimit
     val sharedCorpus = corpusCensus.select(col("win"))
-      .join(if (winsInc.count() <= broadcastLimit) broadcast(probeWins) else probeWins,
+      .join(if (fitsBroadcast) broadcast(probeWins) else probeWins,
         Seq("win"), "left_semi")
     val shared = sharedIntra.unionByName(sharedCorpus).distinct()
     // eager: the per-doc result (<= increment docs) is materialized so the

@@ -708,7 +708,32 @@ object Similarity {
     pqCache.clear()
     loadedIvfCache.clear()
     loadedPqCache.clear()
+    selectivityCache.clear()
   }
+
+  /** Cached qualifier-selectivity statistics for the FILTERED serve
+    * wrappers, keyed by (store plan, index artifact, predicate SQL). The
+    * first serve of a (store, predicate) pair pays ONE column-pruned
+    * aggregate to price the predicate; every later serve prices from the
+    * cache, so the steady-state serve path runs exactly ONE store job.
+    *
+    * STALENESS CONTRACT: entries persist for the JVM session and drop
+    * when the store's index artifact is invalidated
+    * ([[invalidateIvfIndex]] — every maintenance swap calls it) or on
+    * [[clearIndexCaches]]. Appends BETWEEN maintenance serve the stale
+    * estimate deliberately: selectivity prices only the nprobe WIDTH (a
+    * recall margin), never membership or ranking, and append batches
+    * shift the store's selectivity ratio slowly relative to maintenance
+    * cadence.
+    */
+  private val selectivityCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), (Long, Long)]
+
+  /** Observability counter for specs: how many times a filtered serve
+    * actually PAID the selectivity aggregate (vs served from cache) —
+    * the `kmeansTrainings` discipline applied to the serve path.
+    */
+  @volatile private[graft] var selectivityPricings: Long = 0L
 
   /** Persist the IVF index (the centroid matrix) as a tiny parquet table
     * `(cell int, centroid array<double>)`. A production IVF index is a
@@ -757,7 +782,12 @@ object Similarity {
     * the replaced centroids.
     */
   private[graft] def invalidateIvfIndex(path: String): Unit = {
-    loadedIvfCache.remove(path); ()
+    loadedIvfCache.remove(path)
+    // a swapped store invalidates its priced selectivities too — the
+    // filtered serve wrappers key their cache by this artifact path
+    selectivityCache.keysIterator
+      .filter(_._2 == path).foreach(selectivityCache.remove)
+    ()
   }
 
   /** IVF top-k probing a PERSISTED index: load the centroids (no retrain)
@@ -814,8 +844,13 @@ object Similarity {
     *
     * INDEX AGING is handled by in-place maintenance, the same contract as
     * `Dedup.semDedupStreamKeep`: when `targetCellRows` is set, a batch
-    * whose append leaves mean cell membership above it triggers
-    * [[requantizeIvfStore]] to `nlist × growFactor` BETWEEN batches; later
+    * whose append leaves MEAN cell membership above it triggers
+    * [[requantizeIvfStore]] to `nlist × growFactor` BETWEEN batches (past
+    * the driver-sample ceiling the requantize trains hierarchically, so
+    * the compounding ladder never crashes the stream); when `maxCellRows`
+    * is set, a batch that leaves any single cell above it triggers
+    * [[splitHotCells]] — the SKEW response the mean-based trigger sleeps
+    * through, bounded per trigger so the stream never stalls; later
     * batches assign against the grown index (the bootstrap `nlist` here is
     * the FIRST index's size only — the store's current size is whatever
     * the index artifact holds). Threshold-based and therefore replay-safe:
@@ -841,14 +876,15 @@ object Similarity {
       sampleRows: Int = 2048,
       targetCellRows: Int = Int.MaxValue,
       growFactor: Int = 4,
-      quantized: Boolean = false): DataFrame =
+      quantized: Boolean = false,
+      maxCellRows: Int = Int.MaxValue): DataFrame =
     runIvfIngestStream(spark, inputDir, workDir,
       seedLayout = df => storedLayout(df, quantized),
       writeBatch = (batch, batchId) =>
         streamIngestIvfBatch(batch, batchId, s"$workDir/ivf_index",
           s"$workDir/cells", nlist, sampleRows, quantized),
       sampleRows = sampleRows, targetCellRows = targetCellRows,
-      growFactor = growFactor)
+      growFactor = growFactor, maxCellRows = maxCellRows)
 
   /** THE ingest stream driver, shared by the flat/SQ8 ([[streamIngestIvf]])
     * and IVF-PQ ([[streamIngestIvfPq]]) tiers — the replay-counting and
@@ -877,7 +913,8 @@ object Similarity {
       writeBatch: (DataFrame, Long) => Unit,
       sampleRows: Int,
       targetCellRows: Int,
-      growFactor: Int): DataFrame = {
+      growFactor: Int,
+      maxCellRows: Int = Int.MaxValue): DataFrame = {
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
     val static = spark.read.parquet(inputDir)
@@ -901,6 +938,21 @@ object Similarity {
           val curNlist = loadIvfIndex(spark, idxPath).length
           if (storeRows > targetCellRows.toLong * curNlist)
             requantizeIvfStore(spark, workDir, curNlist * growFactor, sampleRows)
+        }
+        // SKEW trigger, between batches like the mean-based one: a
+        // drifting stream that concentrates mass degrades per-probe
+        // latency while the MEAN stays on target. splitHotCells embeds
+        // its own occupancy probe (one bounded aggregate; ≤ nlist rows
+        // collect) and returns 0 when nothing is hot, so the idle-path
+        // cost is that single aggregate. The per-trigger loop is BOUNDED
+        // (≤ 6 rounds — tight-but-distinct blobs converge geometrically;
+        // byte-identical rows can NEVER split and would loop forever): a
+        // blob not finished this trigger re-fires on the next batch — the
+        // stream never stalls on maintenance, and each round's rewrite is
+        // file-targeted (round 15), so the cost is ∝ hot mass per round.
+        if (maxCellRows < Int.MaxValue) {
+          var r = 0
+          while (r < 6 && splitHotCells(spark, workDir, maxCellRows) > 0) r += 1
         }
         ()
       }
@@ -963,7 +1015,8 @@ object Similarity {
       codebookK: Int = 32,
       sampleRows: Int = 2048,
       targetCellRows: Int = Int.MaxValue,
-      growFactor: Int = 4): DataFrame =
+      growFactor: Int = 4,
+      maxCellRows: Int = Int.MaxValue): DataFrame =
     // cell aging rides the SHARED requantize between batches (it
     // reconstructs through the codebooks and relabels cells without
     // touching a code); driver bookkeeping is the shared one
@@ -975,7 +1028,7 @@ object Similarity {
         streamIngestIvfPqBatch(batch, batchId, workDir, nlist, m,
           codebookK, sampleRows),
       sampleRows = sampleRows, targetCellRows = targetCellRows,
-      growFactor = growFactor)
+      growFactor = growFactor, maxCellRows = maxCellRows)
 
   /** One IVF-PQ ingest micro-batch — replay-idempotent like the flat
     * ingest's (own-partition overwrite; both trainings are
@@ -1135,6 +1188,50 @@ object Similarity {
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** FILTERED ANN serve on the CODED store: [[ivfPqProbeSetTopKStored]]
+    * with BOTH recall budgets scaled by inverse qualifier selectivity —
+    * the production layout (PQ codes) behind the production query shape
+    * (top-k among qualifying rows). Two budgets because the coded path
+    * stacks two approximations:
+    *
+    *  - `nprobe` scales like the flat path's
+    *    ([[ivfProbeSetTopKStoredFiltered]] — ACORN-style 1/sel widening,
+    *    capped at nlist): qualifying winners spread across ~1/sel more
+    *    cells;
+    *  - `rerank` scales by the same 1/sel (capped — it bounds a per-probe
+    *    `WindowGroupLimit` pool, not a scan): the ADC pool is composed
+    *    of PRE-filter survivors, so at sparse selectivity a fixed pool
+    *    holds ~sel·rerank·k qualifying candidates and the exact re-rank
+    *    starves exactly when the filter matters most. This is where the
+    *    coded path loses recall first — the flat path has no pool to
+    *    starve.
+    *
+    * Selectivity prices through [[selectivityCache]] (one column-pruned
+    * aggregate on first serve, cache after, dropped on maintenance — see
+    * the cache's staleness contract). Gated per-probe vs the FILTERED
+    * float truth by `q_sim_ivfpq_filtered`.
+    */
+  def ivfPqProbeSetTopKStoredFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      probes: DataFrame,
+      rerankWith: DataFrame,
+      rowFilter: Column,
+      k: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 10): DataFrame = {
+    val idxPath = s"$workDir/ivf_index"
+    val nlist = loadIvfIndex(spark, idxPath).length
+    val stored = Dedup.readStore(spark, s"$workDir/cells").drop("batch")
+    val (total, qual) = pricedSelectivity(stored, idxPath, rowFilter)
+    require(qual > 0, "ivfPqProbeSetTopKStoredFiltered: no store rows qualify")
+    val inv = total.toDouble / qual
+    val scaledNprobe = math.min(nlist.toLong, math.ceil(nprobe * inv).toLong).toInt
+    val scaledRerank = math.min(1000L, math.ceil(rerank * inv).toLong).toInt
+    ivfPqProbeSetTopKStored(spark, workDir, probes, rerankWith,
+      k, scaledNprobe, scaledRerank, rowFilter)
+  }
+
   /** In-place RE-QUANTIZATION of the streamed ANN store — the maintenance
     * op `Dedup.requantizeSemStore` is for the semantic-dedup index,
     * applied to the ingest layout (`workDir/ivf_index` +
@@ -1197,7 +1294,21 @@ object Similarity {
     // stage path is REUSED across requantizes of one store, and the JVM
     // cache would otherwise serve a previous run's centroids.
     invalidateIvfIndex(s"$stageRoot/ivf_index")
-    saveIvfIndex(rows, s"$stageRoot/ivf_index", nlist = newNlist, sampleRows = sampleRows)
+    // Maintenance must be TOTAL: the ingest stream's growth ladder
+    // compounds (`curNlist × growFactor`), so any fixed driver sample is
+    // eventually crossed and kmeans' loud `sample ≥ k` refusal would kill
+    // the stream mid-run. Two guards make every requested growth land:
+    // the cell count clamps to what the store can seat non-degenerately
+    // (≥ 2 rows/cell), and past the driver-trainable ceiling (sampleRows)
+    // the staged quantizer trains HIERARCHICALLY — the two-level path has
+    // no driver-sample ceiling (it is exactly the regime it exists for).
+    val storeN = rows.count() // rows is persisted above; one cheap pass
+    val effNlist = math.min(newNlist.toLong, math.max(1L, storeN / 2L)).toInt
+    if (effNlist.toLong > math.min(storeN, sampleRows.toLong))
+      trainIvfIndexHierarchical(rows, s"$stageRoot/ivf_index", effNlist,
+        sampleRows = sampleRows)
+    else
+      saveIvfIndex(rows, s"$stageRoot/ivf_index", nlist = effNlist, sampleRows = sampleRows)
     val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
     // size-target the staged files, but floor the task count at the
     // session's parallelism: the re-assignment UDF runs in the
@@ -1351,12 +1462,20 @@ object Similarity {
     *    bit-identical);
     *  - coded layouts reconstruct through [[withReconstructedEmbedding]]
     *    for training/relabeling and the codes pass through untouched;
+    *  - the PHYSICAL rewrite is targeted too: one pruned pass lists the
+    *    files holding any hot-cell row, ONLY those files re-read /
+    *    relabel / restage (slices sized by affected bytes), and the
+    *    recoverable swap renames at FILE granularity — cold files are
+    *    never read, written, or renamed, so they stay byte-identical
+    *    (the `q_partition_overwrite` discipline applied to the store);
     *  - the rewrite preserves `batch` provenance and swaps via the same
     *    checked recoverable protocol as requantize/compaction (sentinel,
     *    set-aside, verify-then-promote; leftovers refuse fast).
     *
     * Unlike [[requantizeIvfStore]] (a global re-train sized by the MEAN),
-    * the split trains O(hot rows) and moves O(hot rows) — the right
+    * the split trains O(hot rows) and moves O(affected-file bytes) — on a
+    * compacted cell-clustered store the hot cells live in a contiguous
+    * file subset, so I/O tracks hot mass, not store size. The right
     * response when the occupancy histogram is skewed rather than
     * uniformly over target. Single-writer contract during the swap.
     *
@@ -1452,17 +1571,66 @@ object Similarity {
         ids(best)
       }
     }
+    // TARGETED-PHYSICAL rewrite: only the FILES holding hot-cell rows
+    // move. The relabel is a per-row local decision (hot rows re-pick
+    // among their own cell's sub-centroids, cold rows keep their cell),
+    // so a file with no hot-cell row would rewrite to itself — at lake
+    // scale that is an O(store) copy for an O(hot) change. Instead:
+    //  1. ONE pruned pass (`cell IN (hot…)`, row-group-skipped on a
+    //     compacted cell-clustered store) collects the DISTINCT files
+    //     that hold any hot row — bounded by the store's file count
+    //     (metadata, not data);
+    //  2. only those files are re-read (basePath keeps the `batch`
+    //     provenance column), relabeled, and staged — slices sized by
+    //     the AFFECTED bytes, not the store;
+    //  3. the recoverable swap moves aside / promotes at FILE
+    //     granularity: cold files are never read, written, or renamed —
+    //     byte-identical before and after (assertable the same way
+    //     q_partition_overwrite asserts partition identity).
+    val hotFileUris = rows
+      .where(col("cell").isin(hot.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect().sorted
+    val batchDirs = fs.listStatus(new Path(cellsDir))
+      .filter(_.getPath.getName.startsWith("batch="))
+    val physicalByKey: Map[String, org.apache.hadoop.fs.FileStatus] =
+      batchDirs.flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f)
+      }.toMap
+    // match scan-reported URIs to listed physical files by their
+    // batch=<id>/<file> suffix — scheme/authority-insensitive
+    val affectedKeys = hotFileUris.map { uri =>
+      val p = new Path(uri)
+      s"${p.getParent.getName}/${p.getName}"
+    }.toSet
+    val affected = physicalByKey.collect {
+      case (k, st) if affectedKeys(k) => st
+    }.toSeq.sortBy(_.getPath.toString)
+    require(affected.nonEmpty,
+      "splitHotCells: hot rows reported but no owning files resolved — " +
+        "store listing and scan disagree; refusing to swap")
     val stageRoot = s"$workDir/.split_stage"
     fs.delete(new Path(stageRoot), true) // stale stage: data-free, safe
     invalidateIvfIndex(s"$stageRoot/ivf_index")
     writeCentroids(spark, newCentroids, s"$stageRoot/ivf_index")
-    val totalBytes = fs.getContentSummary(new Path(cellsDir)).getLength
+    val affectedBytes = affected.map(_.getLen).sum
     val slices = math.max(
-      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
+      math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
       spark.sparkContext.defaultParallelism.toLong).toInt
-    val relabeled = rows.withColumn("cell", relabel(col("cell"), col("embedding")))
+    val qualifiedBase = fs.makeQualified(new Path(cellsDir)).toString
+    val affectedDf = spark.read.option("basePath", qualifiedBase)
+      .parquet(affected.map(_.getPath.toString): _*)
+    val (affRows, _) = withReconstructedEmbedding(spark, workDir, affectedDf)
+    val relabeled = affRows.withColumn("cell", relabel(col("cell"), col("embedding")))
+    // stage CELL-CLUSTERED (the compacted discipline), not hash-spread:
+    // iterative splitting re-targets the still-hot region each round, and
+    // a hash-spread stage would smear hot rows across every new file —
+    // round 2 would then move everything the first round wrote
     (if (coded) relabeled.drop("embedding") else relabeled)
-      .repartition(slices, col("batch"), pmod(xxhash64(col("vec_id")), lit(slices)))
+      .repartitionByRange(slices, col("batch"), col("cell"), col("vec_id"))
+      .sortWithinPartitions("batch", "cell", "vec_id")
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stageRoot/cells")
     val stagedCells = new Path(s"$stageRoot/cells")
@@ -1470,18 +1638,136 @@ object Similarity {
     if (!fs.exists(stagedCells) || !fs.exists(stagedIdx))
       throw new IllegalStateException(
         s"splitHotCells: staged rewrite missing under $stageRoot — store left unchanged")
-    val oldParts = fs.listStatus(new Path(cellsDir))
-      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
-    val stagedParts = fs.listStatus(stagedCells)
-      .filter(_.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    // file-granular promote: each staged file lands INSIDE its live
+    // batch= dir next to the untouched cold files (part-file names are
+    // uuid-unique, so no collision); asides are exactly the affected
+    // files
+    val stagedFiles = fs.listStatus(stagedCells)
+      .filter(_.getPath.getName.startsWith("batch=")).toSeq
+      .flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath, new Path(new Path(cellsDir, d.getPath.getName), f.getPath.getName)))
+      }
+    // a staged batch dir may be NEW to the live store only if the live
+    // dir vanished mid-op; normal runs promote into existing dirs
+    stagedFiles.foreach { case (_, dst) => fs.mkdirs(dst.getParent) }
     Dedup.recoverableSwap(fs, "splitHotCells",
       sentinelDir = new Path(cellsDir), trash = trash,
-      asides = oldParts :+ new Path(idxDir),
-      promotes = stagedParts.map(p => (p, new Path(cellsDir, p.getName))) :+
-        ((stagedIdx, new Path(idxDir))),
+      asides = affected.map(_.getPath) :+ new Path(idxDir),
+      promotes = stagedFiles :+ ((stagedIdx, new Path(idxDir))),
       cleanup = Seq(new Path(stageRoot)),
       afterPromote = () => invalidateIvfIndex(idxDir))
     hot.length
+  }
+
+  /** TARGETED DELETION from a stored ANN index — the right-to-erasure
+    * maintenance op ("remove these vec_ids without a rebuild"), the first
+    * compliance request a real deployment gets. Works on every store
+    * layout (flat / SQ8 / PQ — the payload passes through; victims drop
+    * by `vec_id`):
+    *
+    *  - ONE bounded count prices the request (0 victims → store untouched,
+    *    no swap);
+    *  - one column-pruned pass lists the FILES holding any victim row —
+    *    bounded by the store's file count; on a compacted cell-clustered
+    *    store the id lookup prunes like any vec_id predicate;
+    *  - ONLY those files re-read (basePath keeps `batch` provenance),
+    *    victims filtered out, remainder restaged cell-clustered, and the
+    *    recoverable swap renames at FILE granularity — untouched files
+    *    stay byte-identical (the [[splitHotCells]] round-15 discipline);
+    *  - CENTROIDS ARE UNTOUCHED (deletion never moves a surviving row's
+    *    cell); the index artifact is cache-invalidated only so priced
+    *    selectivities re-derive against the shrunken store.
+    *
+    * Deleting every last row is out of contract (an empty unseedable
+    * store — rebuild instead); the shared sentinel keeps probes away
+    * during the swap. Returns the number of rows deleted.
+    */
+  def deleteFromIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      ids: Seq[Long],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(ids.nonEmpty, "deleteFromIvfStore: empty id set")
+    val idxDir = s"$workDir/ivf_index"
+    val cellsDir = s"$workDir/cells"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(workDir).getFileSystem(conf)
+    val sentinel = new Path(cellsDir, Dedup.MaintenanceSentinel)
+    val trash = new Path(workDir, ".delete_old")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"deleteFromIvfStore: leftover $left from an unfinished swap at $workDir — " +
+          "recover (restore set-aside files from .delete_old, remove the " +
+          "sentinel) before retrying")
+    val victims = ids.distinct
+    val victimCol = col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*)
+    val stored = Dedup.readStore(spark, cellsDir)
+    val deleted = stored.where(victimCol).count()
+    if (deleted == 0L) return 0L
+    // affected files: ≤ the store's file count — metadata, not data
+    val victimFileUris = stored.where(victimCol)
+      .select(input_file_name().as("f")).distinct().as[String].collect().sorted
+    val physicalByKey: Map[String, org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(cellsDir))
+        .filter(_.getPath.getName.startsWith("batch="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f)
+        }.toMap
+    val victimKeys = victimFileUris.map { uri =>
+      val p = new Path(uri)
+      s"${p.getParent.getName}/${p.getName}"
+    }.toSet
+    val affected = physicalByKey.collect {
+      case (k, st) if victimKeys(k) => st
+    }.toSeq.sortBy(_.getPath.toString)
+    require(affected.nonEmpty,
+      "deleteFromIvfStore: victim rows reported but no owning files resolved — " +
+        "store listing and scan disagree; refusing to swap")
+    val stageRoot = s"$workDir/.delete_stage"
+    fs.delete(new Path(stageRoot), true) // stale stage: data-free, safe
+    val affectedBytes = affected.map(_.getLen).sum
+    val slices = math.max(
+      math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+    val qualifiedBase = fs.makeQualified(new Path(cellsDir)).toString
+    val remainder = spark.read.option("basePath", qualifiedBase)
+      .parquet(affected.map(_.getPath.toString): _*)
+      .where(!victimCol)
+    remainder
+      .repartitionByRange(slices, col("batch"), col("cell"), col("vec_id"))
+      .sortWithinPartitions("batch", "cell", "vec_id")
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stageRoot/cells")
+    val stagedCells = new Path(s"$stageRoot/cells")
+    if (!fs.exists(stagedCells))
+      throw new IllegalStateException(
+        s"deleteFromIvfStore: staged rewrite missing under $stageRoot — store left unchanged")
+    // an all-victim affected set stages zero files — the swap then only
+    // retires the affected files
+    val stagedFiles = fs.listStatus(stagedCells)
+      .filter(_.getPath.getName.startsWith("batch=")).toSeq
+      .flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath, new Path(new Path(cellsDir, d.getPath.getName), f.getPath.getName)))
+      }
+    stagedFiles.foreach { case (_, dst) => fs.mkdirs(dst.getParent) }
+    Dedup.recoverableSwap(fs, "deleteFromIvfStore",
+      sentinelDir = new Path(cellsDir), trash = trash,
+      asides = affected.map(_.getPath),
+      promotes = stagedFiles,
+      cleanup = Seq(new Path(stageRoot)),
+      afterPromote = () => invalidateIvfIndex(idxDir))
+    deleted
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's
@@ -1585,10 +1871,12 @@ object Similarity {
     * cells, so a fixed nprobe silently loses recall exactly when the
     * filter matters most (the ACORN-style expansion rule: widen the
     * search by inverse selectivity). Pricing the selectivity costs ONE
-    * extra aggregate over the store with the predicate pushed (row-group
-    * stats + column-pruned — at lake scale this reads the filter column
-    * only); as sel → 0 the probe degrades gracefully to an exhaustive —
-    * still ONE — pruned-layout scan, never to a lost result.
+    * column-pruned aggregate the FIRST time a (store, predicate) pair
+    * serves; later serves price from [[selectivityCache]] (dropped on
+    * maintenance swaps — see its staleness contract), so the
+    * steady-state serve path runs exactly one store job. As sel → 0 the
+    * probe degrades gracefully to an exhaustive — still ONE —
+    * pruned-layout scan, never to a lost result.
     *
     * Like every stored probe: pre-filter semantics (the predicate joins
     * the cell prune IN the scan), per-probe recall gated vs the filtered
@@ -1602,15 +1890,28 @@ object Similarity {
       k: Int = 10,
       nprobe: Int = 4): DataFrame = {
     val nlist = loadIvfIndex(assigned.sparkSession, indexPath).length
-    val counts = assigned.agg(
-      count(lit(1)).as("n"),
-      count(when(rowFilter, 1)).as("nq")).head()
-    val (total, qual) = (counts.getLong(0), counts.getLong(1))
+    val (total, qual) = pricedSelectivity(assigned, indexPath, rowFilter)
     require(qual > 0, "ivfProbeSetTopKStoredFiltered: no store rows qualify")
     val scaled = math.min(nlist.toLong,
       math.ceil(nprobe * total.toDouble / qual).toLong).toInt
     ivfProbeSetTopKStored(assigned, indexPath, probes, k, scaled, rowFilter)
   }
+
+  /** (total, qualifying) store rows for `rowFilter`, via
+    * [[selectivityCache]] — one column-pruned aggregate on first serve of
+    * a (store, index, predicate) triple, cache hits after.
+    */
+  private def pricedSelectivity(
+      assigned: DataFrame, indexPath: String, rowFilter: Column): (Long, Long) =
+    selectivityCache.getOrElseUpdate(
+      (assigned.queryExecution.analyzed.semanticHash(), indexPath,
+        rowFilter.toString), {
+      selectivityPricings += 1
+      val counts = assigned.agg(
+        count(lit(1)).as("n"),
+        count(when(rowFilter, 1)).as("nq")).head()
+      (counts.getLong(0), counts.getLong(1))
+    })
 
   /** Persist the PQ index (per-subspace codebooks) as parquet
     * `(subspace int, code int, centroid array<double>)` — m × k × (dim/m)

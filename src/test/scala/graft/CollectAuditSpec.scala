@@ -23,8 +23,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - Dedup: six ≤ nMods-int partition-pruning collects (stored-index
   *    probe: batch band mods, candidate doc mods, est-passing doc mods;
   *    census probes: increment win mods ×2 — stored + streaming; semantic
-  *    store probe: increment cell mods) and the 1-value label-sum
-  *    convergence check per clusters() iteration.
+  *    store probe: increment cell mods); the 1-value label-sum
+  *    convergence check per clusters() iteration; and the round-15
+  *    erasure ops: deleteRowsFromStore's per-victim-file counts (≤ the
+  *    store's file count) and deleteFromCensusStore's victim win mods
+  *    (≤ nMods ints).
   *  - Layout: two 2-value min/max bounds for Z-order bit interleaving.
   *  - LogStore: O(total_splits) split-count read for one document's
   *    reassembly (reference semantics: per-doc, bounded by chunking).
@@ -35,12 +38,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *    1-value max-id sniffs that size scratch layouts, census splits, and
   *    the streaming-semantic fixture's vec-id offset (a 1-row
   *    `agg(max(vec_id)).head()` — same idiom as the other sniffs); plus
-  *    three 1-row fixture sniffs for the round-14 ANN lifecycle gates.
+  *    three 1-row fixture sniffs for the round-14 ANN lifecycle gates,
+  *    the ≤20-row BPE merge-trajectory read (the artifact q_bpe_encode
+  *    serves), and q_sim_ivf_delete's 3-id victim pick.
   *  - Similarity (round-14 additions, each bounded by index width):
   *    hierarchical trainer's per-group masses (≤ nGroups rows) and
   *    sub-centroid concat (= nlist×dim, the index itself); hot-split's
   *    occupancy/hot-set reads (≤ nlist rows); filtered serve's 1-row
-  *    selectivity head.
+  *    selectivity head; hot-split's and deleteFromIvfStore's
+  *    affected-file listings (distinct input_file_name of hot/victim
+  *    rows — ≤ the store's file count, metadata).
   */
 class CollectAuditSpec extends AnyFunSuite {
 
@@ -64,9 +71,9 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 12,
-      "graft/operators/Similarity.scala"  -> 14,
-      "graft/operators/Dedup.scala"       -> 7,
+      "graft/SparkEntry.scala"            -> 14,
+      "graft/operators/Similarity.scala"  -> 16,
+      "graft/operators/Dedup.scala"       -> 9,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
       "graft/operators/Corpus.scala"      -> 2)

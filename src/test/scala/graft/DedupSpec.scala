@@ -607,6 +607,69 @@ class DedupSpec extends SparkSpec {
       s"diff: ${(accepted diff (organic + 7200010L)) ++ ((organic + 7200010L) diff accepted)}")
   }
 
+  test("deleteFromCensusStore: decrement semantics equal a rebuilt census, " +
+    "zero-count windows vanish, untouched partitions byte-identical") {
+    val docs = Tables.documents(spark, Sf0001)
+    val corpus = docs.where(col("doc_id") < 250L)
+    val victims = docs.where(col("doc_id") === 3L)
+    val rest = corpus.where(col("doc_id") =!= 3L)
+    // FLAT layout — nMods 64 so one victim's windows prune to a real
+    // subset of slices (production sizes nMods ≫ a request's windows)
+    val tmp = java.nio.file.Files.createTempDirectory("censusdel")
+    val path = s"$tmp/census"
+    Dedup.writeCensusStore(Dedup.windowCensus(Dedup.windowTable(corpus)), path,
+      width = 40, nMods = 64)
+    def dirSha(root: String): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val r = java.nio.file.Paths.get(root)
+      val it = java.nio.file.Files.walk(r).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          out(r.relativize(p).toString) = sha
+        }
+      }
+      out.toMap
+    }
+    val before = dirSha(path)
+    val erased = Dedup.deleteFromCensusStore(spark, path, victims, width = 40)
+    assert(erased > 0L, "the victims hold unique windows — some must fully erase")
+    // census now equals a census REBUILT on corpus-minus-victims
+    val got = spark.read.parquet(path).groupBy(col("win"))
+      .agg(sum(col("n_docs")).as("n")).as[(String, Long)].collect().toMap
+    val want = Dedup.windowCensus(Dedup.windowTable(rest))
+      .as[(String, Long)].collect().toMap
+    assert(got == want,
+      s"deleted census must equal rebuilt truth (diff ${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)})")
+    val after = dirSha(path)
+    val untouched = before.keySet intersect after.keySet
+    assert(untouched.nonEmpty, "a partition-targeted delete must leave cold slices alone")
+    untouched.foreach(f => assert(after(f) == before(f), s"$f must stay byte-identical"))
+    // STREAMED delta layout: three delta batches, same rebuilt-truth gate
+    val tmp2 = java.nio.file.Files.createTempDirectory("censusdel2")
+    val path2 = s"$tmp2/census"
+    (0 until 3).foreach { b =>
+      val slice = docs.where(col("doc_id") >= b * 150 && col("doc_id") < (b + 1) * 150)
+      Dedup.windowCensus(Dedup.windowTable(slice))
+        .withColumn("win_mod", pmod(xxhash64(col("win")), lit(Dedup.NMods)).cast("int"))
+        .write.mode("overwrite").partitionBy("win_mod").parquet(s"$path2/batch=$b")
+    }
+    Dedup.CensusManifest.write(path2, 40, Dedup.NMods)
+    Dedup.deleteFromCensusStore(spark, path2, victims, width = 40)
+    val got2 = spark.read.parquet(path2).groupBy(col("win"))
+      .agg(sum(col("n_docs")).as("n")).as[(String, Long)].collect().toMap
+    val want2 = Dedup.windowCensus(Dedup.windowTable(
+        docs.where(col("doc_id") < 450 && col("doc_id") =!= 3L)))
+      .as[(String, Long)].collect().toMap
+    assert(got2 == want2, "streamed-layout delete must net deltas to the rebuilt truth")
+    // the store still serves probes after both swaps (no leftovers)
+    val inc = docs.where(col("doc_id") >= 450)
+    assert(Dedup.substringMassIncrementalStored(spark, path2, inc, width = 40).count() >= 0)
+  }
+
   test("compactStore consolidates a census store: same rows, probe unchanged") {
     val docs = Tables.documents(spark, Sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("censuscompact")
@@ -872,11 +935,127 @@ class DedupSpec extends SparkSpec {
       fs, "testop", storeB, new HPath(s"$tmpB/.trash"),
       asides = Seq(origB), promotes = Seq((stagedB, origB)), cleanup = Nil))
     assert(eB.getMessage.contains("RESTORE INCOMPLETE"), eB.getMessage)
-    assert(fs.exists(new HPath(s"$tmpB/.trash/part=0/data.bin")),
+    // aside names are index-prefixed (file-granular swaps can set aside
+    // same-named part files from different batch= dirs)
+    assert(fs.exists(new HPath(s"$tmpB/.trash/0-part=0/data.bin")),
       "un-restored original must survive inside trash")
     assert(fs.exists(new HPath(storeB, Dedup.MaintenanceSentinel)),
       "sentinel must stay up so readStore keeps refusing")
     failSrc = _ => false
+  }
+
+  test("deleteFromMinhashIndex: victims erased from all three tables, " +
+    "untouched files byte-identical, post-delete probe = rebuilt truth") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("minhashdel")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    Dedup.minhashIncrementalStored(spark, idx,
+      docs.where(col("doc_id") < 400).select("doc_id", "text"),
+      batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    Dedup.minhashIncrementalStored(spark, idx,
+      docs.where(col("doc_id") >= 400 && col("doc_id") < 450).select("doc_id", "text"),
+      batchId = 1L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    def files(sub: String): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val root = java.nio.file.Paths.get(s"$idx/$sub")
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          out(root.relativize(p).toString) = sha
+        }
+      }
+      out.toMap
+    }
+    val before = Seq("bands", "sigs", "shingles").map(s => s -> files(s)).toMap
+    val victims = Seq(410L, 420L)
+    val n = Dedup.deleteFromMinhashIndex(spark, idx, victims)
+    assert(n == 2L, s"expected 2 doc deletions, got $n")
+    // every trace gone, survivors intact, untouched files byte-identical
+    for (sub <- Seq("bands", "sigs", "shingles")) {
+      val ids = spark.read.parquet(s"$idx/$sub").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(victims.forall(!ids.contains(_)), s"$sub still holds a victim")
+      val after = files(sub)
+      (before(sub).keySet intersect after.keySet).foreach { f =>
+        assert(after(f) == before(sub)(f), s"$sub/$f must stay byte-identical")
+      }
+      assert((before(sub).keySet intersect after.keySet).nonEmpty,
+        s"$sub: a targeted delete must leave untouched files in place")
+    }
+    // semantics: the erased docs no longer influence probes — drops equal
+    // the in-memory incremental over the corpus WITHOUT the victims
+    val probe = docs.where(col("doc_id") >= 450 && col("doc_id") < 500)
+      .select("doc_id", "text")
+    val got = Dedup.minhashIncrementalStored(spark, idx, probe,
+        batchId = 2L, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    val expect = Dedup.minhashIncremental(
+        docs.where(col("doc_id") < 450 &&
+          !col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+          .select("doc_id", "text"),
+        probe, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    assert(got == expect,
+      s"post-delete probe diverges from rebuilt truth: ${(got diff expect) ++ (expect diff got)}")
+  }
+
+  test("deleteFromSemStore: victims erased, untouched files byte-identical, " +
+    "centroids untouched, post-delete probe = reseeded truth") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semdel").toString
+    Dedup.seedSemStore(e, dir)
+    // an increment that duplicates vec 0 and vec 7 (exact clones → cosine 1)
+    val inc = e.where(col("vec_id").isin(0, 7))
+      .select((col("vec_id") + 8000000L).as("vec_id"), col("embedding"))
+    Dedup.semDedupIncrementalStored(spark, dir, inc, batchId = 1L).count()
+    def files(): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val root = java.nio.file.Paths.get(s"$dir/cells")
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val nm = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !nm.startsWith("_") && !nm.startsWith(".")) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          out(root.relativize(p).toString) = sha
+        }
+      }
+      out.toMap
+    }
+    val before = files()
+    val rowsBefore = spark.read.parquet(s"$dir/cells").select("vec_id")
+      .as[Long].collect().toSet
+    val centroidsBefore = graft.operators.Similarity.loadIvfIndex(spark, s"$dir/centroids")
+      .map(_.toSeq).toSeq
+    val n = Dedup.deleteFromSemStore(spark, dir, Seq(0L))
+    assert(n == 1L)
+    val after = files()
+    assert((before.keySet intersect after.keySet).nonEmpty)
+    (before.keySet intersect after.keySet).foreach { f =>
+      assert(after(f) == before(f), s"cells/$f must stay byte-identical")
+    }
+    val rowsAfter = spark.read.parquet(s"$dir/cells").select("vec_id")
+      .as[Long].collect().toSet
+    assert(rowsAfter == rowsBefore - 0L,
+      "exactly the victim must disappear from the cell store")
+    assert(graft.operators.Similarity.loadIvfIndex(spark, s"$dir/centroids")
+      .map(_.toSeq).toSeq == centroidsBefore, "deletion must not retrain centroids")
+    // semantics: a fresh clone of the DELETED vec 0 no longer matches
+    // anything 8000000 (its old clone also carries vec 0's embedding —
+    // delete that too, then probe); a clone of surviving vec 7 still drops
+    Dedup.deleteFromSemStore(spark, dir, Seq(8000000L))
+    val probe = e.where(col("vec_id").isin(0, 7))
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val drops = Dedup.semDedupIncrementalStored(spark, dir, probe, batchId = 2L)
+      .as[Long].collect().toSet
+    assert(drops.contains(9000007L), "a clone of a SURVIVING vector must still drop")
+    assert(!drops.contains(9000000L), "a clone of the ERASED vector must no longer drop")
   }
 
   test("compactStore consolidates the sem cells store: same rows, probe unchanged") {

@@ -46,21 +46,31 @@ object HotCellProbe {
     val anchors = baseDf.where(F.col("vec_id") < 4)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
 
-    for (drift <- drifts) {
+    // (drift rows, anchor count): 4-anchor drops exercise the multi-hot
+    // response; the 1-anchor drop is the targeted-physical headline (one
+    // hot cell of 64 — moved bytes must be a small store fraction)
+    val cases = drifts.map(d => (d, 4)) :+ ((6000, 1))
+    for ((drift, nAnchors) <- cases) {
       val dir = java.nio.file.Files.createTempDirectory("hotprobe").toString
       val idx = s"$dir/ivf_index"; val data = s"$dir/cells"
       Similarity.saveIvfIndex(baseDf, idx, nlist = 64, sampleRows = 4096)
       Similarity.streamIngestIvfBatch(baseDf, 0L, idx, data, nlist = 64, sampleRows = 4096)
-      // concentrated drop: `drift` tight clones of 4 anchors
+      // concentrated drop: `drift` tight clones of `nAnchors` anchors
       val clones = spark.range(drift.toLong).repartition(16).mapPartitions { it =>
         it.map { i =>
-          val a = (i % 4).toInt
+          val a = (i % nAnchors).toInt
           val rnd = new scala.util.Random(i * 40503L + a)
           (1000000L + i,
             anchors(a.toLong).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
         }
       }.toDF("vec_id", "embedding")
       Similarity.streamIngestIvfBatch(clones, 1L, idx, data, nlist = 64, sampleRows = 4096)
+      // compact to the cell-clustered layout (small file target so the
+      // store is multi-file at probe scale): hot cells then live in an
+      // identifiable file subset — the layout the targeted-physical
+      // rewrite is designed for
+      Similarity.compactIvfStore(spark, dir, upTo = 1L,
+        targetFileBytes = 512L * 1024)
 
       def occ() = Similarity.cellOccupancy(spark, dir)
         .agg(F.max("n_rows"), F.avg("n_rows")).as[(Long, Double)].head()
@@ -71,8 +81,25 @@ object HotCellProbe {
           .write.mode("overwrite").format("noop").save())
       }.drop(1).min
 
+      // physical-rewrite accounting: the split must move bytes ∝ hot
+      // mass, not store size — snapshot the store's data files around the
+      // quiescence loop and charge every file that vanished
+      def fileSizes(): Map[String, Long] = {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        val root = java.nio.file.Paths.get(data)
+        val walk = java.nio.file.Files.walk(root).iterator()
+        while (walk.hasNext) {
+          val p = walk.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith("."))
+            out(root.relativize(p).toString) = java.nio.file.Files.size(p)
+        }
+        out.toMap
+      }
       val (maxB, meanB) = occ()
       val tProbeB = hotProbe()
+      val filesB = fileSizes()
       val ceiling = (meanB * 3).toInt
       var rounds = 0; var splits = 0
       val tSplit = timed {
@@ -80,13 +107,18 @@ object HotCellProbe {
         while (k > 0 && rounds < 12) { splits += k; rounds += 1
           k = Similarity.splitHotCells(spark, dir, maxCellRows = ceiling) }
       }
+      val filesA = fileSizes()
+      val movedBytes = (filesB.keySet -- filesA.keySet).toSeq.map(filesB).sum
+      val totalBytes = filesB.values.sum
       val (maxA, meanA) = occ()
       val nlistA = Similarity.loadIvfIndex(spark, idx).length
       val tProbeA = hotProbe()
-      println(f"[hotcell] base=$base%6d drift=$drift%6d | before max/mean=" +
+      println(f"[hotcell] base=$base%6d drift=$drift%6d x$nAnchors | before max/mean=" +
         f"$maxB%6d/${meanB}%7.1f probe=$tProbeB%6.3f s | split($splits cells, " +
         f"$rounds rounds)=$tSplit%6.2f s -> nlist=$nlistA%4d | after max/mean=" +
-        f"$maxA%6d/${meanA}%7.1f probe=$tProbeA%6.3f s")
+        f"$maxA%6d/${meanA}%7.1f probe=$tProbeA%6.3f s | moved=" +
+        f"${movedBytes / 1048576.0}%7.2f/${totalBytes / 1048576.0}%7.2f MB " +
+        f"(${if (totalBytes == 0) 0.0 else 100.0 * movedBytes / totalBytes}%5.1f%%)")
       Similarity.invalidateIvfIndex(idx)
     }
     spark.stop()

@@ -95,6 +95,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast shape as the q_sim_* siblings above.
     "q_sim_ivf_hier", "q_sim_ivf_hotsplit", "q_sim_ivfpq_aged",
     "q_sim_filtered_stored",
+    // round-15 gates: delete/filtered truth legs are the same ≤4-row
+    // broadcast cross join (plus 1-row completeness scalars); hybrid
+    // carries the declared q_bm25_search scalar broadcast in its lexical
+    // leg.
+    "q_sim_ivf_delete", "q_sim_ivfpq_filtered", "q_hybrid_search",
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",
     "q_stream_ann_quantized", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")

@@ -252,6 +252,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("requantizeIvfStore past the driver-sample ceiling routes to the " +
+    "hierarchical trainer; infeasible nlist clamps instead of crashing") {
+    val rnd = new scala.util.Random(23)
+    val big = (0L until 600L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ivfrq-hier").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.streamIngestIvfBatch(big, 0L, idx, data, nlist = 4, sampleRows = 40)
+    // 64 > sampleRows=40: the old driver path would throw kmeans' loud
+    // sample<k refusal (the ingest ladder's crash ceiling); the guard must
+    // route to the two-level trainer and still deliver all 64 cells
+    Similarity.requantizeIvfStore(spark, tmp, newNlist = 64, sampleRows = 40)
+    assert(Similarity.loadIvfIndex(spark, idx).length == 64,
+      "growth past the driver-trainable ceiling must train hierarchically")
+    assert(spark.read.parquet(data).count() == 600)
+    val cells = spark.read.parquet(data).select("cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 64))
+    // a store can never seat more cells than rows/2: 1000 clamps to 300
+    Similarity.requantizeIvfStore(spark, tmp, newNlist = 1000, sampleRows = 40)
+    assert(Similarity.loadIvfIndex(spark, idx).length == 300,
+      "infeasible growth must clamp to the non-degenerate ceiling (rows/2)")
+    assert(spark.read.parquet(data).count() == 600,
+      "clamped requantize still relabels without adding/dropping rows")
+  }
+
   test("streamIngestIvf rides requantize between micro-batches: index grows " +
     "in-stream, store complete, exhaustive recall holds") {
     val tmp = java.nio.file.Files.createTempDirectory("annstream-rq").toString
@@ -284,6 +310,59 @@ class SimilaritySpec extends SparkSpec {
         probeId = 0L, k = 5, nprobe = 8)
       .select("vec_id").as[Long].collect().toSet
     assert(got == bf, s"evolved stored probe at nprobe=nlist must equal brute force: $got vs $bf")
+  }
+
+  test("streamIngestIvf fires the SKEW trigger in-stream: a concentrated " +
+    "drop splits between batches, ceiling restored, stream completes") {
+    val tmp = java.nio.file.Files.createTempDirectory("annstream-split").toString
+    val in = s"$tmp/slices"
+    val base0 = System.currentTimeMillis()
+    // slice 0+1: the 40 uniform rows (bootstrap + spread); slice 2+3: 60
+    // near-clones of vec 0 — a drift drop that concentrates one cell
+    // while the MEAN stays below any requantize target
+    val anchor = emb.where(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val rnd = new scala.util.Random(13)
+    val clones = (0 until 60).map { i =>
+      (2000L + i, anchor.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val slices = Seq(
+      emb.where(col("vec_id") < 20L),
+      emb.where(col("vec_id") >= 20L),
+      clones.where(col("vec_id") < 2030L),
+      clones.where(col("vec_id") >= 2030L))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(in)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= base0 - 60000L)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base0 - 3600000L + i * 2000L))
+      }
+    }
+    val streamed = Similarity.streamIngestIvf(spark, in, s"$tmp/work",
+      nlist = 4, sampleRows = 40, maxCellRows = 40)
+    assert(streamed.count() == 100, "every streamed vector survives the in-stream split")
+    // the split fired between batches: nlist grew past the bootstrap 4
+    val nlistAfter = Similarity.loadIvfIndex(spark, s"$tmp/work/ivf_index").length
+    assert(nlistAfter > 4, s"in-stream skew trigger must have fired; nlist=$nlistAfter")
+    // and the ceiling is restored without stopping the stream
+    val occ = Similarity.cellOccupancy(spark, s"$tmp/work")
+      .as[(Int, Long)].collect().toMap
+    assert(occ.values.max <= 40, s"post-stream occupancy must respect the ceiling: $occ")
+    assert(occ.values.sum == 100L)
+    // the evolved store still serves the exact truth at exhaustive nprobe
+    val all = emb.unionByName(clones)
+    val bf = Similarity.bruteForceTopK(all, probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(streamed, s"$tmp/work/ivf_index",
+        probeId = 0L, k = 5, nprobe = nlistAfter)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"exhaustive probe over the split store must equal brute force: $got vs $bf")
+    for (left <- Seq("work/.split_stage", "work/.split_old",
+        s"work/cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
   }
 
   test("compactIvfStore: batches collapse to one cell-clustered partition, " +
@@ -555,6 +634,129 @@ class SimilaritySpec extends SparkSpec {
       "relational pre-filter not pushed to the store scan")
   }
 
+  test("deleteFromIvfStore: victims gone, survivors complete, untouched " +
+    "files byte-identical, centroids untouched, no-op on absent ids") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    val centroidsBefore = Similarity.loadIvfIndex(spark, idx).map(_.toSeq).toSeq
+    def files(): Map[String, (Long, String)] = {
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      val root = java.nio.file.Paths.get(data)
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+          val b = java.nio.file.Files.readAllBytes(p)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(b).map("%02x".format(_)).mkString
+          out(root.relativize(p).toString) = (b.length.toLong, sha)
+        }
+      }
+      out.toMap
+    }
+    val before = files()
+    // victims live in batch=1 only → batch=0 files must not move
+    val victims = Seq(25L, 31L, 37L)
+    val n = Similarity.deleteFromIvfStore(spark, tmp, victims)
+    assert(n == 3L, s"expected 3 deletions, got $n")
+    val after = files()
+    val survivors = before.keySet intersect after.keySet
+    assert(survivors.exists(_.startsWith("batch=0")),
+      "files without victims must survive the delete")
+    survivors.foreach { f =>
+      assert(after(f) == before(f), s"untouched file $f must stay byte-identical")
+    }
+    assert((before.keySet -- after.keySet).forall(_.startsWith("batch=1")),
+      "only victim-holding files may move")
+    val left = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(left == (0L until 40L).filterNot(victims.contains).toSeq,
+      "exactly the victims must disappear; every other row survives")
+    // centroids byte-for-byte untouched (deletion is not a re-train)
+    assert(Similarity.loadIvfIndex(spark, idx).map(_.toSeq).toSeq == centroidsBefore)
+    // the shrunken store still serves the exact truth at exhaustive nprobe
+    val bf = Similarity.bruteForceTopK(
+        emb.where(!col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*)),
+        probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 0L, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"post-delete probe must equal brute force minus victims: $got vs $bf")
+    // absent ids: priced at one count, store untouched, no swap
+    val allAfter = files()
+    assert(Similarity.deleteFromIvfStore(spark, tmp, Seq(999999L)) == 0L)
+    assert(files() == allAfter, "a 0-victim delete must leave the store untouched")
+    for (l <- Seq(".delete_stage", ".delete_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, l)), l)
+  }
+
+  test("filtered serve prices selectivity ONCE per (store, predicate): " +
+    "repeat serves hit the cache, maintenance swaps re-price") {
+    val labeled = emb.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfselcache").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.streamIngestIvfBatch(labeled, 0L, idx, data, nlist = 4, sampleRows = 40)
+    val probes = labeled.where(col("vec_id") === 0L)
+    def serve() = Similarity.ivfProbeSetTopKStoredFiltered(
+        spark.read.parquet(data).drop("batch"), idx, probes,
+        rowFilter = col("label") === 1, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val p0 = Similarity.selectivityPricings
+    val first = serve()
+    assert(Similarity.selectivityPricings == p0 + 1,
+      "first serve of a (store, predicate) pair must pay ONE pricing aggregate")
+    val second = serve()
+    assert(second == first)
+    assert(Similarity.selectivityPricings == p0 + 1,
+      "a repeat serve must price from the cache — no second store job")
+    // maintenance swap invalidates: the same serve re-prices exactly once
+    Similarity.invalidateIvfIndex(idx)
+    serve()
+    assert(Similarity.selectivityPricings == p0 + 2,
+      "a maintenance-invalidated store must re-price on next serve")
+  }
+
+  test("filtered serve on the CODED store: pre-filter semantics equal " +
+    "filtered brute force at scaled widths, rerank pool scales with 1/sel") {
+    val labeled = emb.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqfilt").toString
+    Similarity.streamIngestIvfPqBatch(labeled, 0L, tmp, nlist = 4, m = 8,
+      codebookK = 32, sampleRows = 40)
+    val probes = labeled.where(col("vec_id") === 0L)
+    // sel = 10/40: base nprobe 1 widens to 4 (= nlist, exhaustive) and
+    // base rerank 3 widens to 12 — pool covers every qualifier, so the
+    // coded serve must EQUAL the filtered float brute force
+    val got = Similarity.ivfPqProbeSetTopKStoredFiltered(spark, tmp,
+        probes = probes, rerankWith = labeled,
+        rowFilter = col("label") === 1, k = 5, nprobe = 1, rerank = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val bf = Similarity.bruteForceTopK(labeled.where(col("label") === 1)
+        .unionByName(probes), probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf,
+      s"exhaustive-width coded filtered serve must equal filtered truth: $got vs $bf")
+    // every returned row satisfies the predicate (pre-filter semantics)
+    val labels = labeled.where(col("vec_id").isin(got.toSeq.map(java.lang.Long.valueOf): _*))
+      .select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 1))
+    // plan: ONE parquet scan (the coded store), carrying BOTH pushed
+    // filters — the cell union and the relational pre-filter
+    val plan = Similarity.ivfPqProbeSetTopKStoredFiltered(spark, tmp,
+        probes = probes, rerankWith = labeled,
+        rowFilter = col("label") === 1, k = 5, nprobe = 1, rerank = 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = """\(\d+\) Scan parquet""".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected exactly one store scan, got $scans\n$plan")
+    assert(plan.contains("In(cell"), "cell union not pushed to the coded store scan")
+    assert(plan.contains("EqualTo(label,1)"),
+      "relational pre-filter not pushed to the coded store scan")
+  }
+
   test("splitHotCells: hot cell splits locally (cold rows bit-identical), " +
     "occupancy drops, exhaustive probe stays exact, no-op below threshold") {
     // index trained on the 40 uniform rows; THEN a concentrated drop of 60
@@ -623,6 +825,71 @@ class SimilaritySpec extends SparkSpec {
     val allAfter = spark.read.parquet(data)
       .select("vec_id", "cell").as[(Long, Int)].collect().sorted.toSeq
     assert(allAfter == all, "a no-op trigger must leave the store untouched")
+    for (left <- Seq(".split_stage", ".split_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+  }
+
+  test("splitHotCells is physically targeted: cold FILES never move " +
+    "(byte-identical), rewrite volume tracks hot mass, content preserved") {
+    // cell-clustered seed (the compacted layout): 400 uniform rows + 60
+    // near-clones of one anchor, nlist 16 — the hot region lives in an
+    // identifiable file subset, so the split must move ONLY those files
+    val rnd = new scala.util.Random(7)
+    val big = (0L until 400L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val anchor = big.where(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val clones = (0 until 60).map { i =>
+      (5000L + i, anchor.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("hotsplit-phys").toString
+    Similarity.saveIvfIndex(big, s"$tmp/ivf_index", nlist = 16, sampleRows = 400)
+    Similarity.seedIvfStore(big.unionByName(clones), tmp)
+    def dataFiles(): Map[String, (Long, String)] = {
+      val dir = java.nio.file.Paths.get(tmp, "cells", "batch=0")
+      val it = java.nio.file.Files.list(dir).iterator()
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).map("%02x".format(_)).mkString
+          out(n) = (bytes.length.toLong, sha)
+        }
+      }
+      out.toMap
+    }
+    val before = dataFiles()
+    assert(before.size >= 3, s"fixture needs a multi-file store: ${before.size}")
+    val contentBefore = spark.read.parquet(s"$tmp/cells")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val occ = Similarity.cellOccupancy(spark, tmp).as[(Int, Long)].collect().toMap
+    assert(occ.values.max >= 60, s"fixture must concentrate mass: $occ")
+    val nSplit = Similarity.splitHotCells(spark, tmp, maxCellRows = 55)
+    assert(nSplit >= 1)
+    val after = dataFiles()
+    // cold files: every pre-split file still present is byte-identical,
+    // and at least one file survived (the rewrite was not store-wide)
+    val survivors = before.keySet intersect after.keySet
+    assert(survivors.nonEmpty,
+      s"targeted rewrite must leave cold files in place; before=${before.keys}")
+    survivors.foreach { n =>
+      assert(after(n) == before(n), s"cold file $n must stay byte-identical")
+    }
+    // rewrite volume ∝ hot mass: the moved (vanished) files hold well
+    // under half the store's bytes on this 16-cell layout
+    val movedBytes = (before.keySet -- after.keySet).toSeq.map(before(_)._1).sum
+    val totalBytes = before.values.map(_._1).sum
+    assert(movedBytes > 0 && movedBytes.toDouble / totalBytes <= 0.5,
+      s"moved $movedBytes of $totalBytes bytes — rewrite must track hot mass")
+    // logical content preserved exactly (rows relabel, never move/drop)
+    val contentAfter = spark.read.parquet(s"$tmp/cells")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(contentAfter == contentBefore)
     for (left <- Seq(".split_stage", ".split_old",
         s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
