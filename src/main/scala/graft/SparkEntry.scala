@@ -2077,6 +2077,58 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // -- [NS] IN-STREAM hot-cell maintenance — the streaming twin of
+    // q_sim_ivf_hotsplit: the SAME drift fixture arrives as a file
+    // stream with the skew trigger armed (maxCellRows = 3× the final
+    // mean), so the response fires BETWEEN micro-batches while the
+    // stream keeps running — no operator ever stops the ingest to run
+    // the split. The uniform bootstrap batch stays under the ceiling
+    // (the trigger's idle path is one bounded occupancy aggregate); the
+    // clone drop trips it. Declared: the split fired in-stream (nlist
+    // grew past the bootstrap 16), the ceiling is restored, the store
+    // kept every row, and the hot-cluster probes clear ≥8/10 recall. --
+    "q_stream_ivf_hotsplit" -> ((s, d) => {
+      val in = embDriftSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_streamsplit")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val corpus = s.read.parquet(in)
+      val total = corpus.count()
+      // 1.5× the final mean — the batch twin's ceiling: the drop's
+      // clusters sit well above it at every SF, the cold cells below
+      val ceiling = (total * 3 / (2 * 16)).toInt
+      val streamed = Similarity.streamIngestIvf(s, in, w, nlist = 16,
+        maxCellRows = ceiling, splitRounds = 12)
+      val nlistFinal = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val occ = Similarity.cellOccupancy(s, w)
+        .agg(max(col("n_rows")).as("mx"), sum(col("n_rows")).as("n"))
+      val probes = corpus.where(col("vec_id").isin(0L, 1L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        streamed, s"$w/ivf_index", probes, k = 10,
+        nprobe = math.max(8, nlistFinal / 2))
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(occ))
+        .select(col("probe_id"),
+          lit(nlistFinal > 16).as("split_fired"),
+          (col("mx") <= ceiling).as("ceiling_ok"),
+          (col("n") === total).as("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     // -- [NS] RIGHT-TO-ERASURE from the stored ANN index: delete a set of
     // vec_ids WITHOUT a rebuild — prune to the files holding victims,
     // rewrite only those, swap at file granularity, centroids untouched
@@ -7006,6 +7058,14 @@ object SparkEntry {
       """SELECT vec_id * 16 AS probe_id, true AS recall_ok
         |FROM (SELECT vec_id FROM embeddings WHERE label >= 5
         |      ORDER BY vec_id LIMIT 4) ORDER BY probe_id""".stripMargin,
+
+    // the streaming twin of the hot-split gate: the trigger fires BETWEEN
+    // micro-batches (the stream never stops for maintenance), ceiling
+    // restored, store complete, hot-probe recall holds
+    "q_stream_ivf_hotsplit" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS split_fired,
+        |  true AS ceiling_ok, true AS complete, true AS recall_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
     // right-to-erasure on the stored ANN index: victims deleted without a
     // rebuild, untouched files byte-identical, survivors complete, and

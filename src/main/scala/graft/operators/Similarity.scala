@@ -877,14 +877,16 @@ object Similarity {
       targetCellRows: Int = Int.MaxValue,
       growFactor: Int = 4,
       quantized: Boolean = false,
-      maxCellRows: Int = Int.MaxValue): DataFrame =
+      maxCellRows: Int = Int.MaxValue,
+      splitRounds: Int = 6): DataFrame =
     runIvfIngestStream(spark, inputDir, workDir,
       seedLayout = df => storedLayout(df, quantized),
       writeBatch = (batch, batchId) =>
         streamIngestIvfBatch(batch, batchId, s"$workDir/ivf_index",
           s"$workDir/cells", nlist, sampleRows, quantized),
       sampleRows = sampleRows, targetCellRows = targetCellRows,
-      growFactor = growFactor, maxCellRows = maxCellRows)
+      growFactor = growFactor, maxCellRows = maxCellRows,
+      splitRounds = splitRounds)
 
   /** THE ingest stream driver, shared by the flat/SQ8 ([[streamIngestIvf]])
     * and IVF-PQ ([[streamIngestIvfPq]]) tiers — the replay-counting and
@@ -914,7 +916,8 @@ object Similarity {
       sampleRows: Int,
       targetCellRows: Int,
       growFactor: Int,
-      maxCellRows: Int = Int.MaxValue): DataFrame = {
+      maxCellRows: Int = Int.MaxValue,
+      splitRounds: Int = 6): DataFrame = {
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
     val static = spark.read.parquet(inputDir)
@@ -945,14 +948,16 @@ object Similarity {
         // its own occupancy probe (one bounded aggregate; ≤ nlist rows
         // collect) and returns 0 when nothing is hot, so the idle-path
         // cost is that single aggregate. The per-trigger loop is BOUNDED
-        // (≤ 6 rounds — tight-but-distinct blobs converge geometrically;
-        // byte-identical rows can NEVER split and would loop forever): a
-        // blob not finished this trigger re-fires on the next batch — the
-        // stream never stalls on maintenance, and each round's rewrite is
-        // file-targeted (round 15), so the cost is ∝ hot mass per round.
+        // (`splitRounds` — tight-but-distinct blobs converge
+        // geometrically; byte-identical rows can NEVER split and would
+        // loop forever): a blob not finished this trigger re-fires on
+        // the next batch — the stream never stalls on maintenance, and
+        // each round's rewrite is file-targeted (round 15), so the cost
+        // is ∝ hot mass per round.
         if (maxCellRows < Int.MaxValue) {
           var r = 0
-          while (r < 6 && splitHotCells(spark, workDir, maxCellRows) > 0) r += 1
+          while (r < splitRounds &&
+            splitHotCells(spark, workDir, maxCellRows) > 0) r += 1
         }
         ()
       }

@@ -121,6 +121,62 @@ object HotCellProbe {
         f"(${if (totalBytes == 0) 0.0 else 100.0 * movedBytes / totalBytes}%5.1f%%)")
       Similarity.invalidateIvfIndex(idx)
     }
+
+    // IN-STREAM response: the same uniform-then-drift arrival as a file
+    // stream, with the skew trigger armed vs unarmed — measures what the
+    // between-batch maintenance costs the ingest and what it buys the
+    // serve path (the stream NEVER stops; the trigger fires between
+    // micro-batches).
+    {
+      val drift = 20000
+      def mkInput(): String = {
+        val in = java.nio.file.Files.createTempDirectory("hotstream").toString
+        val t0 = System.currentTimeMillis()
+        val clones = spark.range(drift.toLong).repartition(16).mapPartitions { it =>
+          it.map { i =>
+            val a = (i % 4).toInt
+            val rnd = new scala.util.Random(i * 40503L + a)
+            (1000000L + i,
+              anchors(a.toLong).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+          }
+        }.toDF("vec_id", "embedding")
+        Seq(baseDf, clones).zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(2).write.mode("append").parquet(in)
+          val it = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (java.nio.file.Files.getLastModifiedTime(p).toMillis >= t0 - 60000L)
+              java.nio.file.Files.setLastModifiedTime(p,
+                java.nio.file.attribute.FileTime.fromMillis(t0 - 3600000L + i * 2000L))
+          }
+        }
+        in
+      }
+      def streamed(maxCell: Int): (Double, Long, Double, Int, Double) = {
+        val in = mkInput()
+        val dir = java.nio.file.Files.createTempDirectory("hotstreamw").toString
+        val t = timed(Similarity.streamIngestIvf(spark, in, dir, nlist = 64,
+          sampleRows = 4096, maxCellRows = maxCell, splitRounds = 12))
+        val (mx, mean) = Similarity.cellOccupancy(spark, dir)
+          .agg(F.max("n_rows"), F.avg("n_rows")).as[(Long, Double)].head()
+        val nl = Similarity.loadIvfIndex(spark, s"$dir/ivf_index").length
+        val tp = (1 to 3).map { _ =>
+          timed(Similarity.ivfTopKStored(
+            Dedup.readStore(spark, s"$dir/cells").drop("batch"), s"$dir/ivf_index",
+            probeId = 0L, k = 10, nprobe = 4)
+            .write.mode("overwrite").format("noop").save())
+        }.drop(1).min
+        (t, mx, mean, nl, tp)
+      }
+      val meanFinal = (base + drift) / 64
+      val (tOff, mxOff, meanOff, nlOff, tpOff) = streamed(Int.MaxValue)
+      val (tOn, mxOn, meanOn, nlOn, tpOn) = streamed(meanFinal * 3)
+      println(f"[hotcell-stream] base=$base%6d drift=$drift%6d | trigger OFF: " +
+        f"stream=$tOff%6.2f s nlist=$nlOff%4d max/mean=$mxOff%6d/${meanOff}%7.1f " +
+        f"probe=$tpOff%6.3f s | trigger ON (ceiling=${meanFinal * 3}): " +
+        f"stream=$tOn%6.2f s nlist=$nlOn%4d max/mean=$mxOn%6d/${meanOn}%7.1f " +
+        f"probe=$tpOn%6.3f s")
+    }
     spark.stop()
   }
 }

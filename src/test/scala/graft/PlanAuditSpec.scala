@@ -100,6 +100,7 @@ class PlanAuditSpec extends SparkSpec {
     // carries the declared q_bm25_search scalar broadcast in its lexical
     // leg.
     "q_sim_ivf_delete", "q_sim_ivfpq_filtered", "q_hybrid_search",
+    "q_stream_ivf_hotsplit",
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",
     "q_stream_ann_quantized", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")
