@@ -693,6 +693,23 @@ class SimilaritySpec extends SparkSpec {
     for (l <- Seq(".delete_stage", ".delete_old",
         s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, l)), l)
+    // CODED layout (SQ8): the same erasure works payload-through — the
+    // victims' rows vanish, every survivor's codes are byte-equal
+    val tmpQ = java.nio.file.Files.createTempDirectory("ivfdelq").toString
+    Similarity.streamIngestIvfBatch(emb, 0L, s"$tmpQ/ivf_index", s"$tmpQ/cells",
+      nlist = 4, sampleRows = 40, quantized = true)
+    val codesBefore = spark.read.parquet(s"$tmpQ/cells")
+      .select(col("vec_id"), col("qvec")).as[(Long, Seq[Byte])]
+      .collect().toMap
+    assert(Similarity.deleteFromIvfStore(spark, tmpQ, Seq(5L, 6L)) == 2L)
+    val codesAfter = spark.read.parquet(s"$tmpQ/cells")
+      .select(col("vec_id"), col("qvec")).as[(Long, Seq[Byte])]
+      .collect().toMap
+    assert(codesAfter.keySet == codesBefore.keySet - 5L - 6L,
+      "coded-layout delete must remove exactly the victims")
+    codesAfter.foreach { case (id, q) =>
+      assert(q == codesBefore(id), s"survivor $id's codes must pass through")
+    }
   }
 
   test("filtered serve prices selectivity ONCE per (store, predicate): " +
