@@ -1187,6 +1187,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- [NS] RIGHT-TO-ERASURE from the stored MinHash band index — the
+    // dedup-tier analogue of q_sim_ivf_delete: victims vanish from all
+    // THREE index tables (bands / sigs / shingles) by file-targeted
+    // rewrite (no re-banding, no re-aggregation; the did_mod tables'
+    // victim scans prune to the ids' own partitions), untouched files
+    // byte-identical, and the erased docs no longer influence probes —
+    // post-delete drops EQUAL the in-memory incremental over the corpus
+    // WITHOUT the victims. --
+    "q_dedup_index_delete" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_idxdel")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/index"
+      Dedup.seedStreamStores(docs0, idx,
+        tmp.toFile.getAbsolutePath + "/acc", Seq("doc_id"), n = 3, perms = 32)
+      Dedup.minhashIncrementalStored(s, idx,
+        docs0.where(col("doc_id") < 400).select("doc_id", "text"),
+        batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+      Dedup.minhashIncrementalStored(s, idx,
+        docs0.where(col("doc_id") >= 400 && col("doc_id") < 450).select("doc_id", "text"),
+        batchId = 1L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+      def snap(): Map[String, (Long, String)] = {
+        val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+        val root = java.nio.file.Paths.get(idx)
+        val it = java.nio.file.Files.walk(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".") && n != "nmods" &&
+              n != "index_manifest.json") {
+            val b = java.nio.file.Files.readAllBytes(p)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(b).map("%02x".format(_)).mkString
+            out(root.relativize(p).toString) = (b.length.toLong, sha)
+          }
+        }
+        out.toMap
+      }
+      val before = snap()
+      val victims = Seq(410L, 420L)
+      val nDel = Dedup.deleteFromMinhashIndex(s, idx, victims)
+      val after = snap()
+      val survivors = before.keySet intersect after.keySet
+      val coldOk = survivors.nonEmpty && survivors.forall(f => after(f) == before(f))
+      val vLits = victims.map(java.lang.Long.valueOf)
+      val erasedOk = Seq("bands", "sigs", "shingles").forall { sub =>
+        s.read.parquet(s"$idx/$sub")
+          .where(col("doc_id").isin(vLits: _*)).isEmpty
+      }
+      // semantics: post-delete probe == in-memory incremental over the
+      // corpus minus the victims (set equality, both directions)
+      val probe = docs0.where(col("doc_id") >= 450 && col("doc_id") < 500)
+        .select("doc_id", "text")
+      val got = Dedup.minhashIncrementalStored(s, idx, probe,
+        batchId = 2L, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      val expect = Dedup.minhashIncremental(
+        docs0.where(col("doc_id") < 450 && !col("doc_id").isin(vLits: _*))
+          .select("doc_id", "text"),
+        probe, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      val probeOk = got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty
+      s.range(1).select(
+        lit(nDel).as("n_deleted"),
+        lit(erasedOk).as("erased_ok"),
+        lit(coldOk).as("cold_ok"),
+        lit(probeOk).as("probe_ok"))
+    }),
+
     // -- [NS] INCREMENTAL substring dup-mass: the new batch's windows
     // (the top 20% of doc ids — a batch-sized increment at EVERY scale,
     // where a fixed id split would make the "batch" most of a larger
@@ -1203,6 +1271,60 @@ object SparkEntry {
       Dedup.substringMassIncrementalStored(s, dedupCensusPath(s, d),
           docs0.where(col("doc_id") >= thr), width = 40)
         .orderBy("doc_id")
+    }),
+
+    // -- [NS] RIGHT-TO-ERASURE from the stored substring census — the
+    // DECREMENT analogue (census rows are aggregates): the victim doc's
+    // content-defined windows re-derive, holder counts subtract, and
+    // windows hitting zero VANISH (the probe is an existence test — a
+    // zero-count row would keep reporting corpus duplication against
+    // erased text). Physically pruned to the victim's win_mod slices
+    // (nMods 64 so one doc's windows hit a real subset); untouched
+    // slices byte-identical; the decremented census EQUALS a census
+    // rebuilt on corpus-minus-victim. Own store (erasure mutates). --
+    "q_census_delete" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val corpus = docs0.where(col("doc_id") < 250L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_censdel")
+      deleteRecursivelyOnExit(tmp)
+      val path = tmp.toFile.getAbsolutePath + "/census"
+      Dedup.writeCensusStore(
+        Dedup.windowCensus(Dedup.windowTable(corpus)), path,
+        width = 40, nMods = 64)
+      def snap(): Map[String, (Long, String)] = {
+        val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+        val root = java.nio.file.Paths.get(path)
+        val it = java.nio.file.Files.walk(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".")) {
+            val b = java.nio.file.Files.readAllBytes(p)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(b).map("%02x".format(_)).mkString
+            out(root.relativize(p).toString) = (b.length.toLong, sha)
+          }
+        }
+        out.toMap
+      }
+      val before = snap()
+      val erased = Dedup.deleteFromCensusStore(s, path,
+        docs0.where(col("doc_id") === 3L), width = 40)
+      val after = snap()
+      val survivors = before.keySet intersect after.keySet
+      val coldOk = survivors.nonEmpty &&
+        survivors.forall(f => after(f) == before(f))
+      val got = s.read.parquet(path).groupBy(col("win"))
+        .agg(sum(col("n_docs")).as("n"))
+      val want = Dedup.windowCensus(
+        Dedup.windowTable(corpus.where(col("doc_id") =!= 3L)))
+        .select(col("win"), col("n_docs").as("n"))
+      val censusOk = got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      s.range(1).select(
+        lit(erased > 0L).as("erased_some"),
+        lit(coldOk).as("cold_ok"),
+        lit(censusOk).as("census_ok"))
     }),
 
     // -- [NS] the dedup FUNNEL: every tier composed into one curation
@@ -1343,6 +1465,64 @@ object SparkEntry {
       graft.operators.Dedup.semDedupIncrementalStored(s, store, inc,
           batchId = 1L, minCosine = 0.95)
         .orderBy("vec_id")
+    }),
+
+    // -- [NS] RIGHT-TO-ERASURE from the stored semantic index: victims
+    // vanish from the cell store by file-targeted rewrite (centroids
+    // untouched — deletion never moves a surviving row's cell), untouched
+    // files byte-identical, and the semantics flip exactly: a fresh clone
+    // of the ERASED vector no longer drops (nothing left to match) while
+    // a clone of a SURVIVOR still does. Own store (erasure mutates — the
+    // shared semstore fixture must not be touched). --
+    "q_semdedup_delete" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_semdel")
+      deleteRecursivelyOnExit(tmp)
+      val store = tmp.toFile.getAbsolutePath
+      graft.operators.Dedup.seedSemStore(e, store)
+      // batch 1: exact clones of vec 0 and vec 7 land (and drop)
+      val inc = e.where(col("vec_id").isin(0, 7))
+        .select((col("vec_id") + 8000000L).as("vec_id"), col("embedding"))
+      graft.operators.Dedup.semDedupIncrementalStored(s, store, inc,
+        batchId = 1L).count()
+      def snap(): Map[String, (Long, String)] = {
+        val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+        val root = java.nio.file.Paths.get(s"$store/cells")
+        val it = java.nio.file.Files.walk(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".")) {
+            val b = java.nio.file.Files.readAllBytes(p)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(b).map("%02x".format(_)).mkString
+            out(root.relativize(p).toString) = (b.length.toLong, sha)
+          }
+        }
+        out.toMap
+      }
+      val before = snap()
+      // erase vec 0 AND its already-ingested clone (both carry the
+      // embedding the erasure request names)
+      val n1 = graft.operators.Dedup.deleteFromSemStore(s, store, Seq(0L))
+      val coldAfterFirst = snap()
+      val survivors = before.keySet intersect coldAfterFirst.keySet
+      val coldOk = survivors.nonEmpty &&
+        survivors.forall(f => coldAfterFirst(f) == before(f))
+      val n2 = graft.operators.Dedup.deleteFromSemStore(s, store, Seq(8000000L))
+      // probe batch: fresh clones of the erased vec 0 and surviving vec 7
+      val probe = e.where(col("vec_id").isin(0, 7))
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      val drops = graft.operators.Dedup.semDedupIncrementalStored(s, store,
+        probe, batchId = 2L)
+      val erasedFree = drops.where(col("vec_id") === 9000000L).isEmpty
+      val survivorDrops = !drops.where(col("vec_id") === 9000007L).isEmpty
+      s.range(1).select(
+        lit(n1 + n2).as("n_deleted"),
+        lit(coldOk).as("cold_ok"),
+        lit(erasedFree).as("erased_free"),
+        lit(survivorDrops).as("survivor_drops"))
     }),
 
     // -- [NS] in-place RE-QUANTIZATION maintenance of the stored semantic
@@ -7515,6 +7695,26 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
         |ORDER BY 1""".stripMargin,
+
+    // band-index erasure: both victims deleted from all three tables,
+    // untouched files byte-identical, post-delete probe equals the
+    // in-memory incremental over corpus-minus-victims
+    "q_dedup_index_delete" ->
+      """SELECT CAST(2 AS BIGINT) AS n_deleted, true AS erased_ok,
+        |  true AS cold_ok, true AS probe_ok""".stripMargin,
+
+    // census erasure: decrement semantics — zero-count windows vanish,
+    // untouched win_mod slices byte-identical, decremented census equals
+    // a rebuilt census on corpus-minus-victim
+    "q_census_delete" ->
+      "SELECT true AS erased_some, true AS cold_ok, true AS census_ok",
+
+    // sem-store erasure: victim + its ingested clone deleted, cold files
+    // identical, a fresh clone of the erased vector no longer drops while
+    // a clone of a survivor still does
+    "q_semdedup_delete" ->
+      """SELECT CAST(2 AS BIGINT) AS n_deleted, true AS cold_ok,
+        |  true AS erased_free, true AS survivor_drops""".stripMargin,
 
     // five first-principles tier counts; fuzzy via the recursive closure
     "q_dedup_funnel" ->
