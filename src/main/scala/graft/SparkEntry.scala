@@ -5246,6 +5246,63 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- [NS] PARTITION RETENTION (TTL aging): drop every partition older
+    // than the cutoff as a PURE METADATA operation — no data file is
+    // read, planned, or rewritten; surviving partitions byte-identical
+    // (at 100 TB a retention pass that scans anything is already wrong —
+    // cost is O(dropped partition dirs)). The events table lands
+    // day-partitioned, the oldest 7 of its 30 days age out, and the
+    // declared result is the per-day aggregate over the RETAINED table —
+    // a true value oracle (the twin recomputes the same cutoff from the
+    // same table) — with the drop count and cold-file identity as gates. --
+    "q_retention_drop" -> ((s, d) => {
+      val dir = scratchDirs.getOrElseUpdate(s"retention:$d", {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_retention")
+        deleteRecursivelyOnExit(tmp)
+        val out = tmp.toFile.getAbsolutePath + "/events_by_day"
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          col("value"), to_date(col("ts")).cast("string").as("day"))
+        ev.coalesce(4).write.partitionBy("day").parquet(out)
+        // cutoff: the 7th distinct day — one 1-row sniff, the same value
+        // the twin derives with ORDER BY ... LIMIT 1 OFFSET 6
+        val cutoff = ev.select(col("day")).distinct()
+          .orderBy(col("day")).limit(7).agg(max(col("day"))).head().getString(0)
+        def snap(): Map[String, Long] = {
+          val outM = scala.collection.mutable.Map.empty[String, Long]
+          val root = java.nio.file.Paths.get(out)
+          val it = java.nio.file.Files.walk(root).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (java.nio.file.Files.isRegularFile(p) &&
+                !n.startsWith("_") && !n.startsWith("."))
+              outM(root.relativize(p).toString) =
+                java.nio.file.Files.getLastModifiedTime(p).toMillis +
+                  java.nio.file.Files.size(p)
+          }
+          outM.toMap
+        }
+        val before = snap()
+        val dropped = graft.operators.Layout.dropPartitions(
+          s, out, "day", _ <= cutoff)
+        val after = snap()
+        // survivors must be the SAME inodes — untouched mtime and size
+        // (no rewrite happened; the drop is directory metadata only)
+        val survivorsIdentical = after.forall { case (f, sig) =>
+          before.get(f).contains(sig)
+        }
+        require(dropped.size == 7 && survivorsIdentical &&
+          after.nonEmpty && before.size > after.size,
+          s"retention must drop exactly the 7 oldest days metadata-only " +
+            s"(dropped=${dropped.size}, identical=$survivorsIdentical)")
+        out
+      })
+      s.read.parquet(dir)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("day")
+    }),
+
     // -- [NS] SQL DDL surface: CREATE OR REPLACE TEMP VIEW + CTAS
     // (CREATE TABLE ... USING PARQUET LOCATION ... AS SELECT) through the
     // session catalog, then a pure-SQL join through both catalog objects.
@@ -6366,6 +6423,18 @@ object SparkEntry {
 
     // end state after the click-partition rewrite: every other partition
     // as-is, click reduced to its even-user rows
+    // retention: the retained table equals events past the 7th distinct
+    // day (the twin derives the same cutoff); the metadata-only-drop and
+    // cold-file gates are require()d inside the fixture build
+    "q_retention_drop" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE CAST(ts AS DATE) > (
+        |  SELECT dd FROM (SELECT DISTINCT CAST(ts AS DATE) AS dd FROM events
+        |                  ORDER BY dd LIMIT 1 OFFSET 6))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_partition_overwrite" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -487,4 +487,41 @@ object Layout {
     try update.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
     finally spark.conf.set(key, prev)
   }
+
+  /** Partition RETENTION — the TTL/archival primitive: drop every
+    * partition of a `partitionCol`-partitioned table whose (decoded)
+    * partition value `expire` accepts, as a PURE METADATA operation — no
+    * data file is ever read, planned, or rewritten; surviving partitions
+    * are byte-untouched. This is how a lake ages out data ("retain 90
+    * days"): at 100 TB a retention pass that scans or rewrites anything
+    * is already wrong — cost must be O(dropped partition dirs).
+    *
+    * The predicate sees the partition STRING value (directory-encoded,
+    * Hive-unescaped `__HIVE_DEFAULT_PARTITION__` excluded — a null
+    * partition is never age-droppable by value). Returns the dropped
+    * partition values.
+    */
+  def dropPartitions(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     partitionCol: String, expire: String => Boolean): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(prefix)) {
+        val value = java.net.URLDecoder.decode(
+          name.stripPrefix(prefix), "UTF-8")
+        if (value != "__HIVE_DEFAULT_PARTITION__" && expire(value)) {
+          if (!fs.delete(st.getPath, true))
+            throw new IllegalStateException(
+              s"dropPartitions: could not delete ${st.getPath} — table left " +
+                "with the partitions dropped so far; re-run to resume")
+          dropped += value
+        }
+      }
+    }
+    dropped.toSeq.sorted
+  }
 }

@@ -40,7 +40,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *    `agg(max(vec_id)).head()` — same idiom as the other sniffs); plus
   *    three 1-row fixture sniffs for the round-14 ANN lifecycle gates,
   *    the ≤20-row BPE merge-trajectory read (the artifact q_bpe_encode
-  *    serves), and q_sim_ivf_delete's 3-id victim pick.
+  *    serves), q_sim_ivf_delete's 3-id victim pick, and
+  *    q_retention_drop's 1-row cutoff-day sniff.
   *  - Similarity (round-14 additions, each bounded by index width):
   *    hierarchical trainer's per-group masses (≤ nGroups rows) and
   *    sub-centroid concat (= nlist×dim, the index itself); hot-split's
@@ -71,7 +72,7 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 14,
+      "graft/SparkEntry.scala"            -> 15,
       "graft/operators/Similarity.scala"  -> 16,
       "graft/operators/Dedup.scala"       -> 9,
       "graft/operators/Layout.scala"      -> 2,

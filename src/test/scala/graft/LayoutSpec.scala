@@ -353,6 +353,58 @@ class LayoutSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq == expected)
   }
 
+  test("dropPartitions ages out matching partitions metadata-only; " +
+    "survivors inode-identical, null partition never age-dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("retdrop").toString + "/t"
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("value"),
+        to_date(col("ts")).cast("string").as("day"))
+    // plant a null-day row: it lands in __HIVE_DEFAULT_PARTITION__ and
+    // must survive every value-based retention pass
+    ev.unionByName(spark.range(1).select(lit(-1L).as("event_id"),
+        lit(0.0).as("value"), lit(null.asInstanceOf[String]).as("day")))
+      .coalesce(2).write.partitionBy("day").parquet(dir)
+    val days = ev.select("day").distinct().orderBy("day")
+      .as[String].collect()
+    val cutoff = days(6) // 7th distinct day
+    def snap(): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val root = java.nio.file.Paths.get(dir)
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
+          out(root.relativize(p).toString) =
+            (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+              java.nio.file.Files.size(p))
+      }
+      out.toMap
+    }
+    val before = snap()
+    val dropped = Layout.dropPartitions(spark, dir, "day", _ <= cutoff)
+    assert(dropped == days.take(7).toSeq.sorted,
+      s"exactly the 7 oldest days must drop: $dropped")
+    val after = snap()
+    // survivors are the SAME files — untouched mtime and size (no data
+    // was read or rewritten; the drop is directory metadata only)
+    after.foreach { case (f, sig) =>
+      assert(before.get(f).contains(sig), s"survivor $f must be inode-identical")
+    }
+    assert(before.keySet -- after.keySet ==
+      before.keySet.filter(f => days.take(7).exists(d => f.startsWith(s"day=$d/"))))
+    // the null partition survived, and the retained rows are exactly the
+    // post-cutoff rows plus the null-day row
+    assert(after.keys.exists(_.startsWith("day=__HIVE_DEFAULT_PARTITION__")))
+    val left = spark.read.parquet(dir)
+    assert(left.where(col("day").isNull).count() == 1)
+    assert(left.where(col("day").isNotNull).count() ==
+      ev.where(col("day") > cutoff).count())
+    // idempotent: a re-run drops nothing and touches nothing
+    assert(Layout.dropPartitions(spark, dir, "day", _ <= cutoff).isEmpty)
+    assert(snap() == after)
+  }
+
   test("upsert applies inserts, updates, and deletes in one pass") {
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("k", "t", "v")
