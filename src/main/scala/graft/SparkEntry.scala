@@ -2393,6 +2393,102 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // -- [NS] RIGHT-TO-ERASURE on the PRODUCTION (PQ coded) layout — the
+    // q_sim_ivf_delete discipline on the codes-only store: victims drop
+    // by vec_id with the PAYLOAD PASSING THROUGH (no re-encode, no
+    // re-train — a delete that touched codes would silently degrade every
+    // survivor). Declared: victims gone + store complete (complete),
+    // files without victims byte-identical (cold_ok), every survivor's
+    // PQ codes byte-equal through the rewrite (codes_ok), BOTH quantizer
+    // artifacts untouched (index_ok — coarse centroids and codebooks are
+    // trained state, erasure must not move them), and the shrunken coded
+    // store still clears ≥8/10 ADC+rerank recall vs float brute force
+    // over corpus-minus-victims. --
+    "q_sim_ivfpq_delete" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfpqdel")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvfPq(s, in, w, nlist = 8, m = 8, codebookK = 32)
+      val corpus = s.read.parquet(in)
+      val victims = corpus.orderBy(col("vec_id").desc).limit(3)
+        .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq.sorted
+      val vLits = victims.map(java.lang.Long.valueOf)
+      def sha(dir: String): Map[String, String] = {
+        val out = scala.collection.mutable.Map.empty[String, String]
+        val root = java.nio.file.Paths.get(dir)
+        val it = java.nio.file.Files.walk(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith("."))
+            out(root.relativize(p).toString) =
+              java.security.MessageDigest.getInstance("SHA-256")
+                .digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
+        }
+        out.toMap
+      }
+      val cellsBefore = sha(s"$w/cells")
+      val idxBefore = (sha(s"$w/ivf_index"), sha(s"$w/pq_index"))
+      // survivor codes snapshot — DISTRIBUTED (persisted before the swap
+      // rewrites the files under the reader), compared by join, never
+      // collected
+      val codesBefore = graft.operators.Dedup.readStore(s, s"$w/cells")
+        .select(col("vec_id"), col("pqcode").as("pq_before")).persist()
+      codesBefore.count()
+      val nDeleted = Similarity.deleteFromIvfStore(s, w, victims)
+      val cellsAfter = sha(s"$w/cells")
+      val survivors = cellsBefore.keySet intersect cellsAfter.keySet
+      val coldOk = survivors.nonEmpty &&
+        survivors.forall(f => cellsAfter(f) == cellsBefore(f))
+      val indexOk = (sha(s"$w/ivf_index"), sha(s"$w/pq_index")) == idxBefore
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells")
+      val codesOk = stored
+        .join(codesBefore, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_joined"),
+          count(when(col("pqcode") === col("pq_before"), 1)).as("n_equal"))
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
+        .select((col("n_joined") === col("n_corpus") - nDeleted &&
+          col("n_equal") === col("n_joined")).as("codes_ok"),
+          (col("n_joined") === col("n_corpus") - nDeleted).as("complete"))
+      val emb = embeddings(s, d)
+      val survivorsEmb = emb.where(!col("vec_id").isin(vLits: _*))
+      val probes = emb.where(col("vec_id").isin(0L, 1L))
+      // exhaustive coarse pass (nprobe = nlist): the declared subject is
+      // the ERASURE, so the recall gate isolates ADC+rerank error alone
+      val nlist = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val approx = Similarity.ivfPqProbeSetTopKStored(s, w, probes,
+        rerankWith = survivorsEmb, k = 10, nprobe = nlist, rerank = 20)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = survivorsEmb.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      // codesBefore stays persisted (MEMORY_AND_DISK, KB-scale): the
+      // returned frame references it, and an unpersist-then-recompute
+      // would re-read file paths the swap already retired
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(codesOk))
+        .select(col("probe_id"),
+          lit(nDeleted == 3L).as("deleted_ok"),
+          lit(coldOk).as("cold_ok"),
+          lit(indexOk).as("index_ok"),
+          col("codes_ok"), col("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     // -- [NS] AGED IVF-PQ lifecycle end to end — the coded-store analogue
     // of q_sim_ivf_batch_stored's aged-layout discipline: streamed
     // codes-only ingest whose coarse quantizer GROWS in-stream (the
@@ -5271,18 +5367,24 @@ object SparkEntry {
         // the twin derives with ORDER BY ... LIMIT 1 OFFSET 6
         val cutoff = ev.select(col("day")).distinct()
           .orderBy(col("day")).limit(7).agg(max(col("day"))).head().getString(0)
-        def snap(): Map[String, Long] = {
-          val outM = scala.collection.mutable.Map.empty[String, Long]
+        // survivor signature: (size, sha256) — the same tuple/SHA
+        // discipline as every other cold-file identity gate (a summed
+        // mtime+size signature would pass a rewrite whose deltas cancel)
+        def snap(): Map[String, (Long, String)] = {
+          val outM = scala.collection.mutable.Map.empty[String, (Long, String)]
           val root = java.nio.file.Paths.get(out)
           val it = java.nio.file.Files.walk(root).iterator()
           while (it.hasNext) {
             val p = it.next()
             val n = p.getFileName.toString
             if (java.nio.file.Files.isRegularFile(p) &&
-                !n.startsWith("_") && !n.startsWith("."))
+                !n.startsWith("_") && !n.startsWith(".")) {
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              val sha = md.digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
               outM(root.relativize(p).toString) =
-                java.nio.file.Files.getLastModifiedTime(p).toMillis +
-                  java.nio.file.Files.size(p)
+                (java.nio.file.Files.size(p), sha)
+            }
           }
           outM.toMap
         }
@@ -5290,8 +5392,8 @@ object SparkEntry {
         val dropped = graft.operators.Layout.dropPartitions(
           s, out, "day", _ <= cutoff)
         val after = snap()
-        // survivors must be the SAME inodes — untouched mtime and size
-        // (no rewrite happened; the drop is directory metadata only)
+        // survivors must be byte-identical — untouched size and content
+        // hash (no rewrite happened; the drop is directory metadata only)
         val survivorsIdentical = after.forall { case (f, sig) =>
           before.get(f).contains(sig)
         }
@@ -7326,6 +7428,16 @@ object SparkEntry {
     "q_sim_ivf_delete" ->
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS deleted_ok,
         |  true AS cold_ok, true AS complete, true AS recall_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // right-to-erasure on the PRODUCTION (PQ coded) layout: victims gone,
+    // cold files byte-identical, every survivor's codes pass through
+    // byte-equal, both quantizer artifacts untouched, and post-delete
+    // ADC+rerank recall clears the gate vs corpus-minus-victims
+    "q_sim_ivfpq_delete" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS deleted_ok,
+        |  true AS cold_ok, true AS index_ok, true AS codes_ok,
+        |  true AS complete, true AS recall_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
     // hierarchical two-level training honored nlist=8192 (no silent

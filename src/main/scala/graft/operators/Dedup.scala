@@ -917,7 +917,11 @@ object Dedup {
     val nMods = storeNMods(idxDir)
     val victims = docIds.distinct
     val vIds = victims.map(java.lang.Long.valueOf)
-    val mods = victims.map(d => (d % nMods).toInt).distinct
+    // floorMod, not JVM remainder: the store writes did_mod = pmod(doc_id,
+    // nMods), which is non-negative — a negative doc_id under `%` would
+    // compute a negative mod, miss the victim's real partition, and leave
+    // sigs/shingles rows silently alive (an erasure violation)
+    val mods = victims.map(d => Math.floorMod(d, nMods.toLong).toInt).distinct
       .map(Integer.valueOf)
     val vc = col("doc_id").isin(vIds: _*)
     // did_mod-partitioned tables: conjoin the partition prune so the

@@ -511,8 +511,7 @@ object Layout {
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith(prefix)) {
-        val value = java.net.URLDecoder.decode(
-          name.stripPrefix(prefix), "UTF-8")
+        val value = unescapePathName(name.stripPrefix(prefix))
         if (value != "__HIVE_DEFAULT_PARTITION__" && expire(value)) {
           if (!fs.delete(st.getPath, true))
             throw new IllegalStateException(
@@ -524,4 +523,30 @@ object Layout {
     }
     dropped.toSeq.sorted
   }
+
+  /** Inverse of the Hive/Spark partition-path escaping (the writer escapes
+    * reserved chars as `%XX`): decode ONLY well-formed `%XX` sequences and
+    * pass everything else through verbatim. `URLDecoder` is NOT that
+    * inverse — it turns a literal `+` (never escaped on write) into a
+    * space and throws on a stray `%` from a foreign writer; on a
+    * destructive drop a mis-decoded value is fed to the expire predicate,
+    * so a partition could be wrongly dropped or retained. Mirrors Spark's
+    * `ExternalCatalogUtils.unescapePathName` (public behavior).
+    */
+  private[graft] def unescapePathName(path: String): String = {
+    val sb = new StringBuilder(path.length)
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (c == '%' && i + 2 < path.length &&
+          isHex(path.charAt(i + 1)) && isHex(path.charAt(i + 2))) {
+        sb.append(Integer.parseInt(path.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 }

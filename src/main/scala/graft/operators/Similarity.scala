@@ -709,6 +709,7 @@ object Similarity {
     loadedIvfCache.clear()
     loadedPqCache.clear()
     selectivityCache.clear()
+    unsplittableCells.clear()
   }
 
   /** Cached qualifier-selectivity statistics for the FILTERED serve
@@ -727,13 +728,26 @@ object Similarity {
     * cadence.
     */
   private val selectivityCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
 
   /** Observability counter for specs: how many times a filtered serve
     * actually PAID the selectivity aggregate (vs served from cache) —
     * the `kmeansTrainings` discipline applied to the serve path.
     */
   @volatile private[graft] var selectivityPricings: Long = 0L
+
+  /** Cells [[splitHotCells]] proved UNSPLITTABLE at a recorded occupancy
+    * (k-means cannot separate byte-identical vectors — all rows relabel
+    * together), keyed by index-artifact path. A later trigger skips a
+    * memoized cell while its occupancy is UNCHANGED — without this, the
+    * in-stream trigger's bounded loop would re-run `splitRounds` full
+    * stage+swap rewrites of the hot files on EVERY micro-batch forever
+    * once such a cell exists. New rows landing in the cell change its
+    * occupancy and re-arm the attempt; any maintenance swap drops the
+    * memo ([[invalidateIvfIndex]] — cell ids may renumber).
+    */
+  private val unsplittableCells =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Long]]
 
   /** Persist the IVF index (the centroid matrix) as a tiny parquet table
     * `(cell int, centroid array<double>)`. A production IVF index is a
@@ -786,7 +800,9 @@ object Similarity {
     // a swapped store invalidates its priced selectivities too — the
     // filtered serve wrappers key their cache by this artifact path
     selectivityCache.keysIterator
-      .filter(_._2 == path).foreach(selectivityCache.remove)
+      .filter(_._1 == path).foreach(selectivityCache.remove)
+    // and its unsplittable-cell memo: a swap can renumber/merge cells
+    unsplittableCells.remove(path)
     ()
   }
 
@@ -1216,6 +1232,18 @@ object Similarity {
     * the cache's staleness contract). Gated per-probe vs the FILTERED
     * float truth by `q_sim_ivfpq_filtered`.
     */
+  /** Ceiling on the 1/sel-scaled per-probe ADC re-rank pool. The pool's
+    * candidate ids BROADCAST for the exact re-rank join (the candidate
+    * set must reach every executor holding full-precision rows), so the
+    * cap bounds that broadcast at probes × cap ids: at 1000 ids/probe
+    * (~16 B each) a 500-probe batch stays ≈ 8 MB — inside Spark's
+    * default `autoBroadcastJoinThreshold` (10 MB). Past the cap the
+    * filtered coded path degrades gracefully: recall comes from the
+    * nprobe widening (capped at nlist = exhaustive) rather than an
+    * unboundedly growing driver/broadcast pool.
+    */
+  private val MaxFilteredRerankPool = 1000
+
   def ivfPqProbeSetTopKStoredFiltered(
       spark: org.apache.spark.sql.SparkSession,
       workDir: String,
@@ -1232,7 +1260,8 @@ object Similarity {
     require(qual > 0, "ivfPqProbeSetTopKStoredFiltered: no store rows qualify")
     val inv = total.toDouble / qual
     val scaledNprobe = math.min(nlist.toLong, math.ceil(nprobe * inv).toLong).toInt
-    val scaledRerank = math.min(1000L, math.ceil(rerank * inv).toLong).toInt
+    val scaledRerank =
+      math.min(MaxFilteredRerankPool.toLong, math.ceil(rerank * inv).toLong).toInt
     ivfPqProbeSetTopKStored(spark, workDir, probes, rerankWith,
       k, scaledNprobe, scaledRerank, rowFilter)
   }
@@ -1489,9 +1518,13 @@ object Similarity {
     * still over the ceiling — callers drive the trigger to quiescence
     * (`while (splitHotCells(…) > 0)`), which converges geometrically on
     * distinct rows. A cell of > maxCellRows byte-IDENTICAL vectors can
-    * never split (they relabel together — k-means cannot separate
-    * equal points), so production triggers bound the loop and surface
-    * such cells to dedup instead.
+    * never split (they relabel together — k-means cannot separate equal
+    * points): such cells are DETECTED before any rewrite (the training
+    * task counts its own sub-assignments), excluded from the split and
+    * memoized at their occupancy ([[unsplittableCells]]) so the return
+    * value reaches 0 and later triggers skip them until their occupancy
+    * changes — no per-batch rewrite tax, no unbounded loop. Surface such
+    * cells to dedup instead.
     */
   def splitHotCells(
       spark: org.apache.spark.sql.SparkSession,
@@ -1513,31 +1546,67 @@ object Similarity {
         s"splitHotCells: leftover $left from an unfinished swap at $workDir — " +
           "recover (restore set-aside partitions/index from .split_old, " +
           "remove the sentinel) before retrying")
-    // the occupancy probe: ≤ nlist (cell, n) pairs — bounded by the index
-    val hot = cellOccupancy(spark, workDir)
+    // the occupancy probe: ≤ nlist (cell, n) pairs — bounded by the index.
+    // Cells memoized unsplittable at this exact occupancy are skipped
+    // (see [[unsplittableCells]]) — they re-arm when occupancy changes.
+    val memo = unsplittableCells.getOrElse(idxDir, Map.empty[Int, Long])
+    val hotOcc: Map[Int, Long] = cellOccupancy(spark, workDir)
       .where(col("n_rows") > maxCellRows)
-      .select(col("cell")).as[Int].collect().sorted
-    if (hot.isEmpty) return 0
-    val hotSet = hot.toSet
+      .select(col("cell"), col("n_rows")).as[(Int, Long)].collect().toMap
+    val candidates = hotOcc.keys.toArray.sorted
+      .filterNot(c => memo.get(c).contains(hotOcc(c)))
+    if (candidates.isEmpty) return 0
     val centroids = loadIvfIndex(spark, idxDir)
     val stored = Dedup.readStore(spark, cellsDir)
     val (rows, coded) = withReconstructedEmbedding(spark, workDir, stored)
     // per-hot-cell sub-quantizers, trained from each cell's own rows in
     // the tasks (id-sorted init, seed-free kmeans — deterministic); a
-    // cell with fewer rows than splitFactor trains what it holds
-    val subsByCell: Map[Int, Array[Array[Double]]] = rows
-      .where(col("cell").isin(hot.toIndexedSeq.map(Integer.valueOf): _*))
+    // cell with fewer rows than splitFactor trains what it holds. Each
+    // task also counts the nearest-sub assignment of its own rows (same
+    // tie-breaking as the relabel below): a cell whose rows ALL land on
+    // one sub-centroid cannot make progress — byte-identical vectors
+    // relabel together — and must not pay a stage+swap rewrite.
+    val trained = rows
+      .where(col("cell").isin(candidates.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("cell"), col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Int, Long, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (c, it) =>
         val cellRows = it.toArray.sortBy(_._2).map(_._3)
         val f = math.min(splitFactor, cellRows.length)
-        kmeans(cellRows, f).iterator.zipWithIndex.map { case (s, i) => (c, i, s) }
+        val subs = kmeans(cellRows, f)
+        val counts = new Array[Long](subs.length)
+        cellRows.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < subs.length) {
+            val sc = subs(i)
+            var d = 0.0; var j = 0
+            while (j < sc.length) { val t = v(j) - sc(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          counts(best) += 1L
+        }
+        subs.iterator.zipWithIndex.map { case (s, i) => (c, i, s, counts(i)) }
       }
       .collect()
-      .groupBy(_._1).view
-      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+      .groupBy(_._1)
+    // progress = the cell's rows spread over ≥ 2 sub-centroids; stuck
+    // cells are memoized at their CURRENT occupancy and skipped — if
+    // every candidate is stuck, the store is untouched and no swap runs
+    val stuck = trained.collect {
+      case (c, arr) if arr.count(_._4 > 0L) < 2 => c
+    }.toArray.sorted
+    if (stuck.nonEmpty)
+      unsplittableCells.updateWith(idxDir)(prev =>
+        Some(prev.getOrElse(Map.empty) ++ stuck.map(c => c -> hotOcc(c))))
+    val hot = candidates.filterNot(stuck.contains)
+    if (hot.isEmpty) return 0
+    val hotSet = hot.toSet
+    val subsByCell: Map[Int, Array[Array[Double]]] = trained.view
+      .filterKeys(hotSet).toMap
+      .map { case (c, arr) => c -> arr.sortBy(_._2).map(_._3) }
     // global ids: sub 0 keeps the hot cell's id; subs 1… append after the
     // current matrix, allocated hot-cell-ascending
     var nextId = centroids.length
@@ -1671,108 +1740,37 @@ object Similarity {
     * maintenance op ("remove these vec_ids without a rebuild"), the first
     * compliance request a real deployment gets. Works on every store
     * layout (flat / SQ8 / PQ — the payload passes through; victims drop
-    * by `vec_id`):
+    * by `vec_id`). A thin wrapper over the SHARED erasure core
+    * ([[Dedup.deleteRowsFromStore]] — the same pricing/staging/swap every
+    * stored-index family uses): ONE `groupBy(input_file_name())` job
+    * both prices the request and lists the owning files (a `vec_id`
+    * predicate doesn't prune the cell-clustered layout, so a second
+    * victim scan would double the dominant cost); 0 victims → store
+    * untouched, no swap; only owning files re-read (basePath keeps
+    * `batch` provenance), victims filtered out, remainder restaged
+    * cell-clustered, file-granular recoverable swap — untouched files
+    * stay byte-identical.
     *
-    *  - ONE bounded count prices the request (0 victims → store untouched,
-    *    no swap);
-    *  - one column-pruned pass lists the FILES holding any victim row —
-    *    bounded by the store's file count; on a compacted cell-clustered
-    *    store the id lookup prunes like any vec_id predicate;
-    *  - ONLY those files re-read (basePath keeps `batch` provenance),
-    *    victims filtered out, remainder restaged cell-clustered, and the
-    *    recoverable swap renames at FILE granularity — untouched files
-    *    stay byte-identical (the [[splitHotCells]] round-15 discipline);
-    *  - CENTROIDS ARE UNTOUCHED (deletion never moves a surviving row's
-    *    cell); the index artifact is cache-invalidated only so priced
-    *    selectivities re-derive against the shrunken store.
-    *
-    * Deleting every last row is out of contract (an empty unseedable
-    * store — rebuild instead); the shared sentinel keeps probes away
-    * during the swap. Returns the number of rows deleted.
+    * CENTROIDS ARE UNTOUCHED (deletion never moves a surviving row's
+    * cell); the index artifact is cache-invalidated only so priced
+    * selectivities re-derive against the shrunken store. Deleting every
+    * last row is out of contract (an empty unseedable store — rebuild
+    * instead); the shared sentinel keeps probes away during the swap.
+    * Returns the number of rows deleted.
     */
   def deleteFromIvfStore(
       spark: org.apache.spark.sql.SparkSession,
       workDir: String,
       ids: Seq[Long],
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    import org.apache.hadoop.fs.Path
-    import spark.implicits._
     require(ids.nonEmpty, "deleteFromIvfStore: empty id set")
     val idxDir = s"$workDir/ivf_index"
-    val cellsDir = s"$workDir/cells"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(workDir).getFileSystem(conf)
-    val sentinel = new Path(cellsDir, Dedup.MaintenanceSentinel)
-    val trash = new Path(workDir, ".delete_old")
-    for (left <- Seq(sentinel, trash) if fs.exists(left))
-      throw new IllegalStateException(
-        s"deleteFromIvfStore: leftover $left from an unfinished swap at $workDir — " +
-          "recover (restore set-aside files from .delete_old, remove the " +
-          "sentinel) before retrying")
-    val victims = ids.distinct
-    val victimCol = col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*)
-    val stored = Dedup.readStore(spark, cellsDir)
-    val deleted = stored.where(victimCol).count()
-    if (deleted == 0L) return 0L
-    // affected files: ≤ the store's file count — metadata, not data
-    val victimFileUris = stored.where(victimCol)
-      .select(input_file_name().as("f")).distinct().as[String].collect().sorted
-    val physicalByKey: Map[String, org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(new Path(cellsDir))
-        .filter(_.getPath.getName.startsWith("batch="))
-        .flatMap { d =>
-          fs.listStatus(d.getPath)
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-              !f.getPath.getName.startsWith("."))
-            .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f)
-        }.toMap
-    val victimKeys = victimFileUris.map { uri =>
-      val p = new Path(uri)
-      s"${p.getParent.getName}/${p.getName}"
-    }.toSet
-    val affected = physicalByKey.collect {
-      case (k, st) if victimKeys(k) => st
-    }.toSeq.sortBy(_.getPath.toString)
-    require(affected.nonEmpty,
-      "deleteFromIvfStore: victim rows reported but no owning files resolved — " +
-        "store listing and scan disagree; refusing to swap")
-    val stageRoot = s"$workDir/.delete_stage"
-    fs.delete(new Path(stageRoot), true) // stale stage: data-free, safe
-    val affectedBytes = affected.map(_.getLen).sum
-    val slices = math.max(
-      math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
-      spark.sparkContext.defaultParallelism.toLong).toInt
-    val qualifiedBase = fs.makeQualified(new Path(cellsDir)).toString
-    val remainder = spark.read.option("basePath", qualifiedBase)
-      .parquet(affected.map(_.getPath.toString): _*)
-      .where(!victimCol)
-    remainder
-      .repartitionByRange(slices, col("batch"), col("cell"), col("vec_id"))
-      .sortWithinPartitions("batch", "cell", "vec_id")
-      .write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$stageRoot/cells")
-    val stagedCells = new Path(s"$stageRoot/cells")
-    if (!fs.exists(stagedCells))
-      throw new IllegalStateException(
-        s"deleteFromIvfStore: staged rewrite missing under $stageRoot — store left unchanged")
-    // an all-victim affected set stages zero files — the swap then only
-    // retires the affected files
-    val stagedFiles = fs.listStatus(stagedCells)
-      .filter(_.getPath.getName.startsWith("batch=")).toSeq
-      .flatMap { d =>
-        fs.listStatus(d.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-            !f.getPath.getName.startsWith("."))
-          .map(f => (f.getPath, new Path(new Path(cellsDir, d.getPath.getName), f.getPath.getName)))
-      }
-    stagedFiles.foreach { case (_, dst) => fs.mkdirs(dst.getParent) }
-    Dedup.recoverableSwap(fs, "deleteFromIvfStore",
-      sentinelDir = new Path(cellsDir), trash = trash,
-      asides = affected.map(_.getPath),
-      promotes = stagedFiles,
-      cleanup = Seq(new Path(stageRoot)),
+    Dedup.deleteRowsFromStore(spark, s"$workDir/cells", "deleteFromIvfStore",
+      victimCol = col("vec_id").isin(ids.distinct.map(java.lang.Long.valueOf): _*),
+      partitionCols = Seq("batch"),
+      clusterCols = Seq("cell", "vec_id"),
+      targetFileBytes = targetFileBytes,
       afterPromote = () => invalidateIvfIndex(idxDir))
-    deleted
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's
@@ -1904,13 +1902,21 @@ object Similarity {
 
   /** (total, qualifying) store rows for `rowFilter`, via
     * [[selectivityCache]] — one column-pruned aggregate on first serve of
-    * a (store, index, predicate) triple, cache hits after.
+    * a (store, predicate) pair, cache hits after.
+    *
+    * The key is (index artifact path, exprId-normalized predicate): the
+    * artifact path pins the store (its readers pass the store's own rows
+    * — the serve contract), and normalizing `#<exprId>` out of the
+    * predicate string makes RESOLVED-attribute predicates
+    * (`df("label") === 1` — fresh exprId per read) hit the cache like
+    * unresolved ones, instead of silently re-pricing on every serve. A
+    * plan-hash key would miss both and admit Int-hash cross-plan
+    * collisions.
     */
   private def pricedSelectivity(
       assigned: DataFrame, indexPath: String, rowFilter: Column): (Long, Long) =
     selectivityCache.getOrElseUpdate(
-      (assigned.queryExecution.analyzed.semanticHash(), indexPath,
-        rowFilter.toString), {
+      (indexPath, rowFilter.toString.replaceAll("#\\d+", "")), {
       selectivityPricings += 1
       val counts = assigned.agg(
         count(lit(1)).as("n"),

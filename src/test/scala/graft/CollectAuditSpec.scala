@@ -40,15 +40,20 @@ import org.scalatest.funsuite.AnyFunSuite
   *    `agg(max(vec_id)).head()` — same idiom as the other sniffs); plus
   *    three 1-row fixture sniffs for the round-14 ANN lifecycle gates,
   *    the ≤20-row BPE merge-trajectory read (the artifact q_bpe_encode
-  *    serves), q_sim_ivf_delete's 3-id victim pick, and
-  *    q_retention_drop's 1-row cutoff-day sniff.
+  *    serves), the 3-id victim picks of q_sim_ivf_delete and
+  *    q_sim_ivfpq_delete (round 16), and q_retention_drop's 1-row
+  *    cutoff-day sniff.
   *  - Similarity (round-14 additions, each bounded by index width):
   *    hierarchical trainer's per-group masses (≤ nGroups rows) and
   *    sub-centroid concat (= nlist×dim, the index itself); hot-split's
-  *    occupancy/hot-set reads (≤ nlist rows); filtered serve's 1-row
-  *    selectivity head; hot-split's and deleteFromIvfStore's
-  *    affected-file listings (distinct input_file_name of hot/victim
-  *    rows — ≤ the store's file count, metadata).
+  *    occupancy/hot-set reads (≤ nlist rows — the trained-subs collect
+  *    also carries per-sub assignment counts, same ≤ hot×splitFactor
+  *    bound) and affected-file listing (distinct input_file_name of hot
+  *    rows — ≤ the store's file count, metadata); filtered serve's 1-row
+  *    selectivity head. Round 16: deleteFromIvfStore routes through the
+  *    shared Dedup.deleteRowsFromStore core (its ONE pricing+owner
+  *    collect is audited under Dedup), dropping the former duplicate
+  *    victim scan — Similarity 16 → 15.
   */
 class CollectAuditSpec extends AnyFunSuite {
 
@@ -72,8 +77,8 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 15,
-      "graft/operators/Similarity.scala"  -> 16,
+      "graft/SparkEntry.scala"            -> 16,
+      "graft/operators/Similarity.scala"  -> 15,
       "graft/operators/Dedup.scala"       -> 9,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,

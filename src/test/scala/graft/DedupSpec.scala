@@ -1004,6 +1004,32 @@ class DedupSpec extends SparkSpec {
       s"post-delete probe diverges from rebuilt truth: ${(got diff expect) ++ (expect diff got)}")
   }
 
+  test("deleteFromMinhashIndex erases NEGATIVE doc_ids completely: the " +
+    "did_mod prune must floorMod like the write-side pmod") {
+    // the store partitions sigs/shingles by did_mod = pmod(doc_id, nMods)
+    // (non-negative); a JVM-remainder prune computes a NEGATIVE mod for a
+    // negative id, misses the victim's real partition, and silently
+    // leaves sigs/shingles rows alive — an erasure violation
+    val docs = Tables.documents(spark, Sf0001)
+      .where(col("doc_id") < 100)
+      .select((col("doc_id") - 50L).as("doc_id"), col("text")) // ids -50..49
+    val tmp = java.nio.file.Files.createTempDirectory("minhashdelneg")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    Dedup.minhashIncrementalStored(spark, idx, docs,
+      batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    val victims = Seq(-37L, -4L, 11L)
+    val n = Dedup.deleteFromMinhashIndex(spark, idx, victims)
+    assert(n == 3L, s"expected 3 doc deletions, got $n")
+    for (sub <- Seq("bands", "sigs", "shingles")) {
+      val ids = spark.read.parquet(s"$idx/$sub").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      victims.foreach(v => assert(!ids.contains(v),
+        s"$sub still holds negative-id victim $v — the did_mod prune missed " +
+          "its partition"))
+    }
+  }
+
   test("deleteFromSemStore: victims erased, untouched files byte-identical, " +
     "centroids untouched, post-delete probe = reseeded truth") {
     val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")

@@ -405,6 +405,35 @@ class LayoutSpec extends SparkSpec {
     assert(snap() == after)
   }
 
+  test("dropPartitions decodes Hive path escaping exactly: literal '+' " +
+    "survives, %XX decodes, a stray '%' never corrupts the expire value") {
+    // the inverse of the WRITER's escaping, not URL decoding: a literal
+    // '+' is never escaped on write (URLDecoder would turn it into a
+    // space and feed the wrong value to a destructive predicate), and a
+    // foreign writer's stray '%' must pass through, not throw
+    assert(Layout.unescapePathName("a+b") == "a+b")
+    assert(Layout.unescapePathName("t%3Av") == "t:v")
+    assert(Layout.unescapePathName("p%2Fq%25") == "p/q%")
+    assert(Layout.unescapePathName("50%") == "50%")
+    assert(Layout.unescapePathName("%zz9") == "%zz9")
+    assert(Layout.unescapePathName("") == "")
+    // end-to-end: partition values containing '+', ':' (escaped %3A on
+    // write) and '%' round-trip through the drop predicate untouched
+    val dir = java.nio.file.Files.createTempDirectory("retdrop-esc").toString + "/t"
+    Seq(("a+b", 1L), ("t:v", 2L), ("50%", 3L), ("keep", 4L))
+      .toDF("tenant", "n")
+      .write.partitionBy("tenant").parquet(dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dropped = Layout.dropPartitions(spark, dir, "tenant", v => {
+      seen += v; v == "a+b" || v == "t:v" || v == "50%"
+    })
+    assert(seen.sorted == Seq("50%", "a+b", "keep", "t:v"),
+      s"predicate must see the WRITER's original values, got $seen")
+    assert(dropped == Seq("50%", "a+b", "t:v"))
+    assert(spark.read.parquet(dir).select("tenant").as[String].collect()
+      .toSeq == Seq("keep"))
+  }
+
   test("upsert applies inserts, updates, and deletes in one pass") {
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("k", "t", "v")

@@ -710,6 +710,86 @@ class SimilaritySpec extends SparkSpec {
     codesAfter.foreach { case (id, q) =>
       assert(q == codesBefore(id), s"survivor $id's codes must pass through")
     }
+    // PQ layout: the same erasure passes the PQ codes through untouched
+    // and NEITHER quantizer artifact (coarse centroids, codebooks) moves;
+    // the shrunken coded store still serves ADC+rerank recall
+    val tmpP = java.nio.file.Files.createTempDirectory("ivfdelpq").toString
+    Similarity.streamIngestIvfPqBatch(emb, 0L, tmpP, nlist = 4, m = 8,
+      codebookK = 32, sampleRows = 40)
+    val pqBefore = spark.read.parquet(s"$tmpP/cells")
+      .select(col("vec_id"), col("pqcode")).as[(Long, Seq[Int])]
+      .collect().toMap
+    val coarseBefore = Similarity.loadIvfIndex(spark, s"$tmpP/ivf_index")
+      .map(_.toSeq).toSeq
+    val booksBefore = Similarity.loadPqIndex(spark, s"$tmpP/pq_index")
+      .map(_.map(_.toSeq).toSeq).toSeq
+    assert(Similarity.deleteFromIvfStore(spark, tmpP, Seq(8L, 9L)) == 2L)
+    val pqAfter = spark.read.parquet(s"$tmpP/cells")
+      .select(col("vec_id"), col("pqcode")).as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(pqAfter.keySet == pqBefore.keySet - 8L - 9L,
+      "PQ-layout delete must remove exactly the victims")
+    pqAfter.foreach { case (id, q) =>
+      assert(q == pqBefore(id), s"survivor $id's PQ codes must pass through")
+    }
+    Similarity.clearIndexCaches()
+    assert(Similarity.loadIvfIndex(spark, s"$tmpP/ivf_index")
+      .map(_.toSeq).toSeq == coarseBefore, "coarse centroids must not move")
+    assert(Similarity.loadPqIndex(spark, s"$tmpP/pq_index")
+      .map(_.map(_.toSeq).toSeq).toSeq == booksBefore,
+      "PQ codebooks must not move")
+    val bfP = Similarity.bruteForceTopK(
+        emb.where(!col("vec_id").isin(8L, 9L)), probeId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val gotP = Similarity.ivfPqTopKStored(spark, tmpP, probeId = 0L,
+        rerankWith = emb.where(!col("vec_id").isin(8L, 9L)),
+        k = 5, nprobe = 4, rerank = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((bfP intersect gotP).size >= 4,
+      s"post-delete ADC+rerank recall must hold: $gotP vs $bfP")
+  }
+
+  test("erasure vs live maintenance: a delete issued while the sentinel " +
+    "is up REFUSES cleanly — store untouched, no stage, retryable after") {
+    // the race a live ingest stream exposes: its between-batch triggers
+    // (requantize/hot-split) raise the MaintenanceSentinel for the swap
+    // window; an external deleteFromIvfStore arriving inside that window
+    // must not corrupt the store OR kill the swap. The pinned contract is
+    // single-writer REFUSAL: the delete throws (naming the sentinel path
+    // so the caller can wait for the between-batch slot), moves nothing,
+    // and the SAME request succeeds once the window closes.
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdel-race").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.streamIngestIvfBatch(emb, 0L, idx, data, nlist = 4, sampleRows = 40)
+    def snapshot(): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val root = java.nio.file.Paths.get(tmp)
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          out(root.relativize(p).toString) = sha
+        }
+      }
+      out.toMap
+    }
+    // raise the sentinel exactly as a concurrent maintenance op would
+    val sentinelP = java.nio.file.Paths.get(data, graft.operators.Dedup.MaintenanceSentinel)
+    java.nio.file.Files.createFile(sentinelP)
+    val before = snapshot()
+    val e = intercept[IllegalStateException](
+      Similarity.deleteFromIvfStore(spark, tmp, Seq(1L, 2L)))
+    assert(e.getMessage.contains(graft.operators.Dedup.MaintenanceSentinel),
+      s"refusal must name the sentinel: ${e.getMessage}")
+    assert(snapshot() == before,
+      "a refused delete must leave every byte in place (incl. the sentinel)")
+    // window closes → the identical request succeeds
+    java.nio.file.Files.delete(sentinelP)
+    assert(Similarity.deleteFromIvfStore(spark, tmp, Seq(1L, 2L)) == 2L)
+    val left = spark.read.parquet(data).select("vec_id").as[Long].collect().toSet
+    assert(left == (0L until 40L).toSet - 1L - 2L)
   }
 
   test("filtered serve prices selectivity ONCE per (store, predicate): " +
@@ -731,6 +811,17 @@ class SimilaritySpec extends SparkSpec {
     assert(second == first)
     assert(Similarity.selectivityPricings == p0 + 1,
       "a repeat serve must price from the cache — no second store job")
+    // RESOLVED-attribute predicates (df("label") === 1 — fresh exprId per
+    // read) must hit the same cache entry: the key normalizes exprIds out
+    // of the predicate, so these callers don't silently re-price forever
+    val freshRead = spark.read.parquet(data).drop("batch")
+    val resolved = Similarity.ivfProbeSetTopKStoredFiltered(
+        freshRead, idx, probes,
+        rowFilter = freshRead("label") === 1, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(resolved == first)
+    assert(Similarity.selectivityPricings == p0 + 1,
+      "a resolved-attribute predicate must hit the cache, not re-price")
     // maintenance swap invalidates: the same serve re-prices exactly once
     Similarity.invalidateIvfIndex(idx)
     serve()
@@ -845,6 +936,73 @@ class SimilaritySpec extends SparkSpec {
     for (left <- Seq(".split_stage", ".split_old",
         s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+  }
+
+  test("splitHotCells: an UNSPLITTABLE hot cell (byte-identical vectors) " +
+    "returns 0 without a rewrite, is memoized, and re-arms on occupancy change") {
+    // 50 byte-identical clones of one anchor land in one cell — k-means
+    // cannot separate equal points, so the cell can never reach the
+    // ceiling. The trigger must (a) detect that BEFORE any stage+swap,
+    // (b) return 0 so bounded loops terminate, (c) skip the cell on later
+    // triggers while occupancy is unchanged (no per-batch rewrite tax),
+    // and (d) retry once occupancy changes.
+    val tmp = java.nio.file.Files.createTempDirectory("hotsplit-stuck").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.saveIvfIndex(emb, idx, nlist = 4, sampleRows = 40)
+    val anchor = emb.where(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head()
+    val clones = (0 until 50).map(i => (2000L + i, anchor))
+      .toDF("vec_id", "embedding")
+    Similarity.streamIngestIvfBatch(emb, 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(clones, 1L, idx, data, nlist = 4, sampleRows = 40)
+    // drive to quiescence: distinct co-residents may split OUT of the hot
+    // cell first; the identical blob itself can never split, so the loop
+    // MUST reach 0 in bounded rounds (the pre-fix behavior re-ran
+    // splitRounds full rewrites per trigger forever)
+    var rounds = 0
+    while (Similarity.splitHotCells(spark, tmp, maxCellRows = 40) > 0) {
+      rounds += 1
+      assert(rounds <= 5, "a stuck blob must drive the trigger to 0, not loop")
+    }
+    val occ = Similarity.cellOccupancy(spark, tmp).as[(Int, Long)].collect().toMap
+    assert(occ.values.max >= 50,
+      s"fixture must leave the identical blob over the ceiling: $occ")
+    def files(): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val root = java.nio.file.Paths.get(data)
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val nm = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !nm.startsWith("_") && !nm.startsWith(".")) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          out(root.relativize(p).toString) = sha
+        }
+      }
+      out.toMap
+    }
+    // memoized: repeat triggers return 0 AND move no bytes (the idle path
+    // is the occupancy aggregate alone)
+    val snap = files()
+    assert(Similarity.splitHotCells(spark, tmp, maxCellRows = 40) == 0)
+    assert(Similarity.splitHotCells(spark, tmp, maxCellRows = 40) == 0)
+    assert(files() == snap, "a memoized stuck cell must not pay any rewrite")
+    for (left <- Seq(".split_stage", ".split_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, left)), left)
+    // occupancy change re-arms: distinct near-anchor rows land in the
+    // stuck cell; the next trigger retries and splits them back out
+    val rnd = new scala.util.Random(11)
+    val fresh = (0 until 30).map { i =>
+      (3000L + i, anchor.toArray.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.streamIngestIvfBatch(fresh, 2L, idx, data, nlist = 4, sampleRows = 40)
+    assert(Similarity.splitHotCells(spark, tmp, maxCellRows = 40) >= 1,
+      "an occupancy change must re-arm the memoized cell")
+    // rows conserved throughout
+    val total = spark.read.parquet(data).count()
+    assert(total == 40L + 50L + 30L, s"rows conserved: $total")
   }
 
   test("splitHotCells is physically targeted: cold FILES never move " +
