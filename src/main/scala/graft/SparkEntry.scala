@@ -1259,6 +1259,80 @@ object SparkEntry {
         lit(probeOk).as("probe_ok"))
     }),
 
+    // -- [NS] RETENTION for the stored band index — TTL aging by ingest
+    // batch (retainMinhashIndexBatches): every `batch <= cutoff`
+    // partition of ALL THREE tables (bands/sigs/shingles — a doc's rows
+    // span all three, so they age together or the index dangles) drops
+    // as a PURE METADATA operation; the batch=-1 layout seed never ages.
+    // Declared: exactly batch 0 dropped from each table (dropped_ok),
+    // every aged doc's rows gone from all three tables (aged_ok), every
+    // surviving file byte-identical — no data was read or rewritten
+    // (cold_ok) — and a post-retention probe EQUALS the in-memory
+    // incremental over only the RETAINED docs (probe_ok: set equality,
+    // both directions). Own store (retention mutates). --
+    "q_dedup_index_retention" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_idxret")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/index"
+      Dedup.seedStreamStores(docs0, idx,
+        tmp.toFile.getAbsolutePath + "/acc", Seq("doc_id"), n = 3, perms = 32)
+      Dedup.minhashIncrementalStored(s, idx,
+        docs0.where(col("doc_id") < 400).select("doc_id", "text"),
+        batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+      Dedup.minhashIncrementalStored(s, idx,
+        docs0.where(col("doc_id") >= 400 && col("doc_id") < 450).select("doc_id", "text"),
+        batchId = 1L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+      def snap(): Map[String, (Long, String)] = {
+        val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+        val root = java.nio.file.Paths.get(idx)
+        val it = java.nio.file.Files.walk(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".") && n != "nmods" &&
+              n != "index_manifest.json") {
+            val b = java.nio.file.Files.readAllBytes(p)
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(b).map("%02x".format(_)).mkString
+            out(root.relativize(p).toString) = (b.length.toLong, sha)
+          }
+        }
+        out.toMap
+      }
+      val before = snap()
+      val dropped = Dedup.retainMinhashIndexBatches(s, idx, cutoff = 0L)
+      val after = snap()
+      val droppedOk = dropped == Map(
+        "bands" -> Seq(0L), "sigs" -> Seq(0L), "shingles" -> Seq(0L))
+      // pure metadata: EVERY surviving file byte-identical, and the set
+      // of survivors is exactly before-minus-the-aged-batch
+      val coldOk = after.nonEmpty && after.keySet == before.keySet
+        .filterNot(_.contains("batch=0")) &&
+        after.forall { case (f, sig) => before(f) == sig }
+      val agedOk = Seq("bands", "sigs", "shingles").forall { sub =>
+        s.read.parquet(s"$idx/$sub").where(col("doc_id") < 400).isEmpty
+      }
+      // semantics: post-retention probe == in-memory incremental over the
+      // RETAINED corpus (docs 400-449) only
+      val probe = docs0.where(col("doc_id") >= 450 && col("doc_id") < 500)
+        .select("doc_id", "text")
+      val got = Dedup.minhashIncrementalStored(s, idx, probe,
+        batchId = 2L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).persist()
+      val expect = Dedup.minhashIncremental(
+        docs0.where(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select("doc_id", "text"),
+        probe, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).persist()
+      val probeOk = got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty
+      got.unpersist(); expect.unpersist()
+      s.range(1).select(
+        lit(droppedOk).as("dropped_ok"),
+        lit(agedOk).as("aged_ok"),
+        lit(coldOk).as("cold_ok"),
+        lit(probeOk).as("probe_ok"))
+    }),
+
     // -- [NS] INCREMENTAL substring dup-mass: the new batch's windows
     // (the top 20% of doc ids — a batch-sized increment at EVERY scale,
     // where a fixed id split would make the "batch" most of a larger
@@ -2313,6 +2387,129 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // -- [NS] IN-STREAM GROWTH ACROSS THE HIERARCHICAL-TRAINING BOUNDARY:
+    // the ingest stream's requantize ladder COMPOUNDS (nlist × growFactor
+    // per trigger), so any fixed driver-sample ceiling is eventually
+    // crossed — exactly where kmeans' `sample >= k` refusal used to kill
+    // the stream mid-run. requantizeIvfStore's totality guard routes the
+    // staged quantizer to hierarchical two-level training past the
+    // ceiling; this gate drives the LIVE stream across that boundary
+    // (deterministic 2-batch ladder: 4 → 16 on the driver-sample path,
+    // then 16 → 64 where 64 > sampleRows=48 forces the hierarchical
+    // path) and declares: the ladder compounded to exactly 64
+    // (ladder_ok — batches are mtime-deterministic), the boundary was
+    // crossed while the stream ran (crossed_ok — nlist exceeds the
+    // driver-trainable ceiling, which only the hierarchical route can
+    // produce), the store kept every row (complete), and the grown
+    // store still serves ≥8/10 recall vs float brute force. --
+    "q_stream_ivf_growth" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_streamgrow")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val corpus = s.read.parquet(in)
+      val total = corpus.count() // 500 at every SF — the ladder is fixed
+      // targetCellRows=12: batch 0 (250 rows) > 12·4 fires 4→16 (16 ≤
+      // min(250, 48): driver path); batch 1 (500 rows) > 12·16 fires
+      // 16→64 (64 > min(500, 48): hierarchical) — the crash boundary,
+      // crossed between micro-batches with the stream still running
+      val streamed = Similarity.streamIngestIvf(s, in, w, nlist = 4,
+        sampleRows = 48, targetCellRows = 12, growFactor = 4)
+      val nlistFinal = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val stTotal = streamed.agg(count(lit(1)).as("n"))
+      val probes = corpus.where(col("vec_id").isin(0L, 1L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        streamed, s"$w/ivf_index", probes, k = 10, nprobe = nlistFinal / 2)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(stTotal))
+        .select(col("probe_id"),
+          lit(nlistFinal == 64).as("ladder_ok"),
+          lit(nlistFinal > 48).as("crossed_ok"),
+          (col("n") === total).as("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
+    // -- [NS] RIGHT-TO-ERASURE AGAINST THE LIVE INGEST STREAM: a direct
+    // deleteFromIvfStore racing a running streamIngestIvf would collide
+    // with the stream's own maintenance triggers on the swap sentinel
+    // (whichever loses throws — stream death by compliance request). The
+    // coordination hook removes the race: enqueueIvfErasure publishes the
+    // request as a queue file, and the stream DRAINS the queue in its
+    // between-batch slot — the only window where it is provably the
+    // single writer. Here the request is enqueued BEFORE the stream
+    // starts (deterministic drain: applied right after batch 0 lands the
+    // victims, while batch 1 is still unprocessed — mid-stream by
+    // construction). Declared: the queue drained (drained_ok), victims
+    // gone + every survivor present across BOTH batches (complete — the
+    // stream kept running after the erasure), and the erased store
+    // serves ≥8/10 recall vs float truth over corpus-minus-victims. --
+    "q_stream_ivf_erase" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_streamerase")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val corpus = s.read.parquet(in)
+      val total = corpus.count()
+      // victims live in batch 0 (slices 0-1 = the low id half), so the
+      // drain after batch 0 has real rows to erase while batch 1 is
+      // still in flight
+      val victims = Seq(10L, 20L)
+      val vLits = victims.map(java.lang.Long.valueOf)
+      Similarity.enqueueIvfErasure(s, w, victims)
+      val streamed = Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      val pendDir = java.nio.file.Paths.get(w, ".pending_erasures")
+      val drainedOk = !java.nio.file.Files.exists(pendDir) || {
+        val st = java.nio.file.Files.list(pendDir)
+        try st.filter(p => p.getFileName.toString.endsWith(".req")).count() == 0L
+        finally st.close()
+      }
+      val nlist = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val probes = corpus.where(col("vec_id").isin(0L, 1L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        streamed, s"$w/ivf_index", probes, k = 10,
+        nprobe = math.max(8, nlist / 2))
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.where(!col("vec_id").isin(vLits: _*))
+        .crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      val completeness = streamed.agg(
+        count(lit(1)).as("n"),
+        count(when(col("vec_id").isin(vLits: _*), 1)).as("n_victims"))
+        .select((col("n") === total - victims.length &&
+          col("n_victims") === 0L).as("complete"))
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(completeness))
+        .select(col("probe_id"),
+          lit(drainedOk).as("drained_ok"),
+          col("complete"),
+          (col("n_common") >= 8).as("recall_ok"))
+        .orderBy("probe_id")
+    }),
+
     // -- [NS] RIGHT-TO-ERASURE from the stored ANN index: delete a set of
     // vec_ids WITHOUT a rebuild — prune to the files holding victims,
     // rewrite only those, swap at file granularity, centroids untouched
@@ -2747,6 +2944,109 @@ object SparkEntry {
               coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // -- [NS] PRODUCTION-SHAPE hybrid retrieval: the BATCH probe-set form
+    // (two hybrid queries served together — the vector legs ride ONE
+    // probe-set serve, the way a real query frontier batches), with the
+    // vector leg PRUNED (nprobe = 4 of 16 — the serve shape that scales;
+    // q_hybrid_search's exhaustive corner exists to be value-oracled, not
+    // deployed). Pruning moves the quality question to FUSION level, so
+    // that is where the gate sits: per query, the pruned-leg RRF fused
+    // top-10 must overlap the exhaustive-leg fusion's top-10 in ≥ 8
+    // items — a recall invariant on the RESULT a user sees, not on the
+    // leg (leg recall over-constrains: fusion damps single-leg misses
+    // that lexical agreement covers). --
+    "q_hybrid_search_pruned" -> ((s, d) => {
+      val docs = documents(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_hybridp")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 16)
+      Similarity.seedIvfStore(emb, w)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      // query batch: (query_id = probe vec_id, its own term set)
+      val queries = Seq(0L -> Seq("dup", "merge", "scan"),
+        1L -> Seq("join", "window", "stream"))
+      val byLex = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val lex = queries.map { case (qid, terms) =>
+        graft.operators.Corpus.bm25TopK(docs, terms, k = 20)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_ unionByName _)
+        .withColumn("r_lex", row_number().over(byLex))
+        .select(col("query_id"), col("doc_id"), col("r_lex"))
+        .persist() // shared by both fusions (pruned + exhaustive truth)
+      val probes = emb.where(col("vec_id").isin(queries.map(_._1): _*))
+      val byVec = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      def vecLeg(np: Int): DataFrame =
+        Similarity.ivfProbeSetTopKStored(stored, s"$w/ivf_index", probes,
+            k = 20, nprobe = np)
+          .withColumn("r_vec", row_number().over(byVec))
+          .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+            col("r_vec"))
+      val byFused = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      def fuse(vec: DataFrame): DataFrame =
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"))
+          .withColumn("rk", row_number().over(byFused))
+          .where(col("rk") <= 10)
+          .select("query_id", "doc_id")
+      val pruned = fuse(vecLeg(4)).persist()
+      val exhaustive = fuse(vecLeg(16))
+      val out = exhaustive.join(pruned, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+        .select(col("query_id"), (col("n_common") >= 8).as("overlap_ok"))
+        .orderBy("query_id")
+      out
+    }),
+
+    // -- [NS] WEIGHTED hybrid fusion (the α-blend production frontends
+    // expose next to RRF): each leg's top-20 scores min-max NORMALIZED
+    // within the leg (BM25 and cosine live on incomparable scales — raw
+    // addition lets the wider scale swallow the other), then fused as
+    // 0.6·lex + 0.4·vec, absent-leg scores contributing 0. Served at the
+    // exhaustive corner (nprobe = nlist) where the stored vector leg
+    // provably equals brute force — which is what makes the whole fused
+    // ranking exactly value-oracle-able; the pruned production shape is
+    // gated by q_hybrid_search_pruned. --
+    "q_hybrid_search_weighted" -> ((s, d) => {
+      val lex = graft.operators.Corpus.bm25TopK(documents(s, d),
+        Seq("dup", "merge", "scan"), k = 20)
+      val lexN = lex.crossJoin(broadcast(
+          lex.agg(min(col("bm25")).as("lo"), max(col("bm25")).as("hi"))))
+        .select(col("doc_id"),
+          when(col("hi") > col("lo"),
+            (col("bm25") - col("lo")) / (col("hi") - col("lo")))
+            .otherwise(lit(1.0)).as("n_lex"))
+      val work = java.nio.file.Files.createTempDirectory("graft_hybridw")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 16)
+      Similarity.seedIvfStore(emb, w)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val vec = Similarity.ivfProbeSetTopKStored(
+          stored, s"$w/ivf_index", emb.where(col("vec_id") === 0L),
+          k = 20, nprobe = 16)
+        .select(col("vec_id").as("doc_id"), col("cosine"))
+      val vecN = vec.crossJoin(broadcast(
+          vec.agg(min(col("cosine")).as("lo"), max(col("cosine")).as("hi"))))
+        .select(col("doc_id"),
+          when(col("hi") > col("lo"),
+            (col("cosine") - col("lo")) / (col("hi") - col("lo")))
+            .otherwise(lit(1.0)).as("n_vec"))
+      lexN.join(vecN, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(lit(0.6) * coalesce(col("n_lex"), lit(0.0)) +
+            lit(0.4) * coalesce(col("n_vec"), lit(0.0)), 6).as("fused"))
+        .orderBy(col("fused").desc, col("doc_id"))
         .limit(20)
     }),
 
@@ -4649,6 +4949,27 @@ object SparkEntry {
       graft.operators.Corpus.bpeEncode(documents(s, d), traj, k = 30)
     }),
 
+    // -- [NS] BPE encoding of HELD-OUT text — the actual serve shape
+    // (q_bpe_encode replays the training corpus; production encodes text
+    // the trainer never saw): merges train on the doc_id >= 50 split
+    // (q_vocab_coverage's split convention), then encode the doc_id < 50
+    // EVAL split with the trained rules, reporting the eval symbol
+    // histogram with in_vocab membership against the REAL trained
+    // vocabulary — the OOV/coverage report a tokenizer pipeline alarms
+    // on, wired end-to-end from a real bpeTrain artifact. Value-oracled
+    // by the same unrolled 20-stage chain trained on the train split and
+    // replayed over the eval dictionary. Bounded collect: the ≤20-row
+    // trajectory (the trained artifact itself). --
+    "q_bpe_encode_heldout" -> ((s, d) => {
+      val docs = documents(s, d)
+      val train = docs.where(col("doc_id") >= 50)
+      val eval = docs.where(col("doc_id") < 50)
+      val traj = graft.operators.Corpus.bpeTrain(train, merges = 20)
+        .select("left_sym", "right_sym").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Corpus.bpeEncodeHeldout(train, eval, traj, k = 30)
+    }),
+
     // -- [NS] PMI collocations: top-20 adjacent word bigrams by pointwise
     // mutual information at support >= 20 — phrase mining over the corpus;
     // float discipline documented on Corpus.pmiBigrams --
@@ -5627,14 +5948,14 @@ object SparkEntry {
     * rule trajectory off it; bpeEncodeOracle reads the FINAL dictionary
     * (training's replay IS encoding the training corpus).
     */
-  private def bpeDictChain(merges: Int): String = {
+  private def bpeDictChain(merges: Int, trainWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= """WITH d0 AS MATERIALIZED (
-      |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS w, freq FROM (
+    sb ++= s"""WITH d0 AS MATERIALIZED (
+      |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS w, freq FROM (
       |    SELECT word, count(*) AS freq FROM (
-      |      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
-      |      FROM documents)
-      |    WHERE regexp_matches(word, '^[a-z]{2,}$') GROUP BY 1))""".stripMargin
+      |      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+      |      FROM documents$trainWhere)
+      |    WHERE regexp_matches(word, '^[a-z]{2,}$$') GROUP BY 1))""".stripMargin
     for (i <- 0 until merges) {
       sb ++= s"""
         |, p$i AS MATERIALIZED (SELECT '<' || z[1] || '><' || z[2] || '>' AS pair, CAST(sum(freq) AS BIGINT) AS n
@@ -5668,6 +5989,38 @@ object SparkEntry {
       |SELECT sym, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
       |  SELECT unnest(string_split(trim(w, '<>'), '><')) AS sym, freq FROM d$merges)
       |GROUP BY 1 ORDER BY n_tokens DESC, sym LIMIT $k""".stripMargin
+
+  /** Held-out twin of [[bpeEncodeOracle]]: the d0..dN/b0..bN chain trains
+    * on the doc_id >= 50 split, an e0..eN chain replays the SAME b_i
+    * merge rules over the doc_id < 50 EVAL dictionary, and the final
+    * histogram flags membership against the trained vocab (d$merges'
+    * distinct symbols).
+    */
+  private def bpeEncodeHeldoutOracle(merges: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeDictChain(merges, trainWhere = " WHERE doc_id >= 50")
+    sb ++= s"""
+      |, e0 AS MATERIALIZED (
+      |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS w, freq FROM (
+      |    SELECT word, count(*) AS freq FROM (
+      |      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+      |      FROM documents WHERE doc_id < 50)
+      |    WHERE regexp_matches(word, '^[a-z]{2,}$$') GROUP BY 1))""".stripMargin
+    for (i <- 0 until merges) {
+      sb ++= s"""
+        |, e${i + 1} AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM b$i),
+        |    (SELECT replace(pair, '><', '') FROM b$i)) AS w, freq FROM e$i)""".stripMargin
+    }
+    sb ++= s"""
+      |, tv AS (SELECT DISTINCT unnest(string_split(trim(w, '<>'), '><')) AS sym FROM d$merges)
+      |SELECT h.sym, h.n_tokens, (tv.sym IS NOT NULL) AS in_vocab FROM (
+      |  SELECT sym, CAST(sum(freq) AS BIGINT) AS n_tokens FROM (
+      |    SELECT unnest(string_split(trim(w, '<>'), '><')) AS sym, freq FROM e$merges)
+      |  GROUP BY 1) h
+      |LEFT JOIN tv ON h.sym = tv.sym
+      |ORDER BY n_tokens DESC, h.sym LIMIT $k""".stripMargin
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -7274,6 +7627,9 @@ object SparkEntry {
     // chain's final dictionary, exploded and histogrammed — exact value
     // oracle for the whole train→encode loop
     "q_bpe_encode" -> bpeEncodeOracle(20, 30),
+    // held-out encode: merges trained on doc_id >= 50, replayed over the
+    // eval (doc_id < 50) dictionary, OOV flagged vs the trained vocab
+    "q_bpe_encode_heldout" -> bpeEncodeHeldoutOracle(20, 30),
 
     // identical count assembly and single-ln rounding discipline
     "q_pmi_bigrams" ->
@@ -7420,6 +7776,23 @@ object SparkEntry {
     "q_stream_ivf_hotsplit" ->
       """SELECT CAST(v AS BIGINT) AS probe_id, true AS split_fired,
         |  true AS ceiling_ok, true AS complete, true AS recall_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // the in-stream growth gate: the compounding requantize ladder crossed
+    // the driver-sample ceiling mid-stream (4 → 16 → 64 with sampleRows=48,
+    // the second hop hierarchically trained), store complete, recall holds
+    "q_stream_ivf_growth" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS ladder_ok,
+        |  true AS crossed_ok, true AS complete, true AS recall_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
+
+    // erasure coordinated with the live ingest stream: the enqueued
+    // request drained in the between-batch single-writer slot (no sentinel
+    // race, no stream death), victims gone, survivors complete, recall
+    // holds over corpus-minus-victims
+    "q_stream_ivf_erase" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS drained_ok,
+        |  true AS complete, true AS recall_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
     // right-to-erasure on the stored ANN index: victims deleted without a
@@ -7888,6 +8261,13 @@ object SparkEntry {
       """SELECT CAST(2 AS BIGINT) AS n_deleted, true AS erased_ok,
         |  true AS cold_ok, true AS probe_ok""".stripMargin,
 
+    // band-index retention: batch-TTL aging is metadata-only across all
+    // three tables, aged docs gone everywhere, survivors byte-identical,
+    // post-retention probe equals the incremental over retained docs
+    "q_dedup_index_retention" ->
+      """SELECT true AS dropped_ok, true AS aged_ok,
+        |  true AS cold_ok, true AS probe_ok""".stripMargin,
+
     // census erasure: decrement semantics — zero-count windows vanish,
     // untouched win_mod slices byte-identical, decremented census equals
     // a rebuilt census on corpus-minus-victim
@@ -8204,6 +8584,54 @@ object SparkEntry {
         |  round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
         |FROM lex FULL OUTER JOIN vec USING (doc_id)
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // batch + pruned-nprobe hybrid serve: per query, the pruned fusion's
+    // top-10 overlaps the exhaustive fusion's top-10 in >= 8 items
+    "q_hybrid_search_pruned" ->
+      """SELECT CAST(v AS BIGINT) AS query_id, true AS overlap_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY query_id""".stripMargin,
+
+    // weighted fusion at the exhaustive corner — the same leg CTEs as
+    // q_hybrid_search, min-max normalized within each leg, 0.6/0.4 blend
+    "q_hybrid_search_weighted" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
+        |      AS DECIMAL(18,8)) AS score_t
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |lex AS (
+        |  SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lexn AS (
+        |  SELECT doc_id, CASE WHEN max(bm25) OVER () > min(bm25) OVER ()
+        |    THEN (bm25 - min(bm25) OVER ()) / (max(bm25) OVER () - min(bm25) OVER ())
+        |    ELSE 1.0 END AS n_lex FROM lex),
+        |vec AS (
+        |  SELECT e2.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
+        |  FROM embeddings e1, embeddings e2
+        |  WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        |  ORDER BY cosine DESC, e2.vec_id LIMIT 20),
+        |vecn AS (
+        |  SELECT doc_id, CASE WHEN max(cosine) OVER () > min(cosine) OVER ()
+        |    THEN (cosine - min(cosine) OVER ()) / (max(cosine) OVER () - min(cosine) OVER ())
+        |    ELSE 1.0 END AS n_vec FROM vec)
+        |SELECT doc_id,
+        |  round(0.6 * coalesce(n_lex, 0) + 0.4 * coalesce(n_vec, 0), 6) AS fused
+        |FROM lexn FULL OUTER JOIN vecn USING (doc_id)
+        |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
 
     // integer running-total bin assignment — exact arithmetic in both engines
     // exact recount of MG candidates = the plain frequency filter (k=64 ≥

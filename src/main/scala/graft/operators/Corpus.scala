@@ -625,18 +625,62 @@ object Corpus {
     * keyed aggregate.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)], k: Int = 30): DataFrame = {
-    val dict = docs
-      .select(explode(TF.tokens(lower(col("text")))).as("word"))
-      .where(col("word").rlike("^[a-z]{2,}$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", "<$1>").as("w"), col("freq"))
-    val encoded = merges.foldLeft(dict) { case (d, (l, r)) =>
-      d.withColumn("w", replace(col("w"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
-    }
+    val encoded = applyBpeMerges(bpeDict(docs), merges)
     encoded
       .select(col("freq"),
         explode(split(regexp_replace(col("w"), "^<|>$", ""), "><")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("sym"))
+      .limit(k)
+  }
+
+  /** The marked-symbol word-frequency dictionary [[bpeTrain]] /
+    * [[bpeEncode]] collapse to — shared so the held-out serve below uses
+    * byte-identical admission and representation.
+    */
+  private def bpeDict(docs: DataFrame): DataFrame = docs
+    .select(explode(TF.tokens(lower(col("text")))).as("word"))
+    .where(col("word").rlike("^[a-z]{2,}$"))
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    .select(regexp_replace(col("word"), "(.)", "<$1>").as("w"), col("freq"))
+
+  /** Replay a trained merge list over a dictionary, in training order —
+    * |merges| chained codegen'd literal replaces (the [[bpeTrain]]
+    * semantics, boundary-safe via the angle marking).
+    */
+  private def applyBpeMerges(dict: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(dict) { case (d, (l, r)) =>
+      d.withColumn("w", replace(col("w"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+    }
+
+  /** BPE ENCODING OF HELD-OUT TEXT — the actual serve shape: the merges
+    * were trained on `trainDocs` ([[bpeTrain]]), and here they encode an
+    * EVAL split the trainer never saw, reporting the eval symbol
+    * histogram with an `in_vocab` flag against the REAL trained
+    * vocabulary (the distinct symbols of the encoded TRAIN dictionary).
+    * Symbols with `in_vocab = false` are the OOV mass a tokenizer
+    * pipeline alarms on — eval character sequences the training corpus's
+    * merge rules leave in fragments the trained vocab doesn't contain.
+    *
+    * Scale shape: both splits collapse to their word dictionaries first
+    * (encoding is a pure function of the word); the trained-vocab
+    * membership test is a broadcast left join of the (bounded,
+    * vocabulary-sized) symbol sets — eval text is never re-scanned per
+    * merge, and nothing corpus-sized shuffles.
+    */
+  def bpeEncodeHeldout(trainDocs: DataFrame, evalDocs: DataFrame,
+                       merges: Seq[(String, String)], k: Int = 30): DataFrame = {
+    def symsCol =
+      explode(split(regexp_replace(col("w"), "^<|>$", ""), "><")).as("sym")
+    val trainVocab = applyBpeMerges(bpeDict(trainDocs), merges)
+      .select(symsCol).distinct()
+      .withColumn("in_train", lit(true))
+    applyBpeMerges(bpeDict(evalDocs), merges)
+      .select(col("freq"), symsCol)
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n_tokens"))
+      .join(broadcast(trainVocab), Seq("sym"), "left")
+      .select(col("sym"), col("n_tokens"),
+        coalesce(col("in_train"), lit(false)).as("in_vocab"))
       .orderBy(col("n_tokens").desc, col("sym"))
       .limit(k)
   }

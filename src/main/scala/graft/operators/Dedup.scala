@@ -938,6 +938,45 @@ object Dedup {
     nDocs
   }
 
+  /** RETENTION for the stored MinHash band index — TTL aging by INGEST
+    * BATCH, the index-store analogue of [[Layout.dropPartitions]]: every
+    * `batch <= cutoff` partition of all THREE tables (bands, sigs,
+    * shingles) drops as a PURE METADATA operation — no data file read,
+    * planned, or rewritten; surviving batches byte-untouched. Ingest
+    * batches ARE the index's time axis (monotone ids from the stream),
+    * so "age out documents indexed more than N batches ago" is exactly a
+    * batch-directory drop; the three tables age TOGETHER because a doc's
+    * rows span all three (a partial drop would leave band rows pointing
+    * at missing signatures — the erasure family's consistency invariant).
+    * The `batch=-1` layout seed never ages (it is discovery metadata,
+    * not data).
+    *
+    * Post-retention probes see exactly the index of the retained docs
+    * WHEN append-time bucket caps never bound against aged members (the
+    * caps' usual regime — [[MaxBucket]] exists for adversarial bucket
+    * pileups): a capped bucket admits at most MaxBucket members counting
+    * aged ones, so aging can leave a bucket below cap that a fresh build
+    * would have filled — the same conservative-admission semantics the
+    * cap itself already has, now with a smaller member set. Compose with
+    * [[compactIndex]] the usual way: compact FIRST only if the
+    * fold's target batch is younger than the cutoff (a fold into
+    * `batch=upTo <= cutoff` would merge young rows into an age-droppable
+    * partition); aging then drops whole source batches. Returns the
+    * dropped batch ids per table name.
+    */
+  def retainMinhashIndexBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      idxDir: String,
+      cutoff: Long): Map[String, Seq[Long]] = {
+    def age(dir: String): Seq[Long] =
+      Layout.dropPartitions(spark, dir, "batch",
+        v => v != "-1" && v.toLong <= cutoff).map(_.toLong)
+    Map(
+      "bands" -> age(bandsDir(idxDir)),
+      "sigs" -> age(sigsDir(idxDir)),
+      "shingles" -> age(shsDir(idxDir)))
+  }
+
   /** Right-to-erasure for the STORED semantic-dedup index: remove
     * `vecIds` from the cell store (`cells/batch=/cell_mod=`) by
     * file-targeted rewrite; the trained centroids are untouched (deletion

@@ -934,8 +934,10 @@ object Similarity {
       growFactor: Int,
       maxCellRows: Int = Int.MaxValue,
       splitRounds: Int = 6): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val idxPath = s"$workDir/ivf_index"
     val dataDir = s"$workDir/cells"
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val static = spark.read.parquet(inputDir)
     seedLayout(static.withColumn("cell", lit(0))).limit(0)
       .write.mode("overwrite").parquet(s"$dataDir/batch=-1")
@@ -950,7 +952,28 @@ object Similarity {
       .option("checkpointLocation", s"$workDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(batch, batchId)
-        if (targetCellRows < Int.MaxValue) {
+        // EXTERNAL-WRITER GUARD for every maintenance slot below: a
+        // foreign swap holding the store sentinel (an operator running
+        // deleteFromIvfStore/compactIvfStore against the live store —
+        // out of the single-writer contract, but a real operational
+        // mistake) must DEFER maintenance to the next trigger, not kill
+        // the stream: each maintenance op's pre-flight throws on the
+        // sentinel, and an uncaught throw inside foreachBatch is stream
+        // death. The batch APPEND above is safe regardless — it writes
+        // only its own new `batch=<id>` partition, which no file-granular
+        // swap of existing files touches. One metadata existence check
+        // per trigger.
+        def externalSwap(): Boolean =
+          fs.exists(new Path(dataDir, Dedup.MaintenanceSentinel))
+        // RIGHT-TO-ERASURE SLOT, first so compliance never queues behind
+        // growth work: requests enqueued by [[enqueueIvfErasure]] drain
+        // HERE, in the between-batch window where the stream IS the
+        // single writer — an external deleteFromIvfStore racing the
+        // stream's own triggers would collide on the swap sentinel; the
+        // queue folds the request into the slot that can never race.
+        // Idle path = one directory existence check per trigger.
+        if (!externalSwap()) drainPendingErasures(spark, workDir)
+        if (targetCellRows < Int.MaxValue && !externalSwap()) {
           val batchRows = spark.read.parquet(s"$dataDir/batch=$batchId").count()
           storeRows += batchRows - batchCounts.getOrElse(batchId, 0L)
           batchCounts(batchId) = batchRows
@@ -970,7 +993,7 @@ object Similarity {
         // the next batch — the stream never stalls on maintenance, and
         // each round's rewrite is file-targeted (round 15), so the cost
         // is ∝ hot mass per round.
-        if (maxCellRows < Int.MaxValue) {
+        if (maxCellRows < Int.MaxValue && !externalSwap()) {
           var r = 0
           while (r < splitRounds &&
             splitHotCells(spark, workDir, maxCellRows) > 0) r += 1
@@ -980,6 +1003,76 @@ object Similarity {
       .start()
     try q.processAllAvailable() finally q.stop()
     Dedup.readStore(spark, dataDir).drop("batch")
+  }
+
+  /** Name of the pending-erasure queue directory under an IVF store's
+    * `workDir` — see [[enqueueIvfErasure]].
+    */
+  private[graft] val PendingErasureDir = ".pending_erasures"
+
+  /** RIGHT-TO-ERASURE AGAINST A LIVE INGEST STREAM: enqueue a victim id
+    * set for the stream to apply in its own between-batch maintenance
+    * slot. A direct [[deleteFromIvfStore]] while [[streamIngestIvf]] runs
+    * is out of the single-writer contract — the stream's own triggers
+    * (requantize, hot-split) and the external delete would race on the
+    * swap sentinel, and whichever loses throws. The queue removes the
+    * race: the request lands as a file (write-then-rename, so a draining
+    * reader never sees a partial id list), and the stream drains it at
+    * the next trigger, where it IS the single writer.
+    *
+    * The request applies to rows present at drain time — a victim id
+    * still in flight upstream of the ingest must be re-enqueued after it
+    * lands (compliance pipelines re-issue until an audit probe comes back
+    * empty; [[deleteFromIvfStore]] returning 0 is that audit's cheap
+    * form). On a stopped stream the queue simply waits: the next run of
+    * the stream drains it before processing any batch.
+    */
+  def enqueueIvfErasure(spark: org.apache.spark.sql.SparkSession,
+                        workDir: String, ids: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(ids.nonEmpty, "enqueueIvfErasure: empty id set")
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(workDir, PendingErasureDir)
+    fs.mkdirs(dir)
+    val name = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dir, s"_$name.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(ids.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"$name.req")))
+      throw new IllegalStateException(
+        s"enqueueIvfErasure: could not publish request $name under $dir")
+  }
+
+  /** Drain the pending-erasure queue against the store — called from the
+    * ingest stream's between-batch slot (and safe to call on a quiesced
+    * store directly). Each request file applies through
+    * [[deleteFromIvfStore]] and is removed ONLY after its swap completes,
+    * so a crash mid-drain re-applies the request on resume (deletion is
+    * idempotent — already-erased ids price to 0 victims and touch
+    * nothing). Returns rows erased.
+    */
+  def drainPendingErasures(spark: org.apache.spark.sql.SparkSession,
+                           workDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(workDir, PendingErasureDir)
+    if (!fs.exists(dir)) return 0L
+    val reqs = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".req"))
+      .sortBy(_.getPath.getName)
+    var erased = 0L
+    reqs.foreach { st =>
+      val in = fs.open(st.getPath)
+      val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
+      finally in.close()
+      if (ids.nonEmpty) erased += deleteFromIvfStore(spark, workDir, ids)
+      if (!fs.delete(st.getPath, false))
+        throw new IllegalStateException(
+          s"drainPendingErasures: applied but could not retire ${st.getPath}")
+    }
+    erased
   }
 
   /** The cell-store row shape: full-precision keeps the embedding column;
@@ -1397,12 +1490,28 @@ object Similarity {
     * contract as compactStore: only compact batches older than any
     * replayable checkpoint horizon; single writer during the swap
     * (probes refuse on the sentinel).
+    *
+    * ERASURE FOLDS IN through `dropIds`: a bulk scattered victim set
+    * (the compliance batch case) saturates [[deleteFromIvfStore]]'s
+    * file-targeting — with V victims over F files the expected touched
+    * fraction is 1−(1−1/F)^V, ≈ the whole store for V ≫ F — so the
+    * right move is ONE rewrite that compacts and erases together
+    * instead of two store-scale rewrites back to back. The victims
+    * simply drop out of the compaction's read; victims living in
+    * batches NEWER than `upTo` would silently survive the fold, so the
+    * op prices them first (one pruned count over `batch > upTo`) and
+    * refuses — erase those with the file-targeted op or widen `upTo`.
+    * When rows drop, the index artifact's cached selectivities
+    * re-derive ([[invalidateIvfIndex]] — centroids are untouched, only
+    * the JVM caches flush). Returns the number of victim rows erased
+    * by the fold (0 for a pure compaction).
     */
   def compactIvfStore(
       spark: org.apache.spark.sql.SparkSession,
       workDir: String,
       upTo: Long,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      dropIds: Seq[Long] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     val cellsDir = s"$workDir/cells"
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1421,8 +1530,24 @@ object Similarity {
     val slices = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staged = s"$workDir/.compact_stage"
     fs.delete(new Path(staged), true)
-    val rows = Dedup.readStore(spark, cellsDir)
-      .where(col("batch") <= upTo).drop("batch")
+    val victims = dropIds.distinct
+    val victimCol =
+      if (victims.isEmpty) lit(false)
+      else col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*)
+    val store = Dedup.readStore(spark, cellsDir)
+    // two bounded counts, both only when erasure folds in: victims in
+    // batches the fold won't rewrite must refuse (they would silently
+    // survive), and the erased count is the op's return contract
+    val erased = if (victims.isEmpty) 0L else {
+      val newer = store.where(col("batch") > upTo && victimCol).count()
+      require(newer == 0L,
+        s"compactIvfStore: $newer victim rows live in batches > $upTo — the " +
+          "fold would not rewrite them and they would silently survive " +
+          "erasure; widen upTo past their batches or use deleteFromIvfStore")
+      store.where(col("batch") <= upTo && victimCol).count()
+    }
+    val rows = store
+      .where(col("batch") <= upTo && !victimCol).drop("batch")
     // an all-empty store compacts to a schema-only file (a ranged write of
     // zero rows emits no files and would leave the store unreadable)
     if (rows.isEmpty)
@@ -1439,7 +1564,10 @@ object Similarity {
       sentinelDir = new Path(cellsDir), trash = trash,
       asides = olds.map(_.getPath).toSeq,
       promotes = Seq((stagedP, new Path(s"$cellsDir/batch=$upTo"))),
-      cleanup = Nil)
+      cleanup = Nil,
+      afterPromote = () =>
+        if (erased > 0L) invalidateIvfIndex(s"$workDir/ivf_index"))
+    erased
   }
 
   /** Reconstruct a float `embedding` column on a stored row set when the

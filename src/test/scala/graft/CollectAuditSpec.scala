@@ -39,9 +39,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    the streaming-semantic fixture's vec-id offset (a 1-row
   *    `agg(max(vec_id)).head()` — same idiom as the other sniffs); plus
   *    three 1-row fixture sniffs for the round-14 ANN lifecycle gates,
-  *    the ≤20-row BPE merge-trajectory read (the artifact q_bpe_encode
-  *    serves), the 3-id victim picks of q_sim_ivf_delete and
-  *    q_sim_ivfpq_delete (round 16), and q_retention_drop's 1-row
+  *    the ≤20-row BPE merge-trajectory reads (the artifact q_bpe_encode
+  *    serves; q_bpe_encode_heldout reads its own train-split trajectory —
+  *    same ≤20-row artifact), the 3-id victim picks of q_sim_ivf_delete
+  *    and q_sim_ivfpq_delete (round 16), and q_retention_drop's 1-row
   *    cutoff-day sniff.
   *  - Similarity (round-14 additions, each bounded by index width):
   *    hierarchical trainer's per-group masses (≤ nGroups rows) and
@@ -77,7 +78,7 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 16,
+      "graft/SparkEntry.scala"            -> 17,
       "graft/operators/Similarity.scala"  -> 15,
       "graft/operators/Dedup.scala"       -> 9,
       "graft/operators/Layout.scala"      -> 2,

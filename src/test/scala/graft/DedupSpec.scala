@@ -1144,4 +1144,77 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("retainMinhashIndexBatches: batch-TTL aging drops whole batch " +
+    "partitions from all three tables metadata-only; the layout seed " +
+    "never ages and the aged index stays probe-able") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("minhashret")
+    val idx = s"$tmp/index"
+    Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+    Dedup.minhashIncrementalStored(spark, idx,
+      docs.where(col("doc_id") < 30).select("doc_id", "text"),
+      batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    Dedup.minhashIncrementalStored(spark, idx,
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60).select("doc_id", "text"),
+      batchId = 1L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+    def snap(sub: String): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      val root = java.nio.file.Paths.get(s"$idx/$sub")
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          out(root.relativize(p).toString) = sha
+        }
+      }
+      out.toMap
+    }
+    val subs = Seq("bands", "sigs", "shingles")
+    val before = subs.map(s => s -> snap(s)).toMap
+    val dropped = Dedup.retainMinhashIndexBatches(spark, idx, cutoff = 0L)
+    assert(dropped == Map("bands" -> Seq(0L), "sigs" -> Seq(0L),
+      "shingles" -> Seq(0L)), s"exactly batch 0 must age: $dropped")
+    for (sub <- subs) {
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/$sub/batch=0")), s"$sub/batch=0 must be gone")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/$sub/batch=-1")), s"$sub seed must survive")
+      val after = snap(sub)
+      // metadata-only: the survivor set is before-minus-batch-0, each file
+      // byte-identical (nothing was read or rewritten)
+      assert(after.keySet == before(sub).keySet.filterNot(_.contains("batch=0")),
+        s"$sub survivors must be exactly the non-aged files")
+      after.foreach { case (f, sha) =>
+        assert(before(sub)(f) == sha, s"$sub/$f must stay byte-identical")
+      }
+      val ids = spark.read.parquet(s"$idx/$sub").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(ids.forall(_ >= 30L), s"$sub still holds aged docs: ${ids.filter(_ < 30L)}")
+    }
+    // the aged index keeps serving: a probe equals the in-memory
+    // incremental over ONLY the retained docs
+    val probe = docs.where(col("doc_id") >= 60 && col("doc_id") < 80)
+      .select("doc_id", "text")
+    val got = Dedup.minhashIncrementalStored(spark, idx, probe,
+        batchId = 2L, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    val expect = Dedup.minhashIncremental(
+        docs.where(col("doc_id") >= 30 && col("doc_id") < 60).select("doc_id", "text"),
+        probe, minEstJaccard = 0.4, verifyJaccard = Some(0.9))
+      .as[Long].collect().toSet
+    assert(got == expect,
+      s"post-retention probe diverges: ${(got diff expect) ++ (expect diff got)}")
+    // aging EVERYTHING leaves the seed-only store readable (layout
+    // discovery intact) — the cutoff never touches batch=-1
+    val dropped2 = Dedup.retainMinhashIndexBatches(spark, idx, cutoff = 99L)
+    assert(dropped2.values.toSeq == Seq(Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 2L)),
+      s"widened cutoff must age the rest: $dropped2")
+    for (sub <- subs)
+      assert(spark.read.parquet(s"$idx/$sub").isEmpty,
+        s"$sub must read (empty) from the seed alone")
+  }
 }

@@ -78,6 +78,40 @@ object EraseProbe {
         f"(${100.0 * moved / total}%5.1f%%) files=${before.size - (before.keySet intersect after.keySet).size}%3d/${before.size}%3d | rows left=$left")
       Similarity.invalidateIvfIndex(s"$dir/ivf_index")
     }
+
+    // FOLD comparison at the bulk-scattered end (SCALING.md's own
+    // guidance, now an op): a saturating victim set erased as a separate
+    // delete THEN compacted (two full store rewrites) vs folded into ONE
+    // compactIvfStore(dropIds) rewrite. Same end state, half the moved
+    // bytes.
+    val nvMax = victimNs.max
+    def freshStore(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("eraseprobe_fold").toString
+      Similarity.saveIvfIndex(baseDf, s"$dir/ivf_index", nlist = 64, sampleRows = 4096)
+      Similarity.streamIngestIvfBatch(baseDf, 0L, s"$dir/ivf_index", s"$dir/cells",
+        nlist = 64, sampleRows = 4096)
+      Similarity.compactIvfStore(spark, dir, upTo = 0L,
+        targetFileBytes = 512L * 1024)
+      dir
+    }
+    val victims = (0L until nvMax.toLong).toSeq
+    val dirSep = freshStore()
+    val tSep = timed {
+      require(Similarity.deleteFromIvfStore(spark, dirSep, victims) == nvMax.toLong)
+      Similarity.compactIvfStore(spark, dirSep, upTo = 0L,
+        targetFileBytes = 512L * 1024)
+    }
+    val leftSep = graft.operators.Dedup.readStore(spark, s"$dirSep/cells").count()
+    val dirFold = freshStore()
+    val tFold = timed {
+      require(Similarity.compactIvfStore(spark, dirFold, upTo = 0L,
+        targetFileBytes = 512L * 1024, dropIds = victims) == nvMax.toLong)
+    }
+    val leftFold = graft.operators.Dedup.readStore(spark, s"$dirFold/cells").count()
+    require(leftSep == leftFold && leftFold == base.toLong - nvMax,
+      s"fold and separate paths must agree: $leftSep vs $leftFold")
+    println(f"[erase] FOLD victims=$nvMax%5d | delete+compact=$tSep%6.2f s " +
+      f"(2 rewrites) | compact(dropIds)=$tFold%6.2f s (1 rewrite)")
     spark.stop()
   }
 }

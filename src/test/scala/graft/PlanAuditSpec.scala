@@ -101,6 +101,11 @@ class PlanAuditSpec extends SparkSpec {
     // leg.
     "q_sim_ivf_delete", "q_sim_ivfpq_filtered", "q_hybrid_search",
     "q_stream_ivf_hotsplit",
+    // round-16 gates: same declared shapes — the coded-layout delete and
+    // the in-stream growth gate carry ≤2-row broadcast truth legs (plus
+    // 1-row completeness scalars).
+    "q_sim_ivfpq_delete", "q_stream_ivf_growth", "q_stream_ivf_erase",
+    "q_hybrid_search_pruned", "q_hybrid_search_weighted",
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",
     "q_stream_ann_quantized", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")

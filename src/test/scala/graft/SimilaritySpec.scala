@@ -1184,4 +1184,112 @@ class SimilaritySpec extends SparkSpec {
         "top-ranked probe cell must equal the single-cell assignment")
     }
   }
+
+  /** Count only the `.req` request files — the checksummed local FS
+    * keeps hidden `.crc` siblings beside them.
+    */
+  private def reqCount(dir: java.nio.file.Path): Long = {
+    val st = java.nio.file.Files.list(dir)
+    try st.filter(p => p.getFileName.toString.endsWith(".req")).count()
+    finally st.close()
+  }
+
+  test("compactIvfStore dropIds: erasure folds into the one compaction " +
+    "rewrite; victims in newer batches refuse; pure compaction returns 0") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfcompdel").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    // fold-erase 2 scattered victims (absent id 999 prices to nothing)
+    val erased = Similarity.compactIvfStore(spark, tmp, upTo = 1L,
+      dropIds = Seq(3L, 27L, 999L))
+    assert(erased == 2L, s"fold must erase exactly the present victims, got $erased")
+    val parts = new java.io.File(data).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=1"), s"fold must still compact: $parts")
+    val left = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(left == (0L until 40L).filterNot(Seq(3L, 27L).contains).toSeq,
+      "exactly the folded victims must disappear")
+    // a victim in a batch NEWER than upTo would silently survive — refuse
+    val late = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    Similarity.streamIngestIvfBatch(late, 2L, idx, data, nlist = 4, sampleRows = 40)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfStore(spark, tmp, upTo = 1L, dropIds = Seq(101L))
+    }
+    assert(e.getMessage.contains("batches > 1"), e.getMessage)
+    // widened upTo folds it; a pure compaction afterwards reports 0
+    assert(Similarity.compactIvfStore(spark, tmp, upTo = 2L, dropIds = Seq(101L)) == 1L)
+    assert(Similarity.compactIvfStore(spark, tmp, upTo = 2L) == 0L)
+    val after = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    val expected = ((0L until 40L).filterNot(Seq(3L, 27L).contains) ++
+      Seq(100L, 102L, 103L, 104L)).sorted
+    assert(after == expected,
+      s"late batch minus its victim must survive the widened fold: $after")
+    for (l <- Seq(".compact_stage", ".compact_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, l)), l)
+  }
+
+  test("enqueueIvfErasure/drainPendingErasures: requests apply in name " +
+    "order through the delete op, retire only after their swap, re-drain " +
+    "is a no-op, overlapping ids are idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfqueue").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    Similarity.streamIngestIvfBatch(emb, 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.enqueueIvfErasure(spark, tmp, Seq(1L, 2L))
+    Similarity.enqueueIvfErasure(spark, tmp, Seq(2L, 30L)) // 2 overlaps
+    val pend = java.nio.file.Paths.get(tmp, Similarity.PendingErasureDir)
+    assert(reqCount(pend) == 2)
+    val erased = Similarity.drainPendingErasures(spark, tmp)
+    assert(erased == 3L, s"overlapping requests erase each row once, got $erased")
+    assert(reqCount(pend) == 0,
+      "applied requests must retire")
+    val left = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(left == (0L until 40L).filterNot(Seq(1L, 2L, 30L).contains).toSeq)
+    assert(Similarity.drainPendingErasures(spark, tmp) == 0L,
+      "an empty queue drains to 0")
+    for (l <- Seq(s".cells_delete_stage", s".cells_delete_old",
+        s"cells/${graft.operators.Dedup.MaintenanceSentinel}"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, l)), l)
+  }
+
+  test("ingest stream DEFERS maintenance under a foreign swap sentinel " +
+    "instead of dying: batches land, triggers skip, queue stays pending; " +
+    "the final store read surfaces the sentinel refusal loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdefer").toString
+    val in = s"$tmp/in"
+    emb.where(col("vec_id") < 20L).coalesce(1).write.parquet(in)
+    emb.where(col("vec_id") >= 20L).coalesce(1).write.mode("append").parquet(in)
+    val w = s"$tmp/work"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(w, "cells"))
+    val sentinel = java.nio.file.Paths.get(w, "cells",
+      graft.operators.Dedup.MaintenanceSentinel)
+    java.nio.file.Files.createFile(sentinel)
+    Similarity.enqueueIvfErasure(spark, w, Seq(1L))
+    // skew trigger armed so aggressively every batch would split — under
+    // the foreign sentinel all of it must DEFER, not throw mid-stream;
+    // the stream completes its batches and only the FINAL store read
+    // refuses (the documented loud sentinel contract)
+    val e = intercept[IllegalStateException] {
+      Similarity.streamIngestIvf(spark, in, w, nlist = 4, sampleRows = 40,
+        maxCellRows = 1, splitRounds = 2)
+    }
+    assert(e.getMessage.contains("maintenance swap in progress"), e.getMessage)
+    // every batch landed (the ingest itself never stops), no split fired
+    // (nlist is still the bootstrap 4), and the erasure stayed queued
+    assert(Similarity.loadIvfIndex(spark, s"$w/ivf_index").length == 4,
+      "maintenance must not have fired under the foreign sentinel")
+    val pend = java.nio.file.Paths.get(w, Similarity.PendingErasureDir)
+    assert(reqCount(pend) == 1,
+      "the erasure queue must stay pending under the foreign sentinel")
+    java.nio.file.Files.delete(sentinel)
+    val rows = spark.read.parquet(s"$w/cells").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(rows == (0L until 40L).toSeq, "both batches must have landed")
+    // sentinel gone: the queue drains normally and the victim disappears
+    assert(Similarity.drainPendingErasures(spark, w) == 1L)
+    assert(reqCount(pend) == 0)
+  }
 }
