@@ -151,6 +151,51 @@ object SparkEntry {
     s"$root/census80"
   }
 
+  /** `(size, sha256)` snapshot of every data file under `root` — the
+    * cold-file identity signature the erasure/retention/compaction gates
+    * compare before/after a maintenance op (test-gate only: KB-scale
+    * fixture stores, never an operator cost). Manifest/metadata names
+    * are excluded so only data bytes sign.
+    */
+  private def snapStoreFiles(root: String): Map[String, (Long, String)] = {
+    val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val rootP = java.nio.file.Paths.get(root)
+    val it = java.nio.file.Files.walk(rootP).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) &&
+          !n.startsWith("_") && !n.startsWith(".") &&
+          !n.endsWith("manifest.json") && n != "nmods") {
+        val b = java.nio.file.Files.readAllBytes(p)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(b).map("%02x".format(_)).mkString
+        out(rootP.relativize(p).toString) = (b.length.toLong, sha)
+      }
+    }
+    out.toMap
+  }
+
+  /** Shared STORED TEXT (BM25 inverted) index over the documents corpus,
+    * built once per input dir in the incremental shape (two batch
+    * appends split at doc_id 250 — the id split every SF covers), so the
+    * read-only consumers (`q_bm25_stored`, `q_hybrid_search_indexed`)
+    * time the SERVE path they advertise. Mutating gates (delete /
+    * retention / compaction) build their own throwaway stores.
+    */
+  private def textIndexRoot(s: SparkSession, d: String): String =
+    scratchDirs.getOrElseUpdate(s"textidx:$d", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_textidx")
+      deleteRecursivelyOnExit(tmp)
+      val r = tmp.toFile.getAbsolutePath + "/text_index"
+      val docs0 = documents(s, d)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 250L), r, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 250L), r, batchId = 1L)
+      r
+    })
+
   /** Shared scratch for the stateful-catch-up pair: two arrivals, two
     * `catchUpRunningTotals` runs against one checkpoint. `q_availablenow_
     * totals` declares the served table; `q_state_reader` reads the same
@@ -3047,6 +3092,172 @@ object SparkEntry {
           round(lit(0.6) * coalesce(col("n_lex"), lit(0.0)) +
             lit(0.4) * coalesce(col("n_vec"), lit(0.0)), 6).as("fused"))
         .orderBy(col("fused").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // -- [NS] BM25 served FROM THE STORED INVERTED INDEX — the lexical
+    // analogue of the stored-IVF serve: postings live term-hash-fanned
+    // (tm_mod partitions) with doc length denormalized into the row, so
+    // the serve is ONE partition-pruned postings scan (≤ |terms| of the
+    // nMods dirs listed) plus an O(batches) stats-row sum — the raw
+    // corpus is never touched at query time. The index is the shared
+    // 2-batch INCREMENTAL build, and the scorer replays bm25TopK's
+    // operation order bit-for-bit, so the oracle is the full-scan BM25
+    // SQL itself: stored serve == corpus scan, exactly. --
+    "q_bm25_stored" -> ((s, d) =>
+      graft.operators.TextIndex.bm25TopKStored(s, textIndexRoot(s, d),
+        Seq("dup", "merge", "scan"), k = 20)),
+
+    // -- [NS] RIGHT-TO-ERASURE from the text index: victims' postings go
+    // by file-targeted rewrite (cold files byte-identical), and the
+    // victims' OWN batches' stats rows decrement in place (N/avgdl match
+    // a corpus that never held them; retention still drops each batch's
+    // stats with its postings). Gate = the strongest form this engine
+    // has: the post-delete serve EQUALS the full-scan BM25 over
+    // corpus-minus-victims, value-for-value. --
+    "q_bm25_delete" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25del")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 250L), idx, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 250L), idx, batchId = 1L)
+      val victims = Seq(3L, 7L, 250L, 401L)
+      val before = snapStoreFiles(s"$idx/postings")
+      // file-targeting ground truth: the files that actually hold victim
+      // postings (bounded collect ≤ the store's file count). On this
+      // corpus's ~30-word shared vocabulary a victim doc's terms can hash
+      // into EVERY tm_mod dir — cold-file identity must be asserted
+      // against the true victim placement, not against "some file survived"
+      val victimFiles = s.read.parquet(s"$idx/postings")
+        .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => r.getString(0).split("/").takeRight(3).mkString("/")).toSet
+      val erased = graft.operators.TextIndex.deleteFromTextIndex(s, idx, victims)
+      val after = snapStoreFiles(s"$idx/postings")
+      // every victim-free file must survive the swap byte-identical
+      val expectedSurvivors = before.keySet -- victimFiles
+      val coldOk = expectedSurvivors.subsetOf(after.keySet) &&
+        expectedSurvivors.forall(f => after(f) == before(f))
+      val goneOk = s.read.parquet(s"$idx/postings")
+        .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+        .isEmpty
+      // stats decremented in the victims' own batches: the summed store
+      // stats equal a direct recount over corpus-minus-victims
+      val statsRow = s.read.parquet(s"$idx/stats")
+        .agg(sum(col("n_docs")), sum(col("total_toks"))).head()
+      val wantStats = docs0
+        .where(!col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+        .agg(count(lit(1)),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+        .head()
+      val statsOk = statsRow.getLong(0) == wantStats.getLong(0) &&
+        statsRow.getLong(1) == wantStats.getLong(1)
+      require(erased == victims.length && coldOk && goneOk && statsOk,
+        s"q_bm25_delete: erased=$erased coldOk=$coldOk goneOk=$goneOk statsOk=$statsOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
+    // -- [NS] batch-TTL retention for the text index: `batch <= cutoff`
+    // partitions of postings AND stats drop as PURE METADATA (no data
+    // file read or rewritten; surviving files inode-level byte-identical,
+    // require()d below). Aging is exact for this family — a batch's docs
+    // contribute nothing outside their own partitions — so the gate is
+    // again exact: post-retention serve == full-scan BM25 over the
+    // retained docs only. --
+    "q_bm25_retention" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25ret")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 200L), idx, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 200L && col("doc_id") < 400L), idx, batchId = 1L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 400L), idx, batchId = 2L)
+      val before = snapStoreFiles(idx)
+      val dropped = graft.operators.TextIndex.retainTextIndexBatches(s, idx, cutoff = 0L)
+      val after = snapStoreFiles(idx)
+      val droppedOk = dropped == Map("postings" -> Seq(0L), "stats" -> Seq(0L))
+      val coldOk = after.nonEmpty &&
+        after.keySet == before.keySet.filterNot(_.contains("batch=0")) &&
+        after.forall { case (f, sig) => before(f) == sig }
+      val agedOk = s.read.parquet(s"$idx/postings")
+        .where(col("doc_id") < 200L).isEmpty
+      require(droppedOk && coldOk && agedOk,
+        s"q_bm25_retention: droppedOk=$droppedOk coldOk=$coldOk agedOk=$agedOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
+    // -- [NS] text-index COMPACTION: fold the micro-batch postings
+    // (3 appends) into one consolidated term-clustered batch — the
+    // small-files maintenance every streaming-ingested store needs —
+    // touching ONLY the folded batches (younger batches byte-identical,
+    // require()d) behind the checked recoverable swap; stats rows fold
+    // by summation, which is exactly what the scorer reads. Gate: the
+    // post-compaction serve still equals the full-scan BM25. --
+    "q_bm25_compact" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25cmp")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 150L), idx, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 150L && col("doc_id") < 300L), idx, batchId = 1L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 300L), idx, batchId = 2L)
+      val before = snapStoreFiles(idx)
+      val folded = graft.operators.TextIndex.compactTextIndexBatches(s, idx, upTo = 1L)
+      val after = snapStoreFiles(idx)
+      val youngBefore = before.keySet.filter(_.contains("batch=2"))
+      val coldOk = youngBefore.subsetOf(after.keySet) &&
+        youngBefore.forall(f => after(f) == before(f))
+      val foldedOk = folded == 1L &&
+        !after.keySet.exists(_.contains("batch=0"))
+      require(coldOk && foldedOk,
+        s"q_bm25_compact: coldOk=$coldOk foldedOk=$foldedOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
+    // -- [NS] hybrid retrieval with BOTH legs served from PERSISTED
+    // indexes — the deployed frontend shape: the lexical top-20 from the
+    // stored inverted index (one term-pruned postings scan; the raw
+    // corpus untouched) and the vector top-20 from the stored IVF index
+    // at the exhaustive corner (provably equal to brute force), RRF
+    // fused. Because the stored BM25 serve equals the corpus scan
+    // exactly, the whole fusion stays exactly value-oracle-able — the
+    // oracle is q_hybrid_search's SQL verbatim. --
+    "q_hybrid_search_indexed" -> ((s, d) => {
+      val byLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = graft.operators.TextIndex.bm25TopKStored(s, textIndexRoot(s, d),
+          Seq("dup", "merge", "scan"), k = 20)
+        .select(col("doc_id"), row_number().over(byLex).as("r_lex"))
+      val work = java.nio.file.Files.createTempDirectory("graft_hybridi")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 16)
+      Similarity.seedIvfStore(emb, w)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val byVec = Window.orderBy(col("cosine").desc, col("vec_id"))
+      val vec = Similarity.ivfProbeSetTopKStored(
+          stored, s"$w/ivf_index", emb.where(col("vec_id") === 0L),
+          k = 20, nprobe = 16)
+        .select(col("vec_id").as("doc_id"), row_number().over(byVec).as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
     }),
 
@@ -6022,6 +6233,35 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The full-scan BM25 twin (identical operation order and rounding
+    * discipline as [[graft.operators.Corpus.bm25TopK]] /
+    * [[graft.operators.TextIndex.bm25TopKStored]]: ln at 6 dp, per-term
+    * DECIMAL(18,8), final 4 dp), parameterized by the corpus relation —
+    * the stored-index lifecycle gates oracle against the same scorer
+    * over whichever corpus the maintained index should now equal.
+    */
+  private def bm25OracleSql(corpus: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+       |  FROM $corpus),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) AS total_toks FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+       |      * (tf * (1.2 + 1.0))
+       |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
+       |      AS DECIMAL(18,8)) AS score_t
+       |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+       |SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events ORDER BY event_id",
@@ -8523,7 +8763,14 @@ object SparkEntry {
 
     // BM25 recomputed with the identical operation order and rounding
     // discipline (ln at 6 dp, per-term DECIMAL(18,8), final 4 dp)
-    "q_bm25_search" ->
+    "q_bm25_search" -> bm25OracleSql("documents"),
+
+    // hybrid retrieval: RRF(60) fusion of the BM25 lexical top-20 (the
+    // q_bm25_search twin, ranked) and the vector top-20 (brute-force
+    // cosine — the stored IVF probe at exhaustive nprobe equals it);
+    // fused score = two IEEE divisions + one addition, rounded to 6 dp,
+    // ties pinned by doc_id
+    "q_hybrid_search" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
         |  FROM documents),
@@ -8539,18 +8786,41 @@ object SparkEntry {
         |      * (tf * (1.2 + 1.0))
         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
         |      AS DECIMAL(18,8)) AS score_t
-        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
-        |SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
-        |FROM scored GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id
-        |LIMIT 20""".stripMargin,
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM (
+        |    SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+        |    FROM scored GROUP BY doc_id
+        |    ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_vec FROM (
+        |    SELECT e2.vec_id AS vec_id,
+        |      round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[])), 4) AS cosine
+        |    FROM embeddings e1, embeddings e2
+        |    WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        |    ORDER BY cosine DESC, e2.vec_id LIMIT 20))
+        |SELECT doc_id,
+        |  round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
-    // hybrid retrieval: RRF(60) fusion of the BM25 lexical top-20 (the
-    // q_bm25_search twin, ranked) and the vector top-20 (brute-force
-    // cosine — the stored IVF probe at exhaustive nprobe equals it);
-    // fused score = two IEEE divisions + one addition, rounded to 6 dp,
-    // ties pinned by doc_id
-    "q_hybrid_search" ->
+    // stored inverted-index serves: the stored scorer replays bm25TopK's
+    // operation order bit-for-bit, so each gate's oracle is the full-scan
+    // BM25 SQL over exactly the corpus the index should equal — the whole
+    // corpus (stored/compacted), corpus minus the erased victims
+    // (delete), or the retained batches only (retention)
+    "q_bm25_stored" -> bm25OracleSql("documents"),
+    "q_bm25_compact" -> bm25OracleSql("documents"),
+    "q_bm25_delete" -> bm25OracleSql(
+      "(SELECT * FROM documents WHERE doc_id NOT IN (3, 7, 250, 401))"),
+    "q_bm25_retention" -> bm25OracleSql(
+      "(SELECT * FROM documents WHERE doc_id >= 200)"),
+
+    // both-legs-indexed hybrid serve: stored BM25 == corpus-scan BM25 and
+    // the stored IVF probe at the exhaustive corner == brute force, so
+    // the fusion oracle is q_hybrid_search's SQL verbatim
+    "q_hybrid_search_indexed" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
         |  FROM documents),

@@ -55,6 +55,18 @@ import org.scalatest.funsuite.AnyFunSuite
   *    shared Dedup.deleteRowsFromStore core (its ONE pricing+owner
   *    collect is audited under Dedup), dropping the former duplicate
   *    victim scan — Similarity 16 → 15.
+  *  - TextIndex (round 16): the serve's query-term hash-partition collect
+  *    (≤ |query terms| ints — the tm_mod IN list that partition-prunes
+  *    the postings scan); the delete's per-victim (batch, doc, dl)
+  *    pre-scan collect (≤ |victim ids| rows — reads the lengths the
+  *    decrement needs BEFORE the delete destroys them) and its 1-row
+  *    per-affected-batch stats head.
+  *  - SparkEntry round-16 additions: q_bm25_delete's two 1-row stats-
+  *    equality heads (summed store stats vs a direct recount — the
+  *    gate's decrement check) and its victim-file listing (distinct
+  *    input_file_name of victim postings, ≤ the store's file count —
+  *    the cold-file identity gate's ground truth for which files the
+  *    delete was ALLOWED to touch).
   */
 class CollectAuditSpec extends AnyFunSuite {
 
@@ -78,12 +90,13 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 17,
+      "graft/SparkEntry.scala"            -> 20,
       "graft/operators/Similarity.scala"  -> 15,
       "graft/operators/Dedup.scala"       -> 9,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
-      "graft/operators/Corpus.scala"      -> 2)
+      "graft/operators/Corpus.scala"      -> 2,
+      "graft/operators/TextIndex.scala"   -> 3)
     assert(found.toMap == allowed,
       s"driver-side collect()/head() drift — audit the new site for " +
         s"boundedness before extending the closed set.\n  found:   " +

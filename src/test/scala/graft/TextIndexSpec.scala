@@ -1,0 +1,183 @@
+package graft
+
+import graft.operators.{Corpus, TextIndex}
+import org.apache.spark.sql.functions._
+
+/** The stored inverted-index (BM25) family: every lifecycle op is gated
+  * by EXACT serve equality against the full-scan scorer over the corpus
+  * the maintained index should now equal — the family's scorer replays
+  * [[Corpus.bm25TopK]]'s operation order bit-for-bit, so no recall bound
+  * is ever needed.
+  */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus where the query terms have distinct df/tf profiles: "rare"
+  // in few docs, "mid" in some, "common" in most, plus filler terms that
+  // land in other tm_mod partitions
+  private def corpus(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val parts = Seq.newBuilder[String]
+      parts += s"filler$i token$i pad${i % 7}"
+      if (i % 17 == 0) parts += "rare"
+      if (i % 5 == 0) parts += "mid mid"
+      if (i % 2 == 0) parts += "common"
+      (i.toLong, parts.result().mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private val Terms = Seq("rare", "mid", "common")
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean = {
+    val (ap, bp) = (a.persist(), b.persist())
+    val eq = ap.exceptAll(bp).isEmpty && bp.exceptAll(ap).isEmpty
+    ap.unpersist(); bp.unpersist()
+    eq
+  }
+
+  private def freshIdx(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textidx_spec")
+    tmp.toFile.deleteOnExit()
+    tmp.toFile.getAbsolutePath + "/text_index"
+  }
+
+  test("stored serve equals the full-scan scorer; incremental appends compose") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 60), idx, 0L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 60), idx, 1L)
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs, Terms, k = 20)))
+  }
+
+  test("serve scan is partition-pruned to the query terms' tm_mod dirs") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L)
+    val nMods = TextIndex.DefaultNMods
+    val mods = Terms.toDS()
+      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
+      .distinct().as[Int].collect().toSet
+    val pruned = spark.read.parquet(s"$idx/postings")
+      .where(col("tm_mod").isin(mods.toSeq.map(Integer.valueOf): _*) &&
+        col("term").isin(Terms: _*))
+    // execute THIS plan instance (not a derived count() query) so the
+    // scan node whose metrics we read is the one that ran
+    val plan = pruned.queryExecution.executedPlan
+    plan.execute().count()
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val allFiles = spark.read.parquet(s"$idx/postings").inputFiles.length
+    // partition-level pruning: the executed scan read only the terms' own
+    // tm_mod dirs (≤ |terms| of the nMods partitions); the corpus's
+    // filler terms guarantee other dirs exist to skip. (inputFiles is not
+    // filter-aware — the scan metric is the honest count.)
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles <= mods.size.toLong &&
+      readFiles < allFiles.toLong,
+      s"expected a pruned scan: read $readFiles of $allFiles files for " +
+        s"${mods.size} term mods")
+  }
+
+  test("delete: victims' postings gone, cold files byte-identical, stats " +
+       "decremented in place, serve equals corpus-minus-victims") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 60), idx, 0L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 60), idx, 1L)
+    val victims = Seq(0L, 34L, 85L)
+    def snap(): Map[String, (Long, String)] = {
+      val root = java.nio.file.Paths.get(s"$idx/postings")
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+            !n.startsWith(".")) {
+          val b = java.nio.file.Files.readAllBytes(p)
+          out(root.relativize(p).toString) = (b.length.toLong,
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest(b).map("%02x".format(_)).mkString)
+        }
+      }
+      out.toMap
+    }
+    val before = snap()
+    assert(TextIndex.deleteFromTextIndex(spark, idx, victims) == victims.length)
+    val after = snap()
+    val survivors = before.keySet intersect after.keySet
+    assert(survivors.nonEmpty && survivors.forall(f => after(f) == before(f)))
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*)).isEmpty)
+    val rest = docs.where(!col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+    // stats rows decremented inside the victims' own batches
+    val st = spark.read.parquet(s"$idx/stats")
+      .agg(sum("n_docs"), sum("total_toks")).head()
+    val want = rest.agg(count(lit(1)),
+      sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))).head()
+    assert(st.getLong(0) == want.getLong(0) && st.getLong(1) == want.getLong(1))
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(rest, Terms, k = 20)))
+  }
+
+  test("delete of absent ids is a no-op returning 0") {
+    val docs = corpus(40)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L)
+    assert(TextIndex.deleteFromTextIndex(spark, idx, Seq(9999L)) == 0L)
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs, Terms, k = 20)))
+  }
+
+  test("retention: aged batches drop metadata-only, serve equals retained corpus") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 40), idx, 0L)
+    TextIndex.appendTextIndexBatch(
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 80), idx, 1L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 80), idx, 2L)
+    val dropped = TextIndex.retainTextIndexBatches(spark, idx, cutoff = 0L)
+    assert(dropped == Map("postings" -> Seq(0L), "stats" -> Seq(0L)))
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs.where(col("doc_id") >= 40), Terms, k = 20)))
+  }
+
+  test("compaction folds old batches, leaves young ones byte-identical, serve unchanged") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 40), idx, 0L)
+    TextIndex.appendTextIndexBatch(
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 80), idx, 1L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 80), idx, 2L)
+    assert(TextIndex.compactTextIndexBatches(spark, idx, upTo = 1L) == 1L)
+    val batches = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(batches == Set("batch=1", "batch=2"))
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs, Terms, k = 20)))
+  }
+
+  test("append with a drifted fanout fails loudly against the pinned manifest") {
+    val docs = corpus(40)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L, nMods = 16)
+    val e = intercept[IllegalStateException] {
+      TextIndex.appendTextIndexBatch(docs, idx, 1L, nMods = 32)
+    }
+    assert(e.getMessage.contains("drift"))
+  }
+
+  test("terms absent from the corpus serve an empty result, not an error") {
+    val docs = corpus(40)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L)
+    assert(TextIndex.bm25TopKStored(spark, idx, Seq("zzz_missing"), k = 5).isEmpty)
+  }
+}
