@@ -3226,6 +3226,24 @@ object SparkEntry {
         Seq("dup", "merge", "scan"), k = 20)
     }),
 
+    // -- [NS] STREAMING text-index ingest: the lexical tier's streaming
+    // form (fuzzy has q_stream_fuzzy_dedup, substring q_stream_substring_
+    // ingest, ANN q_stream_ann_ingest). The same id-ordered document
+    // slices arrive as a REAL file stream; each micro-batch appends its
+    // own postings batch + one-row stats partition (idempotent under
+    // replay — a batch overwrites only its own dirs). Because BM25 is a
+    // pure function of the corpus (batch boundaries don't enter the
+    // score), the gate is again EXACT: the post-stream stored serve
+    // equals the full-scan BM25 over the whole corpus. --
+    "q_stream_bm25_ingest" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_bm25stream")
+      deleteRecursivelyOnExit(work)
+      val idx = work.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.streamIngestTextIndex(s, docSlices(s, d), idx)
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
     // -- [NS] hybrid retrieval with BOTH legs served from PERSISTED
     // indexes — the deployed frontend shape: the lexical top-20 from the
     // stored inverted index (one term-pruned postings scan; the raw
@@ -8816,6 +8834,9 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id NOT IN (3, 7, 250, 401))"),
     "q_bm25_retention" -> bm25OracleSql(
       "(SELECT * FROM documents WHERE doc_id >= 200)"),
+    // streaming ingest: batch boundaries never enter the score, so the
+    // post-stream serve equals the whole-corpus scan
+    "q_stream_bm25_ingest" -> bm25OracleSql("documents"),
 
     // both-legs-indexed hybrid serve: stored BM25 == corpus-scan BM25 and
     // the stored IVF probe at the exhaustive corner == brute force, so

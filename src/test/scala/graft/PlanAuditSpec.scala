@@ -106,6 +106,11 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row completeness scalars).
     "q_sim_ivfpq_delete", "q_stream_ivf_growth", "q_stream_ivf_erase",
     "q_hybrid_search_pruned", "q_hybrid_search_weighted",
+    // the stored text-index family: every serve carries the SAME 1-row
+    // global-stats scalar broadcast cross join the full-scan
+    // q_bm25_search declares (N/avgdl ride in as one broadcast row)
+    "q_bm25_stored", "q_bm25_delete", "q_bm25_retention", "q_bm25_compact",
+    "q_stream_bm25_ingest", "q_hybrid_search_indexed",
     "q_sim_quantized", "q_sim_topk", "q_stream_ann_ingest",
     "q_stream_ann_quantized", "q_tfidf_topterms",
     "q_tpch_q11", "q_tpch_q22")

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Corpus, TextIndex}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: serve cost of the stored inverted index vs the full-scan
+  * scorer as the corpus grows — the SCALING.md evidence behind
+  * `q_bm25_stored`. The claim to measure: the full-scan BM25 tokenizes
+  * the WHOLE corpus per query (cost ∝ corpus bytes), while the stored
+  * serve reads only the query terms' tm_mod partitions (cost ∝ matching
+  * postings) — so the ratio widens with corpus size, and the index build
+  * is the one-time cost that amortizes over every query.
+  *
+  * Run: `sbt "Test/runMain graft.TextIndexProbe [sizes...]"`
+  */
+object TextIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(20000, 60000, 180000)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .appName("textindex-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val terms = Seq("rare", "mid", "common")
+
+    for (n <- sizes) {
+      // ~120 tokens/doc over a 2000-word vocabulary plus the query terms
+      // at distinct frequencies — a real zipf-ish postings shape where
+      // the query terms' postings are a small slice of the store and the
+      // corpus is big enough that per-query tokenization is real work
+      // (the cost the index exists to amortize)
+      val dir = java.nio.file.Files.createTempDirectory("textidxprobe").toString
+      spark.range(n.toLong).repartition(16).mapPartitions { it =>
+        it.map { id =>
+          val rnd = new scala.util.Random(id * 2654435761L)
+          val sb = Seq.newBuilder[String]
+          (0 until 120).foreach(_ => sb += s"w${rnd.nextInt(2000)}")
+          if (id % 97 == 0) sb += "rare"
+          if (id % 13 == 0) sb += "mid"
+          if (id % 3 == 0) sb += "common"
+          (id, sb.result().mkString(" "))
+        }
+      }.toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+      // the corpus lives ON DISK for both paths — the production shape;
+      // the scan pays the fat text column's read + tokenize per query,
+      // which is exactly what the stored serve never touches
+      val docs = spark.read.parquet(s"$dir/corpus")
+      val idx = s"$dir/text_index"
+      // production fanout sizing (the Dedup.NMods note applied): nMods ∝
+      // vocabulary so a partition dir holds O(1) terms and a query's
+      // ≤ |terms| pruned dirs are a FIXED small slice of the store; the
+      // test-scale default of 16 would make each partition 1/16 of an
+      // index larger than the corpus itself
+      val tBuild = timed {
+        TextIndex.appendTextIndexBatch(docs, idx, batchId = 0L, nMods = 1024)
+      }
+      // warm both paths once (JIT/codegen), then measure
+      Corpus.bm25TopK(docs, terms, k = 20).collect()
+      TextIndex.bm25TopKStored(spark, idx, terms, k = 20).collect()
+      val tScan = timed { Corpus.bm25TopK(docs, terms, k = 20).collect() }
+      val tServe = timed {
+        TextIndex.bm25TopKStored(spark, idx, terms, k = 20).collect()
+      }
+      // bytes each path must touch — the 100 TB discriminator (at probe
+      // scale a 16-core box hides I/O behind page cache and job floors;
+      // at lake scale the scan's bytes ARE its cost): the full-scan
+      // scorer reads the whole corpus per query, the stored serve reads
+      // the query terms' tm_mod dirs + the stats rows
+      def dirBytes(p: String, keep: String => Boolean): Long = {
+        val root = java.nio.file.Paths.get(p)
+        val it = java.nio.file.Files.walk(root).iterator()
+        var s = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val fn = f.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(f) && !fn.startsWith("_") &&
+              !fn.startsWith(".") && keep(f.toString))
+            s += java.nio.file.Files.size(f)
+        }
+        s
+      }
+      import spark.implicits._
+      val mods = terms.toDS()
+        .select(pmod(hash(col("value")), lit(1024)).cast("int").as("m"))
+        .distinct().as[Int].collect().toSet
+      val corpusBytes = dirBytes(s"$dir/corpus", _ => true)
+      val idxBytes = dirBytes(s"$idx/postings", _ => true)
+      val servedBytes =
+        dirBytes(s"$idx/postings",
+          f => mods.exists(m => f.contains(s"tm_mod=$m/"))) +
+        dirBytes(s"$idx/stats", _ => true)
+      println(f"[textidx] docs=$n%7d | build=$tBuild%6.2f s | " +
+        f"scan=$tScan%6.2f s (${corpusBytes / 1048576.0}%8.1f MB) | " +
+        f"stored=$tServe%6.2f s (${servedBytes / 1048576.0}%8.1f MB of " +
+        f"${idxBytes / 1048576.0}%8.1f MB) | " +
+        f"bytes=${corpusBytes.toDouble / servedBytes}%6.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -69,16 +69,17 @@ class TextIndexSpec extends SparkSpec {
     val scan = plan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
-    val allFiles = spark.read.parquet(s"$idx/postings").inputFiles.length
+    val allF = spark.read.parquet(s"$idx/postings").inputFiles
+    val allowedF = allF.count(f => mods.exists(m => f.contains(s"tm_mod=$m/")))
     // partition-level pruning: the executed scan read only the terms' own
-    // tm_mod dirs (≤ |terms| of the nMods partitions); the corpus's
-    // filler terms guarantee other dirs exist to skip. (inputFiles is not
-    // filter-aware — the scan metric is the honest count.)
+    // tm_mod dirs' files; the corpus's filler terms guarantee other dirs
+    // exist to skip. (inputFiles is not filter-aware — the scan metric is
+    // the honest count.)
     val readFiles = scan.metrics("numFiles").value
-    assert(readFiles > 0 && readFiles <= mods.size.toLong &&
-      readFiles < allFiles.toLong,
-      s"expected a pruned scan: read $readFiles of $allFiles files for " +
-        s"${mods.size} term mods")
+    assert(readFiles > 0 && readFiles <= allowedF.toLong &&
+      readFiles < allF.length.toLong,
+      s"expected a pruned scan: read $readFiles of ${allF.length} files, " +
+        s"allowed dirs hold $allowedF")
   }
 
   test("delete: victims' postings gone, cold files byte-identical, stats " +
@@ -162,6 +163,28 @@ class TextIndexSpec extends SparkSpec {
     assert(sameRows(
       TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
       Corpus.bm25TopK(docs, Terms, k = 20)))
+  }
+
+  test("streaming ingest: micro-batch appends compose to the exact full-scan scorer") {
+    val docs = corpus(120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textidx_stream")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.toFile.getAbsolutePath + "/in"
+    val idx = tmp.toFile.getAbsolutePath + "/text_index"
+    // three arrival slices (BM25 is a pure function of the corpus, so
+    // slice boundaries and arrival order never enter the gate)
+    Seq(0, 40, 80).foreach { lo =>
+      docs.where(col("doc_id") >= lo && col("doc_id") < lo + 40)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    TextIndex.streamIngestTextIndex(spark, in, idx)
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs, Terms, k = 20)))
+    // the stream appended real per-batch partitions
+    val batches = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("batch=")).length
+    assert(batches >= 2)
   }
 
   test("append with a drifted fanout fails loudly against the pinned manifest") {
