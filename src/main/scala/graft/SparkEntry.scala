@@ -1450,6 +1450,42 @@ object SparkEntry {
         lit(censusOk).as("census_ok"))
     }),
 
+    // -- [NS] batch-TTL retention for the streamed substring-census DELTA
+    // store: aged delta batches drop as pure metadata (survivors
+    // byte-identical; the batch=-1 seed never ages). The census the
+    // probes read is the SUM over batch deltas and each batch's delta
+    // counts only its own docs' windows, so the retained sum EQUALS the
+    // census rebuilt over the retained docs — exact aging, asserted by
+    // two-direction exceptAll. --
+    "q_census_retention" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_censret")
+      deleteRecursivelyOnExit(tmp)
+      val w = tmp.toFile.getAbsolutePath
+      // the streamed delta layout: 4 id-ordered slices, one per batch
+      Dedup.substringStreamMass(s, docSlices(s, d), w, width = 40).count()
+      val censusDir = s"$w/census"
+      val mx = documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1
+      val half = 2L * mx / 4L
+      val before = snapStoreFiles(censusDir)
+      val dropped = Dedup.retainCensusStoreBatches(s, censusDir, cutoff = 1L)
+      val after = snapStoreFiles(censusDir)
+      val droppedOk = dropped == Seq(0L, 1L)
+      val coldOk = after.nonEmpty &&
+        after.keySet == before.keySet
+          .filterNot(f => f.contains("batch=0/") || f.contains("batch=1/")) &&
+        after.forall { case (f, sig) => before(f) == sig }
+      val got = s.read.parquet(censusDir).groupBy(col("win"))
+        .agg(sum(col("n_docs")).as("n"))
+      val want = Dedup.windowCensus(
+        Dedup.windowTable(documents(s, d).where(col("doc_id") >= half)))
+        .select(col("win"), col("n_docs").as("n"))
+      val censusOk = got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      s.range(1).select(
+        lit(droppedOk).as("dropped_ok"),
+        lit(coldOk).as("cold_ok"),
+        lit(censusOk).as("census_equal"))
+    }),
+
     // -- [NS] the dedup FUNNEL: every tier composed into one curation
     // dashboard — raw → byte-exact → normalized-exact → fuzzy-transitive
     // survivors → substring-clean docs. Each count exercises its tier's
@@ -1646,6 +1682,44 @@ object SparkEntry {
         lit(coldOk).as("cold_ok"),
         lit(erasedFree).as("erased_free"),
         lit(survivorDrops).as("survivor_drops"))
+    }),
+
+    // -- [NS] batch-TTL retention for the stored SEMANTIC-DEDUP index:
+    // the aged corpus batch's cell partitions drop as pure metadata
+    // (survivors byte-identical; the batch=-1 seed never ages), the
+    // trained centroids stay (a quantizer is valid over any subset), and
+    // the dedup semantics flip exactly as if the aged vectors were never
+    // ingested: a fresh clone of an AGED vector passes free while a
+    // clone of a RETAINED vector still drops — the q_semdedup_delete
+    // gate's flip, driven by aging instead of erasure. --
+    "q_semdedup_retention" -> ((s, d) => {
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_semret")
+      deleteRecursivelyOnExit(tmp)
+      val store = tmp.toFile.getAbsolutePath
+      // batch 0 = the old corpus half; batch 1 = the retained increment
+      graft.operators.Dedup.seedSemStore(e.where(col("vec_id") < 250L), store)
+      graft.operators.Dedup.semDedupIncrementalStored(s, store,
+        e.where(col("vec_id") >= 250L), batchId = 1L).count()
+      val before = snapStoreFiles(s"$store/cells")
+      val dropped = graft.operators.Dedup.retainSemStoreBatches(s, store, cutoff = 0L)
+      val after = snapStoreFiles(s"$store/cells")
+      val droppedOk = dropped == Seq(0L)
+      val coldOk = after.nonEmpty &&
+        after.keySet == before.keySet.filterNot(_.contains("batch=0/")) &&
+        after.forall { case (f, sig) => before(f) == sig }
+      // probe: clones of an aged vec (0) and a retained vec (250)
+      val probe = e.where(col("vec_id").isin(0L, 250L))
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      val drops = graft.operators.Dedup.semDedupIncrementalStored(s, store,
+        probe, batchId = 2L)
+      val agedFree = drops.where(col("vec_id") === 9000000L).isEmpty
+      val retainedDrops = !drops.where(col("vec_id") === 9000250L).isEmpty
+      s.range(1).select(
+        lit(droppedOk).as("dropped_ok"),
+        lit(coldOk).as("cold_ok"),
+        lit(agedFree).as("aged_free"),
+        lit(retainedDrops).as("retained_drops"))
     }),
 
     // -- [NS] in-place RE-QUANTIZATION maintenance of the stored semantic
@@ -2564,6 +2638,67 @@ object SparkEntry {
     // q_partition_overwrite discipline applied to the index), and the
     // shrunken store still clears the ≥8/10 recall gate vs float brute
     // force over corpus-minus-victims. --
+    // -- [NS] batch-TTL retention for the STORED ANN index — the last
+    // store family without a retention gate: `batch <= cutoff` cell
+    // partitions drop as PURE METADATA (survivors byte-identical,
+    // asserted; the batch=-1 layout seed never ages); the centroids are a
+    // quantizer, valid over any subset, so the post-retention
+    // exhaustive-nprobe probe must EQUAL brute force over the retained
+    // corpus — an exact gate, not a recall bound. --
+    "q_sim_ivf_retention" -> ((s, d) => {
+      val in = embSlices(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfret")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      Similarity.streamIngestIvf(s, in, w, nlist = 16)
+      val corpus = s.read.parquet(in)
+      // ingest = 2 micro-batches of 2 slices; batch 0 covers the lower
+      // half of ids (same integer split embSlices wrote)
+      val mx = corpus.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val half = 2L * mx / 4L
+      val before = snapStoreFiles(s"$w/cells")
+      val dropped = Similarity.retainIvfStoreBatches(s, w, cutoff = 0L)
+      val after = snapStoreFiles(s"$w/cells")
+      val droppedOk = dropped == Seq(0L)
+      val coldOk = after.nonEmpty &&
+        after.keySet == before.keySet.filterNot(_.contains("batch=0")) &&
+        after.forall { case (f, sig) => before(f) == sig }
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val agedComplete = stored.agg(
+        count(when(col("vec_id") < half, 1)).as("n_aged"),
+        count(lit(1)).as("n"))
+        .crossJoin(broadcast(corpus.where(col("vec_id") >= half)
+          .agg(count(lit(1)).as("n_retained"))))
+        .select((col("n_aged") === 0L && col("n") === col("n_retained"))
+          .as("complete"))
+      val nlist = Similarity.loadIvfIndex(s, s"$w/ivf_index").length
+      val probes = corpus.where(col("vec_id").isin(half, mx - 1))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10, nprobe = nlist)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.where(col("vec_id") >= half)
+        .crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(agedComplete))
+        .select(col("probe_id"),
+          lit(droppedOk).as("dropped_ok"),
+          lit(coldOk).as("cold_ok"),
+          col("complete"),
+          (col("n_common") === 10L).as("equal_ok"))
+        .orderBy("probe_id")
+    }),
+
     "q_sim_ivf_delete" -> ((s, d) => {
       val in = embSlices(s, d)
       val work = java.nio.file.Files.createTempDirectory("graft_ivfdel")
@@ -8061,6 +8196,16 @@ object SparkEntry {
         |  true AS cold_ok, true AS complete, true AS recall_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
+    // retention gate: the probe ids are the retained half's boundary and
+    // max ids (SF-dependent), recomputed from the same integer split
+    "q_sim_ivf_retention" ->
+      """WITH b AS (SELECT max(vec_id) AS mxid FROM embeddings)
+        |SELECT probe_id, true AS dropped_ok, true AS cold_ok,
+        |  true AS complete, true AS equal_ok
+        |FROM (SELECT 2 * (mxid + 1) // 4 AS probe_id FROM b
+        |      UNION ALL SELECT mxid FROM b) t
+        |ORDER BY probe_id""".stripMargin,
+
     // right-to-erasure on the PRODUCTION (PQ coded) layout: victims gone,
     // cold files byte-identical, every survivor's codes pass through
     // byte-equal, both quantizer artifacts untouched, and post-delete
@@ -8538,6 +8683,14 @@ object SparkEntry {
     "q_semdedup_delete" ->
       """SELECT CAST(2 AS BIGINT) AS n_deleted, true AS cold_ok,
         |  true AS erased_free, true AS survivor_drops""".stripMargin,
+
+    "q_semdedup_retention" ->
+      """SELECT true AS dropped_ok, true AS cold_ok,
+        |  true AS aged_free, true AS retained_drops""".stripMargin,
+
+    "q_census_retention" ->
+      """SELECT true AS dropped_ok, true AS cold_ok,
+        |  true AS census_equal""".stripMargin,
 
     // five first-principles tier counts; fuzzy via the recursive closure
     "q_dedup_funnel" ->

@@ -897,6 +897,73 @@ object Dedup {
     deleted
   }
 
+  /** BATCH-TTL RETENTION core shared by the `batch=`-partitioned store
+    * families ([[Similarity.retainIvfStoreBatches]],
+    * [[retainSemStoreBatches]], [[retainCensusStoreBatches]],
+    * `TextIndex.retainTextIndexBatches`' tables use the same rule
+    * inline): drop every `batch <= cutoff` partition of `storeDir` as
+    * PURE METADATA ([[Layout.dropPartitions]] — no data file read,
+    * planned, or rewritten; survivors byte-untouched). The `batch=-1`
+    * LAYOUT SEED never ages. Refuses while a maintenance swap is in
+    * progress (dropping dirs under a half-swapped store would corrupt
+    * the restore path) and refuses to age out every real batch — an
+    * empty store is unseedable; rebuild instead. `afterDrop` runs once
+    * if anything dropped (cache invalidation). Returns dropped ids.
+    */
+  private[graft] def retainStoreBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      opName: String,
+      cutoff: Long,
+      afterDrop: () => Unit = () => ()): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sent = new Path(storeDir, MaintenanceSentinel)
+    if (fs.exists(sent))
+      throw new IllegalStateException(
+        s"$opName: maintenance swap in progress at $storeDir " +
+          s"($MaintenanceSentinel present) — retry after it completes")
+    val batches = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    require(batches.exists(_ > cutoff),
+      s"$opName: cutoff $cutoff would age out every batch of $storeDir — " +
+        "an empty store is unseedable; rebuild instead")
+    val dropped = Layout.dropPartitions(spark, storeDir, "batch",
+      v => v != "-1" && v.toLong <= cutoff).map(_.toLong)
+    if (dropped.nonEmpty) afterDrop()
+    dropped
+  }
+
+  /** Batch-TTL retention for the STORED SEMANTIC-DEDUP index: aged cell
+    * batches drop metadata-only ([[retainStoreBatches]]); the trained
+    * centroids are a QUANTIZER — valid over any subset — so probes
+    * against the retained store behave exactly as if the aged vectors
+    * were never ingested: a new clone of an aged vector passes FREE, a
+    * clone of a retained vector still drops. The centroid cache is
+    * invalidated so later probes reload against the shrunken store's
+    * artifact path cleanly.
+    */
+  def retainSemStoreBatches(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, cutoff: Long): Seq[Long] =
+    retainStoreBatches(spark, s"$storeDir/cells", "retainSemStoreBatches",
+      cutoff, () => Similarity.invalidateIvfIndex(s"$storeDir/centroids"))
+
+  /** Batch-TTL retention for the streamed SUBSTRING-CENSUS delta store:
+    * aged delta batches drop metadata-only. The census the probes read
+    * is the SUM over batch deltas, and each batch's delta counts only
+    * its own docs' windows, so the retained sum EQUALS the census over
+    * the retained docs — exact aging, same argument as the text index's
+    * stats rows. Composition caveat (documented, conservative):
+    * [[deleteFromCensusStore]] consolidates affected slices into the
+    * NEWEST batch, so consolidated old deltas outlive a later lower
+    * cutoff — retain-too-much, never under-count.
+    */
+  def retainCensusStoreBatches(spark: org.apache.spark.sql.SparkSession,
+                               path: String, cutoff: Long): Seq[Long] =
+    retainStoreBatches(spark, path, "retainCensusStoreBatches", cutoff)
+
   /** Right-to-erasure for the STORED MinHash band index: remove every
     * trace of `docIds` from all three index tables — band rows
     * (`bands/batch=/bh_mod=`), signatures and shingles

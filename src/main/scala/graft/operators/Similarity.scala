@@ -806,6 +806,31 @@ object Similarity {
     ()
   }
 
+  /** Batch-TTL retention for the stored ANN index: drop `batch <= cutoff`
+    * partitions of the cell store as PURE METADATA
+    * ([[Layout.dropPartitions]] — no data file read, planned, or
+    * rewritten; survivors byte-untouched). Aging is exact for this
+    * family: a batch's vectors contribute nothing outside their own
+    * partition, and the centroids are a QUANTIZER, not a summary of the
+    * retained rows — they stay valid (merely no longer optimal) over any
+    * subset, so post-retention probes serve the retained corpus exactly.
+    * Composition with [[compactIvfStore]] is conservative, never wrong:
+    * a fold writes rows from batches ≤ upTo into `batch=upTo`, so a
+    * later cutoff < upTo keeps folded old rows alive (retain-too-much),
+    * never drops young ones.
+    *
+    * Sentinel/drop-all refusals, the never-aging `batch=-1` seed, and
+    * the metadata-only drop all come from the shared retention core
+    * ([[Dedup.retainStoreBatches]]); the index caches invalidate so
+    * priced selectivities re-derive against the shrunken store. Returns
+    * the dropped batch ids.
+    */
+  def retainIvfStoreBatches(spark: org.apache.spark.sql.SparkSession,
+                            workDir: String, cutoff: Long): Seq[Long] =
+    Dedup.retainStoreBatches(spark, s"$workDir/cells",
+      "retainIvfStoreBatches", cutoff,
+      () => invalidateIvfIndex(s"$workDir/ivf_index"))
+
   /** IVF top-k probing a PERSISTED index: load the centroids (no retrain)
     * and run the shared probe tail. Same result contract as [[ivfTopK]]
     * over the corpus the index was trained on.

@@ -533,6 +533,53 @@ class DedupSpec extends SparkSpec {
     assert(replay == stored)
   }
 
+  test("retainSemStoreBatches: aged batch drops metadata-only, semantics " +
+    "flip (aged clone free, retained clone drops), refusals hold") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("semret").toString
+    Dedup.seedSemStore(e.where(col("vec_id") < 100L), tmp)          // batch 0
+    Dedup.semDedupIncrementalStored(spark, tmp,
+      e.where(col("vec_id") >= 100L && col("vec_id") < 200L), batchId = 1L).count()
+    def mtimes(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$tmp/cells")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
+          out(root.relativize(p).toString) =
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = mtimes()
+    assert(Dedup.retainSemStoreBatches(spark, tmp, cutoff = 0L) == Seq(0L))
+    val after = mtimes()
+    // metadata-only: survivors untouched, batch 0 gone, seed survives
+    assert(after.keySet == before.keySet.filterNot(_.contains("batch=0/")))
+    assert(after.forall { case (f, m) => before(f) == m })
+    assert(after.keySet.exists(_.contains("batch=-1")))
+    // clones of an aged vec (5) and a retained vec (150)
+    val probe = e.where(col("vec_id").isin(5L, 150L))
+      .select((col("vec_id") + 7200000L).as("vec_id"), col("embedding"))
+    val drops = Dedup.semDedupIncrementalStored(spark, tmp, probe, batchId = 2L)
+      .as[Long].collect().toSet
+    assert(drops == Set(7200150L),
+      s"aged clone must pass, retained clone must drop: $drops")
+    // aging every real batch refuses (empty store unseedable)
+    val eAll = intercept[IllegalArgumentException](
+      Dedup.retainSemStoreBatches(spark, tmp, cutoff = 99L))
+    assert(eAll.getMessage.contains("every batch"))
+    // a live maintenance sentinel refuses the drop
+    val sentinel = java.nio.file.Paths.get(s"$tmp/cells", Dedup.MaintenanceSentinel)
+    java.nio.file.Files.createFile(sentinel)
+    val eSent = intercept[IllegalStateException](
+      Dedup.retainSemStoreBatches(spark, tmp, cutoff = 1L))
+    assert(eSent.getMessage.contains("swap in progress"))
+    java.nio.file.Files.delete(sentinel)
+  }
+
   test("census probe broadcast fallback: both sides of the windows-count " +
     "threshold yield identical per-doc masses") {
     val docs = Tables.documents(spark, Sf0001)

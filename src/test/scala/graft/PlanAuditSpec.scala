@@ -105,6 +105,9 @@ class PlanAuditSpec extends SparkSpec {
     // the in-stream growth gate carry ≤2-row broadcast truth legs (plus
     // 1-row completeness scalars).
     "q_sim_ivfpq_delete", "q_stream_ivf_growth", "q_stream_ivf_erase",
+    // retention gate: same ≤2-row broadcast truth leg + 1-row
+    // completeness scalar as the delete gate
+    "q_sim_ivf_retention",
     "q_hybrid_search_pruned", "q_hybrid_search_weighted",
     // the stored text-index family: every serve carries the SAME 1-row
     // global-stats scalar broadcast cross join the full-scan

@@ -634,6 +634,59 @@ class SimilaritySpec extends SparkSpec {
       "relational pre-filter not pushed to the store scan")
   }
 
+  test("retainIvfStoreBatches: aged batches drop metadata-only, seed never " +
+    "ages, drop-all refuses, probes serve the retained corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfret").toString
+    val idx = s"$tmp/ivf_index"; val data = s"$tmp/cells"
+    def slice(i: Int) = emb.where(col("vec_id") >= i * 20L && col("vec_id") < (i + 1) * 20L)
+    // the streamed layout's empty seed partition + two real batches
+    slice(0).limit(0).withColumn("cell", lit(0))
+      .write.parquet(s"$data/batch=-1")
+    Similarity.streamIngestIvfBatch(slice(0), 0L, idx, data, nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(slice(1), 1L, idx, data, nlist = 4, sampleRows = 40)
+    def files(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val root = java.nio.file.Paths.get(data)
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
+          out(root.relativize(p).toString) = java.nio.file.Files
+            .getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = files()
+    assert(Similarity.retainIvfStoreBatches(spark, tmp, cutoff = 0L) == Seq(0L))
+    val after = files()
+    // metadata-only: survivors untouched (same mtimes), batch=0 gone,
+    // the batch=-1 seed survived the v <= cutoff predicate
+    assert(after.keySet == before.keySet.filterNot(_.contains("batch=0/")))
+    assert(after.forall { case (f, m) => before(f) == m })
+    assert(after.keySet.exists(_.contains("batch=-1")))
+    val left = spark.read.parquet(data).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(left == (20L until 40L).toSeq)
+    // the probe serves exactly the retained corpus at exhaustive nprobe
+    val bf = emb.where(col("vec_id") >= 20L).crossJoin(
+        broadcast(emb.where(col("vec_id") === 25L)
+          .select(col("embedding").as("probe_emb"))))
+      .where(col("vec_id") =!= 25L)
+      .withColumn("cosine",
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = Similarity.ivfTopKStored(spark.read.parquet(data).drop("batch"), idx,
+        probeId = 25L, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == bf, s"post-retention probe must equal brute force over retained: $got vs $bf")
+    // aging out every real batch refuses (empty store unseedable)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.retainIvfStoreBatches(spark, tmp, cutoff = 1L)
+    }
+    assert(e.getMessage.contains("every batch"))
+  }
+
   test("deleteFromIvfStore: victims gone, survivors complete, untouched " +
     "files byte-identical, centroids untouched, no-op on absent ids") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfdel").toString
