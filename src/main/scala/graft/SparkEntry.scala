@@ -2770,6 +2770,58 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
 
+    // -- [NS] BULK right-to-erasure from the stored ANN index: a
+    // seventh of the corpus arrives as a victim TABLE (the compliance-
+    // batch shape) and applies through the broadcast semi/anti erasure
+    // core — constant-size plan, no driver-built literal list (the
+    // Seq[Long] form stops scaling around 10⁴ ids; EraseProbe's bulk
+    // leg measures the divergence). Served at the exhaustive corner
+    // (nprobe = nlist) the gate is EXACT: the post-delete stored probe
+    // set-equals brute force over corpus-minus-victims, and the store
+    // prices complete (survivor count right, zero victims left). --
+    "q_sim_ivf_bulk_delete" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfbulk")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 16)
+      Similarity.seedIvfStore(emb, w)
+      val victims = emb.where(col("vec_id") % 7 === 3L).select("vec_id")
+      val expected = victims.count()
+      val nDeleted = Similarity.deleteFromIvfStore(s, w, victims)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val completeness = stored
+        .agg(count(lit(1)).as("n"),
+          count(when(col("vec_id") % 7 === 3L, 1)).as("n_victims"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_corpus"))))
+        .select((col("n") === col("n_corpus") - nDeleted &&
+          col("n_victims") === 0L).as("complete"))
+      val probes = emb.where(col("vec_id").isin(0L, 1L))
+      val approx = Similarity.ivfProbeSetTopKStored(
+        stored, s"$w/ivf_index", probes, k = 10, nprobe = 16)
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = emb.where(col("vec_id") % 7 =!= 3L)
+        .crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 10)
+        .select("probe_id", "vec_id")
+      truth.join(approx.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+        .crossJoin(broadcast(completeness))
+        .select(col("probe_id"),
+          lit(nDeleted == expected).as("deleted_ok"),
+          col("complete"),
+          (col("n_common") === 10).as("equal_ok"))
+        .orderBy("probe_id")
+    }),
+
     // -- [NS] RIGHT-TO-ERASURE on the PRODUCTION (PQ coded) layout — the
     // q_sim_ivf_delete discipline on the codes-only store: victims drop
     // by vec_id with the PAYLOAD PASSING THROUGH (no re-encode, no
@@ -3296,6 +3348,71 @@ object SparkEntry {
         Seq("dup", "merge", "scan"), k = 20)
     }),
 
+    // -- [NS] erasure of ZERO-TOKEN documents: an empty doc has no
+    // postings rows, but it holds a membership row and counts in
+    // N/avgdl — an erasure that only chased postings would leave the
+    // stored N permanently high per such victim (silently skewing every
+    // later score). The membership (docs/) table is what makes these
+    // victims findable; the gate erases one empty and one normal doc
+    // and pins the recomputed stats against a direct recount, then
+    // serves — the oracle scores the emptied corpus minus the victims
+    // with dl derived over ALL docs (zero-token docs contribute dl=0,
+    // exactly as the engine's token counter does). --
+    "q_bm25_zero_token_delete" -> ((s, d) => {
+      val docs0 = documents(s, d)
+        .withColumn("text",
+          when(col("doc_id").isin(5L, 6L), lit("")).otherwise(col("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25zero")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 250L), idx, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 250L), idx, batchId = 1L)
+      val erased = graft.operators.TextIndex.deleteFromTextIndex(s, idx, Seq(5L, 7L))
+      val statsRow = s.read.parquet(s"$idx/stats")
+        .agg(sum(col("n_docs")), sum(col("total_toks"))).head()
+      val wantStats = docs0.where(!col("doc_id").isin(5L, 7L))
+        .agg(count(lit(1)), coalesce(
+          sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+          lit(0L)))
+        .head()
+      val statsOk = statsRow.getLong(0) == wantStats.getLong(0) &&
+        statsRow.getLong(1) == wantStats.getLong(1)
+      require(erased == 2L && statsOk,
+        s"q_bm25_zero_token_delete: erased=$erased statsOk=$statsOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
+    // -- [NS] BULK right-to-erasure from the text index: the victim set
+    // is a TABLE (a fifth of the corpus — the compliance-batch shape),
+    // applied through the broadcast semi/anti erasure core; no victim
+    // id ever funnels through a driver-built literal list (the
+    // Seq[Long] form's expression tree is ∝ |victims| and stops scaling
+    // around 10⁴ ids). Gate: the erased count prices to the victim
+    // table's cardinality, no victim posting survives, and the serve
+    // equals the full-scan BM25 over the surviving four fifths. --
+    "q_bm25_bulk_delete" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25bulk")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 250L), idx, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 250L), idx, batchId = 1L)
+      val victims = docs0.where(col("doc_id") % 5 === 3L).select("doc_id")
+      val expected = victims.count()
+      val erased = graft.operators.TextIndex.deleteFromTextIndex(s, idx, victims)
+      val goneOk = s.read.parquet(s"$idx/postings")
+        .join(broadcast(victims), Seq("doc_id"), "left_semi").isEmpty
+      require(erased == expected && goneOk,
+        s"q_bm25_bulk_delete: erased=$erased expected=$expected goneOk=$goneOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
     // -- [NS] batch-TTL retention for the text index: `batch <= cutoff`
     // partitions of postings AND stats drop as PURE METADATA (no data
     // file read or rewritten; surviving files inode-level byte-identical,
@@ -3317,7 +3434,8 @@ object SparkEntry {
       val before = snapStoreFiles(idx)
       val dropped = graft.operators.TextIndex.retainTextIndexBatches(s, idx, cutoff = 0L)
       val after = snapStoreFiles(idx)
-      val droppedOk = dropped == Map("postings" -> Seq(0L), "stats" -> Seq(0L))
+      val droppedOk = dropped == Map("postings" -> Seq(0L), "stats" -> Seq(0L),
+        "docs" -> Seq(0L), "terms" -> Seq(0L))
       val coldOk = after.nonEmpty &&
         after.keySet == before.keySet.filterNot(_.contains("batch=0")) &&
         after.forall { case (f, sig) => before(f) == sig }
@@ -3348,15 +3466,65 @@ object SparkEntry {
       graft.operators.TextIndex.appendTextIndexBatch(
         docs0.where(col("doc_id") >= 300L), idx, batchId = 2L)
       val before = snapStoreFiles(idx)
-      val folded = graft.operators.TextIndex.compactTextIndexBatches(s, idx, upTo = 1L)
+      val (folded, erased0) =
+        graft.operators.TextIndex.compactTextIndexBatches(s, idx, upTo = 1L)
       val after = snapStoreFiles(idx)
       val youngBefore = before.keySet.filter(_.contains("batch=2"))
       val coldOk = youngBefore.subsetOf(after.keySet) &&
         youngBefore.forall(f => after(f) == before(f))
-      val foldedOk = folded == 1L &&
+      val foldedOk = folded == 1L && erased0 == 0L &&
         !after.keySet.exists(_.contains("batch=0"))
       require(coldOk && foldedOk,
         s"q_bm25_compact: coldOk=$coldOk foldedOk=$foldedOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
+    // -- [NS] text-index compaction with ERASURE FOLDED IN: a victim
+    // set big enough to saturate file-targeted deletion (V ≫ F touches
+    // ~every file: 1−(1−1/F)^V) costs ONE fold rewrite instead of
+    // delete-then-compact's two — the victims simply drop out of the
+    // fold's reads, the folded stats row aggregates the folded
+    // membership (decrement for free), and the folded dictionary
+    // recomputes from the folded postings (impact bounds stay exact).
+    // Victims in batches the fold won't rewrite refuse loudly
+    // (require()d below). Gate: young batch byte-identical, victims
+    // gone, serve equals the full scan over corpus-minus-victims. --
+    "q_bm25_compact_erase" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25cmpe")
+      deleteRecursivelyOnExit(tmp)
+      val idx = tmp.toFile.getAbsolutePath + "/text_index"
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") < 150L), idx, batchId = 0L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 150L && col("doc_id") < 300L), idx, batchId = 1L)
+      graft.operators.TextIndex.appendTextIndexBatch(
+        docs0.where(col("doc_id") >= 300L), idx, batchId = 2L)
+      val victims = Seq(3L, 77L, 151L, 299L) // batches 0 and 1 only
+      // a victim in an unfolded batch must refuse, store untouched
+      val refused =
+        try {
+          graft.operators.TextIndex.compactTextIndexBatches(
+            s, idx, upTo = 1L, dropIds = victims :+ 400L)
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("batches > 1")
+        }
+      val before = snapStoreFiles(idx)
+      val (folded, erased) = graft.operators.TextIndex.compactTextIndexBatches(
+        s, idx, upTo = 1L, dropIds = victims)
+      val after = snapStoreFiles(idx)
+      val youngBefore = before.keySet.filter(_.contains("batch=2"))
+      val coldOk = youngBefore.subsetOf(after.keySet) &&
+        youngBefore.forall(f => after(f) == before(f))
+      val goneOk = s.read.parquet(s"$idx/postings")
+        .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+        .isEmpty
+      require(refused && folded == 1L && erased == victims.length.toLong &&
+        coldOk && goneOk,
+        s"q_bm25_compact_erase: refused=$refused folded=$folded erased=$erased " +
+          s"coldOk=$coldOk goneOk=$goneOk")
       graft.operators.TextIndex.bm25TopKStored(s, idx,
         Seq("dup", "merge", "scan"), k = 20)
     }),
@@ -3377,6 +3545,45 @@ object SparkEntry {
       graft.operators.TextIndex.streamIngestTextIndex(s, docSlices(s, d), idx)
       graft.operators.TextIndex.bm25TopKStored(s, idx,
         Seq("dup", "merge", "scan"), k = 20)
+    }),
+
+    // -- [NS] IMPACT-BOUNDED BM25 serve (WAND/MaxScore posture): the
+    // exact serve's candidate set is ∝ Σ df(term) — one stopword makes
+    // it corpus-sized. The terms/ dictionary carries per-term
+    // (df, max_tf, min_dl), so the serve decides BEFORE touching any
+    // postings which terms' postings it refuses to read; capped terms'
+    // bytes are never scanned and each returned score understates truth
+    // by at most the declared bound. Gate: with the ceiling at the
+    // terms' min df (capping the rest), every scored doc sits inside
+    // [exact − bound, exact]; with the ceiling at the max df (nothing
+    // capped) the bounded serve IS the exact serve — which is what the
+    // oracle hashes. --
+    "q_bm25_bounded" -> ((s, d) => {
+      val idx = textIndexRoot(s, d)
+      val qTerms = Seq("dup", "merge", "scan")
+      // term dfs from the vocab-sized dictionary (bounded collect ≤ |terms|)
+      val dfs = s.read.parquet(s"$idx/terms")
+        .where(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val low = dfs.values.min
+      val (capped, bound) = graft.operators.TextIndex.cappedImpactBound(
+        s, idx, qTerms, dfCeiling = low)
+      val kAll = 1 << 20 // every scored doc (result ≤ docs holding a term)
+      val boundedAll = graft.operators.TextIndex.bm25TopKStoredBounded(
+        s, idx, qTerms, k = kAll, dfCeiling = low)
+      val exactAll = graft.operators.TextIndex.bm25TopKStored(s, idx, qTerms, k = kAll)
+      val bad = exactAll.as("e")
+        .join(boundedAll.select(col("doc_id"), col("bm25").as("b_bm25")),
+          Seq("doc_id"), "left_outer")
+        .where(coalesce(col("b_bm25"), lit(0.0)) > col("e.bm25") + lit(1e-9) ||
+          col("e.bm25") > coalesce(col("b_bm25"), lit(0.0)) + lit(bound) + lit(1e-9))
+        .count()
+      require(bad == 0L && capped.forall(t => dfs(t) > low),
+        s"q_bm25_bounded: $bad docs outside the declared bound " +
+          s"(capped=$capped bound=$bound dfs=$dfs)")
+      graft.operators.TextIndex.bm25TopKStoredBounded(
+        s, idx, qTerms, k = 20, dfCeiling = dfs.values.max)
     }),
 
     // -- [NS] hybrid retrieval with BOTH legs served from PERSISTED
@@ -3412,6 +3619,93 @@ object SparkEntry {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // -- [NS] the COMPOSED PRODUCTION SEARCH FRONTEND in one gate — the
+    // query shape a deployed hybrid service actually serves, every leg
+    // from its store: the lexical top-20 from the PERSISTED inverted
+    // index (one term-pruned postings scan per query; the raw corpus is
+    // never readable from this path — bm25TopKStored touches only the
+    // index dirs), the vector top-20 from the PERSISTED IVF index at
+    // PRUNED nprobe (4 of 16) through the ONE-pass batch probe-set
+    // serve, fused BOTH production ways (RRF and the min-max-normalized
+    // 0.6/0.4 α-blend). Pruning moves the quality question to fusion
+    // level, so that is where both gates sit (the
+    // q_hybrid_search_pruned invariant, now over stored-only legs):
+    // per query and per fusion mode, the pruned fused top-10 overlaps
+    // the exhaustive-leg fusion's top-10 in ≥ 8 items. --
+    "q_hybrid_search_production" -> ((s, d) => {
+      val idx = textIndexRoot(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_hybprod")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 16)
+      Similarity.seedIvfStore(emb, w)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val queries = Seq(0L -> Seq("dup", "merge", "scan"),
+        1L -> Seq("join", "window", "stream"))
+      // lexical leg: stored postings only (per query one pruned scan)
+      val lex = queries.map { case (qid, terms) =>
+        graft.operators.TextIndex.bm25TopKStored(s, idx, terms, k = 20)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_ unionByName _).persist()
+      val probes = emb.where(col("vec_id").isin(queries.map(_._1): _*))
+      def vecLeg(np: Int): DataFrame =
+        Similarity.ivfProbeSetTopKStored(stored, s"$w/ivf_index", probes,
+            k = 20, nprobe = np)
+          .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+            col("cosine"))
+      val byLex = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val byVec = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val byFused = Window.partitionBy(col("query_id"))
+        .orderBy(col("fused").desc, col("doc_id"))
+      val lexRanked = lex
+        .withColumn("r_lex", row_number().over(byLex))
+        .select(col("query_id"), col("doc_id"), col("r_lex"), col("bm25"))
+      // per-(query, leg) min-max normalization for the α-blend: BM25 and
+      // cosine live on incomparable scales
+      val byQ = Window.partitionBy(col("query_id"))
+      def fuse(vec: DataFrame): (DataFrame, DataFrame) = {
+        val vecRanked = vec
+          .withColumn("r_vec", row_number().over(byVec))
+        val joined = lexRanked.join(vecRanked, Seq("query_id", "doc_id"), "full_outer")
+        val rrf = joined
+          .select(col("query_id"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("fused"))
+          .withColumn("rk", row_number().over(byFused))
+          .where(col("rk") <= 10).select("query_id", "doc_id")
+        val weighted = joined
+          .withColumn("n_lex",
+            when(max(col("bm25")).over(byQ) > min(col("bm25")).over(byQ),
+              (col("bm25") - min(col("bm25")).over(byQ)) /
+                (max(col("bm25")).over(byQ) - min(col("bm25")).over(byQ)))
+              .otherwise(when(col("bm25").isNotNull, lit(1.0))))
+          .withColumn("n_vec",
+            when(max(col("cosine")).over(byQ) > min(col("cosine")).over(byQ),
+              (col("cosine") - min(col("cosine")).over(byQ)) /
+                (max(col("cosine")).over(byQ) - min(col("cosine")).over(byQ)))
+              .otherwise(when(col("cosine").isNotNull, lit(1.0))))
+          .select(col("query_id"), col("doc_id"),
+            (lit(0.6) * coalesce(col("n_lex"), lit(0.0)) +
+              lit(0.4) * coalesce(col("n_vec"), lit(0.0))).as("fused"))
+          .withColumn("rk", row_number().over(byFused))
+          .where(col("rk") <= 10).select("query_id", "doc_id")
+        (rrf, weighted)
+      }
+      val (rrfP, wP) = fuse(vecLeg(4))
+      val (rrfX, wX) = fuse(vecLeg(16))
+      def overlap(p: DataFrame, x: DataFrame, flag: String): DataFrame =
+        x.join(p, Seq("query_id", "doc_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+          .select(col("query_id"), (col("n") >= 8).as(flag))
+      val out = overlap(rrfP.persist(), rrfX, "rrf_overlap_ok")
+        .join(overlap(wP.persist(), wX, "weighted_overlap_ok"), Seq("query_id"))
+        .orderBy("query_id")
+      out
     }),
 
     // -- [NS] token-budget sequence packing, per-shard (source) so packing
@@ -3677,6 +3971,20 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, Multimodal.encodePng(w, h, col("text")))
           .otherwise(Multimodal.encodeJpeg(w, h, col("text"))).as("payload"))
       Multimodal.decodeImages(s, media).orderBy("media_id")
+    }),
+
+    // -- [NS] REAL pixel decode end to end: a complete, spec-valid
+    // grayscale PNG per document (deflated filter-0 scanlines, real
+    // CRCs — built distributed, one Deflater per task) decoded through
+    // the JDK's ACTUAL codec (javax.imageio: inflate, defilter, raster)
+    // in the per-task-init mapPartitions plumbing. The returned checksum
+    // sums every decoded sample, so a wrong byte anywhere in the
+    // deflate/filter path would show; the oracle recomputes dimensions
+    // AND the full pixel-sum arithmetic from the deterministic formula
+    // gray(x,y) = (7x + 13y + id) mod 256. Nothing stubbed. --
+    "q_mm_decode_png" -> ((s, d) => {
+      val media = Multimodal.pngMediaFromDocuments(s, documents(s, d))
+      Multimodal.decodePngPixels(s, media).orderBy("media_id")
     }),
 
     // -- [NS] REAL audio headers: byte-genuine PCM WAV (RIFF/WAVE +
@@ -6817,6 +7125,18 @@ object SparkEntry {
         |  CAST(24 + doc_id % 72 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // full real pixel decode: the oracle recomputes the dimensions and
+    // the exact pixel-sum arithmetic of the deterministic test image —
+    // only a true inflate+defilter+raster pass can match it
+    "q_mm_decode_png" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(8 + d.doc_id % 9 AS INT) AS width,
+        |  CAST(6 + d.doc_id % 7 AS INT) AS height,
+        |  (SELECT CAST(sum(CASE WHEN xs.x < 8 + d.doc_id % 9 AND ys.y < 6 + d.doc_id % 7
+        |                   THEN (xs.x * 7 + ys.y * 13 + d.doc_id) % 256 END) AS BIGINT)
+        |   FROM generate_series(0, 16) xs(x), generate_series(0, 12) ys(y)) AS pix_sum
+        |FROM documents d ORDER BY media_id""".stripMargin,
+
     // the WAV twin: oracle recomputes the per-doc format parameters and the
     // floor(dataLen*1000/byteRate) duration (// = integer division)
     "q_mm_audio_meta" ->
@@ -8196,6 +8516,14 @@ object SparkEntry {
         |  true AS cold_ok, true AS complete, true AS recall_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
 
+    // bulk (victim-table) ANN erasure at the exhaustive corner: the
+    // post-delete stored probe set-equals brute force over the
+    // surviving six sevenths — flags all true
+    "q_sim_ivf_bulk_delete" ->
+      """SELECT CAST(v AS BIGINT) AS probe_id, true AS deleted_ok,
+        |  true AS complete, true AS equal_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY probe_id""".stripMargin,
+
     // retention gate: the probe ids are the retained half's boundary and
     // max ids (SF-dependent), recomputed from the same integer split
     "q_sim_ivf_retention" ->
@@ -8987,6 +9315,43 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id NOT IN (3, 7, 250, 401))"),
     "q_bm25_retention" -> bm25OracleSql(
       "(SELECT * FROM documents WHERE doc_id >= 200)"),
+    // bulk (victim-table) erasure: a fifth of the corpus gone
+    "q_bm25_bulk_delete" -> bm25OracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 5 <> 3)"),
+    // erasure folded into compaction: same serve contract as a delete
+    "q_bm25_compact_erase" -> bm25OracleSql(
+      "(SELECT * FROM documents WHERE doc_id NOT IN (3, 77, 151, 299))"),
+    // the bounded serve with nothing capped IS the exact serve
+    "q_bm25_bounded" -> bm25OracleSql("documents"),
+    // zero-token erasure: docs 5/6 emptied, victims 5 (empty) and 7
+    // erased; dl derives over ALL surviving docs so the emptied doc 6
+    // contributes dl=0 to N/avgdl — exactly the engine's token counter
+    "q_bm25_zero_token_delete" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = 6 THEN '' ELSE text END AS text
+        |  FROM documents WHERE doc_id NOT IN (5, 7)),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM corpus),
+        |dl AS (SELECT c.doc_id, count(t.term) AS dl
+        |       FROM corpus c LEFT JOIN toks t ON c.doc_id = t.doc_id GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
+        |      AS DECIMAL(18,8)) AS score_t
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        |SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
     // streaming ingest: batch boundaries never enter the score, so the
     // post-stream serve equals the whole-corpus scan
     "q_stream_bm25_ingest" -> bm25OracleSql("documents"),
@@ -9033,6 +9398,14 @@ object SparkEntry {
     // top-10 overlaps the exhaustive fusion's top-10 in >= 8 items
     "q_hybrid_search_pruned" ->
       """SELECT CAST(v AS BIGINT) AS query_id, true AS overlap_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY query_id""".stripMargin,
+
+    // the composed production frontend: stored lex + PRUNED stored vec,
+    // fused both production ways; per query each pruned fusion's top-10
+    // overlaps its exhaustive twin's in >= 8 items
+    "q_hybrid_search_production" ->
+      """SELECT CAST(v AS BIGINT) AS query_id, true AS rrf_overlap_ok,
+        |  true AS weighted_overlap_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY query_id""".stripMargin,
 
     // weighted fusion at the exhaustive corner — the same leg CTEs as

@@ -807,7 +807,64 @@ object Dedup {
       partitionCols: Seq[String],
       clusterCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
+      afterPromote: () => Unit = () => ()): Long =
+    deleteRowsFromStoreBy(spark, storeDir, opName,
+      markVictims = _.where(victimCol),
+      keepSurvivors = _.where(!victimCol),
+      partitionCols = partitionCols, clusterCols = clusterCols,
+      targetFileBytes = targetFileBytes, afterPromote = afterPromote)
+
+  /** BULK-victim form of the erasure core: victims arrive as a TABLE of
+    * ids, not a literal list. The `Seq[Long]` entry points build a
+    * literal `isin` whose expression tree is built, optimized, and
+    * task-serialized per job — fine for a handful of ids, but a real
+    * compliance batch is 10⁵–10⁷ ids, and the literal form stops
+    * scaling around 10⁴ (plan-construction time and driver memory both
+    * ∝ |ids|). Here the victim set stays a DataFrame end to end: the
+    * pricing scan marks victims with a BROADCAST LEFT-SEMI join and the
+    * survivor restage drops them with the matching LEFT-ANTI — 10⁷
+    * longs broadcast as ~80 MB, well inside executor memory, and the
+    * plan size is CONSTANT in |victims|. `prune` optionally conjoins a
+    * partition-pruning predicate onto the victim-marking scan (e.g. the
+    * did_mod prune when ids map to their own partitions); the survivor
+    * side never prunes — every non-victim row of an affected file must
+    * be restaged regardless of partition.
+    */
+  private[graft] def deleteRowsFromStoreJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      opName: String,
+      victims: DataFrame,
+      key: String,
+      partitionCols: Seq[String],
+      clusterCols: Seq[String],
+      prune: org.apache.spark.sql.Column = lit(true),
+      targetFileBytes: Long = 128L * 1024 * 1024,
       afterPromote: () => Unit = () => ()): Long = {
+    val v = victims.select(col(key)).distinct()
+    deleteRowsFromStoreBy(spark, storeDir, opName,
+      markVictims = df => df.where(prune).join(broadcast(v), Seq(key), "left_semi"),
+      keepSurvivors = df => df.join(broadcast(v), Seq(key), "left_anti"),
+      partitionCols = partitionCols, clusterCols = clusterCols,
+      targetFileBytes = targetFileBytes, afterPromote = afterPromote)
+  }
+
+  /** The one erasure-core implementation behind both victim forms:
+    * `markVictims` filters a store read down to victim rows (pricing),
+    * `keepSurvivors` filters affected-file rows down to what survives
+    * (restage). Split out so literal-predicate and broadcast-join victim
+    * semantics share every line of the pricing/staging/swap protocol.
+    */
+  private def deleteRowsFromStoreBy(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      opName: String,
+      markVictims: DataFrame => DataFrame,
+      keepSurvivors: DataFrame => DataFrame,
+      partitionCols: Seq[String],
+      clusterCols: Seq[String],
+      targetFileBytes: Long,
+      afterPromote: () => Unit): Long = {
     import org.apache.hadoop.fs.Path
     val storeP = new Path(storeDir)
     val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -819,9 +876,13 @@ object Dedup {
       throw new IllegalStateException(
         s"$opName: leftover $left from an unfinished swap at $storeDir — " +
           "recover (restore set-aside files, remove the sentinel) before retrying")
-    // one job: victim count AND owning-file list (≤ store file count)
-    val perFile = readStore(spark, storeDir).where(victimCol)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+    // one job: victim count AND owning-file list (≤ store file count).
+    // input_file_name() attaches BEFORE victim marking: a join-based
+    // marker can bring in a second file source (a parquet victim table),
+    // and the expression is only well-defined against one.
+    val perFile = markVictims(
+        readStore(spark, storeDir).withColumn("_graft_file", input_file_name()))
+      .groupBy(col("_graft_file").as("f")).agg(count(lit(1)).as("n"))
       .collect()
     val deleted = perFile.map(_.getLong(1)).sum
     if (deleted == 0L) return 0L
@@ -854,9 +915,8 @@ object Dedup {
       math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
       spark.sparkContext.defaultParallelism.toLong).toInt
     val qualifiedBase = fs.makeQualified(storeP).toString
-    spark.read.option("basePath", qualifiedBase)
-      .parquet(affected.map(_.getPath.toString).toSeq: _*)
-      .where(!victimCol)
+    keepSurvivors(spark.read.option("basePath", qualifiedBase)
+        .parquet(affected.map(_.getPath.toString).toSeq: _*))
       .repartitionByRange(slices, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*)
@@ -899,9 +959,9 @@ object Dedup {
 
   /** BATCH-TTL RETENTION core shared by the `batch=`-partitioned store
     * families ([[Similarity.retainIvfStoreBatches]],
-    * [[retainSemStoreBatches]], [[retainCensusStoreBatches]],
-    * `TextIndex.retainTextIndexBatches`' tables use the same rule
-    * inline): drop every `batch <= cutoff` partition of `storeDir` as
+    * [[retainSemStoreBatches]], [[retainCensusStoreBatches]], and all
+    * four `TextIndex.retainTextIndexBatches` tables): drop every
+    * `batch <= cutoff` partition of `storeDir` as
     * PURE METADATA ([[Layout.dropPartitions]] — no data file read,
     * planned, or rewritten; survivors byte-untouched). The `batch=-1`
     * LAYOUT SEED never ages. Refuses while a maintenance swap is in
@@ -948,7 +1008,7 @@ object Dedup {
   def retainSemStoreBatches(spark: org.apache.spark.sql.SparkSession,
                             storeDir: String, cutoff: Long): Seq[Long] =
     retainStoreBatches(spark, s"$storeDir/cells", "retainSemStoreBatches",
-      cutoff, () => Similarity.invalidateIvfIndex(s"$storeDir/centroids"))
+      cutoff, () => Similarity.invalidateIvfIndexDurably(spark, s"$storeDir/centroids"))
 
   /** Batch-TTL retention for the streamed SUBSTRING-CENSUS delta store:
     * aged delta batches drop metadata-only. The census the probes read
@@ -1005,6 +1065,40 @@ object Dedup {
     nDocs
   }
 
+  /** BULK-victim form of the band-index erasure: the victim set is a
+    * TABLE, applied through [[deleteRowsFromStoreJoin]] (broadcast
+    * semi/anti — plan size constant in |victims|; the literal form
+    * above stops scaling around 10⁴ ids). The did_mod partition prune
+    * survives: the victims' own partitions derive from a bounded
+    * distinct-mods collect (≤ nMods ints), not from the id list.
+    */
+  def deleteFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idxDir: String,
+      victims: DataFrame): Long = {
+    import spark.implicits._
+    val nMods = storeNMods(idxDir)
+    val v = victims.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .persist() // released below; shared by the three tables' passes
+    try {
+      // pmod, matching the writer's did_mod — see the floorMod note above
+      val mods = v.select(pmod(col("doc_id"), lit(nMods)).cast("int").as("m"))
+        .distinct().as[Int].collect().sorted // bounded: ≤ nMods ints
+        .toIndexedSeq.map(Integer.valueOf)
+      val modPrune = col("did_mod").isin(mods: _*)
+      deleteRowsFromStoreJoin(spark, s"$idxDir/bands",
+        "deleteFromMinhashIndex(bands)", v, "doc_id",
+        Seq("batch", "bh_mod"), Seq("band_hash", "doc_id"))
+      val nDocs = deleteRowsFromStoreJoin(spark, s"$idxDir/sigs",
+        "deleteFromMinhashIndex(sigs)", v, "doc_id",
+        Seq("batch", "did_mod"), Seq("doc_id"), prune = modPrune)
+      deleteRowsFromStoreJoin(spark, s"$idxDir/shingles",
+        "deleteFromMinhashIndex(shingles)", v, "doc_id",
+        Seq("batch", "did_mod"), Seq("doc_id"), prune = modPrune)
+      nDocs
+    } finally v.unpersist()
+  }
+
   /** RETENTION for the stored MinHash band index — TTL aging by INGEST
     * BATCH, the index-store analogue of [[Layout.dropPartitions]]: every
     * `batch <= cutoff` partition of all THREE tables (bands, sigs,
@@ -1058,6 +1152,17 @@ object Dedup {
       col("vec_id").isin(vecIds.distinct.map(java.lang.Long.valueOf): _*),
       Seq("batch", "cell_mod"), Seq("cell", "vec_id"))
   }
+
+  /** Bulk-victim form of the sem-store erasure (victims as a table —
+    * see [[deleteRowsFromStoreJoin]] for why literal `isin` stops
+    * scaling at compliance-batch sizes).
+    */
+  def deleteFromSemStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      victims: DataFrame): Long =
+    deleteRowsFromStoreJoin(spark, s"$storeDir/cells", "deleteFromSemStore",
+      victims, "vec_id", Seq("batch", "cell_mod"), Seq("cell", "vec_id"))
 
   /** Right-to-erasure for the STORED substring census — semantically a
     * DECREMENT, not a row delete: census rows are `(win, n_docs)`

@@ -728,7 +728,7 @@ object Similarity {
     * cadence.
     */
   private val selectivityCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, (Long, Long))]
 
   /** Observability counter for specs: how many times a filtered serve
     * actually PAID the selectivity aggregate (vs served from cache) —
@@ -747,7 +747,7 @@ object Similarity {
     * memo ([[invalidateIvfIndex]] — cell ids may renumber).
     */
   private val unsplittableCells =
-    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Long]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[Int, Long])]
 
   /** Persist the IVF index (the centroid matrix) as a tiny parquet table
     * `(cell int, centroid array<double>)`. A production IVF index is a
@@ -780,15 +780,95 @@ object Similarity {
     * the same JVM are free.
     */
   private val loadedIvfCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[Array[Double]])]
+
+  /** CROSS-JVM cache-invalidation fingerprint of an index-artifact dir:
+    * the artifact's file listing (names + lengths — artifact rewrites
+    * change part-file names) concatenated with the `_maint_stamp`
+    * content (bumped by maintenance that mutates the STORE without
+    * rewriting the artifact — delete/compact/retain). Every stamped
+    * cache ([[loadIvfIndex]], [[loadPqIndex]], [[selectivityCache]],
+    * [[unsplittableCells]]) re-derives this on each hit, so maintenance
+    * run by a DIFFERENT driver JVM invalidates this JVM's entry at the
+    * next serve — the in-process `invalidateIvfIndex` covers only the
+    * JVM that ran the swap. Cost per hit: one dir listing + one tiny
+    * read — metadata-scale (μs locally, one NameNode round-trip on
+    * HDFS), paid per serve call, not per row.
+    */
+  private[graft] def maintFingerprint(path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).toSeq
+      .map { st =>
+        val n = st.getPath.getName
+        if (n == MaintStampName) {
+          val in = fs.open(st.getPath)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          s"stamp=$s"
+        } else s"$n:${st.getLen}"
+      }.sorted.mkString("|")
+  }
+
+  /** Name of the durable maintenance stamp inside an index-artifact dir
+    * (underscore-prefixed — parquet readers skip it).
+    */
+  private[graft] val MaintStampName = "_maint_stamp"
+
+  /** Durably mark `idxPath`'s dependent caches stale ACROSS JVMs: write
+    * a fresh UUID into the artifact's `_maint_stamp`. Called by the
+    * maintenance ops whose swap leaves the artifact bytes untouched
+    * (erasure, compaction, retention — centroids never move, but priced
+    * selectivities/occupancy memos over the STORE are now stale);
+    * artifact-REPLACING maintenance needs no stamp — the new part-file
+    * names change the fingerprint by themselves.
+    */
+  private[graft] def bumpMaintStamp(spark: org.apache.spark.sql.SparkSession,
+                                    idxPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(idxPath, MaintStampName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The one JVM-local invalidation plus the durable cross-JVM stamp —
+    * what every store-mutating (artifact-preserving) maintenance op
+    * calls after its swap promotes.
+    */
+  private[graft] def invalidateIvfIndexDurably(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    invalidateIvfIndex(path)
+    bumpMaintStamp(spark, path)
+  }
+
+  /** Stamped-cache read-through: serve from `cache` only while the
+    * artifact fingerprint matches what the entry was loaded under.
+    */
+  private def fingerprinted[K, V](
+      cache: scala.collection.concurrent.TrieMap[K, (String, V)],
+      key: K, path: String)(load: => V): V = {
+    val fp = maintFingerprint(path)
+    cache.get(key) match {
+      case Some((f, v)) if f == fp => v
+      case _ =>
+        val v = load
+        cache.put(key, (fp, v))
+        v
+    }
+  }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
-    loadedIvfCache.getOrElseUpdate(path, {
+    fingerprinted(loadedIvfCache, path, path) {
       spark.read.parquet(path)
         .orderBy(col("cell"))
         .collect()
         .map(_.getSeq[Double](1).toArray)
-    })
+    }
 
   /** Drop ONE persisted-index cache entry — the maintenance hook for
     * artifact-path reuse: after a swap replaces the parquet at `path`
@@ -829,7 +909,7 @@ object Similarity {
                             workDir: String, cutoff: Long): Seq[Long] =
     Dedup.retainStoreBatches(spark, s"$workDir/cells",
       "retainIvfStoreBatches", cutoff,
-      () => invalidateIvfIndex(s"$workDir/ivf_index"))
+      () => invalidateIvfIndexDurably(spark, s"$workDir/ivf_index"))
 
   /** IVF top-k probing a PERSISTED index: load the centroids (no retrain)
     * and run the shared probe tail. Same result contract as [[ivfTopK]]
@@ -1069,6 +1149,31 @@ object Similarity {
         s"enqueueIvfErasure: could not publish request $name under $dir")
   }
 
+  /** BULK-victim form of the live-stream erasure queue: the victim set
+    * is a TABLE and the request publishes as a PARQUET DIRECTORY
+    * (written distributed, then renamed into place — a draining reader
+    * never sees a partial request, same publish protocol as the text
+    * form). The text form serializes ids through a driver-built string
+    * — fine for a handful, but a compliance batch of 10⁵–10⁷ ids must
+    * never funnel through driver memory; here the ids go cluster-side
+    * parquet → broadcast anti-join, bounded end to end.
+    */
+  def enqueueIvfErasure(spark: org.apache.spark.sql.SparkSession,
+                        workDir: String,
+                        victims: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(workDir, PendingErasureDir)
+    fs.mkdirs(dir)
+    val name = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dir, s"_$name.tmp")
+    victims.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, new Path(dir, s"$name.reqp")))
+      throw new IllegalStateException(
+        s"enqueueIvfErasure: could not publish bulk request $name under $dir")
+  }
+
   /** Drain the pending-erasure queue against the store — called from the
     * ingest stream's between-batch slot (and safe to call on a quiesced
     * store directly). Each request file applies through
@@ -1084,18 +1189,29 @@ object Similarity {
     val dir = new Path(workDir, PendingErasureDir)
     if (!fs.exists(dir)) return 0L
     val reqs = fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".req"))
+      .filter(s => (s.isFile && s.getPath.getName.endsWith(".req")) ||
+        (s.isDirectory && s.getPath.getName.endsWith(".reqp")))
       .sortBy(_.getPath.getName)
     var erased = 0L
     reqs.foreach { st =>
-      val in = fs.open(st.getPath)
-      val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
-      finally in.close()
-      if (ids.nonEmpty) erased += deleteFromIvfStore(spark, workDir, ids)
-      if (!fs.delete(st.getPath, false))
-        throw new IllegalStateException(
-          s"drainPendingErasures: applied but could not retire ${st.getPath}")
+      if (st.isDirectory) {
+        // bulk request: a parquet victim table — applied via the
+        // broadcast-join erasure path, never through driver memory
+        val victims = spark.read.parquet(st.getPath.toString)
+        if (!victims.isEmpty) erased += deleteFromIvfStore(spark, workDir, victims)
+        if (!fs.delete(st.getPath, true))
+          throw new IllegalStateException(
+            s"drainPendingErasures: applied but could not retire ${st.getPath}")
+      } else {
+        val in = fs.open(st.getPath)
+        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+        if (ids.nonEmpty) erased += deleteFromIvfStore(spark, workDir, ids)
+        if (!fs.delete(st.getPath, false))
+          throw new IllegalStateException(
+            s"drainPendingErasures: applied but could not retire ${st.getPath}")
+      }
     }
     erased
   }
@@ -1591,7 +1707,7 @@ object Similarity {
       promotes = Seq((stagedP, new Path(s"$cellsDir/batch=$upTo"))),
       cleanup = Nil,
       afterPromote = () =>
-        if (erased > 0L) invalidateIvfIndex(s"$workDir/ivf_index"))
+        if (erased > 0L) invalidateIvfIndexDurably(spark, s"$workDir/ivf_index"))
     erased
   }
 
@@ -1702,7 +1818,13 @@ object Similarity {
     // the occupancy probe: ≤ nlist (cell, n) pairs — bounded by the index.
     // Cells memoized unsplittable at this exact occupancy are skipped
     // (see [[unsplittableCells]]) — they re-arm when occupancy changes.
-    val memo = unsplittableCells.getOrElse(idxDir, Map.empty[Int, Long])
+    // stamped memo: a maintenance swap in ANY JVM (fingerprint drift)
+    // drops the memo, not just a swap run by this one
+    val memoFp = maintFingerprint(idxDir)
+    val memo = unsplittableCells.get(idxDir) match {
+      case Some((f, m)) if f == memoFp => m
+      case _ => Map.empty[Int, Long]
+    }
     val hotOcc: Map[Int, Long] = cellOccupancy(spark, workDir)
       .where(col("n_rows") > maxCellRows)
       .select(col("cell"), col("n_rows")).as[(Int, Long)].collect().toMap
@@ -1752,8 +1874,13 @@ object Similarity {
       case (c, arr) if arr.count(_._4 > 0L) < 2 => c
     }.toArray.sorted
     if (stuck.nonEmpty)
-      unsplittableCells.updateWith(idxDir)(prev =>
-        Some(prev.getOrElse(Map.empty) ++ stuck.map(c => c -> hotOcc(c))))
+      unsplittableCells.updateWith(idxDir) { prev =>
+        val base = prev match {
+          case Some((f, m)) if f == memoFp => m
+          case _ => Map.empty[Int, Long]
+        }
+        Some((memoFp, base ++ stuck.map(c => c -> hotOcc(c))))
+      }
     val hot = candidates.filterNot(stuck.contains)
     if (hot.isEmpty) return 0
     val hotSet = hot.toSet
@@ -1923,7 +2050,29 @@ object Similarity {
       partitionCols = Seq("batch"),
       clusterCols = Seq("cell", "vec_id"),
       targetFileBytes = targetFileBytes,
-      afterPromote = () => invalidateIvfIndex(idxDir))
+      afterPromote = () => invalidateIvfIndexDurably(spark, idxDir))
+  }
+
+  /** BULK-victim form of the ANN-store erasure: the victim set arrives
+    * as a TABLE of `vec_id`s, applied through the shared broadcast
+    * semi/anti core ([[Dedup.deleteRowsFromStoreJoin]]). A real
+    * compliance batch is 10⁵–10⁷ ids; the literal-`isin` form above
+    * builds, optimizes, and task-serializes an expression tree ∝ |ids|
+    * and stops scaling around 10⁴ (measured in EraseProbe's bulk leg),
+    * while this form's plan is CONSTANT-size and the id set rides one
+    * ~8 B/id broadcast. Same swap/centroid/caching contract as the
+    * literal form.
+    */
+  def deleteFromIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      victims: org.apache.spark.sql.DataFrame): Long = {
+    val idxDir = s"$workDir/ivf_index"
+    Dedup.deleteRowsFromStoreJoin(spark, s"$workDir/cells", "deleteFromIvfStore",
+      victims, "vec_id",
+      partitionCols = Seq("batch"),
+      clusterCols = Seq("cell", "vec_id"),
+      afterPromote = () => invalidateIvfIndexDurably(spark, idxDir))
   }
 
   /** IVF top-k over a STORED cell-assigned table (the streamed ingest's
@@ -2068,14 +2217,14 @@ object Similarity {
     */
   private def pricedSelectivity(
       assigned: DataFrame, indexPath: String, rowFilter: Column): (Long, Long) =
-    selectivityCache.getOrElseUpdate(
-      (indexPath, rowFilter.toString.replaceAll("#\\d+", "")), {
+    fingerprinted(selectivityCache,
+      (indexPath, rowFilter.toString.replaceAll("#\\d+", "")), indexPath) {
       selectivityPricings += 1
       val counts = assigned.agg(
         count(lit(1)).as("n"),
         count(when(rowFilter, 1)).as("nq")).head()
       (counts.getLong(0), counts.getLong(1))
-    })
+    }
 
   /** Persist the PQ index (per-subspace codebooks) as parquet
     * `(subspace int, code int, centroid array<double>)` — m × k × (dim/m)
@@ -2097,17 +2246,17 @@ object Similarity {
   }
 
   private val loadedPqCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[Array[Array[Double]]])]
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Array[Double]]] =
-    loadedPqCache.getOrElseUpdate(path, {
+    fingerprinted(loadedPqCache, path, path) {
       val rows = spark.read.parquet(path)
         .orderBy(col("subspace"), col("code"))
         .collect()
       rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }
-    })
+    }
 
   /** Scalar int8 quantization of the embedding column: per-vector scale
     * `127 / max|xᵢ|`, components rounded to `array<tinyint>`. 4× smaller

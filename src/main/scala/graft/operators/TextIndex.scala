@@ -12,10 +12,14 @@ import graft.functions.{TextFunctions => TF}
   * query touches only its own terms' slice of it. This family gives the
   * engine that store with the same lifecycle every other stored-index
   * family has (band index, census, sem store, IVF cells): incremental
-  * batch append, pruned serve, compaction, right-to-erasure, and
-  * batch-TTL retention.
+  * batch append, pruned serve, impact-bounded serve, compaction (with
+  * erasure folded in), right-to-erasure (literal and bulk victim
+  * forms), and batch-TTL retention through the shared core.
   *
-  * Layout (`idxDir/`):
+  * Layout (`idxDir/`) — the Lucene decomposition (postings + norms +
+  * term dictionary + segment stats), each table `batch=`-partitioned so
+  * incremental ingest, TTL aging, and compaction all stay
+  * partition-local:
   *   - `postings/batch=<b>/tm_mod=<m>/` — rows `(term, doc_id, tf, dl)`
   *     where `tm_mod = pmod(hash(term), nMods)`. A query's scan prunes
   *     to ≤ |query terms| of the nMods hash partitions — the census
@@ -25,11 +29,30 @@ import graft.functions.{TextFunctions => TF}
   *     table is corpus-sized and its join would shuffle candidates
   *     against billions of rows for one long each. 8 bytes per posting
   *     buys a join-free serve (the Lucene norms trade).
+  *   - `docs/batch=<b>/did_mod=<m>/` — ONE row per indexed document
+  *     `(doc_id, dl)`, `did_mod = pmod(doc_id, nMods)` (the band index's
+  *     sigs-table discipline). This is the index's MEMBERSHIP record:
+  *     it includes zero-token documents (which have no postings rows but
+  *     DO count in N/avgdl), it lets the erasure pre-scan prune to the
+  *     victims' own partitions instead of scanning term-scattered
+  *     postings, and it is the durable record a crashed erasure retry
+  *     re-derives its victim set from (which is why erasure rewrites it
+  *     LAST).
+  *   - `terms/batch=<b>/tm_mod=<m>/` — one row per distinct term per
+  *     batch `(term, df, max_tf, min_dl)` — the term dictionary plus
+  *     the per-term MAX-IMPACT statistics ([[bm25TopKStoredBounded]]):
+  *     df is the term's exact document frequency in the batch; `max_tf`
+  *     / `min_dl` bound any single posting's BM25 contribution from
+  *     above (score_t is increasing in tf, decreasing in dl). Vocab-
+  *     sized, not corpus-sized.
   *   - `stats/batch=<b>/` — ONE row per batch `(n_docs, total_toks)`.
   *     The global N and avgdl the scorer needs are the SUM over batch
-  *     rows: O(batches) tiny files at serve, never a corpus scan.
-  *     Erasure decrements the victims' own batches' rows in place, so
-  *     retention (dropping whole batches) can never double-subtract.
+  *     rows: O(batches) tiny files at serve, never a corpus scan. The
+  *     INVARIANT every maintenance op preserves: a batch's stats row
+  *     equals the aggregate `(count, sum(dl))` of its `docs/` rows —
+  *     which is what lets erasure RECOMPUTE stats (idempotent, staged,
+  *     swapped) instead of decrementing in place (a crash mid-decrement
+  *     would silently skew every later score).
   *   - `text_index_manifest.json` — pins `nMods`; every consumer
   *     re-renders and throws on drift ([[Dedup.ManifestIo]] contract).
   *
@@ -41,7 +64,10 @@ import graft.functions.{TextFunctions => TF}
   * Single-writer contract: like every store family here, maintenance
   * (delete/compact/retain) assumes one writer; concurrent maintenance
   * collides on the shared [[Dedup.MaintenanceSentinel]] and fails
-  * loudly rather than corrupting.
+  * loudly rather than corrupting. Retention routes through
+  * [[Dedup.retainStoreBatches]], so the sentinel refusal and the
+  * drop-everything refusal hold for this family exactly as for the
+  * band/census/sem/IVF stores.
   */
 object TextIndex {
 
@@ -55,15 +81,19 @@ object TextIndex {
 
   private def postingsDir(idxDir: String) = s"$idxDir/postings"
   private def statsDir(idxDir: String)    = s"$idxDir/stats"
+  private def docsDir(idxDir: String)     = s"$idxDir/docs"
+  private def termsDir(idxDir: String)    = s"$idxDir/terms"
 
   /** Pinned store parameters — fanout is a property OF the store;
     * appends after the first, and every serve, read it back rather than
-    * declare it.
+    * declare it. Version 2 = the four-table layout (v1 had no docs/terms
+    * tables); a v1 store fails the render check loudly instead of
+    * serving with silently-absent membership.
     */
   private val manifest =
     new Dedup.ManifestIo("text index store", "text_index_manifest.json")
   private def renderManifest(nMods: Int): String =
-    manifest.render("version" -> 1, "nmods" -> nMods)
+    manifest.render("version" -> 2, "nmods" -> nMods)
   private def storeNMods(idxDir: String): Int =
     manifest.intField(idxDir, "nmods")
 
@@ -71,19 +101,27 @@ object TextIndex {
     * per-(doc, term) tf, attach `dl` (= Σ tf over the doc — tokens
     * partition exactly into terms, so the window sum IS the token
     * count; no second pass over the fat text column), hash-fan by term
-    * and write `postings/batch=<batchId>/tm_mod=*` term-clustered, plus
-    * the batch's one-row stats partition.
+    * and write `postings/batch=<batchId>/tm_mod=*` term-clustered; then
+    * from the SAME one-pass postings frame (persisted for the append's
+    * duration — batch-sized, released before return) derive the batch's
+    * term dictionary (`terms/`: df + max-impact stats per term) without
+    * re-tokenizing. Membership (`docs/`) and the one-row stats
+    * partition come from a single cheap regexp-count scan of the batch
+    * (`dl` via the codegen'd token counter, which equals the postings
+    * window sum) — and BOTH count zero-token documents: N must match
+    * the full-scan scorer's doc count exactly, and the membership row
+    * is what makes such documents erasable at all.
     *
     * Shuffle budget: one tokenize-explode aggregation (the tf groupBy),
     * one postings-sized window exchange for `dl` (postings ≪ tokens),
-    * one range-partitioned staging exchange (parallel across the
+    * range-partitioned staging exchanges (parallel across the
     * cluster — a single-task funnel here was measured at 200+ s for a
     * 400k-doc batch; range partitioning on (tm_mod, term) keeps each
     * output dir fed by the few tasks owning its contiguous range, so
-    * files stay term-clustered AND few), and one cheap regexp-count
-    * scan of the batch for the stats row (counts empty docs too — N
-    * must match the full-scan scorer's doc count exactly). Nothing
-    * corpus-sized: an append touches its batch only.
+    * files stay term-clustered AND few), one vocab-sized terms
+    * aggregate off the persisted postings, and one batch scan for
+    * membership+stats. Nothing corpus-sized: an append touches its
+    * batch only.
     */
   def appendTextIndexBatch(docs: DataFrame, idxDir: String, batchId: Long,
                            nMods: Int = DefaultNMods): Unit = {
@@ -91,16 +129,40 @@ object TextIndex {
     if (manifest.exists(idxDir)) manifest.check(idxDir, renderManifest(nMods))
     else manifest.write(idxDir, renderManifest(nMods))
     val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val tf = docs
       .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    // persisted for the append only: postings feed their own write AND
+    // the terms-dictionary aggregate — without it the tokenize+groupBy
+    // pipeline runs twice per append
+    val postings = tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("tm_mod"), col("term"), col("doc_id"))
-      .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("tm_mod")
-      .parquet(s"${postingsDir(idxDir)}/batch=$batchId")
+      .persist()
+    try {
+      postings
+        .repartitionByRange(par, col("tm_mod"), col("term"), col("doc_id"))
+        .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("tm_mod")
+        .parquet(s"${postingsDir(idxDir)}/batch=$batchId")
+      postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+          min(col("dl")).as("min_dl"))
+        .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+        .repartitionByRange(par, col("tm_mod"), col("term"))
+        .sortWithinPartitions(col("tm_mod"), col("term"))
+        .write.mode("overwrite").partitionBy("tm_mod")
+        .parquet(s"${termsDir(idxDir)}/batch=$batchId")
+    } finally postings.unpersist()
+    val membership = docs.select(col("doc_id"),
+        coalesce(TF.tokenCount(col("text")).cast("long"), lit(0L)).as("dl"))
+      .withColumn("did_mod", pmod(col("doc_id"), lit(nMods)).cast("int"))
+    membership
+      .repartitionByRange(par, col("did_mod"), col("doc_id"))
+      .sortWithinPartitions(col("did_mod"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("did_mod")
+      .parquet(s"${docsDir(idxDir)}/batch=$batchId")
     docs.agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(TF.tokenCount(col("text")).cast("long")), lit(0L))
@@ -126,7 +188,12 @@ object TextIndex {
     * pass share ONE store scan; df itself is a map-side-combined
     * aggregate broadcast back (a term-keyed window would collapse
     * parallelism to |terms| tasks — measured 2× slower than the scan at
-    * 1.6M docs). One per-doc sum and a TakeOrderedAndProject finish.
+    * 1.6M docs). One per-doc sum and a TakeOrderedAndProject finish —
+    * and the ≤ k result rows MATERIALIZE before return, so the
+    * candidate cache is released per query instead of accreting one
+    * cached slice per query over a serving session's lifetime (the
+    * serve returns k rows by construction; pinning them driver-side is
+    * bounded by the query, not the data).
     */
   def bm25TopKStored(spark: SparkSession, idxDir: String, terms: Seq[String],
                      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -148,33 +215,134 @@ object TextIndex {
       .where(col("tm_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
       .persist()
-    val dfreq = cand.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-    cand.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", round(
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
-      .withColumn("score_t",
-        (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
-            lit(b) * col("dl") / (col("total_toks") / col("n_docs")))))
-          .cast("decimal(18,8)"))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("score_t")).cast("double"), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(k)
+    try {
+      val dfreq = cand.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val out = cand.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+        .withColumn("score_t",
+          (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / (col("total_toks") / col("n_docs")))))
+            .cast("decimal(18,8)"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("score_t")).cast("double"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(k)
+      // bounded collect: ≤ k rows — the serve's declared result size
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally cand.unpersist()
+  }
+
+  /** Per-query-term impact statistics from the `terms/` dictionary: one
+    * tm_mod-pruned, vocab-sized (never postings-sized) scan, aggregated
+    * across batches — df sums (each doc is indexed by exactly one
+    * batch), max_tf maxes, min_dl mins. Bounded collect: ≤ |terms| rows.
+    */
+  private def termImpactStats(spark: SparkSession, idxDir: String,
+                              terms: Seq[String]): Map[String, (Long, Long, Long)] = {
+    import spark.implicits._
+    val nMods = storeNMods(idxDir)
+    val mods = terms.toDS()
+      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
+      .distinct().as[Int].collect().sorted
+    Dedup.readStore(spark, termsDir(idxDir))
+      .where(col("tm_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"),
+        min(col("min_dl")).as("min_dl"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** IMPACT-BOUNDED BM25 serve — the WAND/MaxScore posture for
+    * stopword-bearing queries. The exact serve's candidate set is
+    * ∝ Σ df(term): one high-df term ("the") makes the postings scan
+    * corpus-sized no matter how selective the rest of the query is.
+    * Lucene-family engines bound this with per-term max-impact
+    * statistics; this store carries them in the `terms/` dictionary
+    * (df, max_tf, min_dl per term — vocab-sized), so the serve can
+    * decide, BEFORE touching any postings, which terms' postings it
+    * refuses to read:
+    *
+    *  - terms with df ≤ `dfCeiling` DRIVE: their postings are scanned
+    *    and scored exactly as [[bm25TopKStored]] does;
+    *  - terms with df > `dfCeiling` are CAPPED: their postings are
+    *    never read — bytes stay bounded by the driver terms' df sum.
+    *
+    * CONTRACT (the documented recall bound): every per-term BM25
+    * contribution is nonnegative, so each returned score UNDERSTATES
+    * the true score by at most `cappedImpactBound` = Σ over capped
+    * terms of idf(df) · (max_tf·(k1+1)) / (max_tf + k1·(1−b+b·min_dl/
+    * avgdl)) — each factor monotone (score_t increases in tf, decreases
+    * in dl), all inputs exact from the dictionary. Therefore: (a) for a
+    * query whose terms ALL sit at or under the ceiling, the result is
+    * bit-identical to the exact serve (it IS the exact serve); (b) any
+    * document whose true score exceeds the returned k-th score plus the
+    * bound is guaranteed present in the result. A query whose terms are
+    * ALL capped has no driver leg and refuses loudly — raise the
+    * ceiling or use the exact serve.
+    *
+    * Erasure keeps the bound sound: [[deleteFromTextIndex]] recomputes
+    * affected batches' dictionary rows exactly, and between maintenance
+    * the stats only move conservatively (removing postings can only
+    * lower max_tf and raise min_dl).
+    */
+  def bm25TopKStoredBounded(spark: SparkSession, idxDir: String,
+                            terms: Seq[String], k: Int = 20, dfCeiling: Long = Long.MaxValue,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = termImpactStats(spark, idxDir, terms)
+    val driver = terms.filter(t => stats.get(t).forall(_._1 <= dfCeiling))
+    require(driver.nonEmpty,
+      s"bm25TopKStoredBounded: every query term exceeds dfCeiling=$dfCeiling — " +
+        "no driver terms remain; raise the ceiling or use bm25TopKStored")
+    bm25TopKStored(spark, idxDir, driver, k, k1, b)
+  }
+
+  /** The bounded serve's error budget: (capped terms, Σ max possible
+    * per-doc contribution of the capped terms + DECIMAL-fixing slack).
+    * See [[bm25TopKStoredBounded]]'s contract. Reads the vocab-sized
+    * dictionary and the O(batches) stats rows only.
+    */
+  def cappedImpactBound(spark: SparkSession, idxDir: String,
+                        terms: Seq[String], dfCeiling: Long,
+                        k1: Double = 1.2, b: Double = 0.75): (Seq[String], Double) = {
+    val stats = termImpactStats(spark, idxDir, terms)
+    val g = Dedup.readStore(spark, statsDir(idxDir))
+      .agg(sum(col("n_docs")).cast("double").as("n"),
+        sum(col("total_toks")).cast("double").as("t"))
+      .head() // 1-row global stats read
+    val (n, avgdl) = (g.getDouble(0), g.getDouble(1) / g.getDouble(0))
+    val capped = terms.filter(t => stats.get(t).exists(_._1 > dfCeiling))
+    val bound = capped.map { t =>
+      val (df, maxTf, minDl) = stats(t)
+      val idf = math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6
+      idf * (maxTf * (k1 + 1.0)) /
+        (maxTf + k1 * (1.0 - b + b * minDl / avgdl)) +
+        1e-6 // DECIMAL(18,8) per-term fixing slack
+    }.sum
+    // the serve rounds each doc's total at 4 dp — both the bounded and
+    // the exact side can move up to half a step, so the bound over the
+    // DISPLAYED scores carries one full 1e-4 step of slack
+    (capped, if (capped.isEmpty) 0.0 else bound + 1e-4)
   }
 
   /** REAL streaming ingest of the text index: document drops arrive as
     * a file stream and each micro-batch appends its own postings batch
-    * (`batch=<streaming batch id>`) plus its one-row stats partition —
-    * the incremental-append contract, driven by Structured Streaming.
-    * Idempotent under micro-batch replay (foreachBatch may re-run a
-    * batch after a crash): the append overwrites its OWN `batch=` dirs
-    * only, so a replay converges to the same store. Serves during
-    * ingest see a consistent prefix (a batch's postings land before its
-    * stats only transiently; the scorer's stats sum is conservative in
-    * that window). Runs the stream to completion of available input.
+    * (`batch=<streaming batch id>`) plus its membership/dictionary/stats
+    * partitions — the incremental-append contract, driven by Structured
+    * Streaming. Idempotent under micro-batch replay (foreachBatch may
+    * re-run a batch after a crash): the append overwrites its OWN
+    * `batch=` dirs only, so a replay converges to the same store.
+    * Serves during ingest see a consistent prefix (a batch's postings
+    * land before its stats only transiently; the scorer's stats sum is
+    * conservative in that window). Runs the stream to completion of
+    * available input.
     */
   def streamIngestTextIndex(spark: SparkSession, inputDir: String,
                             idxDir: String, nMods: Int = DefaultNMods): Unit = {
@@ -195,138 +363,335 @@ object TextIndex {
     try q.processAllAvailable() finally q.stop()
   }
 
-  /** Right-to-erasure from the text index: remove every posting of
-    * `docIds` by file-targeted rewrite ([[Dedup.deleteRowsFromStore]] —
-    * cold files byte-identical, moved bytes track victim placement) and
-    * decrement the victims' OWN batches' stats rows in place, so the
-    * scorer's N/avgdl match a corpus that never contained them and
-    * batch-TTL retention still drops each batch's stats with its
-    * postings (a separately-appended negative delta would double-count
-    * when its source batch ages out).
-    *
-    * Two store passes, each with a distinct, irreducible purpose: the
-    * PRE-scan (column-pruned to `batch, doc_id, dl` — no term strings)
-    * reads the per-victim lengths the decrement needs, which the delete
-    * is about to destroy; the delete core's own single job prices and
-    * lists owning files. A doc's terms hash across all tm_mods, so
-    * neither scan can partition-prune — that is the honest physics of
-    * erasing a row scattered by design (same note as the IVF family).
-    *
-    * Stats rewrite happens AFTER the postings swap promotes (postings
-    * without stats decrement = scores slightly conservative for a
-    * moment; the reverse order could under-count N for surviving
-    * postings). Single-writer contract as everywhere. Returns the
-    * number of victim documents actually present.
+  /** Right-to-erasure from the text index, literal-victim form (a
+    * handful of ids). Delegates to the DataFrame form — see there for
+    * the protocol.
     */
   def deleteFromTextIndex(spark: SparkSession, idxDir: String,
                           docIds: Seq[Long]): Long = {
     require(docIds.nonEmpty, "deleteFromTextIndex: empty id set")
-    val ids = docIds.distinct
-    val victimCol = col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*)
-    // bounded collect: one row per (victim batch, victim doc) — ≤ |ids|
-    val present = Dedup.readStore(spark, postingsDir(idxDir))
-      .where(victimCol)
-      .groupBy(col("batch"), col("doc_id"))
-      .agg(first(col("dl")).as("dl"))
-      .select(col("batch").cast("long"), col("doc_id"), col("dl"))
-      .collect()
-    if (present.isEmpty) return 0L
-    Dedup.deleteRowsFromStore(spark, postingsDir(idxDir), "deleteFromTextIndex",
-      victimCol = victimCol,
-      partitionCols = Seq("batch", "tm_mod"),
-      clusterCols = Seq("term", "doc_id"))
-    // per affected batch: subtract the victims' doc count and token mass
-    // from that batch's one-row stats partition (tiny read + rewrite,
-    // driver-looped over ≤ |affected batches| dirs)
-    present.groupBy(_.getLong(0)).foreach { case (batch, rows) =>
-      val dDocs = rows.length.toLong
-      val dToks = rows.map(_.getLong(2)).sum
-      val dir = s"${statsDir(idxDir)}/batch=$batch"
-      val cur = spark.read.parquet(dir)
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_toks")).as("total_toks"))
-        .head()
-      spark.range(1)
-        .select((lit(cur.getLong(0)) - lit(dDocs)).as("n_docs"),
-                (lit(cur.getLong(1)) - lit(dToks)).as("total_toks"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-    }
-    present.map(_.getLong(1)).distinct.length.toLong
+    import spark.implicits._
+    deleteFromTextIndex(spark, idxDir, docIds.distinct.toDF("doc_id"))
+  }
+
+  /** Right-to-erasure from the text index, BULK-victim form: the victim
+    * set is a TABLE (a compliance batch is 10⁵–10⁷ ids — a literal
+    * `isin` stops scaling around 10⁴; see
+    * [[Dedup.deleteRowsFromStoreJoin]]), applied to all four tables in
+    * an order chosen for CRASH-SAFE RETRY:
+    *
+    *  1. PRE-SCAN the membership table (`docs/`), pruned to the
+    *     victims' own did_mod partitions — never the term-scattered
+    *     postings — for the per-victim (batch, dl) the later stages
+    *     need. This is also what makes ZERO-TOKEN documents erasable:
+    *     they have no postings rows, but they hold a membership row and
+    *     count in N/avgdl, so skipping them would leave the stored N
+    *     permanently one high per such victim.
+    *  2. POSTINGS: file-targeted rewrite through the shared erasure
+    *     core (cold files byte-identical; moved bytes track victim
+    *     placement). A doc's terms hash across all tm_mods, so this
+    *     scan cannot partition-prune — the honest physics of erasing a
+    *     row scattered by design.
+    *  3. TERMS dictionary: the affected batches' rows RECOMPUTE from
+    *     their post-delete postings (exact df/max_tf/min_dl — keeps the
+    *     bounded serve's error bound sound), staged and promoted behind
+    *     the checked [[Dedup.recoverableSwap]].
+    *  4. STATS: the affected batches' rows RECOMPUTE as the aggregate
+    *     of membership-minus-victims, staged and swapped — NOT
+    *     decremented in place: recomputation is idempotent under retry,
+    *     and the swap means a crash can never leave a half-written
+    *     stats row silently skewing every later score (a batch left
+    *     fully erased simply loses its stats row, which sums as zero).
+    *  5. MEMBERSHIP last: `docs/` is the durable record steps 2-4
+    *     derive their victim set from on a crashed retry — postings
+    *     delete re-prices to 0 (no-op), terms/stats recompute to the
+    *     same values, and only then does the membership row go. Pruned
+    *     victim scan (did_mod), file-targeted rewrite.
+    *
+    * Single-writer contract as everywhere; each swap raises the shared
+    * sentinel, so probes refuse during any window. Returns the number
+    * of victim documents actually present.
+    */
+  def deleteFromTextIndex(spark: SparkSession, idxDir: String,
+                          victims: DataFrame): Long = {
+    val nMods = storeNMods(idxDir)
+    val v = victims.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .persist() // released below; shared by all five stages
+    try {
+      import spark.implicits._
+      val mods = v.select(pmod(col("doc_id"), lit(nMods)).cast("int").as("m"))
+        .distinct().as[Int].collect().sorted // bounded: ≤ nMods ints
+      val modPrune = col("did_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*)
+      // bounded collect: one row per victim present — ≤ |victims|
+      val present = Dedup.readStore(spark, docsDir(idxDir))
+        .where(modPrune)
+        .join(broadcast(v), Seq("doc_id"), "left_semi")
+        .select(col("batch").cast("long"), col("doc_id"), col("dl"))
+        .collect()
+      if (present.isEmpty) return 0L
+      val affected = present.map(_.getLong(0)).distinct.sorted.toIndexedSeq
+      // batches that actually hold victim POSTINGS (dl > 0) — a
+      // zero-token victim changes membership and stats but no postings,
+      // so its batch's dictionary is already exact
+      val postingBatches =
+        present.filter(_.getLong(2) > 0L).map(_.getLong(0)).distinct.sorted.toIndexedSeq
+      Dedup.deleteRowsFromStoreJoin(spark, postingsDir(idxDir),
+        "deleteFromTextIndex(postings)", v, "doc_id",
+        partitionCols = Seq("batch", "tm_mod"),
+        clusterCols = Seq("term", "doc_id"))
+      if (postingBatches.nonEmpty)
+        rewriteTermDictionary(spark, idxDir, postingBatches)
+      rewriteStats(spark, idxDir, affected, v)
+      Dedup.deleteRowsFromStoreJoin(spark, docsDir(idxDir),
+        "deleteFromTextIndex(docs)", v, "doc_id",
+        partitionCols = Seq("batch", "did_mod"),
+        clusterCols = Seq("doc_id"),
+        prune = modPrune)
+      present.map(_.getLong(1)).distinct.length.toLong
+    } finally v.unpersist()
+  }
+
+  /** Recompute the `terms/` dictionary rows of `batches` from their
+    * CURRENT postings (one batch-pruned postings scan — erasure-cadence
+    * work, not serve-path), staged and promoted behind the checked
+    * swap. A batch whose postings are now empty simply loses its
+    * dictionary partition (no staged dir promotes over the set-aside
+    * one) — consistent with a term dictionary that has nothing to
+    * describe.
+    */
+  private def rewriteTermDictionary(spark: SparkSession, idxDir: String,
+                                    batches: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val nMods = storeNMods(idxDir)
+    val dir = termsDir(idxDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinel = new Path(dir, Dedup.MaintenanceSentinel)
+    val trash = new Path(root.getParent, s".${root.getName}_rewrite_old")
+    val stage = new Path(root.getParent, s".${root.getName}_rewrite_stage")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"rewriteTermDictionary: leftover $left from an unfinished swap at $dir — " +
+          "recover before retrying")
+    fs.delete(stage, true)
+    Dedup.readStore(spark, postingsDir(idxDir))
+      .where(col("batch").isin(batches.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("batch"), col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("batch"), col("tm_mod"), col("term"))
+      .sortWithinPartitions(col("batch"), col("tm_mod"), col("term"))
+      .write.mode("overwrite").partitionBy("batch", "tm_mod")
+      .parquet(stage.toString)
+    val promotes = batches
+      .map(b => (new Path(stage, s"batch=$b"), new Path(root, s"batch=$b")))
+      .filter { case (src, _) => fs.exists(src) }
+    Dedup.recoverableSwap(fs, "rewriteTermDictionary",
+      sentinelDir = root, trash = trash,
+      asides = batches.map(b => new Path(root, s"batch=$b"))
+        .filter(fs.exists(_)),
+      promotes = promotes,
+      cleanup = Seq(stage))
+  }
+
+  /** Recompute the `stats/` rows of `batches` as the aggregate of
+    * membership-minus-victims (the invariant: stats(batch) ==
+    * agg(docs(batch))), staged and promoted behind the checked swap —
+    * idempotent under retry, never a partial in-place overwrite.
+    */
+  private def rewriteStats(spark: SparkSession, idxDir: String,
+                           batches: Seq[Long], victims: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = statsDir(idxDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sentinel = new Path(dir, Dedup.MaintenanceSentinel)
+    val trash = new Path(root.getParent, s".${root.getName}_rewrite_old")
+    val stage = new Path(root.getParent, s".${root.getName}_rewrite_stage")
+    for (left <- Seq(sentinel, trash) if fs.exists(left))
+      throw new IllegalStateException(
+        s"rewriteStats: leftover $left from an unfinished swap at $dir — " +
+          "recover before retrying")
+    fs.delete(stage, true)
+    Dedup.readStore(spark, docsDir(idxDir))
+      .where(col("batch").isin(batches.map(java.lang.Long.valueOf): _*))
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(stage.toString)
+    val promotes = batches
+      .map(b => (new Path(stage, s"batch=$b"), new Path(root, s"batch=$b")))
+      .filter { case (src, _) => fs.exists(src) }
+    Dedup.recoverableSwap(fs, "rewriteStats",
+      sentinelDir = root, trash = trash,
+      asides = batches.map(b => new Path(root, s"batch=$b"))
+        .filter(fs.exists(_)),
+      promotes = promotes,
+      cleanup = Seq(stage))
   }
 
   /** Batch-TTL retention for the text index: drop `batch <= cutoff`
-    * partitions of BOTH tables as pure metadata ([[Layout.dropPartitions]]
-    * — no data file read, planned, or rewritten; postings and stats age
-    * together or the scorer's N drifts from its postings). Aging is
-    * EXACT for this family: a batch's docs contribute nothing outside
-    * their own partitions, so post-retention serves equal a corpus that
-    * never held the aged docs. Returns dropped batch ids per table.
+    * partitions of ALL FOUR tables as pure metadata through the SHARED
+    * retention core ([[Dedup.retainStoreBatches]] — no data file read,
+    * planned, or rewritten), which brings this family the same two
+    * refusals every other stored family has: a maintenance-swap
+    * sentinel on any table refuses retention (dropping dirs under a
+    * half-swapped store would corrupt the restore path), and a cutoff
+    * that would age out EVERY batch refuses loudly (an empty store is
+    * unseedable — rebuild instead). Stats drop LAST: between tables a
+    * crash leaves N at-or-above the surviving postings' doc count, so
+    * scores err conservative, never inflated. Aging is EXACT for this
+    * family: a batch's docs contribute nothing outside their own
+    * partitions, so post-retention serves equal a corpus that never
+    * held the aged docs. Returns dropped batch ids per table.
     */
   def retainTextIndexBatches(spark: SparkSession, idxDir: String,
-                             cutoff: Long): Map[String, Seq[Long]] = {
-    def age(dir: String): Seq[Long] =
-      Layout.dropPartitions(spark, dir, "batch", v => v.toLong <= cutoff)
-        .map(_.toLong)
-    Map("postings" -> age(postingsDir(idxDir)),
-        "stats" -> age(statsDir(idxDir)))
-  }
+                             cutoff: Long): Map[String, Seq[Long]] =
+    Seq("postings" -> postingsDir(idxDir), "terms" -> termsDir(idxDir),
+        "docs" -> docsDir(idxDir), "stats" -> statsDir(idxDir))
+      .map { case (name, dir) =>
+        name -> Dedup.retainStoreBatches(spark, dir,
+          s"retainTextIndexBatches($name)", cutoff)
+      }.toMap
 
-  /** Fold all postings batches `<= upTo` into ONE consolidated
-    * `batch=upTo` per tm_mod — the small-batches maintenance op (every
-    * micro-batch append adds nMods files; steady-state ingest compacts
-    * periodically, exactly like the band index's [[Dedup.compactIndex]]).
-    * Stats rows consolidate the same way (their sum is what serves, and
-    * folding preserves the sum). Rewrites ONLY the folded batches —
-    * younger batches stay byte-identical — behind the checked
-    * recoverable swap. Compose with retention the usual way: compact
-    * first only if `upTo` is younger than the retention cutoff.
-    * Returns the number of source batches folded.
+  /** Fold all batches `<= upTo` of every table into ONE consolidated
+    * `batch=upTo` — the small-batches maintenance op (every micro-batch
+    * append adds nMods files; steady-state ingest compacts
+    * periodically, exactly like the band index's [[Dedup.compactIndex]])
+    * — optionally FOLDING ERASURE IN: `dropIds` victims simply drop out
+    * of the fold's reads, so a compliance batch large enough to
+    * saturate file-targeted deletion (V ≫ F touches ~every file:
+    * 1−(1−1/F)^V) costs ONE rewrite instead of two back-to-back
+    * store-scale rewrites — the same argument as
+    * [[Similarity.compactIvfStore]]'s dropIds leg, with the stats
+    * decrement folded in FOR FREE (the folded stats row is the
+    * aggregate of the folded membership, which already excludes
+    * victims; the folded dictionary recomputes from the folded
+    * postings, keeping the impact bounds exact).
+    *
+    * Victims in batches NEWER than `upTo` would silently survive the
+    * fold, so the op prices them first — one did_mod-equivalent pruned
+    * membership count, never a postings scan — and refuses. A fold+
+    * erase that would leave the WHOLE STORE empty refuses too (empty
+    * store unseedable — rebuild). Rewrites ONLY the folded batches —
+    * younger batches stay byte-identical — each table behind the
+    * checked recoverable swap. Compose with retention the usual way:
+    * compact first only if `upTo` is younger than the retention cutoff.
+    * Returns (source batches folded, victim docs erased by the fold).
     */
   def compactTextIndexBatches(spark: SparkSession, idxDir: String,
-                              upTo: Long): Long = {
+                              upTo: Long, dropIds: Seq[Long] = Nil): (Long, Long) = {
     import org.apache.hadoop.fs.Path
-    storeNMods(idxDir) // manifest-presence assert (the fold keeps the fanout)
-    val folded = Seq(postingsDir(idxDir) -> true, statsDir(idxDir) -> false)
-      .map { case (dir, isPostings) =>
-        val root = new Path(dir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val srcBatches = fs.listStatus(root).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-          .map(st => st.getPath.getName.stripPrefix("batch=").toLong)
-          .filter(_ <= upTo).sorted
-        if (srcBatches.length > 1) {
-          val sentinel = new Path(dir, Dedup.MaintenanceSentinel)
-          val trash = new Path(root.getParent, s".${root.getName}_compact_old")
-          val stage = new Path(root.getParent, s".${root.getName}_compact_stage")
-          for (left <- Seq(sentinel, trash) if fs.exists(left))
-            throw new IllegalStateException(
-              s"compactTextIndexBatches: leftover $left from an unfinished swap " +
-                s"at $dir — recover before retrying")
-          fs.delete(stage, true)
-          val src = Dedup.readStore(spark, dir)
-            .where(col("batch") <= upTo)
-          val staged =
-            if (isPostings)
-              src.select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tm_mod"))
-                .repartitionByRange(spark.sparkContext.defaultParallelism,
-                  col("tm_mod"), col("term"), col("doc_id"))
-                .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
-                .write.mode("overwrite").partitionBy("tm_mod")
-            else
-              src.agg(sum(col("n_docs")).as("n_docs"),
-                      sum(col("total_toks")).as("total_toks"))
-                .coalesce(1)
-                .write.mode("overwrite")
-          staged.parquet(new Path(stage, s"batch=$upTo").toString)
-          val promotes = Seq(
-            (new Path(stage, s"batch=$upTo"), new Path(root, s"batch=$upTo")))
-          Dedup.recoverableSwap(fs, "compactTextIndexBatches",
-            sentinelDir = root, trash = trash,
-            asides = srcBatches.map(b => new Path(root, s"batch=$b")),
-            promotes = promotes,
-            cleanup = Seq(stage))
-          srcBatches.length.toLong - 1L
-        } else 0L
+    val nMods = storeNMods(idxDir) // manifest-presence assert (the fold keeps the fanout)
+    val victims: Option[DataFrame] =
+      if (dropIds.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(dropIds.distinct.toDF("doc_id"))
       }
-    folded.max
+    def dropV(df: DataFrame): DataFrame = victims match {
+      case Some(v) => df.join(broadcast(v), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+    // price the erasure leg off the membership table (never postings):
+    // refuse victims the fold would not rewrite, count what it will erase,
+    // refuse a fold that empties the store
+    val erased = victims match {
+      case None => 0L
+      case Some(v) =>
+        val docs = Dedup.readStore(spark, docsDir(idxDir))
+        val newer = docs.where(col("batch") > upTo)
+          .join(broadcast(v), Seq("doc_id"), "left_semi").count()
+        require(newer == 0L,
+          s"compactTextIndexBatches: $newer victim docs live in batches > $upTo — " +
+            "the fold would not rewrite them and they would silently survive " +
+            "erasure; widen upTo past their batches or use deleteFromTextIndex")
+        val hit = docs.where(col("batch") <= upTo)
+          .join(broadcast(v), Seq("doc_id"), "left_semi").count()
+        if (hit > 0L) {
+          val survivors = dropV(docs).limit(1).count()
+          require(survivors > 0L,
+            "compactTextIndexBatches: the fold would erase every remaining " +
+              "document — an empty store is unseedable; rebuild instead")
+        }
+        hit
+    }
+    val par = spark.sparkContext.defaultParallelism
+    // per-table fold recipes: (dir, staged writer). The dictionary and
+    // stats tables RECOMPUTE from the folded postings/membership rather
+    // than folding their own rows, so an erasure fold keeps them exact.
+    val recipes: Seq[(String, DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])] = Seq(
+      postingsDir(idxDir) -> { (src: DataFrame) =>
+        dropV(src)
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tm_mod"))
+          .repartitionByRange(par, col("tm_mod"), col("term"), col("doc_id"))
+          .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("tm_mod")
+      },
+      termsDir(idxDir) -> { (_: DataFrame) =>
+        dropV(Dedup.readStore(spark, postingsDir(idxDir)).where(col("batch") <= upTo))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+            min(col("dl")).as("min_dl"))
+          .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+          .repartitionByRange(par, col("tm_mod"), col("term"))
+          .sortWithinPartitions(col("tm_mod"), col("term"))
+          .write.mode("overwrite").partitionBy("tm_mod")
+      },
+      docsDir(idxDir) -> { (src: DataFrame) =>
+        dropV(src)
+          .select(col("doc_id"), col("dl"), col("did_mod"))
+          .repartitionByRange(par, col("did_mod"), col("doc_id"))
+          .sortWithinPartitions(col("did_mod"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("did_mod")
+      },
+      statsDir(idxDir) -> { (_: DataFrame) =>
+        dropV(Dedup.readStore(spark, docsDir(idxDir)).where(col("batch") <= upTo))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+          .coalesce(1)
+          .write.mode("overwrite")
+      })
+    val folded = recipes.map { case (dir, stageWriter) =>
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val srcBatches = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(st => st.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ <= upTo).sorted
+      if (srcBatches.length > 1 || (srcBatches.nonEmpty && erased > 0L)) {
+        val sentinel = new Path(dir, Dedup.MaintenanceSentinel)
+        val trash = new Path(root.getParent, s".${root.getName}_compact_old")
+        val stage = new Path(root.getParent, s".${root.getName}_compact_stage")
+        for (left <- Seq(sentinel, trash) if fs.exists(left))
+          throw new IllegalStateException(
+            s"compactTextIndexBatches: leftover $left from an unfinished swap " +
+              s"at $dir — recover before retrying")
+        fs.delete(stage, true)
+        val src = Dedup.readStore(spark, dir).where(col("batch") <= upTo)
+        stageWriter(src).parquet(new Path(stage, s"batch=$upTo").toString)
+        // a fold whose result is empty (every folded row was a victim)
+        // emits no files: promote nothing — the batch dirs simply age out
+        val stagedBatch = new Path(stage, s"batch=$upTo")
+        val promotes =
+          if (fs.exists(stagedBatch) &&
+              fs.listStatus(stagedBatch).exists(st =>
+                !st.getPath.getName.startsWith("_")))
+            Seq((stagedBatch, new Path(root, s"batch=$upTo")))
+          else Seq.empty
+        Dedup.recoverableSwap(fs, "compactTextIndexBatches",
+          sentinelDir = root, trash = trash,
+          asides = srcBatches.map(b => new Path(root, s"batch=$b")),
+          promotes = promotes,
+          cleanup = Seq(stage))
+        srcBatches.length.toLong - 1L
+      } else 0L
+    }
+    (folded.max, erased)
   }
 }

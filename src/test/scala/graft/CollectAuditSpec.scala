@@ -57,10 +57,18 @@ import org.scalatest.funsuite.AnyFunSuite
   *    victim scan — Similarity 16 → 15.
   *  - TextIndex (round 16): the serve's query-term hash-partition collect
   *    (≤ |query terms| ints — the tm_mod IN list that partition-prunes
-  *    the postings scan); the delete's per-victim (batch, doc, dl)
-  *    pre-scan collect (≤ |victim ids| rows — reads the lengths the
-  *    decrement needs BEFORE the delete destroys them) and its 1-row
-  *    per-affected-batch stats head.
+  *    the postings scan) plus its ≤ k materializing collect (round 17 —
+  *    releases the per-query candidate cache instead of accreting one
+  *    cached slice per query over a serving session); the delete's
+  *    ≤ nMods victim-partition mods collect and its per-victim
+  *    (batch, doc, dl) membership pre-scan collect (≤ |victim ids|
+  *    rows — reads the lengths the stats recompute needs BEFORE the
+  *    delete destroys them); the bounded serve's dictionary reads
+  *    (termImpactStats: ≤ nMods mods + ≤ |query terms| rows;
+  *    cappedImpactBound: 1-row global stats head). Dedup round 17:
+  *    the bulk band-index delete's ≤ nMods victim-mods collect (the
+  *    same partition-prune bound as the literal form's driver-side
+  *    mod computation).
   *  - SparkEntry round-16 additions: q_bm25_delete's two 1-row stats-
   *    equality heads (summed store stats vs a direct recount — the
   *    gate's decrement check) and its victim-file listing (distinct
@@ -93,13 +101,13 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 22,
+      "graft/SparkEntry.scala"            -> 25,
       "graft/operators/Similarity.scala"  -> 15,
-      "graft/operators/Dedup.scala"       -> 9,
+      "graft/operators/Dedup.scala"       -> 10,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
       "graft/operators/Corpus.scala"      -> 2,
-      "graft/operators/TextIndex.scala"   -> 3)
+      "graft/operators/TextIndex.scala"   -> 7)
     assert(found.toMap == allowed,
       s"driver-side collect()/head() drift — audit the new site for " +
         s"boundedness before extending the closed set.\n  found:   " +

@@ -1051,6 +1051,31 @@ class DedupSpec extends SparkSpec {
       s"post-delete probe diverges from rebuilt truth: ${(got diff expect) ++ (expect diff got)}")
   }
 
+  test("bulk-victim (table) band-index erasure equals the literal form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val victims = Seq(5L, 17L, 230L)
+    def fresh(): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("minhashbulk")
+      val idx = s"$tmp/index"
+      Dedup.seedStreamStores(docs, idx, s"$tmp/acc", Seq("doc_id"), n = 3, perms = 32)
+      Dedup.minhashIncrementalStored(spark, idx,
+        docs.where(col("doc_id") < 300).select("doc_id", "text"),
+        batchId = 0L, minEstJaccard = 0.4, verifyJaccard = Some(0.9)).count()
+      idx
+    }
+    def survivors(idx: String, sub: String): Set[Long] =
+      spark.read.parquet(s"$idx/$sub").select("doc_id").distinct()
+        .as[Long].collect().toSet
+    val idxLit = fresh()
+    assert(Dedup.deleteFromMinhashIndex(spark, idxLit, victims) == victims.length.toLong)
+    val idxDf = fresh()
+    assert(Dedup.deleteFromMinhashIndex(spark, idxDf, victims.toDF("doc_id")) ==
+      victims.length.toLong)
+    for (sub <- Seq("bands", "sigs", "shingles"))
+      assert(survivors(idxLit, sub) == survivors(idxDf, sub), sub)
+  }
+
   test("deleteFromMinhashIndex erases NEGATIVE doc_ids completely: the " +
     "did_mod prune must floorMod like the write-side pmod") {
     // the store partitions sigs/shingles by did_mod = pmod(doc_id, nMods)

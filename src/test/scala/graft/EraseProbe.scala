@@ -112,6 +112,34 @@ object EraseProbe {
       s"fold and separate paths must agree: $leftSep vs $leftFold")
     println(f"[erase] FOLD victims=$nvMax%5d | delete+compact=$tSep%6.2f s " +
       f"(2 rewrites) | compact(dropIds)=$tFold%6.2f s (1 rewrite)")
+
+    // BULK-victim comparison (the compliance-batch shape): the same
+    // erasure via the literal-`isin` entry point vs the victim-TABLE
+    // broadcast-join form. The literal form's plan is ∝ |victims|
+    // (expression build + optimize + task serialize, driver Seq
+    // memory); the join form's plan is constant-size. Expect the
+    // literal wall to grow superlinearly past ~10⁴ while the join stays
+    // flat at the store-rewrite cost.
+    val bulkNs = Seq(1000, 10000, 100000).filter(_ <= base / 2)
+    for (nv <- bulkNs) {
+      // every other id: scattered victims, saturating the file-targeting
+      val victimsB = (0L until 2L * nv).filter(_ % 2 == 0L)
+      val dirLit = freshStore()
+      val tLit = timed {
+        require(Similarity.deleteFromIvfStore(spark, dirLit, victimsB) == nv.toLong)
+      }
+      val leftLit = graft.operators.Dedup.readStore(spark, s"$dirLit/cells").count()
+      val dirJoin = freshStore()
+      val vDf = victimsB.toDF("vec_id")
+      val tJoin = timed {
+        require(Similarity.deleteFromIvfStore(spark, dirJoin, vDf) == nv.toLong)
+      }
+      val leftJoin = graft.operators.Dedup.readStore(spark, s"$dirJoin/cells").count()
+      require(leftLit == leftJoin && leftJoin == base.toLong - nv,
+        s"bulk forms must agree: $leftLit vs $leftJoin")
+      println(f"[erase] BULK victims=$nv%6d | literal-isin=$tLit%7.2f s | " +
+        f"victim-table join=$tJoin%7.2f s | rows left=$leftJoin")
+    }
     spark.stop()
   }
 }

@@ -257,4 +257,29 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(bins.sum - 1.0) < 0.01)
     }
   }
+
+  test("REAL pixel decode: engine-built PNGs decode through javax.imageio " +
+       "to the exact dimensions and pixel checksum") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.decodePngPixels(spark,
+        Multimodal.pngMediaFromDocuments(spark, docs))
+      .orderBy("media_id").collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 9).toInt, (6 + id % 7).toInt)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w) want += Multimodal.testPixel(id, x, y)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == want,
+        s"media $id: got (${r.getInt(1)},${r.getInt(2)},${r.getLong(3)}) " +
+          s"want ($w,$h,$want)")
+    }
+    // a decoder-rejected payload fails loudly, never a silent zero row
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePngPixels(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -108,6 +108,10 @@ class PlanAuditSpec extends SparkSpec {
     // retention gate: same ≤2-row broadcast truth leg + 1-row
     // completeness scalar as the delete gate
     "q_sim_ivf_retention",
+    // round-17 bulk-erasure gate: the same ≤2-row broadcast truth leg +
+    // 1-row completeness scalar as q_sim_ivf_delete (the victim set
+    // itself rides a broadcast HASH semi/anti join — never a BNLJ)
+    "q_sim_ivf_bulk_delete",
     "q_hybrid_search_pruned", "q_hybrid_search_weighted",
     // the stored text-index family: every serve carries the SAME 1-row
     // global-stats scalar broadcast cross join the full-scan

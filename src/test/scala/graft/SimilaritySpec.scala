@@ -1247,6 +1247,39 @@ class SimilaritySpec extends SparkSpec {
     finally st.close()
   }
 
+  test("bulk-victim (table) IVF erasure equals the literal form; bulk " +
+    "queue requests publish as parquet dirs and drain through the join path") {
+    import spark.implicits._
+    val victims = Seq(3L, 11L, 25L)
+    def fresh(): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("ivfbulk").toString
+      Similarity.streamIngestIvfBatch(emb, 0L, s"$tmp/ivf_index", s"$tmp/cells",
+        nlist = 4, sampleRows = 40)
+      tmp
+    }
+    def left(tmp: String): Seq[Long] =
+      spark.read.parquet(s"$tmp/cells").select("vec_id").as[Long].collect().sorted.toSeq
+    val tmpLit = fresh()
+    assert(Similarity.deleteFromIvfStore(spark, tmpLit, victims) == 3L)
+    val tmpDf = fresh()
+    assert(Similarity.deleteFromIvfStore(spark, tmpDf, victims.toDF("vec_id")) == 3L)
+    assert(left(tmpLit) == left(tmpDf))
+    // bulk queue request: parquet dir published atomically, drains through
+    // the victim-table path, retires after the swap
+    val tmpQ = fresh()
+    Similarity.enqueueIvfErasure(spark, tmpQ, victims.toDF("vec_id"))
+    val pend = java.nio.file.Paths.get(tmpQ, Similarity.PendingErasureDir)
+    val ls = java.nio.file.Files.list(pend)
+    val pending = try ls.filter(_.getFileName.toString.endsWith(".reqp")).count()
+      finally ls.close()
+    assert(pending == 1L, "bulk request must publish as one .reqp dir")
+    assert(Similarity.drainPendingErasures(spark, tmpQ) == 3L)
+    val ls2 = java.nio.file.Files.list(pend)
+    val remaining = try ls2.count() finally ls2.close()
+    assert(remaining == 0L, "applied bulk request must retire")
+    assert(left(tmpQ) == left(tmpLit))
+  }
+
   test("compactIvfStore dropIds: erasure folds into the one compaction " +
     "rewrite; victims in newer batches refuse; pure compaction returns 0") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfcompdel").toString

@@ -101,6 +101,36 @@ object TextIndexProbe {
         f"stored=$tServe%6.2f s (${servedBytes / 1048576.0}%8.1f MB of " +
         f"${idxBytes / 1048576.0}%8.1f MB) | " +
         f"bytes=${corpusBytes.toDouble / servedBytes}%6.1fx")
+
+      // IMPACT-BOUNDED leg: "common" sits in 1/3 of the corpus — its
+      // postings dominate the exact serve's candidate bytes. The bounded
+      // serve consults the vocab-sized terms/ dictionary, caps it, and
+      // never reads its tm_mod dirs: served bytes collapse to the
+      // rare+mid slice (CORPUS-SIZE-INDEPENDENT for fixed rare/mid df
+      // rates) while the exact serve's slice keeps growing with n.
+      val dfCeil = n / 5 // caps common (~n/3), keeps rare (~n/97) and mid (~n/13)
+      TextIndex.bm25TopKStoredBounded(spark, idx, terms, k = 20,
+        dfCeiling = dfCeil.toLong).collect() // warm
+      val tBounded = timed {
+        TextIndex.bm25TopKStoredBounded(spark, idx, terms, k = 20,
+          dfCeiling = dfCeil.toLong).collect()
+      }
+      val (capped, bound) = TextIndex.cappedImpactBound(
+        spark, idx, terms, dfCeiling = dfCeil.toLong)
+      val driverMods = Seq("rare", "mid").toDS()
+        .select(pmod(hash(col("value")), lit(1024)).cast("int").as("m"))
+        .distinct().as[Int].collect().toSet
+      val boundedBytes =
+        dirBytes(s"$idx/postings",
+          f => driverMods.exists(m => f.contains(s"tm_mod=$m/"))) +
+        dirBytes(s"$idx/terms",
+          f => mods.exists(m => f.contains(s"tm_mod=$m/"))) +
+        dirBytes(s"$idx/stats", _ => true)
+      println(f"[textidx] docs=$n%7d | BOUNDED (df<=$dfCeil%7d, capped=" +
+        f"${capped.mkString(",")}%s, err<=$bound%6.4f) | " +
+        f"serve=$tBounded%6.2f s (${boundedBytes / 1048576.0}%8.1f MB vs " +
+        f"exact ${servedBytes / 1048576.0}%8.1f MB = " +
+        f"${servedBytes.toDouble / boundedBytes}%5.1fx fewer)")
     }
     spark.stop()
   }

@@ -143,7 +143,8 @@ class TextIndexSpec extends SparkSpec {
       docs.where(col("doc_id") >= 40 && col("doc_id") < 80), idx, 1L)
     TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 80), idx, 2L)
     val dropped = TextIndex.retainTextIndexBatches(spark, idx, cutoff = 0L)
-    assert(dropped == Map("postings" -> Seq(0L), "stats" -> Seq(0L)))
+    assert(dropped == Map("postings" -> Seq(0L), "stats" -> Seq(0L),
+      "docs" -> Seq(0L), "terms" -> Seq(0L)))
     assert(sameRows(
       TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
       Corpus.bm25TopK(docs.where(col("doc_id") >= 40), Terms, k = 20)))
@@ -156,7 +157,7 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.appendTextIndexBatch(
       docs.where(col("doc_id") >= 40 && col("doc_id") < 80), idx, 1L)
     TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 80), idx, 2L)
-    assert(TextIndex.compactTextIndexBatches(spark, idx, upTo = 1L) == 1L)
+    assert(TextIndex.compactTextIndexBatches(spark, idx, upTo = 1L) == ((1L, 0L)))
     val batches = new java.io.File(s"$idx/postings").listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
     assert(batches == Set("batch=1", "batch=2"))
@@ -202,5 +203,128 @@ class TextIndexSpec extends SparkSpec {
     val idx = freshIdx()
     TextIndex.appendTextIndexBatch(docs, idx, 0L)
     assert(TextIndex.bm25TopKStored(spark, idx, Seq("zzz_missing"), k = 5).isEmpty)
+  }
+
+  test("zero-token victims decrement N/avgdl via their membership row " +
+       "(no postings to find them by)") {
+    // two empty docs (no postings rows) plus normal ones
+    val docs = corpus(40)
+      .withColumn("text",
+        when(col("doc_id").isin(5L, 6L), lit("")).otherwise(col("text")))
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L)
+    // stats count the empty docs (N matches the full-scan scorer's corpus)
+    val st0 = spark.read.parquet(s"$idx/stats").agg(sum("n_docs")).head()
+    assert(st0.getLong(0) == 40L)
+    // erase one zero-token doc and one normal doc: both must count
+    val erased = TextIndex.deleteFromTextIndex(spark, idx, Seq(5L, 7L))
+    assert(erased == 2L, s"zero-token victim missed: erased=$erased")
+    val rest = docs.where(!col("doc_id").isin(5L, 7L))
+    val st = spark.read.parquet(s"$idx/stats")
+      .agg(sum("n_docs"), sum("total_toks")).head()
+    val want = rest.agg(count(lit(1)),
+      coalesce(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+        lit(0L))).head()
+    assert(st.getLong(0) == want.getLong(0) && st.getLong(1) == want.getLong(1))
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(rest, Terms, k = 20)))
+  }
+
+  test("retention refuses during a maintenance swap and refuses to drop " +
+       "every batch (shared-core guards)") {
+    val docs = corpus(60)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 30), idx, 0L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 30), idx, 1L)
+    // sentinel on any table → retention refuses before touching anything
+    val sentinel = java.nio.file.Paths.get(s"$idx/postings/.compact_inprogress")
+    java.nio.file.Files.createFile(sentinel)
+    val e1 = intercept[IllegalStateException] {
+      TextIndex.retainTextIndexBatches(spark, idx, cutoff = 0L)
+    }
+    assert(e1.getMessage.contains("maintenance swap in progress"))
+    java.nio.file.Files.delete(sentinel)
+    // cutoff >= max batch → would empty the store → refuse loudly
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.retainTextIndexBatches(spark, idx, cutoff = 1L)
+    }
+    assert(e2.getMessage.contains("age out every batch"))
+    // store untouched by both refusals
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs, Terms, k = 20)))
+  }
+
+  test("bulk-victim (DataFrame) erasure equals the literal form") {
+    import spark.implicits._
+    val docs = corpus(80)
+    val idxA = freshIdx()
+    val idxB = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idxA, 0L)
+    TextIndex.appendTextIndexBatch(docs, idxB, 0L)
+    val victims = Seq(1L, 17L, 34L, 55L)
+    assert(TextIndex.deleteFromTextIndex(spark, idxA, victims) == victims.length)
+    assert(TextIndex.deleteFromTextIndex(spark, idxB, victims.toDF("doc_id")) ==
+      victims.length)
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idxA, Terms, k = 20),
+      TextIndex.bm25TopKStored(spark, idxB, Terms, k = 20)))
+  }
+
+  test("bounded serve: sub-ceiling queries are exact; capped terms never " +
+       "read and the error bound holds") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L)
+    // dfs here: rare ~ 8, mid ~ 24, common ~ 60 of 120
+    // ceiling above every df → bit-identical to the exact serve
+    assert(sameRows(
+      TextIndex.bm25TopKStoredBounded(spark, idx, Terms, k = 20, dfCeiling = 1000L),
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20)))
+    // ceiling that caps "common": result = exact serve over driver terms,
+    // and each true score exceeds the bounded one by at most the bound
+    val (capped, bound) = TextIndex.cappedImpactBound(spark, idx, Terms, dfCeiling = 30L)
+    assert(capped == Seq("common") && bound > 0.0)
+    val boundedScores = TextIndex
+      .bm25TopKStoredBounded(spark, idx, Terms, k = 120, dfCeiling = 30L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactScores = Corpus.bm25TopK(docs, Terms, k = 120)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exactScores.foreach { case (id, s) =>
+      val b0 = boundedScores.getOrElse(id, 0.0)
+      assert(b0 <= s + 1e-9 && s <= b0 + bound + 1e-9,
+        s"doc $id: bounded=$b0 exact=$s bound=$bound")
+    }
+    // all terms capped → refuse loudly, never a silent empty result
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopKStoredBounded(spark, idx, Seq("common"), k = 5, dfCeiling = 3L)
+    }
+    assert(e.getMessage.contains("driver"))
+  }
+
+  test("compaction folds erasure in: victims drop out of the one rewrite, " +
+       "stats/dictionary recompute, newer victims refuse") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 40), idx, 0L)
+    TextIndex.appendTextIndexBatch(
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 80), idx, 1L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 80), idx, 2L)
+    // victim in a batch the fold won't rewrite → refuse
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.compactTextIndexBatches(spark, idx, upTo = 1L, dropIds = Seq(3L, 90L))
+    }
+    assert(e.getMessage.contains("batches > 1"))
+    val victims = Seq(3L, 41L, 77L)
+    val (folded, erased) =
+      TextIndex.compactTextIndexBatches(spark, idx, upTo = 1L, dropIds = victims)
+    assert(folded == 1L && erased == victims.length.toLong)
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*)).isEmpty)
+    val rest = docs.where(!col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(rest, Terms, k = 20)))
   }
 }
