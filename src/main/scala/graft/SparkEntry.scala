@@ -3547,6 +3547,43 @@ object SparkEntry {
         Seq("dup", "merge", "scan"), k = 20)
     }),
 
+    // -- [NS] RIGHT-TO-ERASURE against the LIVE text-index ingest
+    // stream (the IVF queue discipline applied to the lexical tier): a
+    // direct deleteFromTextIndex racing the stream's appends is out of
+    // the single-writer contract, so the request lands in the shared
+    // pending-erasure queue — one literal (.req) and one BULK parquet
+    // (.reqp) request, overlapping ids (idempotent) — and the stream
+    // drains both in its between-batch slot. Victims sit in the FIRST
+    // arrival slice, so the drain after batch 0 has real rows to erase
+    // while later slices are still in flight. Because BM25 is a pure
+    // function of the corpus, the gate stays EXACT: queue retired +
+    // post-stream serve == full-scan BM25 over corpus-minus-victims. --
+    "q_stream_bm25_erase" -> ((s, d) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_bm25qerase")
+      deleteRecursivelyOnExit(work)
+      val idx = work.toFile.getAbsolutePath + "/text_index"
+      val victims = Seq(10L, 20L)
+      graft.operators.TextIndex.enqueueTextIndexErasure(s, idx, victims)
+      graft.operators.TextIndex.enqueueTextIndexErasure(
+        s, idx, Seq(20L).toDF("doc_id")) // bulk form, overlapping id
+      graft.operators.TextIndex.streamIngestTextIndex(s, docSlices(s, d), idx)
+      val pendDir = java.nio.file.Paths.get(idx, ".pending_erasures")
+      val drainedOk = !java.nio.file.Files.exists(pendDir) || {
+        val st = java.nio.file.Files.list(pendDir)
+        try st.filter(p => p.getFileName.toString.endsWith(".req") ||
+          p.getFileName.toString.endsWith(".reqp")).count() == 0L
+        finally st.close()
+      }
+      val goneOk = s.read.parquet(s"$idx/postings")
+        .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*))
+        .isEmpty
+      require(drainedOk && goneOk,
+        s"q_stream_bm25_erase: drainedOk=$drainedOk goneOk=$goneOk")
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+    }),
+
     // -- [NS] IMPACT-BOUNDED BM25 serve (WAND/MaxScore posture): the
     // exact serve's candidate set is ∝ Σ df(term) — one stopword makes
     // it corpus-sized. The terms/ dictionary carries per-term
@@ -9355,6 +9392,10 @@ object SparkEntry {
     // streaming ingest: batch boundaries never enter the score, so the
     // post-stream serve equals the whole-corpus scan
     "q_stream_bm25_ingest" -> bm25OracleSql("documents"),
+    // live-stream erasure via the drained queue: exact over the
+    // surviving corpus
+    "q_stream_bm25_erase" -> bm25OracleSql(
+      "(SELECT * FROM documents WHERE doc_id NOT IN (10, 20))"),
 
     // both-legs-indexed hybrid serve: stored BM25 == corpus-scan BM25 and
     // the stored IVF probe at the exhaustive corner == brute force, so

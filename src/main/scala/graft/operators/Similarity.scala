@@ -1113,7 +1113,7 @@ object Similarity {
   /** Name of the pending-erasure queue directory under an IVF store's
     * `workDir` — see [[enqueueIvfErasure]].
     */
-  private[graft] val PendingErasureDir = ".pending_erasures"
+  private[graft] val PendingErasureDir = ErasureQueue.DirName
 
   /** RIGHT-TO-ERASURE AGAINST A LIVE INGEST STREAM: enqueue a victim id
     * set for the stream to apply in its own between-batch maintenance
@@ -1133,21 +1133,8 @@ object Similarity {
     * the stream drains it before processing any batch.
     */
   def enqueueIvfErasure(spark: org.apache.spark.sql.SparkSession,
-                        workDir: String, ids: Seq[Long]): Unit = {
-    import org.apache.hadoop.fs.Path
-    require(ids.nonEmpty, "enqueueIvfErasure: empty id set")
-    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(workDir, PendingErasureDir)
-    fs.mkdirs(dir)
-    val name = java.util.UUID.randomUUID().toString
-    val tmp = new Path(dir, s"_$name.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(ids.distinct.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, new Path(dir, s"$name.req")))
-      throw new IllegalStateException(
-        s"enqueueIvfErasure: could not publish request $name under $dir")
-  }
+                        workDir: String, ids: Seq[Long]): Unit =
+    ErasureQueue.enqueueIds(spark, workDir, ids, "enqueueIvfErasure")
 
   /** BULK-victim form of the live-stream erasure queue: the victim set
     * is a TABLE and the request publishes as a PARQUET DIRECTORY
@@ -1160,19 +1147,9 @@ object Similarity {
     */
   def enqueueIvfErasure(spark: org.apache.spark.sql.SparkSession,
                         workDir: String,
-                        victims: org.apache.spark.sql.DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(workDir, PendingErasureDir)
-    fs.mkdirs(dir)
-    val name = java.util.UUID.randomUUID().toString
-    val tmp = new Path(dir, s"_$name.tmp")
-    victims.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, new Path(dir, s"$name.reqp")))
-      throw new IllegalStateException(
-        s"enqueueIvfErasure: could not publish bulk request $name under $dir")
-  }
+                        victims: org.apache.spark.sql.DataFrame): Unit =
+    ErasureQueue.enqueueTable(spark, workDir, victims, "vec_id",
+      "enqueueIvfErasure")
 
   /** Drain the pending-erasure queue against the store — called from the
     * ingest stream's between-batch slot (and safe to call on a quiesced
@@ -1183,38 +1160,10 @@ object Similarity {
     * nothing). Returns rows erased.
     */
   def drainPendingErasures(spark: org.apache.spark.sql.SparkSession,
-                           workDir: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(workDir, PendingErasureDir)
-    if (!fs.exists(dir)) return 0L
-    val reqs = fs.listStatus(dir)
-      .filter(s => (s.isFile && s.getPath.getName.endsWith(".req")) ||
-        (s.isDirectory && s.getPath.getName.endsWith(".reqp")))
-      .sortBy(_.getPath.getName)
-    var erased = 0L
-    reqs.foreach { st =>
-      if (st.isDirectory) {
-        // bulk request: a parquet victim table — applied via the
-        // broadcast-join erasure path, never through driver memory
-        val victims = spark.read.parquet(st.getPath.toString)
-        if (!victims.isEmpty) erased += deleteFromIvfStore(spark, workDir, victims)
-        if (!fs.delete(st.getPath, true))
-          throw new IllegalStateException(
-            s"drainPendingErasures: applied but could not retire ${st.getPath}")
-      } else {
-        val in = fs.open(st.getPath)
-        val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).map(_.toLong).toSeq
-        finally in.close()
-        if (ids.nonEmpty) erased += deleteFromIvfStore(spark, workDir, ids)
-        if (!fs.delete(st.getPath, false))
-          throw new IllegalStateException(
-            s"drainPendingErasures: applied but could not retire ${st.getPath}")
-      }
-    }
-    erased
-  }
+                           workDir: String): Long =
+    ErasureQueue.drain(spark, workDir,
+      applyIds = ids => deleteFromIvfStore(spark, workDir, ids),
+      applyTable = victims => deleteFromIvfStore(spark, workDir, victims))
 
   /** The cell-store row shape: full-precision keeps the embedding column;
     * quantized swaps it for `(qvec int8, qscale)` via [[quantizeWithScale]].
@@ -1653,6 +1602,36 @@ object Similarity {
       upTo: Long,
       targetFileBytes: Long = 128L * 1024 * 1024,
       dropIds: Seq[Long] = Nil): Long = {
+    val victims =
+      if (dropIds.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(dropIds.distinct.toDF("vec_id"))
+      }
+    compactIvfStoreBy(spark, workDir, upTo, targetFileBytes, victims)
+  }
+
+  /** Bulk-victim form of the erasure-folding compaction: the fold is
+    * EXACTLY where a saturating compliance batch should land (V ≫ F
+    * touches ~every file — one rewrite instead of two), so the victim
+    * set must scale like the delete's bulk form: a TABLE through
+    * broadcast semi/anti joins, never a literal list.
+    */
+  def compactIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      upTo: Long,
+      targetFileBytes: Long,
+      dropVictims: org.apache.spark.sql.DataFrame): Long =
+    compactIvfStoreBy(spark, workDir, upTo, targetFileBytes,
+      Some(dropVictims.select(col("vec_id").cast("long").as("vec_id")).distinct()))
+
+  private def compactIvfStoreBy(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      upTo: Long,
+      targetFileBytes: Long,
+      victims: Option[org.apache.spark.sql.DataFrame]): Long = {
     import org.apache.hadoop.fs.Path
     val cellsDir = s"$workDir/cells"
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1671,24 +1650,29 @@ object Similarity {
     val slices = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val staged = s"$workDir/.compact_stage"
     fs.delete(new Path(staged), true)
-    val victims = dropIds.distinct
-    val victimCol =
-      if (victims.isEmpty) lit(false)
-      else col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*)
     val store = Dedup.readStore(spark, cellsDir)
+    // victim marking/dropping via broadcast semi/anti — constant-size
+    // plan in |victims| (the deleteRowsFromStoreJoin discipline)
+    def markV(df: DataFrame): DataFrame = victims match {
+      case Some(v) => df.join(broadcast(v), Seq("vec_id"), "left_semi")
+      case None    => df.limit(0)
+    }
+    def dropV(df: DataFrame): DataFrame = victims match {
+      case Some(v) => df.join(broadcast(v), Seq("vec_id"), "left_anti")
+      case None    => df
+    }
     // two bounded counts, both only when erasure folds in: victims in
     // batches the fold won't rewrite must refuse (they would silently
     // survive), and the erased count is the op's return contract
     val erased = if (victims.isEmpty) 0L else {
-      val newer = store.where(col("batch") > upTo && victimCol).count()
+      val newer = markV(store.where(col("batch") > upTo)).count()
       require(newer == 0L,
         s"compactIvfStore: $newer victim rows live in batches > $upTo — the " +
           "fold would not rewrite them and they would silently survive " +
           "erasure; widen upTo past their batches or use deleteFromIvfStore")
-      store.where(col("batch") <= upTo && victimCol).count()
+      markV(store.where(col("batch") <= upTo)).count()
     }
-    val rows = store
-      .where(col("batch") <= upTo && !victimCol).drop("batch")
+    val rows = dropV(store.where(col("batch") <= upTo)).drop("batch")
     // an all-empty store compacts to a schema-only file (a ranged write of
     // zero rows emits no files and would leave the store unreadable)
     if (rows.isEmpty)

@@ -346,6 +346,8 @@ object TextIndex {
     */
   def streamIngestTextIndex(spark: SparkSession, inputDir: String,
                             idxDir: String, nMods: Int = DefaultNMods): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val static = spark.read.parquet(inputDir)
     val q = spark.readStream
       .schema(static.schema)
@@ -357,11 +359,52 @@ object TextIndex {
                        batchId: Long) =>
         appendTextIndexBatch(batch.select(col("doc_id"), col("text")),
           idxDir, batchId, nMods)
+        // RIGHT-TO-ERASURE SLOT (the IVF stream's discipline applied to
+        // the lexical tier): requests enqueued by
+        // [[enqueueTextIndexErasure]] drain HERE, in the between-batch
+        // window where the stream IS the single writer — an external
+        // deleteFromTextIndex racing the stream's appends is out of the
+        // single-writer contract. EXTERNAL-WRITER GUARD as everywhere:
+        // a foreign swap holding any table's sentinel defers the drain
+        // to the next trigger instead of killing the stream (the append
+        // above is safe regardless — it writes only its own new batch=
+        // dirs). Idle path = four metadata existence checks + one queue
+        // dir check per trigger.
+        val foreignSwap = Seq(postingsDir(idxDir), termsDir(idxDir),
+            docsDir(idxDir), statsDir(idxDir))
+          .exists(dir => fs.exists(new Path(dir, Dedup.MaintenanceSentinel)))
+        if (!foreignSwap) drainTextIndexErasures(spark, idxDir)
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Enqueue a right-to-erasure request against a (possibly live)
+    * streaming text index — literal id form. See [[ErasureQueue]] for
+    * the protocol; the stream drains in its between-batch slot.
+    */
+  def enqueueTextIndexErasure(spark: SparkSession, idxDir: String,
+                              ids: Seq[Long]): Unit =
+    ErasureQueue.enqueueIds(spark, idxDir, ids, "enqueueTextIndexErasure")
+
+  /** Bulk (victim-table) form of the text-index erasure request — the
+    * compliance-batch shape: the ids ride as a parquet payload written
+    * distributed, never through driver memory.
+    */
+  def enqueueTextIndexErasure(spark: SparkSession, idxDir: String,
+                              victims: DataFrame): Unit =
+    ErasureQueue.enqueueTable(spark, idxDir, victims, "doc_id",
+      "enqueueTextIndexErasure")
+
+  /** Drain the pending-erasure queue against the text index — called
+    * from the ingest stream's between-batch slot (and safe to call on a
+    * quiesced store directly). Returns victim docs erased.
+    */
+  def drainTextIndexErasures(spark: SparkSession, idxDir: String): Long =
+    ErasureQueue.drain(spark, idxDir,
+      applyIds = ids => deleteFromTextIndex(spark, idxDir, ids),
+      applyTable = victims => deleteFromTextIndex(spark, idxDir, victims))
 
   /** Right-to-erasure from the text index, literal-victim form (a
     * handful of ids). Delegates to the DataFrame form — see there for
@@ -586,14 +629,30 @@ object TextIndex {
     */
   def compactTextIndexBatches(spark: SparkSession, idxDir: String,
                               upTo: Long, dropIds: Seq[Long] = Nil): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
-    val nMods = storeNMods(idxDir) // manifest-presence assert (the fold keeps the fanout)
     val victims: Option[DataFrame] =
       if (dropIds.isEmpty) None
       else {
         import spark.implicits._
         Some(dropIds.distinct.toDF("doc_id"))
       }
+    compactTextIndexBatchesBy(spark, idxDir, upTo, victims)
+  }
+
+  /** Bulk-victim form of the erasure-folding compaction — the fold is
+    * exactly where a saturating compliance batch should land, so the
+    * victim set scales like the delete's bulk form: a TABLE through the
+    * broadcast semi/anti joins, never a driver-built literal list.
+    */
+  def compactTextIndexBatches(spark: SparkSession, idxDir: String,
+                              upTo: Long, dropVictims: DataFrame): (Long, Long) =
+    compactTextIndexBatchesBy(spark, idxDir, upTo,
+      Some(dropVictims.select(col("doc_id").cast("long").as("doc_id")).distinct()))
+
+  private def compactTextIndexBatchesBy(
+      spark: SparkSession, idxDir: String,
+      upTo: Long, victims: Option[DataFrame]): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val nMods = storeNMods(idxDir) // manifest-presence assert (the fold keeps the fanout)
     def dropV(df: DataFrame): DataFrame = victims match {
       case Some(v) => df.join(broadcast(v), Seq("doc_id"), "left_anti")
       case None    => df

@@ -303,6 +303,58 @@ class TextIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("driver"))
   }
 
+  test("pending-erasure queue: requests (literal + bulk parquet) drain " +
+       "through the delete op in the stream's between-batch slot") {
+    import spark.implicits._
+    val docs = corpus(120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textidx_q")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.toFile.getAbsolutePath + "/in"
+    val idx = tmp.toFile.getAbsolutePath + "/text_index"
+    Seq(0, 40, 80).foreach { lo =>
+      docs.where(col("doc_id") >= lo && col("doc_id") < lo + 40)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    // one literal and one bulk request, overlapping ids (idempotent);
+    // victims sit in the FIRST arrival slice so the first drain has rows
+    TextIndex.enqueueTextIndexErasure(spark, idx, Seq(3L, 17L))
+    TextIndex.enqueueTextIndexErasure(spark, idx, Seq(17L, 21L).toDF("doc_id"))
+    TextIndex.streamIngestTextIndex(spark, in, idx)
+    val pend = java.nio.file.Paths.get(idx, ".pending_erasures")
+    val ls = java.nio.file.Files.list(pend)
+    val left = try ls.filter(p => p.getFileName.toString.endsWith(".req") ||
+      p.getFileName.toString.endsWith(".reqp")).count() finally ls.close()
+    assert(left == 0L, "applied requests must retire")
+    val victims = Seq(3L, 17L, 21L)
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*)).isEmpty)
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs.where(!col("doc_id")
+        .isin(victims.map(java.lang.Long.valueOf): _*)), Terms, k = 20)))
+  }
+
+  test("bulk-victim (table) compaction fold equals the literal dropIds form") {
+    import spark.implicits._
+    val docs = corpus(80)
+    val victims = Seq(3L, 41L)
+    def build(): String = {
+      val idx = freshIdx()
+      TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 40), idx, 0L)
+      TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 40), idx, 1L)
+      idx
+    }
+    val idxLit = build()
+    assert(TextIndex.compactTextIndexBatches(spark, idxLit, upTo = 1L,
+      dropIds = victims) == ((1L, 2L)))
+    val idxDf = build()
+    assert(TextIndex.compactTextIndexBatches(spark, idxDf, upTo = 1L,
+      dropVictims = victims.toDF("doc_id")) == ((1L, 2L)))
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idxLit, Terms, k = 20),
+      TextIndex.bm25TopKStored(spark, idxDf, Terms, k = 20)))
+  }
+
   test("compaction folds erasure in: victims drop out of the one rewrite, " +
        "stats/dictionary recompute, newer victims refuse") {
     val docs = corpus(120)
