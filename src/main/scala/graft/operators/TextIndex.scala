@@ -155,20 +155,26 @@ object TextIndex {
         .write.mode("overwrite").partitionBy("tm_mod")
         .parquet(s"${termsDir(idxDir)}/batch=$batchId")
     } finally postings.unpersist()
+    // persisted for the append only: ONE token-count scan of the batch
+    // feeds both the membership write and the stats aggregate (the
+    // stats row IS the membership aggregate — the invariant erasure
+    // relies on)
     val membership = docs.select(col("doc_id"),
         coalesce(TF.tokenCount(col("text")).cast("long"), lit(0L)).as("dl"))
       .withColumn("did_mod", pmod(col("doc_id"), lit(nMods)).cast("int"))
-    membership
-      .repartitionByRange(par, col("did_mod"), col("doc_id"))
-      .sortWithinPartitions(col("did_mod"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("did_mod")
-      .parquet(s"${docsDir(idxDir)}/batch=$batchId")
-    docs.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(TF.tokenCount(col("text")).cast("long")), lit(0L))
-          .as("total_toks"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"${statsDir(idxDir)}/batch=$batchId")
+      .persist()
+    try {
+      membership
+        .repartitionByRange(par, col("did_mod"), col("doc_id"))
+        .sortWithinPartitions(col("did_mod"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("did_mod")
+        .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+      membership.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${statsDir(idxDir)}/batch=$batchId")
+    } finally membership.unpersist()
   }
 
   /** BM25 top-k served FROM THE STORE — same scoring discipline as the
@@ -692,11 +698,24 @@ object TextIndex {
           .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
           .write.mode("overwrite").partitionBy("tm_mod")
       },
-      termsDir(idxDir) -> { (_: DataFrame) =>
-        dropV(Dedup.readStore(spark, postingsDir(idxDir)).where(col("batch") <= upTo))
-          .groupBy(col("term"))
-          .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
-            min(col("dl")).as("min_dl"))
+      termsDir(idxDir) -> { (src: DataFrame) =>
+        // pure fold: df SUMS across batches (each doc indexed by exactly
+        // one batch), max_tf maxes, min_dl mins — a vocab-sized scan of
+        // the dictionary itself, never the postings. With victims the
+        // stats must RECOMPUTE from the folded postings (a victim's tf
+        // could have been the max) — erasure-cadence cost only.
+        val folded =
+          if (victims.isEmpty)
+            src.groupBy(col("term"))
+              .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"),
+                min(col("min_dl")).as("min_dl"))
+          else
+            dropV(Dedup.readStore(spark, postingsDir(idxDir))
+                .where(col("batch") <= upTo))
+              .groupBy(col("term"))
+              .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+                min(col("dl")).as("min_dl"))
+        folded
           .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
           .repartitionByRange(par, col("tm_mod"), col("term"))
           .sortWithinPartitions(col("tm_mod"), col("term"))
@@ -709,12 +728,20 @@ object TextIndex {
           .sortWithinPartitions(col("did_mod"), col("doc_id"))
           .write.mode("overwrite").partitionBy("did_mod")
       },
-      statsDir(idxDir) -> { (_: DataFrame) =>
-        dropV(Dedup.readStore(spark, docsDir(idxDir)).where(col("batch") <= upTo))
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-          .coalesce(1)
-          .write.mode("overwrite")
+      statsDir(idxDir) -> { (src: DataFrame) =>
+        // pure fold: the serving value is the SUM over batch rows, which
+        // folding preserves — O(batches) rows read. With victims the row
+        // recomputes from the folded membership (decrement for free).
+        val folded =
+          if (victims.isEmpty)
+            src.agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("total_toks")).as("total_toks"))
+          else
+            dropV(Dedup.readStore(spark, docsDir(idxDir))
+                .where(col("batch") <= upTo))
+              .agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+        folded.coalesce(1).write.mode("overwrite")
       })
     val folded = recipes.map { case (dir, stageWriter) =>
       val root = new Path(dir)

@@ -63,7 +63,7 @@ class PersistAuditSpec extends AnyFunSuite {
       "graft/operators/Similarity.scala"  -> ((5, 3)),
       "graft/operators/Dedup.scala"       -> ((37, 21)),
       "graft/operators/Graph.scala"       -> ((4, 0)),
-      "graft/operators/TextIndex.scala"   -> ((3, 3)),
+      "graft/operators/TextIndex.scala"   -> ((4, 4)),
       "graft/operators/Corpus.scala"      -> ((8, 1)))
     assert(found.toMap == allowed,
       s"persist/unpersist drift — audit the new cache site into a lifetime " +
