@@ -118,7 +118,12 @@ object TextIndex {
     * cluster — a single-task funnel here was measured at 200+ s for a
     * 400k-doc batch; range partitioning on (tm_mod, term) keeps each
     * output dir fed by the few tasks owning its contiguous range, so
-    * files stay term-clustered AND few), one vocab-sized terms
+    * files stay term-clustered AND few; the COLUMN-only repartition
+    * form, never an explicit count, so AQE sizes each shuffle — a bulk
+    * batch stays parallel at the advisory partition width while a
+    * streaming micro-batch's tiny tables coalesce to one or two write
+    * tasks instead of paying 32 fixed task overheads apiece), one
+    * vocab-sized terms
     * aggregate off the persisted postings, and one batch scan for
     * membership+stats. Nothing corpus-sized: an append touches its
     * batch only.
@@ -129,7 +134,6 @@ object TextIndex {
     if (manifest.exists(idxDir)) manifest.check(idxDir, renderManifest(nMods))
     else manifest.write(idxDir, renderManifest(nMods))
     val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
     val tf = docs
       .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -142,7 +146,7 @@ object TextIndex {
       .persist()
     try {
       postings
-        .repartitionByRange(par, col("tm_mod"), col("term"), col("doc_id"))
+        .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
         .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy("tm_mod")
         .parquet(s"${postingsDir(idxDir)}/batch=$batchId")
@@ -150,7 +154,7 @@ object TextIndex {
         .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
           min(col("dl")).as("min_dl"))
         .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-        .repartitionByRange(par, col("tm_mod"), col("term"))
+        .repartitionByRange(col("tm_mod"), col("term"))
         .sortWithinPartitions(col("tm_mod"), col("term"))
         .write.mode("overwrite").partitionBy("tm_mod")
         .parquet(s"${termsDir(idxDir)}/batch=$batchId")
@@ -165,7 +169,7 @@ object TextIndex {
       .persist()
     try {
       membership
-        .repartitionByRange(par, col("did_mod"), col("doc_id"))
+        .repartitionByRange(col("did_mod"), col("doc_id"))
         .sortWithinPartitions(col("did_mod"), col("doc_id"))
         .write.mode("overwrite").partitionBy("did_mod")
         .parquet(s"${docsDir(idxDir)}/batch=$batchId")
@@ -529,8 +533,7 @@ object TextIndex {
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
       .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("batch"), col("tm_mod"), col("term"))
+      .repartitionByRange(col("batch"), col("tm_mod"), col("term"))
       .sortWithinPartitions(col("batch"), col("tm_mod"), col("term"))
       .write.mode("overwrite").partitionBy("batch", "tm_mod")
       .parquet(stage.toString)
@@ -686,7 +689,6 @@ object TextIndex {
         }
         hit
     }
-    val par = spark.sparkContext.defaultParallelism
     // per-table fold recipes: (dir, staged writer). The dictionary and
     // stats tables RECOMPUTE from the folded postings/membership rather
     // than folding their own rows, so an erasure fold keeps them exact.
@@ -694,7 +696,7 @@ object TextIndex {
       postingsDir(idxDir) -> { (src: DataFrame) =>
         dropV(src)
           .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tm_mod"))
-          .repartitionByRange(par, col("tm_mod"), col("term"), col("doc_id"))
+          .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
           .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
           .write.mode("overwrite").partitionBy("tm_mod")
       },
@@ -717,14 +719,14 @@ object TextIndex {
                 min(col("dl")).as("min_dl"))
         folded
           .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-          .repartitionByRange(par, col("tm_mod"), col("term"))
+          .repartitionByRange(col("tm_mod"), col("term"))
           .sortWithinPartitions(col("tm_mod"), col("term"))
           .write.mode("overwrite").partitionBy("tm_mod")
       },
       docsDir(idxDir) -> { (src: DataFrame) =>
         dropV(src)
           .select(col("doc_id"), col("dl"), col("did_mod"))
-          .repartitionByRange(par, col("did_mod"), col("doc_id"))
+          .repartitionByRange(col("did_mod"), col("doc_id"))
           .sortWithinPartitions(col("did_mod"), col("doc_id"))
           .write.mode("overwrite").partitionBy("did_mod")
       },
