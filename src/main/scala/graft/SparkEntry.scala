@@ -189,10 +189,15 @@ object SparkEntry {
       deleteRecursivelyOnExit(tmp)
       val r = tmp.toFile.getAbsolutePath + "/text_index"
       val docs0 = documents(s, d)
+      // positions enabled: the shared fixture also serves the phrase/
+      // proximity gates (the positional tier is opt-in per store; the
+      // flat serves never read it)
       graft.operators.TextIndex.appendTextIndexBatch(
-        docs0.where(col("doc_id") < 250L), r, batchId = 0L)
+        docs0.where(col("doc_id") < 250L), r, batchId = 0L,
+        withPositions = true)
       graft.operators.TextIndex.appendTextIndexBatch(
-        docs0.where(col("doc_id") >= 250L), r, batchId = 1L)
+        docs0.where(col("doc_id") >= 250L), r, batchId = 1L,
+        withPositions = true)
       r
     })
 
@@ -437,6 +442,70 @@ object SparkEntry {
         col("doc_id"), col("text"), col("total_splits"),
         posexplode(transform(sequence(lit(0), col("total_splits") - 1),
           i => substring(col("text"), i * n + 1, lit(n)))).as(Seq("split_index", "chunk")))
+  }
+
+  /** The production hybrid frontend's fusion-overlap gate, shared by the
+    * flat ([[queries]] `q_hybrid_search_production`) and PQ
+    * (`q_hybrid_search_production_pq`) vector tiers: fuse the lexical
+    * ranking with a PRUNED vector leg and with its EXHAUSTIVE twin, both
+    * production ways (RRF and the min-max-normalized 0.6/0.4 α-blend),
+    * and report per query whether each pruned fused top-10 overlaps its
+    * exhaustive fusion's top-10 in ≥ 8 items. `lex` carries
+    * (query_id, doc_id, bm25); each vector leg carries
+    * (query_id, doc_id, cosine). Pruning moves the quality question to
+    * fusion level, so that is where the gate sits.
+    */
+  private def hybridFusionOverlapGate(lexIn: DataFrame, vecPruned: DataFrame,
+                                      vecExhaustive: DataFrame): DataFrame = {
+    val byLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val byVec = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val byFused = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    val lexRanked = lexIn
+      .withColumn("r_lex", row_number().over(byLex))
+      .select(col("query_id"), col("doc_id"), col("r_lex"), col("bm25"))
+    // per-(query, leg) min-max normalization for the α-blend: BM25 and
+    // cosine live on incomparable scales
+    val byQ = Window.partitionBy(col("query_id"))
+    def fuse(vec: DataFrame): (DataFrame, DataFrame) = {
+      val vecRanked = vec
+        .withColumn("r_vec", row_number().over(byVec))
+      val joined = lexRanked.join(vecRanked, Seq("query_id", "doc_id"), "full_outer")
+      val rrf = joined
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("fused"))
+        .withColumn("rk", row_number().over(byFused))
+        .where(col("rk") <= 10).select("query_id", "doc_id")
+      val weighted = joined
+        .withColumn("n_lex",
+          when(max(col("bm25")).over(byQ) > min(col("bm25")).over(byQ),
+            (col("bm25") - min(col("bm25")).over(byQ)) /
+              (max(col("bm25")).over(byQ) - min(col("bm25")).over(byQ)))
+            .otherwise(when(col("bm25").isNotNull, lit(1.0))))
+        .withColumn("n_vec",
+          when(max(col("cosine")).over(byQ) > min(col("cosine")).over(byQ),
+            (col("cosine") - min(col("cosine")).over(byQ)) /
+              (max(col("cosine")).over(byQ) - min(col("cosine")).over(byQ)))
+            .otherwise(when(col("cosine").isNotNull, lit(1.0))))
+        .select(col("query_id"), col("doc_id"),
+          (lit(0.6) * coalesce(col("n_lex"), lit(0.0)) +
+            lit(0.4) * coalesce(col("n_vec"), lit(0.0))).as("fused"))
+        .withColumn("rk", row_number().over(byFused))
+        .where(col("rk") <= 10).select("query_id", "doc_id")
+      (rrf, weighted)
+    }
+    val (rrfP, wP) = fuse(vecPruned)
+    val (rrfX, wX) = fuse(vecExhaustive)
+    def overlap(p: DataFrame, x: DataFrame, flag: String): DataFrame =
+      x.join(p, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+        .select(col("query_id"), (col("n") >= 8).as(flag))
+    overlap(rrfP.persist(), rrfX, "rrf_overlap_ok")
+      .join(overlap(wP.persist(), wX, "weighted_overlap_ok"), Seq("query_id"))
+      .orderBy("query_id")
   }
 
   // ---- the inventory ---------------------------------------------------------
@@ -3480,6 +3549,45 @@ object SparkEntry {
         Seq("dup", "merge", "scan"), k = 20)
     }),
 
+    // -- [NS] MAINTENANCE PLANNER — the deterministic ops advisor a
+    // 100 TB control loop runs instead of hand-scheduling per store:
+    // O(batches) stats rows in, the declared two-rule policy out
+    // (batch-TTL retention with the drop-all refusal applied at PLAN
+    // time; compaction of survivors past the live-batch budget, newest
+    // batch kept unfolded so a hot appender never races the fold's
+    // swap). Two policy scenarios against one 5-batch store exercise
+    // both rules; n_docs comes from the store's stats rows, so the
+    // exact oracle (recounting the same batches from `documents`)
+    // re-verifies the stats invariant as a side effect. --
+    "q_maint_plan" -> ((s, d) => {
+      // the planner only READS store metadata, so the 5-batch fixture
+      // memoizes like every read-only store (textIndexRoot discipline) —
+      // the declared subject is the DECISION, not the store build
+      val idx = scratchDirs.getOrElseUpdate(s"maintplan:$d", {
+        val docs0 = documents(s, d)
+        val mx = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val work = java.nio.file.Files.createTempDirectory("graft_maintplan")
+        deleteRecursivelyOnExit(work)
+        val r = work.toFile.getAbsolutePath + "/text_index"
+        (0 until 5).foreach { i =>
+          graft.operators.TextIndex.appendTextIndexBatch(
+            docs0.where(col("doc_id") >= i * mx / 5 &&
+              col("doc_id") < (i + 1) * mx / 5),
+            r, batchId = i.toLong)
+        }
+        r
+      })
+      val a = graft.operators.Maintenance.planTextIndexMaintenance(
+          s, idx, ttlBatches = 2, maxLiveBatches = 2)
+        .withColumn("scenario", lit("A"))
+      val b = graft.operators.Maintenance.planTextIndexMaintenance(
+          s, idx, ttlBatches = 10, maxLiveBatches = 2)
+        .withColumn("scenario", lit("B"))
+      a.unionByName(b)
+        .select("scenario", "action", "param", "n_batches", "n_docs")
+        .orderBy("scenario", "action")
+    }),
+
     // -- [NS] text-index compaction with ERASURE FOLDED IN: a victim
     // set big enough to saturate file-targeted deletion (V ≫ F touches
     // ~every file: 1−(1−1/F)^V) costs ONE fold rewrite instead of
@@ -3623,6 +3731,54 @@ object SparkEntry {
         s, idx, qTerms, k = 20, dfCeiling = dfs.values.max)
     }),
 
+    // -- [NS] BOOLEAN retrieval from the stored postings — the filter
+    // half of a production search engine (Lucene MUST / MUST_NOT),
+    // served without touching the corpus: each clause leg is one
+    // tm_mod-pruned postings scan (candidates ∝ Σ df, never
+    // corpus-sized); MUST is a doc-grouped term count (the append
+    // contract stores each (doc, term) pair exactly once, so count ≡
+    // count distinct — no distinct shuffle), MUST_NOT a left-anti join.
+    // Exact value oracle: DuckDB re-tokenizes and intersects. --
+    "q_bool_and_stored" -> ((s, d) =>
+      graft.operators.TextIndex.booleanSearchStored(s, textIndexRoot(s, d),
+        must = Seq("dup", "merge"), mustNot = Seq("scan"))),
+
+    // -- [NS] PHRASE search from the stored POSITIONAL tier (Lucene
+    // PhraseQuery) — the exact-match class flat postings cannot answer:
+    // docs where the phrase's terms occur CONSECUTIVELY, with per-doc
+    // occurrence counts. One tm_mod-pruned positions scan (∝ Σ tf over
+    // the phrase's terms, never corpus-sized) + the anchor trick
+    // (term i at pos p → candidate start p−i; a (doc, start) filling
+    // all slots is a match). Exact value oracle: DuckDB re-tokenizes
+    // and checks adjacency. --
+    "q_phrase_stored" -> ((s, d) =>
+      graft.operators.TextIndex.phraseSearchStored(s, textIndexRoot(s, d),
+        Seq("fast", "merge"))),
+
+    // -- [NS] PROXIMITY search from the positional tier (Lucene
+    // SpanNearQuery, unordered): docs where two terms co-occur within a
+    // token window. Doc-keyed hash join of the two pruned position
+    // sets with the distance as residual — never a cross product
+    // across documents. --
+    "q_near_stored" -> ((s, d) =>
+      graft.operators.TextIndex.proximitySearchStored(s, textIndexRoot(s, d),
+        "vector", "spark", window = 3)),
+
+    // -- [NS] FILTERED RANKING — the boolean filter COMPOSED with the
+    // BM25 scorer, both from the stored index (the "category:x AND NOT
+    // y, ranked" query every deployed engine serves): the boolean match
+    // set restricts which docs are scored while df/N/avgdl stay
+    // corpus-level (the Lucene filter-clause semantics — a filter never
+    // changes idf). Exactly value-oracled: the twin scores the same
+    // docs with corpus-level stats in SQL. --
+    "q_bool_rank_stored" -> ((s, d) => {
+      val idx = textIndexRoot(s, d)
+      val matches = graft.operators.TextIndex.booleanSearchStored(
+        s, idx, must = Seq("dup", "merge"), mustNot = Seq("scan"))
+      graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge"), k = 10, docFilter = Some(matches))
+    }),
+
     // -- [NS] hybrid retrieval with BOTH legs served from PERSISTED
     // indexes — the deployed frontend shape: the lexical top-20 from the
     // stored inverted index (one term-pruned postings scan; the raw
@@ -3693,56 +3849,104 @@ object SparkEntry {
             k = 20, nprobe = np)
           .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
             col("cosine"))
-      val byLex = Window.partitionBy(col("query_id"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-      val byVec = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("doc_id"))
-      val byFused = Window.partitionBy(col("query_id"))
-        .orderBy(col("fused").desc, col("doc_id"))
-      val lexRanked = lex
-        .withColumn("r_lex", row_number().over(byLex))
-        .select(col("query_id"), col("doc_id"), col("r_lex"), col("bm25"))
-      // per-(query, leg) min-max normalization for the α-blend: BM25 and
-      // cosine live on incomparable scales
-      val byQ = Window.partitionBy(col("query_id"))
-      def fuse(vec: DataFrame): (DataFrame, DataFrame) = {
-        val vecRanked = vec
-          .withColumn("r_vec", row_number().over(byVec))
-        val joined = lexRanked.join(vecRanked, Seq("query_id", "doc_id"), "full_outer")
-        val rrf = joined
-          .select(col("query_id"), col("doc_id"),
-            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("fused"))
-          .withColumn("rk", row_number().over(byFused))
-          .where(col("rk") <= 10).select("query_id", "doc_id")
-        val weighted = joined
-          .withColumn("n_lex",
-            when(max(col("bm25")).over(byQ) > min(col("bm25")).over(byQ),
-              (col("bm25") - min(col("bm25")).over(byQ)) /
-                (max(col("bm25")).over(byQ) - min(col("bm25")).over(byQ)))
-              .otherwise(when(col("bm25").isNotNull, lit(1.0))))
-          .withColumn("n_vec",
-            when(max(col("cosine")).over(byQ) > min(col("cosine")).over(byQ),
-              (col("cosine") - min(col("cosine")).over(byQ)) /
-                (max(col("cosine")).over(byQ) - min(col("cosine")).over(byQ)))
-              .otherwise(when(col("cosine").isNotNull, lit(1.0))))
-          .select(col("query_id"), col("doc_id"),
-            (lit(0.6) * coalesce(col("n_lex"), lit(0.0)) +
-              lit(0.4) * coalesce(col("n_vec"), lit(0.0))).as("fused"))
-          .withColumn("rk", row_number().over(byFused))
-          .where(col("rk") <= 10).select("query_id", "doc_id")
-        (rrf, weighted)
-      }
-      val (rrfP, wP) = fuse(vecLeg(4))
-      val (rrfX, wX) = fuse(vecLeg(16))
-      def overlap(p: DataFrame, x: DataFrame, flag: String): DataFrame =
-        x.join(p, Seq("query_id", "doc_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("n"))
-          .select(col("query_id"), (col("n") >= 8).as(flag))
-      val out = overlap(rrfP.persist(), rrfX, "rrf_overlap_ok")
-        .join(overlap(wP.persist(), wX, "weighted_overlap_ok"), Seq("query_id"))
+      hybridFusionOverlapGate(lex, vecLeg(4), vecLeg(16))
+    }),
+
+    // -- [NS] the production frontend at the PRODUCTION LAYOUT: the same
+    // composed gate with the vector leg served from the stored IVF-PQ
+    // index (codes-only cells ~32× under float32 — the tier a 100 TB
+    // deployment actually keeps hot) through the one-pass batch
+    // probe-set ADC serve + exact float re-rank, at PRUNED nprobe (4 of
+    // 16) vs its exhaustive twin. ADC quantization rides BOTH legs, so
+    // the overlap gate isolates exactly what pruning costs at fusion
+    // level — the q_hybrid_search_production invariant, now over the
+    // coded store. --
+    "q_hybrid_search_production_pq" -> ((s, d) => {
+      val idx = textIndexRoot(s, d)
+      val work = java.nio.file.Files.createTempDirectory("graft_hybprodpq")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val emb = embeddings(s, d)
+      Similarity.streamIngestIvfPq(s, embSlices(s, d), w, nlist = 16,
+        m = 8, codebookK = 32)
+      val queries = Seq(0L -> Seq("dup", "merge", "scan"),
+        1L -> Seq("join", "window", "stream"))
+      val lex = queries.map { case (qid, terms) =>
+        graft.operators.TextIndex.bm25TopKStored(s, idx, terms, k = 20)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_ unionByName _).persist()
+      val probes = emb.where(col("vec_id").isin(queries.map(_._1): _*))
+      def vecLeg(np: Int): DataFrame =
+        Similarity.ivfPqProbeSetTopKStored(s, w, probes,
+            rerankWith = emb, k = 20, nprobe = np, rerank = 20)
+          .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+            col("cosine"))
+      hybridFusionOverlapGate(lex, vecLeg(4), vecLeg(16))
+    }),
+
+    // -- [NS] the production system INGEST-TO-SERVE in one gate: BOTH
+    // index tiers built by LIVE Structured Streaming ingest (the text
+    // index and the IVF store, each appending its own batch= partitions
+    // per micro-batch), then the composed frontend served from the
+    // streamed stores. The gate is three-layer, strongest first: the
+    // streamed lexical tier serves EXACTLY (stored top-20 == full-scan
+    // BM25 over the whole corpus — streaming batch boundaries never
+    // enter the score), the streamed vector tier is EXACT at the
+    // exhaustive corner (probe-set top-20 == float brute force), and
+    // pruned-nprobe fusion overlaps its exhaustive twin >= 8/10 both
+    // production ways. A stream that silently dropped or duplicated a
+    // micro-batch fails the exactness legs — overlap alone could not
+    // see a consistently-wrong store. --
+    "q_stream_hybrid_production" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_streamhyb")
+      deleteRecursivelyOnExit(work)
+      val w = work.toFile.getAbsolutePath
+      val idx = s"$w/text_index"
+      graft.operators.TextIndex.streamIngestTextIndex(s, docSlices(s, d), idx)
+      Similarity.streamIngestIvf(s, embSlices(s, d), w, nlist = 16)
+      val emb = embeddings(s, d)
+      val stored = graft.operators.Dedup.readStore(s, s"$w/cells").drop("batch")
+      val queries = Seq(0L -> Seq("dup", "merge", "scan"),
+        1L -> Seq("join", "window", "stream"))
+      // bounded driver-side equality: two 20-row serve results per query
+      val lexOk = queries.map { case (qid, terms) =>
+        val a = graft.operators.TextIndex.bm25TopKStored(s, idx, terms, k = 20)
+        val b = graft.operators.Corpus.bm25TopK(documents(s, d), terms, k = 20)
+        qid -> (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      }.toMap
+      val probes = emb.where(col("vec_id").isin(queries.map(_._1): _*))
+      def vecLeg(np: Int): DataFrame =
+        Similarity.ivfProbeSetTopKStored(stored, s"$w/ivf_index", probes,
+            k = 20, nprobe = np)
+          .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+            col("cosine"))
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      val byProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine",
+          round(VectorOps.cosine(col("embedding"), col("probe_emb")), 4))
+        .withColumn("rk", row_number().over(byProbe))
+        .where(col("rk") <= 20)
+        .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"))
+      val vecExact = truth
+        .join(vecLeg(16).select("query_id", "doc_id"),
+          Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id")
+        .agg((count(lit(1)) === 20L).as("vec_exact_ok"))
+      val lex = queries.map { case (qid, terms) =>
+        graft.operators.TextIndex.bm25TopKStored(s, idx, terms, k = 20)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_ unionByName _).persist()
+      hybridFusionOverlapGate(lex, vecLeg(4), vecLeg(16))
+        .join(vecExact, Seq("query_id"))
+        .withColumn("lex_exact_ok",
+          when(col("query_id") === 0L, lit(lexOk(0L))).otherwise(lit(lexOk(1L))))
+        .select("query_id", "lex_exact_ok", "vec_exact_ok",
+          "rrf_overlap_ok", "weighted_overlap_ok")
         .orderBy("query_id")
-      out
     }),
 
     // -- [NS] token-budget sequence packing, per-shard (source) so packing
@@ -4022,6 +4226,19 @@ object SparkEntry {
     "q_mm_decode_png" -> ((s, d) => {
       val media = Multimodal.pngMediaFromDocuments(s, documents(s, d))
       Multimodal.decodePngPixels(s, media).orderBy("media_id")
+    }),
+
+    // -- [NS] REAL audio SAMPLE decode end to end — the second modality
+    // closed after PNG: complete mono PCM-16 WAVs (spec-exact RIFF/fmt/
+    // data, built distributed) decoded through the JDK's ACTUAL audio
+    // codec (javax.sound.sampled.AudioSystem — header parse, format
+    // negotiation, frame walk), checksum-oracled sample by sample. The
+    // oracle recomputes the deterministic sample formula; only a true
+    // PCM decode (right byte order, right sign, right frame count) can
+    // match the sum. --
+    "q_mm_decode_wav" -> ((s, d) => {
+      val media = Multimodal.wavMediaFromDocuments(s, documents(s, d))
+      Multimodal.decodeWavSamples(s, media).orderBy("media_id")
     }),
 
     // -- [NS] REAL audio headers: byte-genuine PCM WAV (RIFF/WAVE +
@@ -7174,6 +7391,19 @@ object SparkEntry {
         |   FROM generate_series(0, 16) xs(x), generate_series(0, 12) ys(y)) AS pix_sum
         |FROM documents d ORDER BY media_id""".stripMargin,
 
+    // full real PCM decode: the oracle recomputes the rate/length
+    // arithmetic and the exact signed-sample sum of the deterministic
+    // waveform — only a true header parse + frame walk (right byte
+    // order, right sign) can match it
+    "q_mm_decode_wav" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(8000 + (d.doc_id % 5) * 1000 AS INT) AS sample_rate,
+        |  CAST(200 + d.doc_id % 57 AS BIGINT) AS n_samples,
+        |  (SELECT CAST(sum(CASE WHEN i.i < 200 + d.doc_id % 57
+        |                   THEN (i.i * 31 + d.doc_id * 17) % 65536 - 32768 END) AS BIGINT)
+        |   FROM generate_series(0, 255) i(i)) AS sample_sum
+        |FROM documents d ORDER BY media_id""".stripMargin,
+
     // the WAV twin: oracle recomputes the per-doc format parameters and the
     // floor(dataLen*1000/byteRate) duration (// = integer division)
     "q_mm_audio_meta" ->
@@ -9360,6 +9590,94 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id NOT IN (3, 77, 151, 299))"),
     // the bounded serve with nothing capped IS the exact serve
     "q_bm25_bounded" -> bm25OracleSql("documents"),
+
+    // the planner's plan is a pure function of (batch ids, per-batch
+    // doc counts); the twin recomputes both from documents with the
+    // fixture's own range arithmetic — scenario A fires retention
+    // (newest=4, ttl=2 → cutoff 2 drops batches 0-2, survivors 2 ≤
+    // budget), scenario B fires compaction (no aging; 5 live > 2 →
+    // fold batches 0-3, newest stays)
+    "q_maint_plan" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS mx FROM documents)
+        |SELECT 'A' AS scenario, 'retain' AS action, CAST(2 AS BIGINT) AS param,
+        |  CAST(3 AS BIGINT) AS n_batches,
+        |  (SELECT count(*) FROM documents, m WHERE doc_id < 3 * mx // 5) AS n_docs
+        |UNION ALL
+        |SELECT 'B', 'compact', CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+        |  (SELECT count(*) FROM documents, m WHERE doc_id < 4 * mx // 5)
+        |ORDER BY scenario, action""".stripMargin,
+
+    // boolean MUST/MUST_NOT from the stored postings: the twin
+    // re-tokenizes and intersects — docs holding BOTH must terms and
+    // not the excluded one
+    "q_bool_and_stored" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |m AS (SELECT doc_id FROM toks WHERE term IN ('dup', 'merge')
+        |      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        |x AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')
+        |SELECT m.doc_id FROM m LEFT JOIN x ON m.doc_id = x.doc_id
+        |WHERE x.doc_id IS NULL ORDER BY m.doc_id""".stripMargin,
+
+    // phrase adjacency from the positional tier: the twin re-tokenizes
+    // and counts consecutive (fast, merge) pairs per doc (constant
+    // series bound 256 ≥ the corpus's max token count; the i+1 <= len
+    // guard does the per-doc clamping)
+    "q_phrase_stored" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM t, generate_series(1, 256) g(i)
+        |WHERE i + 1 <= len(toks) AND toks[i] = 'fast' AND toks[i+1] = 'merge'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // proximity: docs where vector and spark sit within 3 token
+    // positions of each other, either order
+    "q_near_stored" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |pa AS (SELECT doc_id, i AS p FROM t, generate_series(1, 256) g(i)
+        |       WHERE i <= len(toks) AND toks[i] = 'vector'),
+        |pb AS (SELECT doc_id, i AS p FROM t, generate_series(1, 256) g(i)
+        |       WHERE i <= len(toks) AND toks[i] = 'spark')
+        |SELECT doc_id FROM (
+        |  SELECT DISTINCT pa.doc_id AS doc_id FROM pa JOIN pb
+        |    ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3)
+        |ORDER BY doc_id""".stripMargin,
+
+    // filtered ranking: the boolean match set restricts which docs are
+    // SCORED while df/N/avgdl stay corpus-level (the Lucene
+    // filter-clause semantics) — same scorer shape as bm25OracleSql
+    // with the match-set semi join on the scored leg only
+    "q_bool_rank_stored" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('dup', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |m AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        |x AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'),
+        |matches AS (SELECT m.doc_id FROM m LEFT JOIN x ON m.doc_id = x.doc_id
+        |            WHERE x.doc_id IS NULL),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_toks / n_docs)))
+        |      AS DECIMAL(18,8)) AS score_t
+        |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+        |  WHERE tf.doc_id IN (SELECT doc_id FROM matches))
+        |SELECT doc_id, round(CAST(sum(score_t) AS DOUBLE), 4) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 10""".stripMargin,
     // zero-token erasure: docs 5/6 emptied, victims 5 (empty) and 7
     // erased; dl derives over ALL surviving docs so the emptied doc 6
     // contributes dl=0 to N/avgdl — exactly the engine's token counter
@@ -9446,6 +9764,23 @@ object SparkEntry {
     // overlaps its exhaustive twin's in >= 8 items
     "q_hybrid_search_production" ->
       """SELECT CAST(v AS BIGINT) AS query_id, true AS rrf_overlap_ok,
+        |  true AS weighted_overlap_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY query_id""".stripMargin,
+
+    // the production frontend over the CODED (IVF-PQ) vector tier: ADC
+    // rides both legs, so the gate isolates pruning at fusion level —
+    // same invariant, production layout
+    "q_hybrid_search_production_pq" ->
+      """SELECT CAST(v AS BIGINT) AS query_id, true AS rrf_overlap_ok,
+        |  true AS weighted_overlap_ok
+        |FROM (VALUES (0), (1)) t(v) ORDER BY query_id""".stripMargin,
+
+    // ingest-to-serve: both tiers live-streamed, then the frontend's
+    // three-layer gate — streamed lex serves exactly, streamed vec exact
+    // at the exhaustive corner, pruned fusion overlaps its twin
+    "q_stream_hybrid_production" ->
+      """SELECT CAST(v AS BIGINT) AS query_id, true AS lex_exact_ok,
+        |  true AS vec_exact_ok, true AS rrf_overlap_ok,
         |  true AS weighted_overlap_ok
         |FROM (VALUES (0), (1)) t(v) ORDER BY query_id""".stripMargin,
 

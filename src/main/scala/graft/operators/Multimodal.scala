@@ -622,6 +622,105 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------------------------------------------
+  // REAL SAMPLE DECODE, AUDIO: complete PCM-16 WAVs decoded through the
+  // JDK's ACTUAL audio codec (javax.sound.sampled.AudioSystem) — the
+  // second modality closed end to end after PNG. The engine emits bytes
+  // any standard audio reader accepts and reads them back with a real
+  // library; the checksum sums every decoded sample, so a wrong header
+  // field, byte order, or frame walk anywhere would show.
+  // ---------------------------------------------------------------------
+
+  /** Build one COMPLETE mono PCM-16 WAV: RIFF/WAVE signature, spec-exact
+    * fmt chunk (format 1, derived byteRate/blockAlign), samples as
+    * little-endian signed 16-bit in the data chunk. Plain JVM bytes,
+    * usable from any executor task.
+    */
+  def buildWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)                 // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)                // blockAlign, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** The deterministic test-sample formula shared by the fixture builder
+    * and any oracle recomputing it: s(i) = (31i + 17·id) mod 2^16 − 2^15
+    * — spans the full signed range, so a sign or endianness slip in the
+    * decode cannot cancel out of the sum.
+    */
+  def testSample(id: Long, i: Int): Short =
+    (((i * 31L + id * 17L) % 65536L) - 32768L).toShort
+
+  /** Fixture: one complete PCM-16 WAV per document, rate and length
+    * derived from the id (rate 8000 + (id%5)·1000, 200 + id%57 samples),
+    * samples from [[testSample]] — built DISTRIBUTED (byte assembly runs
+    * inside each task, one per row; no driver-side loop).
+    */
+  def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (8000 + (id % 5) * 1000).toInt
+          val n = (200 + id % 57).toInt
+          (id, buildWavPcm16(rate, Array.tabulate(n)(i => testSample(id, i))))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Decoded-sample row: the REAL audio-decode contract's output schema —
+    * the format parameters the codec recovered plus a sample checksum
+    * (Σ signed sample values) only a true PCM decode can produce.
+    */
+  case class PcmMeta(media_id: Long, sample_rate: Int, n_samples: Long,
+                     sample_sum: Long)
+
+  /** REAL PCM decode through `javax.sound.sampled.AudioSystem` — the
+    * JDK's actual audio file reader (header parse, format negotiation,
+    * frame-aligned stream), NOT a byte sniff: the rate and frame count
+    * come from the codec's own `AudioFormat`/`getFrameLength`, and the
+    * checksum walks every decoded frame. Same plumbing as every decode
+    * stage here: `mapPartitions` streams rows through the task-local
+    * codec, payload bytes never enter a shuffle key. At 100 TB this is
+    * the post-pushdown stage — header-sniff + filter first
+    * ([[decodeAudio]]), full sample decode only on the selected slice.
+    */
+  def decodeWavSamples(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian, s"media $id: not mono PCM-16le")
+            val frames = ais.getFrameLength
+            val buf = ais.readAllBytes()
+            var s = 0L
+            var i = 0
+            while (i + 1 < buf.length) {
+              s += ((buf(i) & 0xff) | (buf(i + 1).toInt << 8)); i += 2
+            }
+            PcmMeta(id, fmt.getSampleRate.toInt, frames, s)
+          } finally ais.close()
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size slice
     * of the body becomes a frame row `(media_id, frame_idx, frame_bytes)`.
     * Explode keeps frames as independent rows — the unit of parallelism for

@@ -79,10 +79,11 @@ object TextIndex {
     */
   val DefaultNMods = 16
 
-  private def postingsDir(idxDir: String) = s"$idxDir/postings"
-  private def statsDir(idxDir: String)    = s"$idxDir/stats"
-  private def docsDir(idxDir: String)     = s"$idxDir/docs"
-  private def termsDir(idxDir: String)    = s"$idxDir/terms"
+  private def postingsDir(idxDir: String)  = s"$idxDir/postings"
+  private def statsDir(idxDir: String)     = s"$idxDir/stats"
+  private def docsDir(idxDir: String)      = s"$idxDir/docs"
+  private def termsDir(idxDir: String)     = s"$idxDir/terms"
+  private def positionsDir(idxDir: String) = s"$idxDir/positions"
 
   /** Pinned store parameters — fanout is a property OF the store;
     * appends after the first, and every serve, read it back rather than
@@ -92,10 +93,18 @@ object TextIndex {
     */
   private val manifest =
     new Dedup.ManifestIo("text index store", "text_index_manifest.json")
-  private def renderManifest(nMods: Int): String =
-    manifest.render("version" -> 2, "nmods" -> nMods)
+  private def renderManifest(nMods: Int, positions: Boolean): String =
+    manifest.render("version" -> 2, "nmods" -> nMods,
+      "positions" -> (if (positions) 1 else 0))
   private def storeNMods(idxDir: String): Int =
     manifest.intField(idxDir, "nmods")
+  /** Whether this store carries the positional tier (pinned at creation;
+    * byte-equality of the manifest render makes a flag-drifting append
+    * fail loudly). Absence in an old manifest means no positions — the
+    * pre-field behavior, no migration needed.
+    */
+  private def storeHasPositions(idxDir: String): Boolean =
+    manifest.intFieldOr(idxDir, "positions", 0) == 1
 
   /** Append one ingest batch of documents to the index: tokenize, count
     * per-(doc, term) tf, attach `dl` (= Σ tf over the doc — tokens
@@ -129,10 +138,12 @@ object TextIndex {
     * batch only.
     */
   def appendTextIndexBatch(docs: DataFrame, idxDir: String, batchId: Long,
-                           nMods: Int = DefaultNMods): Unit = {
+                           nMods: Int = DefaultNMods,
+                           withPositions: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
-    if (manifest.exists(idxDir)) manifest.check(idxDir, renderManifest(nMods))
-    else manifest.write(idxDir, renderManifest(nMods))
+    if (manifest.exists(idxDir))
+      manifest.check(idxDir, renderManifest(nMods, withPositions))
+    else manifest.write(idxDir, renderManifest(nMods, withPositions))
     val spark = docs.sparkSession
     val tf = docs
       .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
@@ -179,6 +190,21 @@ object TextIndex {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"${statsDir(idxDir)}/batch=$batchId")
     } finally membership.unpersist()
+    // the OPTIONAL positional tier (the Lucene positions-enabled trade:
+    // one extra tokenize pass + a token-stream-sized table buys phrase
+    // and proximity serves that prune exactly like the postings do).
+    // Same term-hash fanout, so a phrase query's scan lists ≤ |terms|
+    // of the nMods dirs; (doc_id, pos) clusters inside each term run
+    // for row-group pruning on the anchor join.
+    if (withPositions)
+      docs
+        .select(col("doc_id"),
+          posexplode(TF.tokens(lower(col("text")))).as(Seq("pos", "term")))
+        .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+        .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
+        .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").partitionBy("tm_mod")
+        .parquet(s"${positionsDir(idxDir)}/batch=$batchId")
   }
 
   /** BM25 top-k served FROM THE STORE — same scoring discipline as the
@@ -204,9 +230,16 @@ object TextIndex {
     * cached slice per query over a serving session's lifetime (the
     * serve returns k rows by construction; pinning them driver-side is
     * bounded by the query, not the data).
+    *
+    * `docFilter` (one `doc_id` column) is the Lucene FILTER-clause
+    * composition: it restricts which docs are scored — semi-joined onto
+    * the candidate slice — while df/N/avgdl stay corpus-level, so a
+    * filtered search ranks by the same idf the unfiltered one does.
+    * Compose with [[booleanSearchStored]] for filtered ranking.
     */
   def bm25TopKStored(spark: SparkSession, idxDir: String, terms: Seq[String],
-                     k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+                     docFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val nMods = storeNMods(idxDir)
     // the query terms' own hash partitions: computed with the SAME
@@ -228,7 +261,16 @@ object TextIndex {
     try {
       val dfreq = cand.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
-      val out = cand.join(broadcast(dfreq), "term")
+      // FILTERED SEARCH (the Lucene filter-clause semantics): the filter
+      // restricts which docs are SCORED, never the scoring statistics —
+      // df/N/avgdl stay corpus-level, exactly as a boolean filter clause
+      // leaves idf untouched. Applied as a semi join on the candidate
+      // slice (each side ∝ the query, never corpus-sized).
+      val scoredCand = docFilter match {
+        case Some(f) => cand.join(f.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        case None    => cand
+      }
+      val out = scoredCand.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(stats))
         .withColumn("idf", round(
           log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
@@ -342,6 +384,120 @@ object TextIndex {
     (capped, if (capped.isEmpty) 0.0 else bound + 1e-4)
   }
 
+  /** BOOLEAN retrieval from the stored postings — the filter half of a
+    * production search engine (Lucene's BooleanQuery MUST / MUST_NOT),
+    * served without touching the corpus: docs containing ALL `must`
+    * terms and NONE of the `mustNot` terms. Each clause leg scans the
+    * postings pruned to the query terms' tm_mod partitions (the same
+    * listing-time discipline as [[bm25TopKStored]]): the MUST leg is
+    * a doc-grouped distinct-term count equal to |must| (each (doc, term)
+    * pair lives in exactly one posting row by the append contract, so
+    * `count` ≡ `count distinct` — no distinct shuffle needed), the
+    * MUST_NOT leg is a left-anti join against the excluded terms'
+    * doc set. Candidates are ∝ Σ df over the query's terms, never
+    * corpus-sized; output is the full match set (a filter, not a top-k,
+    * so no driver-side collect — callers compose ranking on top, see
+    * `q_bool_and_stored` / the filtered-rank form in SparkEntry).
+    */
+  def booleanSearchStored(spark: SparkSession, idxDir: String,
+                          must: Seq[String], mustNot: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    require(must.nonEmpty, "booleanSearchStored: at least one MUST term")
+    val nMods = storeNMods(idxDir)
+    val all = (must ++ mustNot).distinct
+    val mods = all.toDS()
+      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
+      .distinct().as[Int].collect().sorted
+    // the pruned slice — each clause leg re-derives it (≤2 pruned scans,
+    // each ∝ its own terms' df; NOT persisted because the result is a
+    // lazy unbounded filter the caller composes on, and a cache released
+    // here would be gone before they run it)
+    def cand(terms: Seq[String]): DataFrame =
+      Dedup.readStore(spark, postingsDir(idxDir))
+        .where(col("tm_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*) &&
+          col("term").isin(terms: _*))
+        .select(col("term"), col("doc_id"))
+    val hits = cand(must.distinct)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+      .where(col("nt") === must.distinct.size)
+      .select(col("doc_id"))
+    val out =
+      if (mustNot.isEmpty) hits
+      else hits.join(cand(mustNot.distinct).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    out.orderBy(col("doc_id"))
+  }
+
+  /** The positional tier's pruned slice: positions rows for `terms`,
+    * tm_mod partition-pruned at listing exactly like the postings
+    * serves. Refuses loudly on a store built without positions — a
+    * silent empty result would read as "no matches".
+    */
+  private def positionsSlice(spark: SparkSession, idxDir: String,
+                             terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(storeHasPositions(idxDir),
+      s"store at $idxDir was built without positions (withPositions=false) — " +
+        "phrase/proximity serves need the positional tier; rebuild with it")
+    val nMods = storeNMods(idxDir)
+    val mods = terms.distinct.toDS()
+      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
+      .distinct().as[Int].collect().sorted
+    Dedup.readStore(spark, positionsDir(idxDir))
+      .where(col("tm_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*) &&
+        col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("doc_id"), col("pos"))
+  }
+
+  /** PHRASE search from the stored positional tier — the exact-match
+    * query class the flat postings cannot answer (Lucene PhraseQuery):
+    * docs where `phrase`'s terms occur CONSECUTIVELY, with the
+    * occurrence count per doc. One tm_mod-pruned positions scan
+    * (∝ Σ term frequency over the phrase's terms, never corpus-sized),
+    * then the classic anchor trick: a row for term i at position p
+    * anchors a candidate occurrence at `start = p − i`; a (doc, start)
+    * holding ALL |phrase| slots is a match. Each (doc, pos) row is
+    * unique by construction, so the slot count is a plain `count` —
+    * no distinct shuffle. Repeated phrase terms work unchanged (the
+    * broadcast term→slot map fans a row into every slot it fills).
+    */
+  def phraseSearchStored(spark: SparkSession, idxDir: String,
+                         phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phrase.length >= 2, "phraseSearchStored: need at least 2 terms")
+    val slots = phrase.zipWithIndex.toDF("term", "slot")
+    positionsSlice(spark, idxDir, phrase)
+      .join(broadcast(slots), "term")
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"), col("slot"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("nt"))
+      .where(col("nt") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PROXIMITY search from the stored positional tier (Lucene
+    * SpanNearQuery's unordered form): docs where `a` and `b` occur
+    * within `window` token positions of each other. One pruned
+    * positions scan feeds both sides; the pair join is doc-keyed
+    * (hash join) with the distance predicate as a residual — never a
+    * position-cross-product across documents.
+    */
+  def proximitySearchStored(spark: SparkSession, idxDir: String,
+                            a: String, b: String, window: Int): DataFrame = {
+    require(a != b && window >= 1,
+      s"proximitySearchStored: need two distinct terms and window >= 1")
+    val slice = positionsSlice(spark, idxDir, Seq(a, b))
+    val pa = slice.where(col("term") === a).select(col("doc_id"), col("pos").as("pa"))
+    val pb = slice.where(col("term") === b).select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, "doc_id")
+      .where(abs(col("pa") - col("pb")) <= window)
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL streaming ingest of the text index: document drops arrive as
     * a file stream and each micro-batch appends its own postings batch
     * (`batch=<streaming batch id>`) plus its membership/dictionary/stats
@@ -355,7 +511,8 @@ object TextIndex {
     * available input.
     */
   def streamIngestTextIndex(spark: SparkSession, inputDir: String,
-                            idxDir: String, nMods: Int = DefaultNMods): Unit = {
+                            idxDir: String, nMods: Int = DefaultNMods,
+                            withPositions: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val static = spark.read.parquet(inputDir)
@@ -368,7 +525,7 @@ object TextIndex {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         appendTextIndexBatch(batch.select(col("doc_id"), col("text")),
-          idxDir, batchId, nMods)
+          idxDir, batchId, nMods, withPositions)
         // RIGHT-TO-ERASURE SLOT (the IVF stream's discipline applied to
         // the lexical tier): requests enqueued by
         // [[enqueueTextIndexErasure]] drain HERE, in the between-batch
@@ -492,6 +649,14 @@ object TextIndex {
         "deleteFromTextIndex(postings)", v, "doc_id",
         partitionCols = Seq("batch", "tm_mod"),
         clusterCols = Seq("term", "doc_id"))
+      // the positional tier erases with the postings (same term-hash
+      // scatter, same file-targeted core); a zero-token victim has no
+      // positions rows, so this prices to a no-op for it
+      if (storeHasPositions(idxDir))
+        Dedup.deleteRowsFromStoreJoin(spark, positionsDir(idxDir),
+          "deleteFromTextIndex(positions)", v, "doc_id",
+          partitionCols = Seq("batch", "tm_mod"),
+          clusterCols = Seq("term", "doc_id", "pos"))
       if (postingBatches.nonEmpty)
         rewriteTermDictionary(spark, idxDir, postingBatches)
       rewriteStats(spark, idxDir, affected, v)
@@ -604,8 +769,10 @@ object TextIndex {
     */
   def retainTextIndexBatches(spark: SparkSession, idxDir: String,
                              cutoff: Long): Map[String, Seq[Long]] =
-    Seq("postings" -> postingsDir(idxDir), "terms" -> termsDir(idxDir),
-        "docs" -> docsDir(idxDir), "stats" -> statsDir(idxDir))
+    (Seq("postings" -> postingsDir(idxDir), "terms" -> termsDir(idxDir),
+         "docs" -> docsDir(idxDir), "stats" -> statsDir(idxDir)) ++
+      (if (storeHasPositions(idxDir))
+         Seq("positions" -> positionsDir(idxDir)) else Nil))
       .map { case (name, dir) =>
         name -> Dedup.retainStoreBatches(spark, dir,
           s"retainTextIndexBatches($name)", cutoff)
@@ -744,7 +911,17 @@ object TextIndex {
               .agg(count(lit(1)).as("n_docs"),
                 coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
         folded.coalesce(1).write.mode("overwrite")
-      })
+      }) ++ (if (!storeHasPositions(idxDir)) Nil else Seq(
+      positionsDir(idxDir) -> { (src: DataFrame) =>
+        // positional tier folds like the postings: pure row fold with
+        // victims anti-joined out; positions are doc-local so a fold
+        // never renumbers anything
+        dropV(src)
+          .select(col("term"), col("doc_id"), col("pos"), col("tm_mod"))
+          .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
+          .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
+          .write.mode("overwrite").partitionBy("tm_mod")
+      }))
     val folded = recipes.map { case (dir, stageWriter) =>
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

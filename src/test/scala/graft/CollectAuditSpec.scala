@@ -65,7 +65,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *    rows — reads the lengths the stats recompute needs BEFORE the
   *    delete destroys them); the bounded serve's dictionary reads
   *    (termImpactStats: ≤ nMods mods + ≤ |query terms| rows;
-  *    cappedImpactBound: 1-row global stats head). Dedup round 17:
+  *    cappedImpactBound: 1-row global stats head); the boolean serve's
+  *    ≤ |query terms| tm_mod collect (round 17 — the same listing-time
+  *    partition-prune bound as the scoring serve's); the positional
+  *    tier's slice shares the same ≤ |terms| tm_mod collect
+  *    (positionsSlice, round 17). Maintenance
+  *    (round 17): both planners' O(batches) stats collect — the
+  *    planner's DECLARED input size, the same boundedness class as
+  *    every serve-path stats read. Dedup round 17:
   *    the bulk band-index delete's ≤ nMods victim-mods collect (the
   *    same partition-prune bound as the literal form's driver-side
   *    mod computation).
@@ -101,13 +108,14 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 25,
+      "graft/SparkEntry.scala"            -> 26,
+      "graft/operators/Maintenance.scala" -> 2,
       "graft/operators/Similarity.scala"  -> 15,
       "graft/operators/Dedup.scala"       -> 10,
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
       "graft/operators/Corpus.scala"      -> 2,
-      "graft/operators/TextIndex.scala"   -> 7)
+      "graft/operators/TextIndex.scala"   -> 9)
     assert(found.toMap == allowed,
       s"driver-side collect()/head() drift — audit the new site for " +
         s"boundedness before extending the closed set.\n  found:   " +

@@ -282,4 +282,31 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("REAL PCM decode: engine-built WAVs decode through javax.sound " +
+       "to the exact rate, frame count, and sample checksum") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.decodeWavSamples(spark,
+        Multimodal.wavMediaFromDocuments(spark, docs))
+      .orderBy("media_id").collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val rate = (8000 + (id % 5) * 1000).toInt
+      val n = (200 + id % 57).toInt
+      var want = 0L
+      for (i <- 0 until n) want += Multimodal.testSample(id, i)
+      assert(r.getInt(1) == rate && r.getLong(2) == n.toLong &&
+        r.getLong(3) == want,
+        s"media $id: got (${r.getInt(1)},${r.getLong(2)},${r.getLong(3)}) " +
+          s"want ($rate,$n,$want)")
+    }
+    // a codec-rejected payload fails loudly, never a silent zero row
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavSamples(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -59,7 +59,7 @@ class PersistAuditSpec extends AnyFunSuite {
       }
     }
     val allowed = Map(
-      "graft/SparkEntry.scala"            -> ((19, 5)),
+      "graft/SparkEntry.scala"            -> ((21, 5)),
       "graft/operators/Similarity.scala"  -> ((5, 3)),
       "graft/operators/Dedup.scala"       -> ((37, 21)),
       "graft/operators/Graph.scala"       -> ((4, 0)),

@@ -113,6 +113,9 @@ class PlanAuditSpec extends SparkSpec {
     // itself rides a broadcast HASH semi/anti join — never a BNLJ)
     "q_sim_ivf_bulk_delete",
     "q_hybrid_search_pruned", "q_hybrid_search_weighted",
+    // round-17 ingest-to-serve gate: the vec-exactness truth leg is the
+    // same ≤2-row broadcast cross join as q_sim_ivf_retention's
+    "q_stream_hybrid_production",
     // the stored text-index family: every serve carries the SAME 1-row
     // global-stats scalar broadcast cross join the full-scan
     // q_bm25_search declares (N/avgdl ride in as one broadcast row)

@@ -379,4 +379,130 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
       Corpus.bm25TopK(rest, Terms, k = 20)))
   }
+
+  test("boolean MUST/MUST_NOT serve equals tokenized intersection; " +
+       "clause legs prune to their terms' tm_mod dirs") {
+    import spark.implicits._
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 60), idx, 0L)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 60), idx, 1L)
+    val got = TextIndex.booleanSearchStored(spark, idx,
+      must = Seq("mid", "common"), mustNot = Seq("rare"))
+    // brute-force truth over the same whitespace tokenization
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "").persist()
+    val want = toks.where(col("term").isin("mid", "common"))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
+      .where(col("nt") === 2).select("doc_id")
+      .join(toks.where(col("term") === "rare").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    assert(sameRows(got, want))
+    toks.unpersist()
+    // i%10==0 docs hold both must terms; rare excludes i%170==0 — non-empty
+    assert(got.count() > 0)
+    // MUST-only form: no anti leg (the clause slice is the same
+    // tm_mod-pruned cand shape the scoring serve's pruning test pins)
+    assert(sameRows(
+      TextIndex.booleanSearchStored(spark, idx, must = Seq("rare", "mid")),
+      docs.where(col("doc_id") % 85 === 0).select("doc_id")))
+  }
+
+  test("positional tier: phrase (incl. repeated terms) and proximity " +
+       "serve from the store; flat serves are unchanged; a store without " +
+       "positions refuses the positional serves") {
+    import spark.implicits._
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 60), idx, 0L,
+      withPositions = true)
+    TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 60), idx, 1L,
+      withPositions = true)
+    // "mid mid" is adjacent exactly once in every i%5==0 doc — and is the
+    // repeated-term phrase case (slot map fans one row into two slots)
+    val phrase = TextIndex.phraseSearchStored(spark, idx, Seq("mid", "mid"))
+    assert(sameRows(phrase,
+      docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(1L).as("n_occ"))))
+    // rare sits immediately before the mid pair in i%85==0 docs
+    val near = TextIndex.proximitySearchStored(spark, idx, "rare", "mid", 2)
+    assert(sameRows(near,
+      docs.where(col("doc_id") % 85 === 0).select("doc_id")))
+    // the scoring serve ignores the positional tier entirely
+    assert(sameRows(
+      TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
+      Corpus.bm25TopK(docs, Terms, k = 20)))
+    // a flat store refuses the positional serves loudly
+    val flat = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, flat, 0L)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.phraseSearchStored(spark, flat, Seq("mid", "mid"))
+    }
+    assert(e.getMessage.contains("without positions"))
+    // and a flag-drifting append to a positional store refuses
+    val e2 = intercept[IllegalStateException] {
+      TextIndex.appendTextIndexBatch(docs, idx, 2L) // withPositions default false
+    }
+    assert(e2.getMessage.contains("drift"))
+  }
+
+  test("positional tier rides the family lifecycle: erasure, retention, " +
+       "and the erasure-folding compaction all keep phrase serves exact") {
+    import spark.implicits._
+    val docs = corpus(120)
+    def build(): String = {
+      val idx = freshIdx()
+      TextIndex.appendTextIndexBatch(docs.where(col("doc_id") < 60), idx, 0L,
+        withPositions = true)
+      TextIndex.appendTextIndexBatch(docs.where(col("doc_id") >= 60), idx, 1L,
+        withPositions = true)
+      idx
+    }
+    def phraseDocs(idx: String) =
+      TextIndex.phraseSearchStored(spark, idx, Seq("mid", "mid")).select("doc_id")
+    // DELETE: victims' positions go with their postings
+    val idxDel = build()
+    assert(TextIndex.deleteFromTextIndex(spark, idxDel, Seq(10L, 65L)) == 2L)
+    assert(sameRows(phraseDocs(idxDel),
+      docs.where(col("doc_id") % 5 === 0 &&
+        !col("doc_id").isin(10L, 65L)).select("doc_id")))
+    assert(spark.read.parquet(s"$idxDel/positions")
+      .where(col("doc_id").isin(10L, 65L)).isEmpty)
+    // RETENTION: aged batches' positions drop with the family
+    val idxRet = build()
+    val dropped = TextIndex.retainTextIndexBatches(spark, idxRet, cutoff = 0L)
+    assert(dropped("positions") == Seq(0L))
+    assert(sameRows(phraseDocs(idxRet),
+      docs.where(col("doc_id") % 5 === 0 && col("doc_id") >= 60)
+        .select("doc_id")))
+    // COMPACTION with erasure folded in: positions fold and victims drop
+    val idxCmp = build()
+    val (folded, erased) =
+      TextIndex.compactTextIndexBatches(spark, idxCmp, upTo = 1L,
+        dropIds = Seq(15L))
+    assert(folded == 1L && erased == 1L)
+    assert(sameRows(phraseDocs(idxCmp),
+      docs.where(col("doc_id") % 5 === 0 && col("doc_id") =!= 15L)
+        .select("doc_id")))
+  }
+
+  test("filtered ranking (docFilter) scores only the match set with " +
+       "corpus-level statistics") {
+    val docs = corpus(120)
+    val idx = freshIdx()
+    TextIndex.appendTextIndexBatch(docs, idx, 0L)
+    val matches = TextIndex.booleanSearchStored(spark, idx,
+      must = Seq("mid", "common"), mustNot = Seq("rare"))
+    val got = TextIndex.bm25TopKStored(spark, idx, Seq("mid", "common"),
+      k = 1000, docFilter = Some(matches))
+    // every returned doc is in the match set
+    assert(got.join(matches, Seq("doc_id"), "left_anti").isEmpty)
+    // scores equal the UNfiltered serve's scores for those docs: the
+    // filter restricts who is scored, never the statistics
+    val unfiltered = TextIndex.bm25TopKStored(spark, idx,
+      Seq("mid", "common"), k = 1000)
+    assert(sameRows(got,
+      unfiltered.join(matches, Seq("doc_id"), "left_semi")))
+  }
 }
