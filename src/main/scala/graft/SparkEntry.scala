@@ -3764,6 +3764,14 @@ object SparkEntry {
       graft.operators.TextIndex.proximitySearchStored(s, textIndexRoot(s, d),
         "vector", "spark", window = 3)),
 
+    // -- [NS] ORDERED proximity (SpanNearQuery inOrder=true): the first
+    // term must precede the second within the window — the asymmetric
+    // span ("big" before "table") the unordered form cannot express;
+    // same doc-keyed join, the direction rides the residual. --
+    "q_near_ordered_stored" -> ((s, d) =>
+      graft.operators.TextIndex.proximitySearchStored(s, textIndexRoot(s, d),
+        "big", "table", window = 2, ordered = true)),
+
     // -- [NS] FILTERED RANKING — the boolean filter COMPOSED with the
     // BM25 scorer, both from the stored index (the "category:x AND NOT
     // y, ranked" query every deployed engine serves): the boolean match
@@ -9646,6 +9654,20 @@ object SparkEntry {
         |SELECT doc_id FROM (
         |  SELECT DISTINCT pa.doc_id AS doc_id FROM pa JOIN pb
         |    ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3)
+        |ORDER BY doc_id""".stripMargin,
+
+    // ordered proximity: big strictly before table, gap <= 2
+    "q_near_ordered_stored" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |pa AS (SELECT doc_id, i AS p FROM t, generate_series(1, 256) g(i)
+        |       WHERE i <= len(toks) AND toks[i] = 'big'),
+        |pb AS (SELECT doc_id, i AS p FROM t, generate_series(1, 256) g(i)
+        |       WHERE i <= len(toks) AND toks[i] = 'table')
+        |SELECT doc_id FROM (
+        |  SELECT DISTINCT pa.doc_id AS doc_id FROM pa JOIN pb
+        |    ON pa.doc_id = pb.doc_id AND pb.p - pa.p BETWEEN 1 AND 2)
         |ORDER BY doc_id""".stripMargin,
 
     // filtered ranking: the boolean match set restricts which docs are

@@ -479,21 +479,24 @@ object TextIndex {
   }
 
   /** PROXIMITY search from the stored positional tier (Lucene
-    * SpanNearQuery's unordered form): docs where `a` and `b` occur
-    * within `window` token positions of each other. One pruned
-    * positions scan feeds both sides; the pair join is doc-keyed
+    * SpanNearQuery): docs where `a` and `b` occur within `window` token
+    * positions of each other — either order by default, or `a` strictly
+    * BEFORE `b` with `ordered = true` (the inOrder=true span). One
+    * pruned positions scan feeds both sides; the pair join is doc-keyed
     * (hash join) with the distance predicate as a residual — never a
     * position-cross-product across documents.
     */
   def proximitySearchStored(spark: SparkSession, idxDir: String,
-                            a: String, b: String, window: Int): DataFrame = {
+                            a: String, b: String, window: Int,
+                            ordered: Boolean = false): DataFrame = {
     require(a != b && window >= 1,
       s"proximitySearchStored: need two distinct terms and window >= 1")
     val slice = positionsSlice(spark, idxDir, Seq(a, b))
     val pa = slice.where(col("term") === a).select(col("doc_id"), col("pos").as("pa"))
     val pb = slice.where(col("term") === b).select(col("doc_id"), col("pos").as("pb"))
     pa.join(pb, "doc_id")
-      .where(abs(col("pa") - col("pb")) <= window)
+      .where(if (ordered) (col("pb") - col("pa")).between(1, window)
+             else abs(col("pa") - col("pb")) <= window)
       .select(col("doc_id")).distinct()
       .orderBy(col("doc_id"))
   }

@@ -429,6 +429,13 @@ class TextIndexSpec extends SparkSpec {
     val near = TextIndex.proximitySearchStored(spark, idx, "rare", "mid", 2)
     assert(sameRows(near,
       docs.where(col("doc_id") % 85 === 0).select("doc_id")))
+    // ordered span is asymmetric: rare precedes mid, never the reverse
+    assert(sameRows(
+      TextIndex.proximitySearchStored(spark, idx, "rare", "mid", 2,
+        ordered = true),
+      docs.where(col("doc_id") % 85 === 0).select("doc_id")))
+    assert(TextIndex.proximitySearchStored(spark, idx, "mid", "rare", 2,
+      ordered = true).isEmpty)
     // the scoring serve ignores the positional tier entirely
     assert(sameRows(
       TextIndex.bm25TopKStored(spark, idx, Terms, k = 20),
