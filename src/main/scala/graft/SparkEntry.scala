@@ -3588,6 +3588,45 @@ object SparkEntry {
         .orderBy("scenario", "action")
     }),
 
+    // -- [NS] the maintenance control loop's FULL STEP — plan then
+    // EXECUTE (retention first, so compaction folds survivors only;
+    // both ops behind the shared sentinel): a 6-batch store ages 3
+    // batches and folds 2 of the 3 survivors in one call. The declared
+    // output is the executed plan (exact oracle recounts it from
+    // documents); the post-state is require()d — only the planned
+    // batches remain, and the maintained serve equals the full-scan
+    // BM25 over the retained corpus (folding is value-invisible, aging
+    // is exact for this family). --
+    "q_maint_run" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val mx = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val work = java.nio.file.Files.createTempDirectory("graft_maintrun")
+      deleteRecursivelyOnExit(work)
+      val idx = work.toFile.getAbsolutePath + "/text_index"
+      (0 until 6).foreach { i =>
+        graft.operators.TextIndex.appendTextIndexBatch(
+          docs0.where(col("doc_id") >= i * mx / 6 &&
+            col("doc_id") < (i + 1) * mx / 6),
+          idx, batchId = i.toLong)
+      }
+      val executed = graft.operators.Maintenance.runTextIndexMaintenance(
+        s, idx, ttlBatches = 3, maxLiveBatches = 2)
+      val batchesLeft = s.read.parquet(s"$idx/stats")
+        .select(col("batch").cast("long")).distinct()
+        .orderBy("batch").collect().map(_.getLong(0)).toSeq
+      val retained = docs0.where(col("doc_id") >= 3 * mx / 6)
+      val served = graft.operators.TextIndex.bm25TopKStored(s, idx,
+        Seq("dup", "merge", "scan"), k = 20)
+      val twin = graft.operators.Corpus.bm25TopK(retained,
+        Seq("dup", "merge", "scan"), k = 20)
+      require(batchesLeft == Seq(4L, 5L) &&
+        served.exceptAll(twin).isEmpty && twin.exceptAll(served).isEmpty,
+        s"q_maint_run: batchesLeft=$batchesLeft or maintained serve drifted " +
+          "from the retained-corpus scorer")
+      executed.select("action", "param", "n_batches", "n_docs")
+        .orderBy("action")
+    }),
+
     // -- [NS] text-index compaction with ERASURE FOLDED IN: a victim
     // set big enough to saturate file-targeted deletion (V ≫ F touches
     // ~every file: 1−(1−1/F)^V) costs ONE fold rewrite instead of
@@ -9598,6 +9637,21 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id NOT IN (3, 77, 151, 299))"),
     // the bounded serve with nothing capped IS the exact serve
     "q_bm25_bounded" -> bm25OracleSql("documents"),
+
+    // the executed plan: retention of batches 0-2 (cutoff 2), then the
+    // fold of survivors 3,4 (newest 5 stays); the twin recounts both
+    // actions' doc coverage from documents with the fixture's range
+    // arithmetic
+    "q_maint_run" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS mx FROM documents)
+        |SELECT 'compact' AS action, CAST(4 AS BIGINT) AS param,
+        |  CAST(2 AS BIGINT) AS n_batches,
+        |  (SELECT count(*) FROM documents, m
+        |   WHERE doc_id >= 3 * mx // 6 AND doc_id < 5 * mx // 6) AS n_docs
+        |UNION ALL
+        |SELECT 'retain', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+        |  (SELECT count(*) FROM documents, m WHERE doc_id < 3 * mx // 6)
+        |ORDER BY action""".stripMargin,
 
     // the planner's plan is a pure function of (batch ids, per-batch
     // doc counts); the twin recomputes both from documents with the

@@ -76,8 +76,11 @@ object Maintenance {
       else Nil
     val survivors = if (retain.nonEmpty) live else byBatch
     val foldable = survivors.filter(_._1 <= newest - 1)
+    // a single-batch fold is a guaranteed no-op (the fold's output IS
+    // that batch) — a plan that schedules one is wrong, same principle
+    // as the plan-time drop-all refusal
     val compact =
-      if (survivors.length > maxLiveBatches && foldable.nonEmpty)
+      if (survivors.length > maxLiveBatches && foldable.length >= 2)
         Seq(Row("compact", newest - 1, foldable.length.toLong,
           foldable.map(_._2).sum))
       else Nil
@@ -105,6 +108,29 @@ object Maintenance {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSeq
     planFromBatchStats(spark, batchDocs, ttlBatches, maxLiveBatches)
+  }
+
+  /** Plan AND EXECUTE maintenance for a stored text index — the control
+    * loop's full step: decide from the O(batches) stats rows, then run
+    * the actions in the order the plan's composition contract requires
+    * (retention FIRST, so compaction folds survivors only; both ops
+    * raise the shared sentinel, so this inherits the single-writer
+    * contract). Returns the executed plan (the same
+    * `(action, param, n_batches, n_docs)` rows [[planTextIndexMaintenance]]
+    * emits — 'none' rows execute nothing), so a scheduler can log
+    * exactly what ran. Bounded collect: ≤ 2 plan rows.
+    */
+  def runTextIndexMaintenance(spark: SparkSession, idxDir: String,
+                              ttlBatches: Int, maxLiveBatches: Int): DataFrame = {
+    val plan = planTextIndexMaintenance(spark, idxDir, ttlBatches, maxLiveBatches)
+    val rows = plan.collect() // ≤ 2 rows — the plan's declared size
+    rows.find(_.getString(0) == "retain").foreach { r =>
+      TextIndex.retainTextIndexBatches(spark, idxDir, cutoff = r.getLong(1))
+    }
+    rows.find(_.getString(0) == "compact").foreach { r =>
+      TextIndex.compactTextIndexBatches(spark, idxDir, upTo = r.getLong(1))
+    }
+    plan
   }
 
   /** Plan maintenance for a stored IVF cell store ([[Similarity]]

@@ -72,7 +72,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    (positionsSlice, round 17). Maintenance
   *    (round 17): both planners' O(batches) stats collect — the
   *    planner's DECLARED input size, the same boundedness class as
-  *    every serve-path stats read. Dedup round 17:
+  *    every serve-path stats read; the run step's ≤ 2 plan-row collect
+  *    and q_maint_run's O(batches) post-state batch listing + 1-row mx
+  *    head (gate fixtures, bounded by the 6-batch subject). Dedup
+  *    round 17:
   *    the bulk band-index delete's ≤ nMods victim-mods collect (the
   *    same partition-prune bound as the literal form's driver-side
   *    mod computation).
@@ -108,8 +111,8 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
-      "graft/SparkEntry.scala"            -> 26,
-      "graft/operators/Maintenance.scala" -> 2,
+      "graft/SparkEntry.scala"            -> 28,
+      "graft/operators/Maintenance.scala" -> 3,
       "graft/operators/Similarity.scala"  -> 15,
       "graft/operators/Dedup.scala"       -> 10,
       "graft/operators/Layout.scala"      -> 2,

@@ -20,7 +20,7 @@ class InventorySpec extends SparkSpec {
     * the contract doc and the engine cannot drift silently; the round-12
     * verdict caught exactly that drift (doc said 255, engine held 262).
     */
-  private val DeclaredQueryCount = 314
+  private val DeclaredQueryCount = 315
 
   test("inventory matches the SURVEY §2.3 contract count and keys are well-formed") {
     assert(SparkEntry.queries.size == DeclaredQueryCount,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Maintenance, Similarity, TextIndex}
+import graft.operators.{Corpus, Maintenance, Similarity, TextIndex}
 import org.apache.spark.sql.functions._
 
 /** The maintenance planner's decision core and its two family wrappers:
@@ -37,6 +37,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(plan(b, ttl = 10, live = 2) == Seq(("compact", 3L, 4L, 100L)))
     // within budget -> nothing to do
     assert(plan(b, ttl = 10, live = 5) == Seq(("none", -1L, 0L, 0L)))
+    // over budget but only ONE foldable batch: a single-batch fold is a
+    // guaranteed no-op, so the plan refuses to schedule it
+    assert(plan(Seq(0L -> 10L, 1L -> 20L), ttl = 10, live = 1) ==
+      Seq(("none", -1L, 0L, 0L)))
+  }
+
+  test("runTextIndexMaintenance executes the plan (retention first, " +
+       "then compaction over survivors) and the serve stays exact") {
+    import spark.implicits._
+    val docs = (0L until 120L).map(i =>
+      (i, s"tok$i alpha beta ${if (i % 3 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_maint_run")
+    tmp.toFile.deleteOnExit()
+    val idx = tmp.toFile.getAbsolutePath + "/text_index"
+    (0 until 6).foreach { i =>
+      TextIndex.appendTextIndexBatch(
+        docs.where(col("doc_id") >= i * 20L && col("doc_id") < (i + 1) * 20L),
+        idx, batchId = i.toLong)
+    }
+    // ttl 3: cutoff 2 drops batches 0-2; survivors {3,4,5} > budget 2
+    // -> fold {3,4} into batch 4 (newest stays)
+    val executed = Maintenance.runTextIndexMaintenance(spark, idx,
+        ttlBatches = 3, maxLiveBatches = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(executed.toSeq == Seq(
+      ("retain", 2L, 3L, 60L), ("compact", 4L, 2L, 40L)))
+    val batches = spark.read.parquet(s"$idx/stats")
+      .select("batch").distinct().as[Int].collect().sorted
+    assert(batches.toSeq == Seq(4, 5), s"post-maintenance batches: $batches")
+    // the maintained store serves exactly the retained corpus (folding
+    // is value-invisible; aging is exact for this family)
+    val retained = docs.where(col("doc_id") >= 60L)
+    val a = TextIndex.bm25TopKStored(spark, idx, Seq("alpha", "gamma"), k = 20)
+    val b2 = Corpus.bm25TopK(retained, Seq("alpha", "gamma"), k = 20)
+    assert(a.exceptAll(b2).isEmpty && b2.exceptAll(a).isEmpty)
   }
 
   test("retention and compaction compose: compaction counts survivors only") {
@@ -84,13 +120,16 @@ class MaintenanceSpec extends SparkSpec {
     tmp.toFile.deleteOnExit()
     val w = tmp.toFile.getAbsolutePath
     Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 4, sampleRows = 40)
-    Similarity.seedIvfStore(emb.where(col("vec_id") < 20L), w)
-    Similarity.streamIngestIvfBatch(emb.where(col("vec_id") >= 20L), 1L,
+    Similarity.seedIvfStore(emb.where(col("vec_id") < 14L), w)
+    Similarity.streamIngestIvfBatch(
+      emb.where(col("vec_id") >= 14L && col("vec_id") < 28L), 1L,
+      s"$w/ivf_index", s"$w/cells", nlist = 4, sampleRows = 40)
+    Similarity.streamIngestIvfBatch(emb.where(col("vec_id") >= 28L), 2L,
       s"$w/ivf_index", s"$w/cells", nlist = 4, sampleRows = 40)
     val got = Maintenance.planIvfStoreMaintenance(spark, w,
         ttlBatches = 10, maxLiveBatches = 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // live batches 0 and 1 (seed -1 excluded); 2 > 1 -> fold batch 0
-    assert(got.toSeq == Seq(("compact", 0L)))
+    // live batches 0,1,2 (seed -1 excluded); 3 > 1 -> fold batches 0,1
+    assert(got.toSeq == Seq(("compact", 1L)))
   }
 }
