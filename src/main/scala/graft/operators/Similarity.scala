@@ -1501,7 +1501,10 @@ object Similarity {
     val (reconstructed, coded) = withReconstructedEmbedding(spark, workDir, stored)
     val rows = reconstructed
       .persist() // train sample + emptiness check + rewrite
-    if (rows.isEmpty) {
+    // one count serves BOTH the emptiness refusal and the nlist clamp
+    // below (the former isEmpty ran its own job per requantize)
+    val storeN = rows.count()
+    if (storeN == 0L) {
       rows.unpersist()
       throw new IllegalArgumentException(
         s"requantizeIvfStore: store at $workDir holds no vectors — nothing to train on")
@@ -1519,7 +1522,6 @@ object Similarity {
     // (≥ 2 rows/cell), and past the driver-trainable ceiling (sampleRows)
     // the staged quantizer trains HIERARCHICALLY — the two-level path has
     // no driver-sample ceiling (it is exactly the regime it exists for).
-    val storeN = rows.count() // rows is persisted above; one cheap pass
     val effNlist = math.min(newNlist.toLong, math.max(1L, storeN / 2L)).toInt
     if (effNlist.toLong > math.min(storeN, sampleRows.toLong))
       trainIvfIndexHierarchical(rows, s"$stageRoot/ivf_index", effNlist,

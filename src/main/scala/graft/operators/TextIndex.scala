@@ -106,6 +106,29 @@ object TextIndex {
   private def storeHasPositions(idxDir: String): Boolean =
     manifest.intFieldOr(idxDir, "positions", 0) == 1
 
+  /** The query terms' tm_mod partitions, computed ON THE DRIVER by
+    * evaluating the exact Catalyst expression the writer fanned with
+    * (`pmod(hash(term), nMods)` — Murmur3, seed 42) against each term
+    * literal. The serve paths used to run a |terms|-row Spark job for
+    * these ints; a job launch per query is pure scheduler overhead on a
+    * value that is a pure function of the query string — at serve-path
+    * cadence that is one fewer driver→cluster round trip per query.
+    * Interpreted `eval` of a foldable expression = the same codegen
+    * semantics, so the mods can never drift from the written fanout.
+    */
+  private[graft] def queryTermMods(terms: Seq[String], nMods: Int): Seq[Int] =
+    terms.map { t =>
+      // the resolved catalyst node itself (the Column API would hand back
+      // an UnresolvedFunction, which cannot eval without an analyzer);
+      // Murmur3Hash(seed 42) IS functions.hash, floorMod IS pmod for a
+      // positive modulus — the exact writer-fanout arithmetic
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3Hash(Seq(org.apache.spark.sql.catalyst.expressions.Literal(t)), 42)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int]
+      Math.floorMod(h, nMods)
+    }.distinct.sorted
+
   /** Append one ingest batch of documents to the index: tokenize, count
     * per-(doc, term) tf, attach `dl` (= Σ tf over the doc — tokens
     * partition exactly into terms, so the window sum IS the token
@@ -140,23 +163,38 @@ object TextIndex {
   def appendTextIndexBatch(docs: DataFrame, idxDir: String, batchId: Long,
                            nMods: Int = DefaultNMods,
                            withPositions: Boolean = false): Unit = {
-    import org.apache.spark.sql.expressions.Window
     if (manifest.exists(idxDir))
       manifest.check(idxDir, renderManifest(nMods, withPositions))
     else manifest.write(idxDir, renderManifest(nMods, withPositions))
     val spark = docs.sparkSession
+    // `dl` rides along FROM THE SCAN as size() OF THE SAME TOKEN ARRAY
+    // the generator explodes (identical by construction to Σ tf over the
+    // doc's postings — tokens partition exactly into terms — and to the
+    // membership pass's \S+-run count). Carrying it through the tf
+    // groupBy (doc_id functionally determines dl, so the extra key
+    // changes no group) deletes the doc_id-keyed window exchange + sort
+    // this pipeline used to pay to re-derive a number the scan already
+    // knew — one shuffle less per ingest batch, at every scale. The
+    // two-step select matters: the token array materializes in a project
+    // BELOW the Generate (once per doc) and dl is an O(1) size() above
+    // it — deriving dl from the TEXT column instead lands the expression
+    // above the Generate, re-running a full-text regex per token row
+    // (measured +0.6 s per append at the bench SF).
     val tf = docs
-      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("toks")).cast("long"), lit(0L)).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     // persisted for the append only: postings feed their own write AND
     // the terms-dictionary aggregate — without it the tokenize+groupBy
     // pipeline runs twice per append
     val postings = tf
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
       .persist()
     try {
       postings
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("tm_mod"))
         .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
         .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy("tm_mod")
@@ -240,14 +278,10 @@ object TextIndex {
   def bm25TopKStored(spark: SparkSession, idxDir: String, terms: Seq[String],
                      k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
                      docFilter: Option[DataFrame] = None): DataFrame = {
-    import spark.implicits._
     val nMods = storeNMods(idxDir)
-    // the query terms' own hash partitions: computed with the SAME
-    // catalyst hash the writer fanned with (a |terms|-row local job —
-    // bounded by the query, not the data)
-    val mods = terms.toDS()
-      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
-      .distinct().as[Int].collect().sorted
+    // the query terms' own hash partitions: the SAME catalyst hash the
+    // writer fanned with, evaluated driver-side (no per-query job)
+    val mods = queryTermMods(terms, nMods)
     val stats = Dedup.readStore(spark, statsDir(idxDir))
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
            sum(col("total_toks")).cast("double").as("total_toks"))
@@ -296,11 +330,8 @@ object TextIndex {
     */
   private def termImpactStats(spark: SparkSession, idxDir: String,
                               terms: Seq[String]): Map[String, (Long, Long, Long)] = {
-    import spark.implicits._
     val nMods = storeNMods(idxDir)
-    val mods = terms.toDS()
-      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
-      .distinct().as[Int].collect().sorted
+    val mods = queryTermMods(terms, nMods)
     Dedup.readStore(spark, termsDir(idxDir))
       .where(col("tm_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
@@ -401,13 +432,9 @@ object TextIndex {
     */
   def booleanSearchStored(spark: SparkSession, idxDir: String,
                           must: Seq[String], mustNot: Seq[String] = Nil): DataFrame = {
-    import spark.implicits._
     require(must.nonEmpty, "booleanSearchStored: at least one MUST term")
     val nMods = storeNMods(idxDir)
-    val all = (must ++ mustNot).distinct
-    val mods = all.toDS()
-      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
-      .distinct().as[Int].collect().sorted
+    val mods = queryTermMods((must ++ mustNot).distinct, nMods)
     // the pruned slice — each clause leg re-derives it (≤2 pruned scans,
     // each ∝ its own terms' df; NOT persisted because the result is a
     // lazy unbounded filter the caller composes on, and a cache released
@@ -436,14 +463,11 @@ object TextIndex {
     */
   private def positionsSlice(spark: SparkSession, idxDir: String,
                              terms: Seq[String]): DataFrame = {
-    import spark.implicits._
     require(storeHasPositions(idxDir),
       s"store at $idxDir was built without positions (withPositions=false) — " +
         "phrase/proximity serves need the positional tier; rebuild with it")
     val nMods = storeNMods(idxDir)
-    val mods = terms.distinct.toDS()
-      .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
-      .distinct().as[Int].collect().sorted
+    val mods = queryTermMods(terms.distinct, nMods)
     Dedup.readStore(spark, positionsDir(idxDir))
       .where(col("tm_mod").isin(mods.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("term").isin(terms.distinct: _*))

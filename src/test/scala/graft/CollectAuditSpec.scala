@@ -55,21 +55,20 @@ import org.scalatest.funsuite.AnyFunSuite
   *    shared Dedup.deleteRowsFromStore core (its ONE pricing+owner
   *    collect is audited under Dedup), dropping the former duplicate
   *    victim scan — Similarity 16 → 15.
-  *  - TextIndex (round 16): the serve's query-term hash-partition collect
-  *    (≤ |query terms| ints — the tm_mod IN list that partition-prunes
-  *    the postings scan) plus its ≤ k materializing collect (round 17 —
+  *  - TextIndex: the serve's ≤ k materializing collect (round 17 —
   *    releases the per-query candidate cache instead of accreting one
   *    cached slice per query over a serving session); the delete's
   *    ≤ nMods victim-partition mods collect and its per-victim
   *    (batch, doc, dl) membership pre-scan collect (≤ |victim ids|
   *    rows — reads the lengths the stats recompute needs BEFORE the
   *    delete destroys them); the bounded serve's dictionary reads
-  *    (termImpactStats: ≤ nMods mods + ≤ |query terms| rows;
-  *    cappedImpactBound: 1-row global stats head); the boolean serve's
-  *    ≤ |query terms| tm_mod collect (round 17 — the same listing-time
-  *    partition-prune bound as the scoring serve's); the positional
-  *    tier's slice shares the same ≤ |terms| tm_mod collect
-  *    (positionsSlice, round 17). Maintenance
+  *    (termImpactStats: ≤ |query terms| rows; cappedImpactBound: 1-row
+  *    global stats head). The four query-term tm_mod collects the
+  *    serves used to run (round 16's hash-partition jobs) are GONE
+  *    (optimization round 17): the mods are a pure function of the
+  *    query literals, now evaluated driver-side through the same
+  *    catalyst Murmur3 node — no job, no collect, identical ints
+  *    (TextIndexSpec pins the equality). Maintenance
   *    (round 17): both planners' O(batches) stats collect — the
   *    planner's DECLARED input size, the same boundedness class as
   *    every serve-path stats read; the run step's ≤ 2 plan-row collect
@@ -118,7 +117,7 @@ class CollectAuditSpec extends AnyFunSuite {
       "graft/operators/Layout.scala"      -> 2,
       "graft/operators/LogStore.scala"    -> 1,
       "graft/operators/Corpus.scala"      -> 2,
-      "graft/operators/TextIndex.scala"   -> 9)
+      "graft/operators/TextIndex.scala"   -> 5)
     assert(found.toMap == allowed,
       s"driver-side collect()/head() drift — audit the new site for " +
         s"boundedness before extending the closed set.\n  found:   " +

@@ -494,6 +494,24 @@ class TextIndexSpec extends SparkSpec {
         .select("doc_id")))
   }
 
+  test("driver-side query-term mods equal the catalyst pmod(hash(term)) " +
+       "the writer fans with") {
+    // optimization round 17: the serves compute tm_mod prunes on the
+    // driver (no per-query job). This pins the driver arithmetic to the
+    // DISTRIBUTED evaluation of the exact writer expression — a drift
+    // here would silently prune the wrong partitions and serve empties.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import spark.implicits._
+    val terms = Seq("dup", "merge", "scan", "the", "ZZ-unseen", "", "ümlaut")
+    for (nMods <- Seq(4, 16, 64, 1024)) {
+      val want = terms.toDS()
+        .select(pmod(hash(col("value")), lit(nMods)).cast("int").as("m"))
+        .distinct().as[Int].collect().sorted.toSeq
+      assert(TextIndex.queryTermMods(terms, nMods) == want,
+        s"nMods=$nMods")
+    }
+  }
+
   test("filtered ranking (docFilter) scores only the match set with " +
        "corpus-level statistics") {
     val docs = corpus(120)
