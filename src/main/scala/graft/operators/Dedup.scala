@@ -173,7 +173,7 @@ object Dedup {
     * shared with whatever else the process runs. Daemon threads (never
     * block JVM exit), named for thread dumps.
     */
-  private lazy val writerPool: scala.concurrent.ExecutionContext =
+  private[operators] lazy val writerPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(4,
         new java.util.concurrent.ThreadFactory {
@@ -1054,14 +1054,31 @@ object Dedup {
     // did_mod-partitioned tables: conjoin the partition prune so the
     // victim scan reads only the ids' own partitions
     val vcMod = vc && col("did_mod").isin(mods: _*)
-    deleteRowsFromStore(spark, s"$idxDir/bands", "deleteFromMinhashIndex(bands)",
-      vc, Seq("batch", "bh_mod"), Seq("band_hash", "doc_id"))
-    val nDocs = deleteRowsFromStore(spark, s"$idxDir/sigs",
-      "deleteFromMinhashIndex(sigs)",
-      vcMod, Seq("batch", "did_mod"), Seq("doc_id"))
-    deleteRowsFromStore(spark, s"$idxDir/shingles",
-      "deleteFromMinhashIndex(shingles)",
-      vcMod, Seq("batch", "did_mod"), Seq("doc_id"))
+    // the three tables are independent (no cross-table derivation — each
+    // erases its own rows through its own sentinel/swap), so their
+    // pricing scans and restages OVERLAP on the writer pool instead of
+    // running back to back; a crash leaving a subset erased is the same
+    // conservative, idempotently-retryable state the serial order left
+    // (victims without band rows can never be matched against)
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = writerPool
+    val wBands = Future {
+      deleteRowsFromStore(spark, s"$idxDir/bands", "deleteFromMinhashIndex(bands)",
+        vc, Seq("batch", "bh_mod"), Seq("band_hash", "doc_id"))
+    }
+    val wSigs = Future {
+      deleteRowsFromStore(spark, s"$idxDir/sigs",
+        "deleteFromMinhashIndex(sigs)",
+        vcMod, Seq("batch", "did_mod"), Seq("doc_id"))
+    }
+    val wShs = Future {
+      deleteRowsFromStore(spark, s"$idxDir/shingles",
+        "deleteFromMinhashIndex(shingles)",
+        vcMod, Seq("batch", "did_mod"), Seq("doc_id"))
+    }
+    Await.result(wBands, scala.concurrent.duration.Duration.Inf)
+    val nDocs = Await.result(wSigs, scala.concurrent.duration.Duration.Inf)
+    Await.result(wShs, scala.concurrent.duration.Duration.Inf)
     nDocs
   }
 
@@ -1086,15 +1103,27 @@ object Dedup {
         .distinct().as[Int].collect().sorted // bounded: ≤ nMods ints
         .toIndexedSeq.map(Integer.valueOf)
       val modPrune = col("did_mod").isin(mods: _*)
-      deleteRowsFromStoreJoin(spark, s"$idxDir/bands",
-        "deleteFromMinhashIndex(bands)", v, "doc_id",
-        Seq("batch", "bh_mod"), Seq("band_hash", "doc_id"))
-      val nDocs = deleteRowsFromStoreJoin(spark, s"$idxDir/sigs",
-        "deleteFromMinhashIndex(sigs)", v, "doc_id",
-        Seq("batch", "did_mod"), Seq("doc_id"), prune = modPrune)
-      deleteRowsFromStoreJoin(spark, s"$idxDir/shingles",
-        "deleteFromMinhashIndex(shingles)", v, "doc_id",
-        Seq("batch", "did_mod"), Seq("doc_id"), prune = modPrune)
+      // three independent tables — overlap exactly as the literal form
+      import scala.concurrent.{Await, Future}
+      implicit val ec: scala.concurrent.ExecutionContext = writerPool
+      val wBands = Future {
+        deleteRowsFromStoreJoin(spark, s"$idxDir/bands",
+          "deleteFromMinhashIndex(bands)", v, "doc_id",
+          Seq("batch", "bh_mod"), Seq("band_hash", "doc_id"))
+      }
+      val wSigs = Future {
+        deleteRowsFromStoreJoin(spark, s"$idxDir/sigs",
+          "deleteFromMinhashIndex(sigs)", v, "doc_id",
+          Seq("batch", "did_mod"), Seq("doc_id"), prune = modPrune)
+      }
+      val wShs = Future {
+        deleteRowsFromStoreJoin(spark, s"$idxDir/shingles",
+          "deleteFromMinhashIndex(shingles)", v, "doc_id",
+          Seq("batch", "did_mod"), Seq("doc_id"), prune = modPrune)
+      }
+      Await.result(wBands, scala.concurrent.duration.Duration.Inf)
+      val nDocs = Await.result(wSigs, scala.concurrent.duration.Duration.Inf)
+      Await.result(wShs, scala.concurrent.duration.Duration.Inf)
       nDocs
     } finally v.unpersist()
   }

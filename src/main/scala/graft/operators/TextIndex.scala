@@ -130,22 +130,23 @@ object TextIndex {
     }.distinct.sorted
 
   /** Append one ingest batch of documents to the index: tokenize, count
-    * per-(doc, term) tf, attach `dl` (= Σ tf over the doc — tokens
-    * partition exactly into terms, so the window sum IS the token
-    * count; no second pass over the fat text column), hash-fan by term
-    * and write `postings/batch=<batchId>/tm_mod=*` term-clustered; then
-    * from the SAME one-pass postings frame (persisted for the append's
-    * duration — batch-sized, released before return) derive the batch's
-    * term dictionary (`terms/`: df + max-impact stats per term) without
+    * per-(doc, term) tf with `dl` carried from the scan (= size of the
+    * token array the generator explodes — tokens partition exactly into
+    * terms, so that size IS Σ tf; no window re-derivation, no second
+    * pass over the fat text column), hash-fan by term and write
+    * `postings/batch=<batchId>/tm_mod=*` term-clustered; then from the
+    * SAME one-pass postings frame (persisted for the append's duration —
+    * batch-sized, released before return) derive the batch's term
+    * dictionary (`terms/`: df + max-impact stats per term) without
     * re-tokenizing. Membership (`docs/`) and the one-row stats
     * partition come from a single cheap regexp-count scan of the batch
-    * (`dl` via the codegen'd token counter, which equals the postings
-    * window sum) — and BOTH count zero-token documents: N must match
+    * (`dl` via the codegen'd token counter, which equals the token-array
+    * size) — and BOTH count zero-token documents: N must match
     * the full-scan scorer's doc count exactly, and the membership row
     * is what makes such documents erasable at all.
     *
-    * Shuffle budget: one tokenize-explode aggregation (the tf groupBy),
-    * one postings-sized window exchange for `dl` (postings ≪ tokens),
+    * Shuffle budget: one tokenize-explode aggregation (the tf groupBy —
+    * the dl window exchange it used to chain is GONE, round 17),
     * range-partitioned staging exchanges (parallel across the
     * cluster — a single-task funnel here was measured at 200+ s for a
     * 400k-doc batch; range partitioning on (tm_mod, term) keeps each
@@ -158,7 +159,9 @@ object TextIndex {
     * vocab-sized terms
     * aggregate off the persisted postings, and one batch scan for
     * membership+stats. Nothing corpus-sized: an append touches its
-    * batch only.
+    * batch only; the independent table pipelines overlap on the writer
+    * pool so one pipeline's straggler tail back-fills with the next's
+    * tasks.
     */
   def appendTextIndexBatch(docs: DataFrame, idxDir: String, batchId: Long,
                            nMods: Int = DefaultNMods,
@@ -192,22 +195,6 @@ object TextIndex {
     val postings = tf
       .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
       .persist()
-    try {
-      postings
-        .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("tm_mod"))
-        .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
-        .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("tm_mod")
-        .parquet(s"${postingsDir(idxDir)}/batch=$batchId")
-      postings.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
-          min(col("dl")).as("min_dl"))
-        .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-        .repartitionByRange(col("tm_mod"), col("term"))
-        .sortWithinPartitions(col("tm_mod"), col("term"))
-        .write.mode("overwrite").partitionBy("tm_mod")
-        .parquet(s"${termsDir(idxDir)}/batch=$batchId")
-    } finally postings.unpersist()
     // persisted for the append only: ONE token-count scan of the batch
     // feeds both the membership write and the stats aggregate (the
     // stats row IS the membership aggregate — the invariant erasure
@@ -216,33 +203,73 @@ object TextIndex {
         coalesce(TF.tokenCount(col("text")).cast("long"), lit(0L)).as("dl"))
       .withColumn("did_mod", pmod(col("doc_id"), lit(nMods)).cast("int"))
       .persist()
+    // The three table pipelines are INDEPENDENT of each other
+    // (postings→terms share one cache, membership→stats another, the
+    // positional tier recomputes from the batch), and each append used
+    // to run them strictly back to back — so every pipeline's straggler
+    // tail left the cluster idle before the next even started. They now
+    // overlap on the shared writer pool (the minhashIncrementalStored
+    // pattern; actions are thread-safe, job descriptions thread-local),
+    // which is exactly the guide's "overlap independent jobs" move: the
+    // next pipeline's tasks back-fill executors the previous one's tail
+    // frees. Within a pipeline, order is preserved (the dependent table
+    // reads its parent's cache).
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
     try {
-      membership
-        .repartitionByRange(col("did_mod"), col("doc_id"))
-        .sortWithinPartitions(col("did_mod"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("did_mod")
-        .parquet(s"${docsDir(idxDir)}/batch=$batchId")
-      membership.agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"${statsDir(idxDir)}/batch=$batchId")
-    } finally membership.unpersist()
-    // the OPTIONAL positional tier (the Lucene positions-enabled trade:
-    // one extra tokenize pass + a token-stream-sized table buys phrase
-    // and proximity serves that prune exactly like the postings do).
-    // Same term-hash fanout, so a phrase query's scan lists ≤ |terms|
-    // of the nMods dirs; (doc_id, pos) clusters inside each term run
-    // for row-group pruning on the anchor join.
-    if (withPositions)
-      docs
-        .select(col("doc_id"),
-          posexplode(TF.tokens(lower(col("text")))).as(Seq("pos", "term")))
-        .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-        .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
-        .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
-        .write.mode("overwrite").partitionBy("tm_mod")
-        .parquet(s"${positionsDir(idxDir)}/batch=$batchId")
+      val wPostings = Future {
+        postings
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("tm_mod"))
+          .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
+          .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("tm_mod")
+          .parquet(s"${postingsDir(idxDir)}/batch=$batchId")
+        postings.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+            min(col("dl")).as("min_dl"))
+          .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+          .repartitionByRange(col("tm_mod"), col("term"))
+          .sortWithinPartitions(col("tm_mod"), col("term"))
+          .write.mode("overwrite").partitionBy("tm_mod")
+          .parquet(s"${termsDir(idxDir)}/batch=$batchId")
+      }
+      val wMembership = Future {
+        membership
+          .repartitionByRange(col("did_mod"), col("doc_id"))
+          .sortWithinPartitions(col("did_mod"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("did_mod")
+          .parquet(s"${docsDir(idxDir)}/batch=$batchId")
+        membership.agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"${statsDir(idxDir)}/batch=$batchId")
+      }
+      // the OPTIONAL positional tier (the Lucene positions-enabled trade:
+      // one extra tokenize pass + a token-stream-sized table buys phrase
+      // and proximity serves that prune exactly like the postings do).
+      // Same term-hash fanout, so a phrase query's scan lists ≤ |terms|
+      // of the nMods dirs; (doc_id, pos) clusters inside each term run
+      // for row-group pruning on the anchor join.
+      val wPositions =
+        if (!withPositions) Nil
+        else Seq(Future {
+          docs
+            .select(col("doc_id"),
+              posexplode(TF.tokens(lower(col("text")))).as(Seq("pos", "term")))
+            .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+            .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
+            .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
+            .write.mode("overwrite").partitionBy("tm_mod")
+            .parquet(s"${positionsDir(idxDir)}/batch=$batchId")
+        })
+      (Seq(wPostings, wMembership) ++ wPositions)
+        .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally {
+      postings.unpersist()
+      membership.unpersist()
+      ()
+    }
   }
 
   /** BM25 top-k served FROM THE STORE — same scoring discipline as the
@@ -646,8 +673,13 @@ object TextIndex {
     *     victim scan (did_mod), file-targeted rewrite.
     *
     * Single-writer contract as everywhere; each swap raises the shared
-    * sentinel, so probes refuse during any window. Returns the number
-    * of victim documents actually present.
+    * sentinel, so probes refuse during any window. Within the ordering
+    * above, steps that touch DIFFERENT tables and share no derivation
+    * edge overlap on the writer pool (postings ∥ positions; terms ∥
+    * stats): the crash-retry argument only needs membership LAST and
+    * the dictionary recomputed from post-delete postings, both of which
+    * the stage barriers preserve. Returns the number of victim
+    * documents actually present.
     */
   def deleteFromTextIndex(spark: SparkSession, idxDir: String,
                           victims: DataFrame): Long = {
@@ -672,21 +704,48 @@ object TextIndex {
       // so its batch's dictionary is already exact
       val postingBatches =
         present.filter(_.getLong(2) > 0L).map(_.getLong(0)).distinct.sorted.toIndexedSeq
-      Dedup.deleteRowsFromStoreJoin(spark, postingsDir(idxDir),
-        "deleteFromTextIndex(postings)", v, "doc_id",
-        partitionCols = Seq("batch", "tm_mod"),
-        clusterCols = Seq("term", "doc_id"))
-      // the positional tier erases with the postings (same term-hash
-      // scatter, same file-targeted core); a zero-token victim has no
-      // positions rows, so this prices to a no-op for it
-      if (storeHasPositions(idxDir))
-        Dedup.deleteRowsFromStoreJoin(spark, positionsDir(idxDir),
-          "deleteFromTextIndex(positions)", v, "doc_id",
-          partitionCols = Seq("batch", "tm_mod"),
-          clusterCols = Seq("term", "doc_id", "pos"))
-      if (postingBatches.nonEmpty)
-        rewriteTermDictionary(spark, idxDir, postingBatches)
-      rewriteStats(spark, idxDir, affected, v)
+      // postings and the positional tier erase through independent
+      // file-targeted swaps of different tables — overlapped (the
+      // positional tier erases with the postings: same term-hash
+      // scatter, same core; a zero-token victim has no positions rows,
+      // so that leg prices to a no-op for it)
+      locally {
+        import scala.concurrent.{Await, Future}
+        implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
+        val wPost = Future {
+          Dedup.deleteRowsFromStoreJoin(spark, postingsDir(idxDir),
+            "deleteFromTextIndex(postings)", v, "doc_id",
+            partitionCols = Seq("batch", "tm_mod"),
+            clusterCols = Seq("term", "doc_id"))
+        }
+        val wPos =
+          if (!storeHasPositions(idxDir)) Future.successful(0L)
+          else Future {
+            Dedup.deleteRowsFromStoreJoin(spark, positionsDir(idxDir),
+              "deleteFromTextIndex(positions)", v, "doc_id",
+              partitionCols = Seq("batch", "tm_mod"),
+              clusterCols = Seq("term", "doc_id", "pos"))
+          }
+        Await.result(wPost, scala.concurrent.duration.Duration.Inf)
+        Await.result(wPos, scala.concurrent.duration.Duration.Inf)
+        ()
+      }
+      // stages 3 and 4 are mutually independent (the dictionary
+      // recomputes from the POST-delete postings, the stats from the
+      // still-untouched membership minus victims — different tables,
+      // different sentinels) and both idempotently re-derive from
+      // membership on a crashed retry, so they overlap on the writer
+      // pool; membership still rewrites strictly LAST below
+      locally {
+        import scala.concurrent.{Await, Future}
+        implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
+        val wTerms =
+          if (postingBatches.isEmpty) Future.successful(())
+          else Future { rewriteTermDictionary(spark, idxDir, postingBatches) }
+        val wStats = Future { rewriteStats(spark, idxDir, affected, v) }
+        Await.result(wTerms, scala.concurrent.duration.Duration.Inf)
+        Await.result(wStats, scala.concurrent.duration.Duration.Inf)
+      }
       Dedup.deleteRowsFromStoreJoin(spark, docsDir(idxDir),
         "deleteFromTextIndex(docs)", v, "doc_id",
         partitionCols = Seq("batch", "did_mod"),
@@ -949,24 +1008,56 @@ object TextIndex {
           .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
           .write.mode("overwrite").partitionBy("tm_mod")
       }))
-    val folded = recipes.map { case (dir, stageWriter) =>
+    // TWO-PHASE fold: STAGE every table's folded output first — all in
+    // parallel on the shared writer pool, and against the UNTOUCHED
+    // pre-swap stores, which also removes the cross-table read-vs-swap
+    // hazard the old one-table-at-a-time loop only avoided by being
+    // serial (the erasure-fold recipes read postings/docs while folding
+    // terms/stats) — then run the per-table swaps back to back (pure
+    // renames). Values are unchanged either way: the serial loop's
+    // later recipes read already-folded tables, and dropV(original) ==
+    // the folded content by construction. The expensive half (the
+    // staged rewrites) now overlaps, so one table's straggler tail
+    // back-fills with the next table's tasks; each table keeps its own
+    // recoverable swap, so crash recovery is per-table exactly as
+    // before, and the store-inconsistent window shrinks to the rename
+    // phase.
+    val staged = recipes.map { case (dir, stageWriter) =>
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val srcBatches = fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .map(st => st.getPath.getName.stripPrefix("batch=").toLong)
         .filter(_ <= upTo).sorted
-      if (srcBatches.length > 1 || (srcBatches.nonEmpty && erased > 0L)) {
+      val active = srcBatches.length > 1 || (srcBatches.nonEmpty && erased > 0L)
+      if (active) {
+        // pre-flight EVERY table before any staging or swap starts
         val sentinel = new Path(dir, Dedup.MaintenanceSentinel)
         val trash = new Path(root.getParent, s".${root.getName}_compact_old")
-        val stage = new Path(root.getParent, s".${root.getName}_compact_stage")
         for (left <- Seq(sentinel, trash) if fs.exists(left))
           throw new IllegalStateException(
             s"compactTextIndexBatches: leftover $left from an unfinished swap " +
               s"at $dir — recover before retrying")
+      }
+      (dir, stageWriter, root, fs, srcBatches, active)
+    }
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
+    val stageJobs = staged.map { case (dir, stageWriter, root, fs, srcBatches, active) =>
+      if (!active) Future.successful(())
+      else Future {
+        val stage = new Path(root.getParent, s".${root.getName}_compact_stage")
         fs.delete(stage, true)
         val src = Dedup.readStore(spark, dir).where(col("batch") <= upTo)
         stageWriter(src).parquet(new Path(stage, s"batch=$upTo").toString)
+        ()
+      }
+    }
+    stageJobs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    val folded = staged.map { case (dir, _, root, fs, srcBatches, active) =>
+      if (active) {
+        val trash = new Path(root.getParent, s".${root.getName}_compact_old")
+        val stage = new Path(root.getParent, s".${root.getName}_compact_stage")
         // a fold whose result is empty (every folded row was a victim)
         // emits no files: promote nothing — the batch dirs simply age out
         val stagedBatch = new Path(stage, s"batch=$upTo")
