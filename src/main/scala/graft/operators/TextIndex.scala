@@ -165,10 +165,53 @@ object TextIndex {
     */
   def appendTextIndexBatch(docs: DataFrame, idxDir: String, batchId: Long,
                            nMods: Int = DefaultNMods,
-                           withPositions: Boolean = false): Unit = {
+                           withPositions: Boolean = false): Unit =
+    appendTextIndexBatches(Seq(docs -> batchId), idxDir, nMods, withPositions)
+
+  /** Append SEVERAL independent ingest batches concurrently — the bulk
+    * backfill shape (a lake-scale bootstrap indexes many arrival slices
+    * at once, not one at a time). Each batch writes ONLY its own
+    * `batch=<id>/` dirs in every table (the incremental-append
+    * contract), so appends of distinct batch ids commute: the store is
+    * byte-identical to running them one at a time, whatever the
+    * interleaving. The manifest is written (or checked) ONCE up front —
+    * concurrent first-appends can't race it — and every batch's table
+    * pipelines are submitted to the shared writer pool TOGETHER, so one
+    * batch's straggler tail back-fills with the next batch's tasks
+    * (guide-§2.6 overlap, applied across batches instead of only within
+    * one). The single-writer contract is about maintenance (swap ops)
+    * vs writers; same-store maintenance must still not race this call.
+    */
+  def appendTextIndexBatches(batches: Seq[(DataFrame, Long)], idxDir: String,
+                             nMods: Int = DefaultNMods,
+                             withPositions: Boolean = false): Unit = {
+    require(batches.nonEmpty, "appendTextIndexBatches: no batches")
+    require(batches.map(_._2).distinct.length == batches.length,
+      "appendTextIndexBatches: duplicate batch ids — each batch overwrites " +
+        "its own batch= dirs, so duplicates would race each other")
     if (manifest.exists(idxDir))
       manifest.check(idxDir, renderManifest(nMods, withPositions))
     else manifest.write(idxDir, renderManifest(nMods, withPositions))
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
+    val pending = batches.map { case (docs, batchId) =>
+      submitAppendPipelines(docs, idxDir, batchId, nMods, withPositions)
+    }
+    try pending.flatMap(_._1)
+      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    finally pending.foreach(_._2())
+  }
+
+  /** One batch's table pipelines, submitted (not awaited) on `ec`:
+    * returns the write futures plus a release hook for the two
+    * append-scoped caches. Callers await every future before releasing.
+    */
+  private def submitAppendPipelines(docs: DataFrame, idxDir: String,
+                                    batchId: Long, nMods: Int,
+                                    withPositions: Boolean)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : (Seq[scala.concurrent.Future[Unit]], () => Unit) = {
+    import scala.concurrent.Future
     val spark = docs.sparkSession
     // `dl` rides along FROM THE SCAN as size() OF THE SAME TOKEN ARRAY
     // the generator explodes (identical by construction to Σ tf over the
@@ -207,17 +250,14 @@ object TextIndex {
     // (postings→terms share one cache, membership→stats another, the
     // positional tier recomputes from the batch), and each append used
     // to run them strictly back to back — so every pipeline's straggler
-    // tail left the cluster idle before the next even started. They now
+    // tail left the cluster idle before the next even started. They
     // overlap on the shared writer pool (the minhashIncrementalStored
     // pattern; actions are thread-safe, job descriptions thread-local),
     // which is exactly the guide's "overlap independent jobs" move: the
     // next pipeline's tasks back-fill executors the previous one's tail
     // frees. Within a pipeline, order is preserved (the dependent table
     // reads its parent's cache).
-    import scala.concurrent.{Await, Future}
-    implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
-    try {
-      val wPostings = Future {
+    val wPostings = Future {
         postings
           .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("tm_mod"))
           .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
@@ -263,13 +303,8 @@ object TextIndex {
             .write.mode("overwrite").partitionBy("tm_mod")
             .parquet(s"${positionsDir(idxDir)}/batch=$batchId")
         })
-      (Seq(wPostings, wMembership) ++ wPositions)
-        .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
-    } finally {
-      postings.unpersist()
-      membership.unpersist()
-      ()
-    }
+    (Seq(wPostings, wMembership) ++ wPositions,
+      () => { postings.unpersist(); membership.unpersist(); () })
   }
 
   /** BM25 top-k served FROM THE STORE — same scoring discipline as the
@@ -675,10 +710,11 @@ object TextIndex {
     * Single-writer contract as everywhere; each swap raises the shared
     * sentinel, so probes refuse during any window. Within the ordering
     * above, steps that touch DIFFERENT tables and share no derivation
-    * edge overlap on the writer pool (postings ∥ positions; terms ∥
-    * stats): the crash-retry argument only needs membership LAST and
-    * the dictionary recomputed from post-delete postings, both of which
-    * the stage barriers preserve. Returns the number of victim
+    * edge overlap on the writer pool (postings ∥ positions ∥ stats —
+    * stats reads membership, never postings; the dictionary chains on
+    * the postings swap): the crash-retry argument only needs membership
+    * LAST and the dictionary recomputed from post-delete postings, both
+    * of which the future graph preserves. Returns the number of victim
     * documents actually present.
     */
   def deleteFromTextIndex(spark: SparkSession, idxDir: String,
@@ -704,11 +740,19 @@ object TextIndex {
       // so its batch's dictionary is already exact
       val postingBatches =
         present.filter(_.getLong(2) > 0L).map(_.getLong(0)).distinct.sorted.toIndexedSeq
-      // postings and the positional tier erase through independent
-      // file-targeted swaps of different tables — overlapped (the
-      // positional tier erases with the postings: same term-hash
-      // scatter, same core; a zero-token victim has no positions rows,
-      // so that leg prices to a no-op for it)
+      // Stages 2-4 overlap to the full extent their derivation edges
+      // allow: postings, the positional tier, AND the stats recompute
+      // are mutually independent (postings/positions are different
+      // tables through the same file-targeted core; stats recomputes
+      // from the STILL-UNTOUCHED membership minus victims — it never
+      // reads postings), so all three submit together. Only the TERM
+      // DICTIONARY has a real edge — it recomputes from the POST-delete
+      // postings — so it chains on the postings future instead of
+      // waiting for everything. Crash-retry stays intact whatever
+      // subset completed: every stage idempotently re-derives from
+      // membership (rewritten strictly LAST below), postings re-prices
+      // to the still-present victims, and the recomputing swaps produce
+      // the same values on retry.
       locally {
         import scala.concurrent.{Await, Future}
         implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
@@ -726,25 +770,12 @@ object TextIndex {
               partitionCols = Seq("batch", "tm_mod"),
               clusterCols = Seq("term", "doc_id", "pos"))
           }
-        Await.result(wPost, scala.concurrent.duration.Duration.Inf)
-        Await.result(wPos, scala.concurrent.duration.Duration.Inf)
-        ()
-      }
-      // stages 3 and 4 are mutually independent (the dictionary
-      // recomputes from the POST-delete postings, the stats from the
-      // still-untouched membership minus victims — different tables,
-      // different sentinels) and both idempotently re-derive from
-      // membership on a crashed retry, so they overlap on the writer
-      // pool; membership still rewrites strictly LAST below
-      locally {
-        import scala.concurrent.{Await, Future}
-        implicit val ec: scala.concurrent.ExecutionContext = Dedup.writerPool
+        val wStats = Future { rewriteStats(spark, idxDir, affected, v) }
         val wTerms =
           if (postingBatches.isEmpty) Future.successful(())
-          else Future { rewriteTermDictionary(spark, idxDir, postingBatches) }
-        val wStats = Future { rewriteStats(spark, idxDir, affected, v) }
-        Await.result(wTerms, scala.concurrent.duration.Duration.Inf)
-        Await.result(wStats, scala.concurrent.duration.Duration.Inf)
+          else wPost.map { _ => rewriteTermDictionary(spark, idxDir, postingBatches) }
+        Seq(wPost.map(_ => ()), wPos.map(_ => ()), wStats, wTerms)
+          .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       }
       Dedup.deleteRowsFromStoreJoin(spark, docsDir(idxDir),
         "deleteFromTextIndex(docs)", v, "doc_id",

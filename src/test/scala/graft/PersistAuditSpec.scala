@@ -63,7 +63,10 @@ class PersistAuditSpec extends AnyFunSuite {
       // bag-equality aggregates (multisetEqual), so their probe/oracle
       // legs are consumed exactly once and no longer need cache barriers
       // — 4 persists + 4 unpersists retired from the gate fixtures
-      "graft/SparkEntry.scala"            -> ((17, 1)),
+      // round 17 (second pass): hybridFusionOverlapGate persists its two
+      // vector legs — each feeds both fusion modes of the one gate
+      // action (category 2: result-plan caches, session-released)
+      "graft/SparkEntry.scala"            -> ((19, 1)),
       "graft/operators/Similarity.scala"  -> ((5, 3)),
       "graft/operators/Dedup.scala"       -> ((37, 21)),
       "graft/operators/Graph.scala"       -> ((4, 0)),
