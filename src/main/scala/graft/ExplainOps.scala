@@ -77,6 +77,35 @@ object ExplainOps {
         .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
         .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
     }
+
+    // seedIvfStore's range-staged write, BOTH forms (round 17 change
+    // §13): a range exchange SAMPLES its child to derive partition
+    // bounds, so the OLD form evaluated the assignment UDF over the
+    // whole corpus twice — once in the hidden sampling pass, once in
+    // the shuffle map pass. The NEW form persists the assigned frame:
+    // the sampling pass is the one evaluation and the shuffle reads the
+    // InMemoryRelation (visible below as InMemoryTableScan replacing
+    // the Project[UDF]-over-Scan subtree under the Exchange).
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val work = java.nio.file.Files.createTempDirectory("graft_explain_seed")
+      val w = work.toFile.getAbsolutePath
+      graft.operators.Similarity.saveIvfIndex(emb, s"$w/ivf_index", nlist = 4)
+      val assigned = graft.operators.Similarity.assignStored(emb, s"$w/ivf_index")
+      show("seedivf_range_stage_uncached_OLD") {
+        assigned
+          .repartitionByRange(4, col("cell"), col("vec_id"))
+          .sortWithinPartitions("cell", "vec_id")
+      }
+      show("seedivf_range_stage_cached_NEW") {
+        val cached = assigned.persist()
+        val out = cached
+          .repartitionByRange(4, col("cell"), col("vec_id"))
+          .sortWithinPartitions("cell", "vec_id")
+        out
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+    }
     spark.stop()
   }
 }

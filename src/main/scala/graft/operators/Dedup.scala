@@ -915,12 +915,20 @@ object Dedup {
       math.max(1L, (affectedBytes + targetFileBytes - 1) / targetFileBytes),
       spark.sparkContext.defaultParallelism.toLong).toInt
     val qualifiedBase = fs.makeQualified(storeP).toString
-    keepSurvivors(spark.read.option("basePath", qualifiedBase)
+    // persisted across the range-staged write: the range partitioner
+    // SAMPLES its child for bounds, so an unpersisted survivors plan
+    // would re-run the affected-file scan + victim anti-join twice
+    // (the seedIvfStore lesson, applied to every file-targeted erasure
+    // in the repo); op-scoped, released in the finally
+    val survivors = keepSurvivors(spark.read.option("basePath", qualifiedBase)
         .parquet(affected.map(_.getPath.toString).toSeq: _*))
+      .persist()
+    try survivors
       .repartitionByRange(slices, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(stageRoot.toString)
+    finally { survivors.unpersist(); () }
     if (!fs.exists(stageRoot))
       throw new IllegalStateException(
         s"$opName: staged rewrite missing under $stageRoot — store left unchanged")

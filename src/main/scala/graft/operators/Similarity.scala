@@ -160,10 +160,20 @@ object Similarity {
       val counts = new Array[Int](centroids.length)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
-        for (c <- centroids.indices) {
+        // partial-sum early exit (see nearestCellAssigner.exactAmong):
+        // the update is strictly <, scan order ascending, so an aborted
+        // candidate (true distance >= the prefix >= bestD) could never
+        // have updated — result-identical, and this loop is the whole
+        // cost of every driver/per-task Lloyd pass
+        var c = 0
+        while (c < centroids.length) {
+          val cc = centroids(c)
           var d = 0.0; var j = 0
-          while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
+          while (j < dim && d < bestD) {
+            val t = v(j) - cc(j); d += t * t; j += 1
+          }
+          if (j == dim && d < bestD) { bestD = d; best = c }
+          c += 1
         }
         counts(best) += 1
         var j = 0
@@ -396,65 +406,113 @@ object Similarity {
     a
   }
 
+  /** Row-major flattening of a centroid matrix — the same values in the
+    * same order behind ONE indirection (`flat(c*dim+j)` instead of
+    * `m(c)(j)`): distance sums are bit-identical, but the scan walks
+    * contiguous memory instead of chasing 8k pointers to scattered
+    * 512-byte rows, which was measured as most of the per-row assignment
+    * cost at nlist 8192 (cache misses, not flops).
+    */
+  private def flatten(m: Array[Array[Double]]): Array[Double] = {
+    if (m.isEmpty) new Array[Double](0)
+    else {
+      val dim = m(0).length
+      val out = new Array[Double](m.length * dim)
+      var c = 0
+      while (c < m.length) {
+        System.arraycopy(m(c), 0, out, c * dim, dim); c += 1
+      }
+      out
+    }
+  }
+
   private[graft] def nearestCellAssigner(
       centroids: Array[Array[Double]],
       forceCoarse: Boolean = false,
       probeGroups: Int = 4): Seq[Float] => Int = {
     val n = centroids.length
-    def exactAmong(v: Array[Double], idxs: Array[Int]): Int = {
-      var best = -1; var bestD = Double.MaxValue
-      var i = 0
-      while (i < idxs.length) {
-        val c = idxs(i); val cc = centroids(c)
-        var d = 0.0; var j = 0
-        while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-        if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
-        i += 1
-      }
-      best
-    }
+    val dim = if (n > 0) centroids(0).length else 0
+    val cFlat = flatten(centroids)
+    // Every distance loop below carries the same partial-sum early exit:
+    // sums are monotone, so a prefix STRICTLY above the current bound
+    // can neither win nor tie — abort. A prefix EQUAL to the bound keeps
+    // summing (a zero tail would be a genuine tie, which the tie branch
+    // must see with its full sum), so only completed sums (j == dim)
+    // update and the lexicographic (distance, index) outcome is
+    // bit-identical to the exhaustive form. NaN sums abort the <= test
+    // and never update, matching the old skip-NaN behavior; a NaN vector
+    // therefore pins to cell 0 exactly as before.
+    def better(d: Double, c: Int, bestD: Double, best: Int): Boolean =
+      d < bestD || (d == bestD && c < best)
     if (n < CoarseAssignThreshold && !forceCoarse) {
-      val all = Array.range(0, n)
-      // a vector containing NaN compares false against every distance and
-      // exactAmong returns -1; pin such rows to cell 0 (the pre-coarse
-      // linear scan's behavior) so assignment stays total and deterministic
-      vs => { val c = exactAmong(toDense(vs), all); if (c < 0) 0 else c }
-    } else {
-      val (groupCentroids, members) = coarseGroups(centroids)
-      val p = math.min(probeGroups, groupCentroids.length)
       vs => {
         val v = toDense(vs)
-        // top-p nearest group centroids by p select-min passes (p is small)
-        val gd = new Array[Double](groupCentroids.length)
-        var g = 0
-        while (g < groupCentroids.length) {
-          val gc = groupCentroids(g)
-          var d = 0.0; var j = 0
-          while (j < gc.length) { val t = v(j) - gc(j); d += t * t; j += 1 }
-          gd(g) = d; g += 1
-        }
-        val taken = new Array[Boolean](gd.length)
         var best = -1; var bestD = Double.MaxValue
-        var pick = 0
-        while (pick < p) {
-          var bg = -1; var bgD = Double.MaxValue
+        var c = 0
+        while (c < n) {
+          val base = c * dim
+          var d = 0.0; var j = 0
+          while (j < dim && d <= bestD) {
+            val t = v(j) - cFlat(base + j); d += t * t; j += 1
+          }
+          if (j == dim && better(d, c, bestD, best)) { bestD = d; best = c }
+          c += 1
+        }
+        if (best < 0) 0 else best
+      }
+    } else {
+      val (groupCentroids, members) = coarseGroups(centroids)
+      val nG = groupCentroids.length
+      val gcFlat = flatten(groupCentroids)
+      val p = math.min(probeGroups, nG)
+      vs => {
+        val v = toDense(vs)
+        // top-p nearest group centroids, tracked incrementally by
+        // (distance, group-index) — the same set and visit order the old
+        // p select-min passes produced (strict-< select-min keeps the
+        // earliest index among equals; groups arrive here in ascending
+        // index, so insertion sort below never displaces an equal), with
+        // the worst tracked distance as the group loop's abort bound.
+        val topD = new Array[Double](p); val topI = new Array[Int](p)
+        var filled = 0
+        var g = 0
+        while (g < nG) {
+          val bound = if (filled == p) topD(p - 1) else Double.MaxValue
+          val base = g * dim
+          var d = 0.0; var j = 0
+          while (j < dim && d <= bound) {
+            val t = v(j) - gcFlat(base + j); d += t * t; j += 1
+          }
+          if (j == dim && (filled < p || d < topD(p - 1))) {
+            var k = if (filled < p) filled else p - 1
+            while (k > 0 && topD(k - 1) > d) {
+              topD(k) = topD(k - 1); topI(k) = topI(k - 1); k -= 1
+            }
+            topD(k) = d; topI(k) = g
+            if (filled < p) filled += 1
+          }
+          g += 1
+        }
+        // fused member scan: the old code took each probed group's local
+        // argmin (exactAmong) and lexicographically compared winners —
+        // equal to one lexicographic argmin over the UNION of probed
+        // members, which is what this loop computes, with the global
+        // best as the abort bound (more aggressive pruning, same result)
+        var best = -1; var bestD = Double.MaxValue
+        var gi = 0
+        while (gi < filled) {
+          val mem = members(topI(gi))
           var i = 0
-          while (i < gd.length) {
-            if (!taken(i) && gd(i) < bgD) { bgD = gd(i); bg = i }
+          while (i < mem.length) {
+            val c = mem(i); val base = c * dim
+            var d = 0.0; var j = 0
+            while (j < dim && d <= bestD) {
+              val t = v(j) - cFlat(base + j); d += t * t; j += 1
+            }
+            if (j == dim && better(d, c, bestD, best)) { bestD = d; best = c }
             i += 1
           }
-          if (bg < 0) pick = p // every group distance NaN — nothing to probe
-          else {
-            taken(bg) = true
-            val cand = exactAmong(v, members(bg))
-            if (cand >= 0) {
-              val cc = centroids(cand)
-              var d = 0.0; var j = 0
-              while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-              if (d < bestD || (d == bestD && cand < best)) { bestD = d; best = cand }
-            }
-            pick += 1
-          }
+          gi += 1
         }
         // NaN vectors (no comparable distance anywhere) pin to cell 0,
         // matching the exact path above
@@ -925,7 +983,7 @@ object Similarity {
     * path of the stored semantic-dedup index (`Dedup.seedSemStore` /
     * `Dedup.semDedupIncrementalStored`).
     */
-  private[operators] def assignStored(data: DataFrame, indexPath: String): DataFrame =
+  private[graft] def assignStored(data: DataFrame, indexPath: String): DataFrame =
     data.withColumn("cell",
       nearestCellUdf(loadIvfIndex(data.sparkSession, indexPath))(col("embedding")))
 
@@ -941,10 +999,18 @@ object Similarity {
   def seedIvfStore(data: DataFrame, workDir: String): Unit = {
     val spark = data.sparkSession
     val slices = spark.sparkContext.defaultParallelism
-    assignStored(data, s"$workDir/ivf_index")
+    // the range write SAMPLES its child to derive partition bounds, so an
+    // unpersisted plan evaluates the assignment UDF twice over the corpus
+    // (sampling pass + shuffle pass) — and the assignment is the seed's
+    // whole compute (O(nlist·dim) per row through the two-level scan).
+    // Persisting the assigned frame makes the sampling pass the ONE
+    // evaluation and the shuffle a cache read; released before return.
+    val assigned = assignStored(data, s"$workDir/ivf_index").persist()
+    try assigned
       .repartitionByRange(slices, col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").parquet(s"$workDir/cells/batch=0")
+    finally { assigned.unpersist(); () }
   }
 
   /** STREAMING ANN ingest — the embeddings-side sibling of
@@ -1963,16 +2029,22 @@ object Similarity {
     val affectedDf = spark.read.option("basePath", qualifiedBase)
       .parquet(affected.map(_.getPath.toString): _*)
     val (affRows, _) = withReconstructedEmbedding(spark, workDir, affectedDf)
-    val relabeled = affRows.withColumn("cell", relabel(col("cell"), col("embedding")))
+    // persisted across the range write: the range sampler otherwise
+    // re-evaluates the relabel UDF (and any embedding reconstruction)
+    // over every affected row a second time (the seedIvfStore lesson)
+    val relabeled = affRows
+      .withColumn("cell", relabel(col("cell"), col("embedding")))
+      .persist()
     // stage CELL-CLUSTERED (the compacted discipline), not hash-spread:
     // iterative splitting re-targets the still-hot region each round, and
     // a hash-spread stage would smear hot rows across every new file —
     // round 2 would then move everything the first round wrote
-    (if (coded) relabeled.drop("embedding") else relabeled)
+    try (if (coded) relabeled.drop("embedding") else relabeled)
       .repartitionByRange(slices, col("batch"), col("cell"), col("vec_id"))
       .sortWithinPartitions("batch", "cell", "vec_id")
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stageRoot/cells")
+    finally { relabeled.unpersist(); () }
     val stagedCells = new Path(s"$stageRoot/cells")
     val stagedIdx = new Path(s"$stageRoot/ivf_index")
     if (!fs.exists(stagedCells) || !fs.exists(stagedIdx))

@@ -809,16 +809,22 @@ object TextIndex {
         s"rewriteTermDictionary: leftover $left from an unfinished swap at $dir — " +
           "recover before retrying")
     fs.delete(stage, true)
-    Dedup.readStore(spark, postingsDir(idxDir))
+    // persisted across the range-staged write (the deleteRowsFromStoreJoin
+    // discipline): the range sampler would otherwise re-run the postings
+    // scan + dictionary aggregation a second time just to derive bounds
+    val dict = Dedup.readStore(spark, postingsDir(idxDir))
       .where(col("batch").isin(batches.map(java.lang.Long.valueOf): _*))
       .groupBy(col("batch"), col("term"))
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
       .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
+      .persist()
+    try dict
       .repartitionByRange(col("batch"), col("tm_mod"), col("term"))
       .sortWithinPartitions(col("batch"), col("tm_mod"), col("term"))
       .write.mode("overwrite").partitionBy("batch", "tm_mod")
       .parquet(stage.toString)
+    finally { dict.unpersist(); () }
     val promotes = batches
       .map(b => (new Path(stage, s"batch=$b"), new Path(root, s"batch=$b")))
       .filter { case (src, _) => fs.exists(src) }

@@ -110,6 +110,9 @@ class CollectAuditSpec extends AnyFunSuite {
     }
     val allowed = Map(
       "graft/Tables.scala"                -> 1,
+      // PhaseProbe: dev-only per-phase profiler; its one collect is a
+      // limit(20000) microbench sample, never on a query path
+      "graft/PhaseProbe.scala"            -> 1,
       "graft/SparkEntry.scala"            -> 28,
       "graft/operators/Maintenance.scala" -> 3,
       "graft/operators/Similarity.scala"  -> 15,
