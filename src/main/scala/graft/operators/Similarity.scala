@@ -1740,15 +1740,21 @@ object Similarity {
           "erasure; widen upTo past their batches or use deleteFromIvfStore")
       markV(store.where(col("batch") <= upTo)).count()
     }
-    val rows = dropV(store.where(col("batch") <= upTo)).drop("batch")
+    // persisted across the emptiness probe AND the range-staged write:
+    // the range sampler would otherwise re-run the store scan + victim
+    // anti-join a second time (the deleteRowsFromStoreJoin discipline),
+    // and the isEmpty probe is a third pass without the cache
+    val rows = dropV(store.where(col("batch") <= upTo)).drop("batch").persist()
     // an all-empty store compacts to a schema-only file (a ranged write of
     // zero rows emits no files and would leave the store unreadable)
-    if (rows.isEmpty)
-      rows.coalesce(1).write.mode("overwrite").parquet(staged)
-    else
-      rows.repartitionByRange(slices, col("cell"), col("vec_id"))
-        .sortWithinPartitions("cell", "vec_id")
-        .write.mode("overwrite").parquet(staged)
+    try {
+      if (rows.isEmpty)
+        rows.coalesce(1).write.mode("overwrite").parquet(staged)
+      else
+        rows.repartitionByRange(slices, col("cell"), col("vec_id"))
+          .sortWithinPartitions("cell", "vec_id")
+          .write.mode("overwrite").parquet(staged)
+    } finally { rows.unpersist(); () }
     val stagedP = new Path(staged)
     if (!fs.exists(stagedP))
       throw new IllegalStateException(

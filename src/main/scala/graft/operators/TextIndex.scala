@@ -979,18 +979,33 @@ object TextIndex {
         }
         hit
     }
-    // per-table fold recipes: (dir, staged writer). The dictionary and
-    // stats tables RECOMPUTE from the folded postings/membership rather
-    // than folding their own rows, so an erasure fold keeps them exact.
-    val recipes: Seq[(String, DataFrame => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])] = Seq(
-      postingsDir(idxDir) -> { (src: DataFrame) =>
-        dropV(src)
-          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tm_mod"))
-          .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"))
-          .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"))
-          .write.mode("overwrite").partitionBy("tm_mod")
+    // per-table fold recipes: (dir, staged writer to a target path). The
+    // dictionary and stats tables RECOMPUTE from the folded postings/
+    // membership rather than folding their own rows, so an erasure fold
+    // keeps them exact. Each range-staged recipe persists its folded
+    // frame for the write's duration (the deleteRowsFromStoreJoin
+    // discipline): the range sampler would otherwise re-run the fold's
+    // scan + anti-join/aggregation a second time just to derive bounds.
+    // The stats recipe writes through coalesce(1) — no sampling pass —
+    // so it stays uncached.
+    def stagedRanged(folded: DataFrame, rangeCols: Seq[String],
+                     partCol: String, out: String): Unit = {
+      val f = folded.persist()
+      try f
+        .repartitionByRange(rangeCols.map(col): _*)
+        .sortWithinPartitions(rangeCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(out)
+      finally { f.unpersist(); () }
+    }
+    val recipes: Seq[(String, (DataFrame, String) => Unit)] = Seq(
+      postingsDir(idxDir) -> { (src: DataFrame, out: String) =>
+        stagedRanged(
+          dropV(src)
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tm_mod")),
+          Seq("tm_mod", "term", "doc_id"), "tm_mod", out)
       },
-      termsDir(idxDir) -> { (src: DataFrame) =>
+      termsDir(idxDir) -> { (src: DataFrame, out: String) =>
         // pure fold: df SUMS across batches (each doc indexed by exactly
         // one batch), max_tf maxes, min_dl mins — a vocab-sized scan of
         // the dictionary itself, never the postings. With victims the
@@ -1007,20 +1022,16 @@ object TextIndex {
               .groupBy(col("term"))
               .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
                 min(col("dl")).as("min_dl"))
-        folded
-          .withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int"))
-          .repartitionByRange(col("tm_mod"), col("term"))
-          .sortWithinPartitions(col("tm_mod"), col("term"))
-          .write.mode("overwrite").partitionBy("tm_mod")
+        stagedRanged(
+          folded.withColumn("tm_mod", pmod(hash(col("term")), lit(nMods)).cast("int")),
+          Seq("tm_mod", "term"), "tm_mod", out)
       },
-      docsDir(idxDir) -> { (src: DataFrame) =>
-        dropV(src)
-          .select(col("doc_id"), col("dl"), col("did_mod"))
-          .repartitionByRange(col("did_mod"), col("doc_id"))
-          .sortWithinPartitions(col("did_mod"), col("doc_id"))
-          .write.mode("overwrite").partitionBy("did_mod")
+      docsDir(idxDir) -> { (src: DataFrame, out: String) =>
+        stagedRanged(
+          dropV(src).select(col("doc_id"), col("dl"), col("did_mod")),
+          Seq("did_mod", "doc_id"), "did_mod", out)
       },
-      statsDir(idxDir) -> { (src: DataFrame) =>
+      statsDir(idxDir) -> { (src: DataFrame, out: String) =>
         // pure fold: the serving value is the SUM over batch rows, which
         // folding preserves — O(batches) rows read. With victims the row
         // recomputes from the folded membership (decrement for free).
@@ -1033,17 +1044,16 @@ object TextIndex {
                 .where(col("batch") <= upTo))
               .agg(count(lit(1)).as("n_docs"),
                 coalesce(sum(col("dl")), lit(0L)).as("total_toks"))
-        folded.coalesce(1).write.mode("overwrite")
+        folded.coalesce(1).write.mode("overwrite").parquet(out)
       }) ++ (if (!storeHasPositions(idxDir)) Nil else Seq(
-      positionsDir(idxDir) -> { (src: DataFrame) =>
+      positionsDir(idxDir) -> { (src: DataFrame, out: String) =>
         // positional tier folds like the postings: pure row fold with
         // victims anti-joined out; positions are doc-local so a fold
         // never renumbers anything
-        dropV(src)
-          .select(col("term"), col("doc_id"), col("pos"), col("tm_mod"))
-          .repartitionByRange(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
-          .sortWithinPartitions(col("tm_mod"), col("term"), col("doc_id"), col("pos"))
-          .write.mode("overwrite").partitionBy("tm_mod")
+        stagedRanged(
+          dropV(src)
+            .select(col("term"), col("doc_id"), col("pos"), col("tm_mod")),
+          Seq("tm_mod", "term", "doc_id", "pos"), "tm_mod", out)
       }))
     // TWO-PHASE fold: STAGE every table's folded output first — all in
     // parallel on the shared writer pool, and against the UNTOUCHED
@@ -1086,7 +1096,7 @@ object TextIndex {
         val stage = new Path(root.getParent, s".${root.getName}_compact_stage")
         fs.delete(stage, true)
         val src = Dedup.readStore(spark, dir).where(col("batch") <= upTo)
-        stageWriter(src).parquet(new Path(stage, s"batch=$upTo").toString)
+        stageWriter(src, new Path(stage, s"batch=$upTo").toString)
         ()
       }
     }

@@ -74,14 +74,18 @@ class PersistAuditSpec extends AnyFunSuite {
       // ExplainOps: dev-only plan renderer; its one persist exists to
       // PRINT the cached form of the seed pipeline, nothing executes
       "graft/ExplainOps.scala"            -> ((1, 0)),
-      "graft/operators/Similarity.scala"  -> ((7, 5)),
+      // round 17 (fourth pass): compactIvfStore's survivors and the
+      // text-index fold recipes persist their staged frames across the
+      // range write (category 1, finally-released — same rationale as
+      // the erasure core)
+      "graft/operators/Similarity.scala"  -> ((8, 6)),
       // round 17 (third pass): deleteRowsFromStoreJoin's survivors and
       // rewriteTermDictionary's aggregated dictionary persist across
       // their range-staged writes (category 1, finally-released) — the
       // range sampler otherwise re-runs the scan+join / aggregation
       "graft/operators/Dedup.scala"       -> ((38, 22)),
       "graft/operators/Graph.scala"       -> ((4, 0)),
-      "graft/operators/TextIndex.scala"   -> ((5, 5)),
+      "graft/operators/TextIndex.scala"   -> ((6, 6)),
       "graft/operators/Corpus.scala"      -> ((8, 1)))
     assert(found.toMap == allowed,
       s"persist/unpersist drift — audit the new cache site into a lifetime " +
